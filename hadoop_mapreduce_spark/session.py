@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every config here is chosen to be
+the right default on a real multi-executor cluster too: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast joins
+enabled with a sane threshold, Arrow for any pandas-UDF exchange, and
+shuffle partitions sized for the local fixture scale (overridable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop-mapreduce-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you'd size this to ~2-3x total executor cores or simply rely
+    on AQE coalescing, which is enabled here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- query optimization ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python/JVM data exchange (pandas UDFs) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic timestamps across engines ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # keep the UI off in test/bench runs: less overhead, no port races
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
