@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.EXT Stage 3).
+
+Four dedup families, all shuffle-disciplined for 100 TB:
+
+  * exact      — content hash (sha256) + groupBy; one shuffle on the hash.
+  * minhash    — MinHash signatures + LSH banding; near-dup pairs at a
+                 Jaccard threshold without the quadratic all-pairs join.
+  * simhash    — 64-bit simhash fingerprints; Hamming-radius candidates
+                 via band rotation.
+  * ngram_jaccard — exact Jaccard via an inverted shingle index; the
+                 ground-truth (and oracle) for the approximate methods.
+
+Determinism: every hash function here is derived from md5 (seeded by
+concatenating a function index), so results are bit-identical across
+engines and runs — no RNG, no Spark-version-dependent hash.
+
+All hash computation is JVM-side (md5/conv/substring are codegen'd
+built-ins); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.functions.text import shingles
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+# 60-bit hashes: 15 hex chars always fit a signed int64 in every engine.
+_HEX_LEN = 15
+
+
+def _h60(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash of a string column (md5-derived).
+
+    seed=None hashes the value directly; an integer seed prefixes the
+    value so hash families {h_i} are independent."""
+    keyed = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(keyed), 1, _HEX_LEN), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash: keeper = min doc_id.
+
+    One shuffle, keyed on sha256(text) — uniform by construction, so no
+    skew at any scale. Emits one row per distinct content with the kept
+    id and the duplicate count (count=1 rows are non-duplicated docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature over token-k-shingles.
+
+    min_i over the shingle set of h_i(shingle) for each of num_hashes
+    md5-derived hash functions. Entirely columnar: shingle array →
+    per-hash transform + array_min; no explode, no shuffle.
+    """
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: _h60(s, i))) for i in range(num_hashes)]
+    )
+    return docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
+
+    Shuffle is keyed on (band_idx, band_hash) — uniformly distributed, so
+    the self-join groups stay tiny unless documents genuinely collide.
+    """
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.hash(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates()
+    )
+
+
+def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            shingle_k: int = 3) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (columnar:
+    array_intersect/array_union on the two shingle arrays)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs with verified Jaccard >= threshold.
+
+    Pipeline: shingle → 32 MinHashes → 16-band x 2-row LSH → candidate
+    self-join → exact Jaccard verify. P(miss | j=0.8) = (1-0.8^2)^16 ≈
+    8e-8, so the output matches the exact all-pairs oracle w.h.p. while
+    scaling as O(candidates), not O(n^2).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2)
+    verified = exact_jaccard_for_pairs(docs, cands)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id1", "id2")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", bits: int = 60) -> DataFrame:
+    """(id, simhash: long) — per-bit majority vote over token hashes.
+
+    Classic Charikar simhash: each distinct token contributes +1/-1 to
+    each bit position of its 60-bit md5-derived hash; fingerprint bit =
+    sign of the vote. Expressed as explode(tokens) x explode(bit index)
+    → two hash-partitioned aggregations on (id, i) then (id): fully
+    parallel, partial-agg-friendly, and exactly mirrored by the SQL
+    oracle. (Docs with zero tokens drop out via the explode.)
+    """
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    toks = F.array_distinct(tokenize(normalize_text(F.col(text_col))))
+    th = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tk")).select(
+        "id", _h60(F.col("tk")).alias("h")
+    )
+    votes = (
+        th.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+            F.col("h"),
+        )
+        .select("id", "i", F.when(F.expr("(shiftright(h, i) & 1) = 1"), 1).otherwise(-1).alias("v"))
+        .groupBy("id", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (the dedup key). Grouping equal
+    fingerprints = near-dup clusters at Hamming distance 0; the banded
+    Hamming-radius search is simhash_hamming_pairs below."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs).select(
+        F.col("id").alias("doc_id"), "simhash"
+    ).orderBy("doc_id")
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3,
+                          bits: int = 60, blocks: int = 4) -> DataFrame:
+    """Candidate near-dup pairs at Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into `blocks` bit-blocks;
+    any pair within distance < blocks must agree on >= 1 block, so a
+    groupBy-block-value join finds all candidates with one uniform
+    shuffle, then an exact popcount filter verifies.
+    """
+    fp = simhash_fingerprints(docs, bits=bits)
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    blocked = fp.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ])).alias("blk", "blk_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return pairs.select("id1", "id2", ham.alias("hamming")).where(ham <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (ground truth / oracle twin)
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Exact all-qualifying-pairs Jaccard via inverted shingle index.
+
+    Pairs sharing >= 1 shingle are generated from the inverted index
+    (shingle → doc list), intersection counts fall out of the groupBy,
+    and sizes join in for the union denominator. Exact but O(sum of
+    postings^2 per shingle) — the scale path is dedup_minhash_lsh; this
+    one doubles as its correctness oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    jac = (
+        inter.join(s1, "id1").join(s2, "id2")
+        .select("id1", "id2",
+                (F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))).alias("jaccard"))
+    )
+    return (
+        jac.where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id1", "id2")
+    )

@@ -1,0 +1,570 @@
+"""Relational operator surface over the star schema (SURVEY.md §2.EXT Stage 1-2).
+
+Every query here is declarative DataFrame code — Catalyst handles predicate
+pushdown, column pruning, and join planning.  Scale conventions used
+throughout (targets: 1000 executors / 100 TB):
+
+  * small dimensions (region 5, nation 25, supplier, part) are explicitly
+    ``F.broadcast`` — at any scale these stay broadcast-able, which turns
+    every dim join into a map-side hash join (no shuffle of the fact table);
+  * fact-fact joins (orders x lineitem, customer x orders) shuffle on the
+    join key — AQE's skew-join splitting (on in session.py) handles hot keys;
+  * aggregates rely on Spark's always-on partial (map-side) aggregation,
+    the declarative twin of the reference's combiner (WordCount.java:150);
+  * every query filters *before* joining so pushdown reaches the scan.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the oracle SQL in registry.py exactly (driver hashes by
+sorted column name).  Float aggregates are rounded to fixed decimals so
+summation-order noise can't flip a comparison bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style compound queries
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan, tight filter, 2-key aggregate.
+
+    The whole query is one scan + one shuffle-on-(returnflag,linestatus);
+    partial aggregation collapses 600k (or 6B) rows to ~8 groups map-side,
+    so shuffle volume is O(#groups x #tasks) regardless of data size.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filters pushed below the joins, top-10.
+
+    customer is filtered to one segment before joining (pushdown), the
+    join chain shuffles on o_custkey then o_orderkey, and the top-10 is
+    TakeOrderedAndProject — no global sort materialisation.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "FURNITURE")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey"),
+            F.col("revenue"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast dims.
+
+    region/nation/supplier are broadcast (map-side joins); only
+    customer-orders-lineitem shuffle. Join order: filter region first so
+    the nation broadcast is already region-pruned.
+    """
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey) & (cust.c_nationkey == supplier.s_nationkey))
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet scan as a pushed filter (verify via explain PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name"),
+            F.col("c_custkey"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / scalar-function families
+# --------------------------------------------------------------------------
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / null-safe predicates, all pushdown-eligible."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(
+            F.col("p_brand").isin("Brand#13", "Brand#5")
+            & F.col("p_size").between(5, 25)
+            & F.col("p_type").like("ECONOMY%")
+            & F.col("p_name").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .orderBy("p_partkey")
+    )
+
+
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: arithmetic, CASE WHEN, string concat."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            # floor(x*100+0.5)/100 instead of round(): Spark rounds the
+            # shortest decimal repr (HALF_UP) while DuckDB rounds the raw
+            # binary double, which disagree exactly on .xx5 boundaries —
+            # this formula is bit-identical in both engines.
+            (
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100 + 0.5)
+                / 100.0
+            ).alias("net_charge"),
+            F.when(F.col("l_discount") >= 0.05, F.lit("HIGH")).otherwise(F.lit("LOW")).alias("disc_band"),
+            F.concat_ws("-", F.col("l_returnflag"), F.col("l_linestatus")).alias("flag_status"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .where(F.col("ship_year") == 1999)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family over part."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("long").alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    ).orderBy("p_partkey")
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("long").alias("days_to_2002"),
+        F.last_day(F.col("o_orderdate")).cast("string").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family over lineitem (outputs rounded for engine parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.abs(F.col("l_extendedprice") - 50000.0), 2).alias("abs_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.pmod(F.col("l_orderkey"), 7).alias("key_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family over embeddings (size/element/slice aggregate)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        F.col("vec_id"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(vec, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+        F.round(F.array_min(vec), 6).alias("vec_min"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_pos"),
+    ).orderBy("vec_id")
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props + grouped aggregate of the field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join: customer x nation x region — zero fact shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders (null-extended)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join: customers WITH a high-value order minus those
+    with any 'F' order — expressed as left_semi then left_anti."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    fstat = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(high, cust.c_custkey == high.o_custkey, "left_semi")
+        .join(fstat, cust.c_custkey == fstat.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims (both broadcast — no shuffle at all)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(F.broadcast(seg)).orderBy("r_name", "c_mktsegment")
+
+
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped within 90 days of
+    their order date. The equi key keeps it a hash join; the range
+    predicate is a post-join filter — at scale this is the right plan
+    (pure theta joins degrade to broadcast-nested-loop)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 90)),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_fast_ship"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range join on events: pairs of events by the same user within
+    5 minutes. Equi key (user_id) bounds the quadratic blowup to within-
+    user groups; at scale add a time-bucket key to cap group size."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")) <= 300),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-distinct + plain aggregates per group (expand-based distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation): subtotal + grand-total rows, null-marked."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("volume"))
+        .where(F.col("n_items") > 500)
+        .orderBy("l_suppkey")
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx count-distinct — sketch-based, mergeable, O(1) memory.
+
+    Not oracle-matched exactly (engines use different HLL constants), so
+    this is registered rows-only; the exact variant is agg_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window family
+# --------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — rank-and-filter window.
+
+    At scale this shuffles once on the partition key; no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over suppliers by account balance."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).orderBy("s_suppkey")
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer in order-date order (rowsBetween frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + delta per user over the events stream (batch analytic)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 2).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: count of orders within +/-30 days (value range,
+    not row offsets) per customer."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.unix_timestamp("o_orderdate") / 86400
+    w = Window.partitionBy("o_custkey").orderBy(day.cast("long")).rangeBetween(-30, 30)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_within_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------------
+
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort + limit → TakeOrderedAndProject (heap-k per
+    partition, k-merge on driver; never a full sort at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"), "l_extendedprice", "l_shipdate")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("string"))
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(50)
+    )
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    p_cust = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    both = f_cust.intersect(o_cust)
+    only_fo = both.exceptAll(p_cust.distinct()).distinct()
+    return only_fo.withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName over heterogeneous entity tables (customer + supplier)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_name").alias("name"),
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("bal"))
+        .orderBy("kind", "nationkey")
+    )
+
+
+def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projected key set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (SURVEY.md §2.EXT Stage 3).
+
+Two paths:
+
+  * brute-force cosine top-k — the exact baseline: broadcast the query
+    set, score every (query, candidate) pair JVM-side, rank with a
+    window. Cost O(Q x N); right answer, and the 1x mark for recall.
+  * IVF (inverted-file) ANN — the scale path: deterministically pick K
+    coarse centroids, assign every vector to its nearest centroid (one
+    broadcast pass), then search only the probed clusters. Sub-linear
+    per query; recall < 1 by construction (registered rows-only).
+
+All arithmetic is double-precision, left-to-right `aggregate` folds —
+bit-identical to a sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    queries is assumed small (it's broadcast); vectors can be any size —
+    the scoring pass is a broadcast nested-loop join that never shuffles
+    the big side, and the per-query top-k is a window over qid.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            cosine_similarity(F.col("qvec"), F.col("nvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def sim_search_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver query: top-10 cosine neighbours for vec_id < n_queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < n_queries), k=k)
+
+
+# --------------------------------------------------------------------------
+# IVF approximate nearest neighbour
+# --------------------------------------------------------------------------
+
+def ivf_assign(vectors: DataFrame, n_lists: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids = the vectors whose id ranks
+    first in each of n_lists id-hash buckets (a seedless, reproducible
+    stand-in for k-means — at production scale you'd run
+    ml.clustering.KMeans once and persist the centroids).
+
+    Returns (centroids, assignments): every vector is assigned to its
+    max-cosine centroid via one broadcast pass over the data.
+    """
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    centroids = (
+        vectors.withColumn("bucket", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_lists)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("bucket").alias("list_id"), F.col(vec_col).alias("cvec"))
+    )
+    assigned = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col, vec_col, "list_id",
+            cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("list_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "csim")
+    )
+    return centroids, assigned
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+                 k: int = 10, n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors in the n_probe closest lists.
+
+    At 100 TB the assignment table is written bucketed by list_id so a
+    probe reads only n_probe/n_lists of the data — that partition pruning
+    is the whole point of IVF. Registered rows-only (approximate recall).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assign(emb, n_lists=n_lists)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # which lists does each query probe?
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qvec", "list_id", cosine_similarity(F.col("qvec"), F.col("cvec")).alias("csim"))
+        .withColumn("pr", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("list_id"))))
+        .where(F.col("pr") <= n_probe)
+        .select("qid", "qvec", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"),
+                cosine_similarity(F.col("qvec"), F.col("embedding")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics — exercises dot/norm over groups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+            dot(F.col("embedding"), F.col("embedding")).alias("sq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.max("sq"), 6).alias("max_sq_norm"),
+        )
+        .orderBy("label")
+    )

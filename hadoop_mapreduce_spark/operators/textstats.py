@@ -1,0 +1,134 @@
+"""Text analysis operators (SURVEY.md §2.EXT Stage 3): language ID,
+quality scoring, token counting, document fingerprinting.
+
+All deterministic, all JVM-side column expressions (the reference's
+normalise/tokenise semantics from functions/text.py are reused so the
+flagship n-gram pipeline and these stats agree on what a "token" is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small and hard-coded: language ID here is a deterministic,
+# oracle-checkable heuristic, not a model.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"),
+}
+
+# BPE-ish token regex: word pieces OR single non-space symbols — a cheap,
+# deterministic stand-in for a real BPE tokenizer's pre-tokenisation.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _tokens(text_col: str) -> Column:
+    return tokenize(normalize_text(F.col(text_col)))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token/char counts, word lengths,
+    stopword ratio, punctuation ratio, and a composite quality score.
+
+    Pure projection — no shuffle at all; at 100 TB this runs at scan
+    speed and is the canonical "cheap filter before expensive dedup"
+    stage of a training-data pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.lit(list(LANG_STOPWORDS["en"]))))
+    avg_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+    score = (
+        F.when(n_tok >= 5, 1.0).otherwise(0.0)
+        + F.when((avg_wl >= 3) & (avg_wl <= 10), 1.0).otherwise(0.0)
+        + F.when(n_punct / n_chars < 0.2, 1.0).otherwise(0.0)
+    ) / 3.0
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_m"),
+        F.round(avg_wl, 4).alias("avg_word_len"),
+        F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document,
+    plus corpus totals per source (the billing unit of an LLM pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens("text"))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+    per_doc = docs.select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax
+    (ties broken by language code order, 'und' if no hits anywhere).
+
+    greatest(hit_en, hit_es, ...) + a CASE pick keeps the argmax fully
+    columnar and deterministic — the same logic is expressible in the
+    SQL oracle verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.lit(list(words))))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):  # tie-break: alphabetical language code
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    out = docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    return (
+        out.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str, kgram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: minimum 60-bit hash over character
+    k-grams of the normalised text (robust to token order preserving,
+    whitespace-insensitive near-exact matching), plus the full-content
+    hash. Both md5-derived → engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    compact = F.regexp_replace(norm, r"\s+", " ")
+    starts = F.when(
+        F.length(compact) >= kgram,
+        F.sequence(F.lit(1), F.length(compact) - F.lit(kgram - 1)),
+    ).otherwise(F.array(F.lit(1)))
+    min_kgram_hash = F.array_min(
+        F.transform(
+            starts,
+            lambda i: F.conv(F.substring(F.md5(F.substring(compact, i, kgram)), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(compact).alias("content_md5"),
+        min_kgram_hash.alias("min_kgram_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,117 @@
+"""Time-series operators over events: tumbling/sliding/session windows
+(batch formulations — identical semantics to the Structured Streaming
+versions in streaming/windows.py) and the as-of join.
+
+Batch and streaming share these shapes: `F.window`/`F.session_window`
+work in both modes, which is what keeps the streaming surface
+oracle-checkable (SURVEY.md §7 Stage 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every 1 hour (each event lands in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+
+    Streaming twin: the same expression under readStream with a
+    watermark. Session assembly shuffles once on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-style dedup: first event per (user_id, event_type) in ts
+    order — dropDuplicates semantics made deterministic with an explicit
+    window (batch twin of streaming dropDuplicates)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.col("ts").cast("string").alias("first_ts"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order of that customer
+    at or before the event time.
+
+    Spark-native formulation: union the two streams tagged by side, sort
+    within user partitions by time, and carry the last seen order date
+    forward with `last(..., ignorenulls)` over an unbounded-preceding
+    window. One shuffle on the key — the classic scalable as-of pattern
+    (vs. a non-equi join which would be a broadcast-nested-loop).
+
+    Tie rule: order rows sort before event rows at the same timestamp
+    (side 0 < side 1), i.e. an order on exactly the event timestamp IS
+    visible to the event — matching DuckDB's ASOF JOIN (ts >= o_orderdate).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts"), F.lit(1).alias("side"),
+        "event_id", F.lit(None).cast("timestamp").alias("odate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    unioned = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_odate", F.last("odate", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("last_odate").cast("string").alias("last_order_date"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,557 @@
+"""Query registry: every implemented operator from SURVEY.md §2, paired
+with its ANSI-SQL (DuckDB) oracle for the driver's differential check.
+
+Contract (driver, __spark_entry__.py): each entry's Spark result and
+oracle SQL result are compared at sf0.01 on row-count + schema +
+order-insensitive value hash. Conventions that keep the two engines
+bit-comparable:
+
+  * every aggregate / computed column is aliased identically both sides;
+  * integer outputs are cast to 64-bit on both sides (Spark int vs
+    DuckDB BIGINT would differ);
+  * float aggregates are rounded (2dp money, 4dp ratios, 6dp scores) —
+    summation-order noise is ~1e-13 relative and cannot flip a rounded
+    digit except on exact half boundaries;
+  * all hash functions are md5/sha2-derived (engine-portable), never
+    engine-native hashes;
+  * approximate operators (HLL, IVF-ANN) are registered without an
+    oracle → the driver records a rows-only check, as the contract
+    allows for non-SQL-expressible ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_mapreduce_spark.operators import dedup, multimodal, relational, similarity, textstats, timeseries
+from hadoop_mapreduce_spark.operators.ngram import ngram_count, ngram_topk
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_count(load_table(spark, sf_dir, "documents"), "text", n=3)
+
+
+def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_topk(load_table(spark, sf_dir, "documents"), "text", n=3, k=100)
+
+
+QUERIES: dict[str, QueryFn] = {
+    # --- Stage 0: the reference's own surface (flagship) ---
+    "ngram_count": _ngram_count,
+    "ngram_topk": _ngram_topk,
+    # --- Stage 1: relational core ---
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q18_large_volume_customer": relational.q18_large_volume_customer,
+    "filter_predicates": relational.filter_predicates,
+    "project_compute": relational.project_compute,
+    "string_functions": relational.string_functions,
+    "date_functions": relational.date_functions,
+    "math_functions": relational.math_functions,
+    "array_functions": relational.array_functions,
+    "json_functions": relational.json_functions,
+    "join_broadcast_dim": relational.join_broadcast_dim,
+    "join_outer": relational.join_outer,
+    "join_semi_anti": relational.join_semi_anti,
+    "join_cross": relational.join_cross,
+    "join_range_theta": relational.join_range_theta,
+    "join_self_pairs": relational.join_self_pairs,
+    "agg_distinct": relational.agg_distinct,
+    "agg_rollup": relational.agg_rollup,
+    "agg_cube": relational.agg_cube,
+    "agg_having": relational.agg_having,
+    "agg_approx_distinct": relational.agg_approx_distinct,  # rows-only (HLL)
+    # --- Stage 2: windows ---
+    "window_topk_per_group": relational.window_topk_per_group,
+    "window_rank_dense": relational.window_rank_dense,
+    "window_running_sum": relational.window_running_sum,
+    "window_lag_lead": relational.window_lag_lead,
+    "window_range_frame": relational.window_range_frame,
+    "sort_multi_key_limit": relational.sort_multi_key_limit,
+    "set_operations": relational.set_operations,
+    "union_by_name": relational.union_by_name,
+    "distinct_dedup_rows": relational.distinct_dedup_rows,
+    # --- Stage 3: LLM-pipeline ---
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "sim_search_topk": similarity.sim_search_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approximate)
+    "embedding_stats": similarity.embedding_stats,
+    "text_quality": textstats.text_quality,
+    "token_count": textstats.token_count,
+    "language_id": textstats.language_id,
+    "doc_fingerprint": textstats.doc_fingerprint,
+    "multimodal_decode": multimodal.multimodal_decode,
+    "frame_sample": multimodal.frame_sample,
+    # --- Stage 4: time-series / streaming (batch twins) ---
+    "events_tumbling": timeseries.events_tumbling,
+    "events_sliding": timeseries.events_sliding,
+    "events_session": timeseries.events_session,
+    "events_dedup_first": timeseries.events_dedup_first,
+    "asof_join_events_orders": timeseries.asof_join_events_orders,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (keys must match QUERIES; omissions → rows-only check)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    r"list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),"
+    r" t -> t <> '')"
+)
+
+_NGRAM3 = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT array_to_string(t[i:i+2], ' ') AS ngram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+)
+SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+"""
+
+_SHINGLES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS jaccard
+  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+)
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+ORACLE: dict[str, str] = {
+    "ngram_count": f"{_NGRAM3} ORDER BY ngram",
+    "ngram_topk": f"{_NGRAM3} ORDER BY cnt DESC, ngram LIMIT 100",
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+    "q3_shipping_priority": """
+SELECT o_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate::VARCHAR AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'FURNITURE'
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+""",
+    "q5_local_supplier_volume": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+    "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    "q18_large_volume_customer": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate::VARCHAR AS o_orderdate,
+  o_totalprice, round(total_qty, 2) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+    "filter_predicates": """
+SELECT p_partkey, p_name, p_brand, p_type, p_size::BIGINT AS p_size
+FROM part
+WHERE p_brand IN ('Brand#13', 'Brand#5') AND p_size BETWEEN 5 AND 25
+  AND p_type LIKE 'ECONOMY%' AND p_name IS NOT NULL
+ORDER BY p_partkey
+""",
+    "project_compute": """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+  floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100.0 AS net_charge,
+  CASE WHEN l_discount >= 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band,
+  l_returnflag || '-' || l_linestatus AS flag_status,
+  year(l_shipdate)::BIGINT AS ship_year
+FROM lineitem WHERE year(l_shipdate) = 1999
+ORDER BY l_orderkey, l_linenumber
+""",
+    "string_functions": """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  length(p_name)::BIGINT AS name_len,
+  substr(p_name, 1, 5) AS name_pfx,
+  trim(p_name) AS name_trim,
+  regexp_extract(p_brand, '#(\\d+)', 1)::BIGINT AS brand_num,
+  string_split(p_name, ' ')[1] AS first_word,
+  lpad(p_partkey::VARCHAR, 8, '0') AS key_padded,
+  replace(p_type, ' ', '_') AS type_snake
+FROM part ORDER BY p_partkey
+""",
+    "date_functions": """
+SELECT o_orderkey,
+  year(o_orderdate)::BIGINT AS yr,
+  month(o_orderdate)::BIGINT AS mo,
+  day(o_orderdate)::BIGINT AS dom,
+  quarter(o_orderdate)::BIGINT AS qtr,
+  date_trunc('month', o_orderdate)::DATE::VARCHAR AS month_start,
+  date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS days_to_2002,
+  last_day(o_orderdate::DATE)::VARCHAR AS month_end,
+  strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders ORDER BY o_orderkey
+""",
+    "math_functions": """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+  round(abs(l_extendedprice - 50000.0), 2) AS abs_dev,
+  round(sqrt(l_quantity), 6) AS qty_sqrt,
+  round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+  ceil(l_quantity)::BIGINT AS qty_ceil,
+  floor(l_quantity)::BIGINT AS qty_floor,
+  round(power(l_discount, 2), 6) AS disc_sq,
+  (l_orderkey % 7)::BIGINT AS key_mod7
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+    "array_functions": """
+SELECT vec_id,
+  len(embedding)::BIGINT AS dim,
+  round((embedding::DOUBLE[])[1], 6) AS first_val,
+  round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
+  round(list_max(embedding::DOUBLE[]), 6) AS vec_max,
+  round(list_min(embedding::DOUBLE[]), 6) AS vec_min,
+  len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT AS n_pos
+FROM embeddings ORDER BY vec_id
+""",
+    "json_functions": """
+SELECT event_type, count(*) AS n,
+  round(avg(k), 4) AS avg_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+    "join_broadcast_dim": """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+""",
+    "join_outer": """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY c_custkey
+""",
+    "join_semi_anti": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c_custkey
+""",
+    "join_cross": """
+SELECT r_name, c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+ORDER BY r_name, c_mktsegment
+""",
+    "join_range_theta": """
+SELECT o_orderstatus, count(*) AS n_fast_ship
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "join_self_pairs": """
+SELECT a.user_id AS user_id, count(*) AS n_pairs
+FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id
+  AND abs(epoch(b.ts)::BIGINT - epoch(a.ts)::BIGINT) <= 300
+GROUP BY a.user_id ORDER BY user_id
+""",
+    "agg_distinct": """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total,
+  round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "agg_rollup": """
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+    "agg_cube": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    "agg_having": """
+SELECT l_suppkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS volume
+FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500 ORDER BY l_suppkey
+""",
+    "window_topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
+    "window_rank_dense": """
+SELECT s_suppkey, s_nationkey::BIGINT AS s_nationkey,
+  rank() OVER w::BIGINT AS rnk, dense_rank() OVER w::BIGINT AS drnk,
+  row_number() OVER w::BIGINT AS rn
+FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_suppkey
+""",
+    "window_running_sum": """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+""",
+    "window_lag_lead": """
+SELECT user_id, event_id,
+  lag(value, 1) OVER w AS prev_value,
+  lead(value, 1) OVER w AS next_value,
+  round(value - lag(value, 1) OVER w, 2) AS delta
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+    "window_range_frame": """
+SELECT o_custkey, o_orderkey,
+  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND INTERVAL 30 DAY FOLLOWING) AS orders_within_30d
+FROM orders ORDER BY o_custkey, o_orderkey
+""",
+    "sort_multi_key_limit": """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_extendedprice,
+  l_shipdate::VARCHAR AS l_shipdate
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50
+""",
+    "set_operations": """
+SELECT custkey FROM (
+  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+) ORDER BY custkey
+""",
+    "union_by_name": """
+SELECT kind, nationkey::BIGINT AS nationkey, count(*) AS n, round(sum(acctbal), 2) AS bal
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey, s_acctbal FROM supplier
+) GROUP BY kind, nationkey ORDER BY kind, nationkey
+""",
+    "distinct_dedup_rows": """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+    "dedup_exact": """
+SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY keep_id
+""",
+    "dedup_minhash_lsh": f"WITH {_SHINGLES} ORDER BY id1, id2",
+    "dedup_ngram_jaccard": f"WITH {_SHINGLES} ORDER BY id1, id2",
+    "dedup_simhash": r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_filter(
+    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),
+    t -> t <> '')) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks WHERE len(t) > 0),
+th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, i, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM th, LATERAL (SELECT unnest(generate_series(0, 59)) AS i) g
+),
+votes AS (SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY doc_id, i)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+""",
+    "sim_search_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT qid, v.vec_id AS nid,
+    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS score
+  FROM q, v WHERE v.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, nid, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid)::BIGINT AS rank
+  FROM scored
+)
+SELECT qid, nid, round(score, 6) AS score, rank FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+""",
+    "embedding_stats": """
+SELECT label::BIGINT AS label, count(*) AS n,
+  round(avg(sqrt(list_dot_product(e, e))), 6) AS avg_norm,
+  round(max(list_dot_product(e, e)), 6) AS max_sq_norm
+FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+GROUP BY label ORDER BY label
+""",
+    "text_quality": rf"""
+WITH t0 AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+    length(text) AS nc,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, t, nc, np,
+    len(t) AS ntok,
+    list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS awl,
+    len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])) AS sh
+  FROM t0
+)
+SELECT doc_id, ntok::BIGINT AS n_tokens, nc::BIGINT AS n_chars_m,
+  round(awl, 4) AS avg_word_len,
+  round(sh * 1.0 / ntok, 4) AS stopword_ratio,
+  round(np * 1.0 / nc, 4) AS punct_ratio,
+  round((CASE WHEN ntok >= 5 THEN 1.0 ELSE 0.0 END
+       + CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END
+       + CASE WHEN np * 1.0 / nc < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+FROM t1 ORDER BY doc_id
+""",
+    "token_count": rf"""
+WITH per_doc AS (
+  SELECT source, len({_TOKS})::BIGINT AS ws_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+  sum(ws_tokens)::BIGINT AS total_ws_tokens,
+  sum(bpe_tokens)::BIGINT AS total_bpe_tokens,
+  round(avg(bpe_tokens), 4) AS avg_bpe_tokens
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    "language_id": rf"""
+WITH t0 AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+    len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])) AS h_en,
+    len(list_intersect(t, ['el','la','de','que','y','en','un','los','se','no'])) AS h_es,
+    len(list_intersect(t, ['le','la','de','et','les','des','en','un','du','que'])) AS h_fr,
+    len(list_intersect(t, ['der','die','und','den','von','zu','das','mit','sich','des'])) AS h_de
+  FROM t0
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN greatest(h_en, h_es, h_fr, h_de) <= 0 THEN 'und'
+         WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+         WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+         WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM hits
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+""",
+    "doc_fingerprint": r"""
+WITH c AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g') AS compact
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, compact,
+    min(('0x' || substr(md5(substr(compact, i, 8)), 1, 15))::UBIGINT::BIGINT) AS min_kgram_hash
+  FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(length(compact) - 7, 1))) AS i) g
+  GROUP BY doc_id, compact
+)
+SELECT doc_id, md5(compact) AS content_md5, min_kgram_hash FROM kg ORDER BY doc_id
+""",
+    "multimodal_decode": """
+SELECT doc_id,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  substr(lower(hex(encode(text))), 1, 8) AS header,
+  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
+  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
+FROM documents ORDER BY doc_id
+""",
+    "frame_sample": """
+SELECT doc_id, ((octet_length(encode(text)) % 30) // 7 + 1)::BIGINT AS n_sampled
+FROM documents ORDER BY doc_id
+""",
+    "events_tumbling": """
+SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start, event_type,
+  count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_sliding": """
+WITH e2 AS (
+  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS ws,
+         event_type
+  FROM events
+)
+SELECT ws::VARCHAR AS window_start, event_type, count(*) AS n
+FROM e2 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_session": """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts)::VARCHAR AS session_start, count(*) AS n_events,
+  round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+    "events_dedup_first": """
+SELECT user_id, event_type, event_id, first_ts FROM (
+  SELECT user_id, event_type, event_id, ts::VARCHAR AS first_ts,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+""",
+    "asof_join_events_orders": """
+SELECT e.event_id, e.user_id, o.o_orderdate::VARCHAR AS last_order_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+}

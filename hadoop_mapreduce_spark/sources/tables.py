@@ -29,7 +29,21 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / filter pushdown happen at
-    the scan automatically because this returns the lazy DataFrame."""
+    the scan automatically because this returns the lazy DataFrame.
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark has no native
+    type for: read nanos as long (legacy conf) and truncate to
+    microseconds — the same conversion DuckDB applies, so both engines
+    see identical instants. Session TZ is pinned to UTC so rendered
+    timestamps are engine-independent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,109 @@
+"""Structured Streaming surface (SURVEY.md §2.EXT: streaming row).
+
+The batch twins in operators/timeseries.py define the semantics (and are
+the oracle-checked versions — `F.window`/`F.session_window` evaluate
+identically in both modes). This module provides the actual readStream
+pipelines: watermarks for late-data handling, windowed/sessionized
+aggregation, streaming dedup, and a stateful custom operator via
+applyInPandasWithState. Smoke-tested with the file source over the
+events fixture re-written as JSON (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source event stream (one JSON file per micro-batch). On a real
+    cluster this would be Kafka (`format("kafka")`) — everything
+    downstream is source-agnostic."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts: events later than the
+    watermark are dropped, state for closed windows is evicted — bounded
+    state at any scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows per user (same expression as the batch
+    twin operators/timeseries.py::events_session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-style dedup on event_id within the watermark horizon —
+    dropDuplicates keeps first-seen; state evicted past the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState — the escape hatch for semantics windowed
+    aggregation can't express (here: monotone cumulative state across
+    all micro-batches)."""
+    import pandas as pd  # noqa: F401 (imported for the UDF body)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drain a (file-source) stream into an in-memory table for testing;
+    returns the materialised result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
