@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+materialisation through the noop sink (no driver collect, no disk
+write), and prints:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Also times the DuckDB oracle for each query (where one exists) so the
+Spark-vs-1x-baseline ratio (BASELINE.md protocol) is recorded in the
+same line under "duckdb_baseline".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "ngram_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "window_topk_per_group",
+    "agg_distinct",
+    "join_range_theta",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_search_topk",
+    "text_quality",
+    "token_count",
+    "events_session",
+    "asof_join_events_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hadoop_mapreduce_spark import get_spark
+    from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # query, not session startup.
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    # DuckDB 1x mark (BASELINE.md: oracle wall-clock at the same sf)
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in HEADLINE:
+            sql = ORACLE.get(name)
+            if sql is None:
+                continue
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001 — baseline timing is best-effort
+        pass
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "duckdb_baseline": duck,
+        "duckdb_total": round(sum(duck.values()), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,12 +10,14 @@ Four dedup families, all shuffle-disciplined for 100 TB:
   * ngram_jaccard — exact Jaccard via an inverted shingle index; the
                  ground-truth (and oracle) for the approximate methods.
 
-Determinism: every hash function here is derived from md5 (seeded by
-concatenating a function index), so results are bit-identical across
-engines and runs — no RNG, no Spark-version-dependent hash.
+Determinism: no RNG anywhere. Hashes whose values must match the SQL
+oracle bit-for-bit (simhash, fingerprints) are md5-derived (engine-
+portable); hashes that are internal-only (minhash signatures, LSH band
+buckets) use native xxhash64/murmur3 — faster, and the oracle checks
+the *semantic* output (exact Jaccard), not the signature bytes.
 
-All hash computation is JVM-side (md5/conv/substring are codegen'd
-built-ins); no Python UDFs anywhere.
+All hash computation is JVM-side (codegen'd built-ins); no Python UDFs
+anywhere.
 """
 
 from __future__ import annotations
@@ -23,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_mapreduce_spark.functions.text import shingles
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 # 60-bit hashes: 15 hex chars always fit a signed int64 in every engine.
@@ -63,21 +64,66 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 shingle_k: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, s) — one row per token-k-shingle occurrence (or distinct set).
+
+    Shape: tokenize once per doc, Generate (explode) the window start
+    positions, then slice the *bound* token array per row. The Generate
+    is load-bearing: two stacked Projects get merged by CollapseProject,
+    which inlines the tokenizer into the per-position expression and
+    makes shingling O(len^2) per document (measured ~10x slower at
+    sf0.1). Pass distinct=False when the consumer is invariant to
+    duplicate shingles (e.g. MinHash) to skip a dedup shuffle.
+    """
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(normalize_text(F.col(text_col))).alias("__t")
+    ).where(F.size("__t") >= shingle_k)
+    rows = toks.select(
+        "id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.size("__t") - F.lit(shingle_k - 1))).alias("i"),
+    ).select("id", F.concat_ws(" ", F.slice("__t", F.col("i"), shingle_k)).alias("s"))
+    return rows.dropDuplicates(["id", "s"]) if distinct else rows
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 shingle_k: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — distinct shingle set per doc (built from
+    shingle_rows; order is irrelevant to the set-algebra consumers)."""
+    return (
+        shingle_rows(docs, id_col, text_col, shingle_k, distinct=True)
+        .groupBy("id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, shingle_k: int = 3,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature over token-k-shingles.
 
-    min_i over the shingle set of h_i(shingle) for each of num_hashes
-    md5-derived hash functions. Entirely columnar: shingle array →
-    per-hash transform + array_min; no explode, no shuffle.
+    Shape: shingle occurrence rows (duplicates fine: min over a multiset
+    equals min over its set), all num_hashes hashes per row via native
+    xxhash64 (seeded by function index), one hash-partitioned aggregation
+    of per-function mins. Partial (map-side) aggregation means the
+    shuffle carries num_hashes longs per document regardless of doc
+    count. xxhash64 rather than md5: signatures only need run-to-run
+    determinism — the correctness oracle checks exact Jaccard, not
+    signature bytes.
     """
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: _h60(s, i))) for i in range(num_hashes)]
+    sh = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
+    hashed = sh.select(
+        "id", *[F.xxhash64(F.lit(i), F.col("s")).alias(f"h{i}") for i in range(num_hashes)]
     )
-    return docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), sig.alias("sig"))
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -108,11 +154,21 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             shingle_k: int = 3) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (columnar:
-    array_intersect/array_union on the two shingle arrays)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    array_intersect/array_union on the two shingle arrays).
+
+    docs is first semi-joined (broadcast) to the candidate id set, so
+    shingle arrays are built only for documents that appear in a pair —
+    at scale the candidate set is orders of magnitude smaller than the
+    corpus."""
+    ids = (
+        pairs.select(F.col("id1").alias("cid"))
+        .union(pairs.select(F.col("id2").alias("cid")))
+        .distinct()
     )
+    cand_docs = docs.join(
+        F.broadcast(ids), docs[id_col] == ids.cid, "left_semi"
+    )
+    sh = shingle_sets(cand_docs, id_col, text_col, shingle_k)
     return (
         pairs.join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
         .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
@@ -137,7 +193,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=32)
-    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2)
+    # Persist the candidate pairs: the verify stage references them three
+    # times (id set + both sides of the shingle join) and without a
+    # materialisation point each reference would recompute the whole
+    # signature+banding pipeline. Candidates are tiny (pairs only).
+    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2).persist()
     verified = exact_jaccard_for_pairs(docs, cands)
     return (
         verified.where(F.col("jaccard") >= threshold)
@@ -240,10 +300,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8
     one doubles as its correctness oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
-    )
+    sh = shingle_rows(docs, "doc_id", "text", 3, distinct=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

