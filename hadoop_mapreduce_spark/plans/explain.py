@@ -20,6 +20,23 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def static_plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """Plan text with AQE disabled for the build — AQE wraps the plan in
+    AdaptiveSparkPlan(isFinalPlan=false) until an action runs, hiding
+    codegen spans and final strategies; the static planner shows them
+    up-front. Re-derives the plan from the logical plan under the flag."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # Physical planning is lazy and happens at first explain, so
+        # toggling the conf before the first explain of this DataFrame
+        # is sufficient (pass a freshly-built DataFrame here).
+        return plan_text(df, mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lines from the formatted plan (parquet scans only)."""
     return [

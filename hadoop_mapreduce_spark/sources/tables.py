@@ -43,7 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Fixture stores TIMESTAMP(NANOS) → read as long; but synthetic
+        # test tables may already carry a real timestamp column.
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

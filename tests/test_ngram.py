@@ -63,7 +63,9 @@ def test_tokenizer_edges(spark):
     df = spark.createDataFrame(
         [("",), ("!!!",), ("  lots   of   spaces ",), ("one two",)], ["text"]
     )
-    assert rows(ngram_count(df, "text", 2)) == [("lots of", 1), ("of spaces", 1)]
+    assert rows(ngram_count(df, "text", 2)) == [
+        ("lots of", 1), ("of spaces", 1), ("one two", 1),
+    ]
     # n greater than token count -> no output
     assert rows(ngram_count(df, "text", 7)) == []
 

@@ -13,6 +13,7 @@ from hadoop_mapreduce_spark.plans.explain import (
     assert_broadcast_join,
     assert_no_cartesian,
     plan_text,
+    static_plan_text,
     pushed_filters,
     scan_read_schema,
 )
@@ -44,9 +45,9 @@ def test_q5_uses_broadcast_joins(spark):
 
 
 def test_q1_partial_aggregation(spark):
-    text = plan_text(relational.q1_pricing_summary(spark, SF_DIR))
+    text = static_plan_text(relational.q1_pricing_summary(spark, SF_DIR))
     assert text.count("HashAggregate") >= 2, "partial+final agg expected"
-    assert "WholeStageCodegen" in text
+    assert "codegen id" in text, "whole-stage codegen spans expected"
 
 
 def test_topk_no_global_sort(spark):

@@ -12,7 +12,7 @@ from tests.conftest import SF_DIR
 
 
 def ts(minute: int) -> dt.datetime:
-    return dt.datetime(2024, 1, 1, 0, minute)
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
 
 
 def test_asof_join_micro(spark, tmp_path):
