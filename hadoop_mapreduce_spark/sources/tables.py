@@ -26,6 +26,29 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Relation cache: building a parquet relation re-lists files and re-reads
+# footers (~100ms per call locally; a full listing RPC storm against object
+# storage at 100 TB). Real engines cache this in a catalog/metastore — we
+# memoize the lazy DataFrame per (session, dir, table). DataFrames are
+# immutable plans, so sharing one across queries is safe.
+_relation_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def invalidate_relation_cache(sf_dir: str | None = None) -> None:
+    """Drop cached relations (all, or those under ``sf_dir``).
+
+    Needed after overwriting a table directory in-place within one
+    session: the memoized relation pins the old file list, and reading
+    it raises FAILED_READ_FILE (same contract as Spark's own cached
+    Datasets — "REFRESH TABLE" territory). Writers in this repo always
+    write to fresh directories, so this is an escape hatch, not a
+    routine call."""
+    if sf_dir is None:
+        _relation_cache.clear()
+        return
+    for key in [k for k in _relation_cache if k[1] == sf_dir]:
+        del _relation_cache[key]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / filter pushdown happen at
@@ -37,6 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     see identical instants. Session TZ is pinned to UTC so rendered
     timestamps are engine-independent.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _relation_cache.get(key)
+    if cached is not None:
+        return cached
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
@@ -47,8 +75,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # test tables may already carry a real timestamp column.
         if dict(raw.dtypes).get("ts") == "bigint":
             raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return raw
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = raw
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "documents":
+        # The text table feeds regex/hash-heavy pipelines whose cost is
+        # per-character, not per-byte-scanned; make sure that compute is
+        # spread across cores even when the file arrives as one split.
+        # Done here (cached) so the partition-count probe runs once per
+        # session, not once per query plan.
+        df = spread(df)
+    _relation_cache[key] = df
+    return df
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition up to cluster parallelism when the source has too few
+    splits for the CPU-heavy expressions that follow (regex tokenise,
+    per-shingle hashing, k-gram explode).
+
+    A small parquet file arrives as ONE input partition, serialising all
+    pre-shuffle compute onto one core; the round-robin exchange of raw
+    rows is cheap relative to that compute. At 100 TB inputs already have
+    thousands of splits, so the partition-count guard makes this a no-op
+    exactly when the exchange would be expensive."""
+    spark = df.sparkSession
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = spark.sparkContext.defaultParallelism
+    # Match the session's shuffle width: that is the parallelism the rest
+    # of the plan runs at, so spreading wider just adds task overhead.
+    target = min(spark.sparkContext.defaultParallelism, shuffle_parts) * factor
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only helper, never fatal
+        return df
+    return df.repartition(target) if nparts < target else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
