@@ -568,3 +568,290 @@ def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style compounds, second wave (adapted to the fixture columns —
+# the fixtures carry no partsupp/l_shipmode, so Q2/Q12/Q16 shapes are
+# re-expressed on the columns that exist; the *operator* shapes match)
+# --------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join, then count per priority.
+
+    left_semi keeps the orders scan as the only surviving side — the
+    lineitem probe never materialises joined rows, so shuffle volume is
+    the filtered orders alone (the classic EXISTS plan at scale).
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    # EXISTS: any lineitem shipped strictly after the order date
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    exists = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation flow — supplier nation x customer nation
+    revenue per ship-year, for one nation pair in both directions.
+
+    nation is broadcast twice under different aliases; the fact chain
+    shuffles only on its natural keys. The nation-pair predicate is
+    applied after both dim joins but before aggregation.
+    """
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") <= F.lit("1997-12-31")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        pair.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Filters (returnflag, date window) sit below the joins; the final
+    top-20 compiles to TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01")))
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode in the fixture): CASE-sum
+    aggregation — high/low-priority order counts per shipping-lag band.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag_days <= 30, "FAST")
+        .when(lag_days <= 60, "NORMAL")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(band.alias("lag_band"), high.alias("is_high"))
+        .groupBy("lag_band")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("lag_band")
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over one month (promo
+    revenue share). part is broadcast; single aggregate, no group key."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates as the JOIN condition. The equi-key (partkey) keeps this a
+    hash join; the OR-of-ANDs residual is evaluated post-probe — never a
+    cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    cond = (li.l_partkey == part.p_partkey) & (
+        ((part.p_brand == "Brand#1") & (part.p_size <= 15) & (li.l_quantity >= 1) & (li.l_quantity <= 30))
+        | ((part.p_brand == "Brand#2") & (part.p_size <= 25) & (li.l_quantity >= 5) & (li.l_quantity <= 40))
+        | ((part.p_brand == "Brand#3") & (part.p_size <= 35) & (li.l_quantity >= 10) & (li.l_quantity <= 50))
+    )
+    return li.join(part, cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join.
+
+    The average is computed once and broadcast via cross-join of a 1-row
+    DataFrame (Spark's scalar-subquery plan); customers with no *recent*
+    orders (none since 2000-06-01 — the fixture gives every customer at
+    least one order overall) are found with left_anti — no correlated
+    per-row subquery execution.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01")).select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .select(F.col("c_nationkey").cast("long").alias("c_nationkey"), "numcust", "totacctbal")
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / grouping sets / full outer / correlated subquery / statistics
+# --------------------------------------------------------------------------
+
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment x order status. Explicit
+    pivot values keep the output schema static (no extra distinct scan —
+    required for a stable plan at scale)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "c_mktsegment",
+            F.col("F").alias("n_f"), F.col("O").alias("n_o"), F.col("P").alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: (flag,status), (flag),
+    grand total — the general form of rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"), "gid")
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier rollups —
+    nations may exist on either side only; coalesce reconciles the key."""
+    cust = (
+        _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).cast("long").alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.5x their customer's average — the classic
+    correlated scalar subquery, decorrelated by hand into aggregate +
+    re-join (exactly what Catalyst's decorrelation rewrite produces)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(cust_avg, orders.o_custkey == cust_avg.k)
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        # cust_avg itself is NOT output: a double average lands on exact
+        # .xx5 rounding boundaries for some groups, where the two engines'
+        # summation orders round apart. The filter uses the full-precision
+        # value; the selected columns are exact.
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance (sample), Pearson
+    correlation, sample covariance — per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            # + 0.0 normalises IEEE negative zero (round can emit -0.0,
+            # and the two engines disagree on which zero they produce)
+            (F.round(F.corr("l_extendedprice", "l_quantity"), 6) + F.lit(0.0)).alias("price_qty_corr"),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per order status: median
+    and quartiles of o_totalprice. Exact percentile is a full-sort-per-
+    group operation; the approx_percentile twin (rows-only) is the scale
+    path for 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )

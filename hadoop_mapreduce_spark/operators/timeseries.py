@@ -115,3 +115,34 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user event counts with explicit zero rows for silent
+    hours (resample + gap-fill).
+
+    The dense hour spine is generated per user with sequence()/explode —
+    distributed, no driver-side calendar — then left-joined against the
+    observed hourly rollup. Shuffles: one for the rollup, one for the
+    spine-rollup join (both keyed on user_id, so AQE can co-locate)."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = hours.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    observed = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(observed, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.col("hour").cast("string").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("user_id", "hour")
+    )

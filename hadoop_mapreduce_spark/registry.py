@@ -25,7 +25,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hadoop_mapreduce_spark.operators import dedup, multimodal, relational, similarity, textstats, timeseries
+from hadoop_mapreduce_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    timeseries,
+    udfs,
+)
 from hadoop_mapreduce_spark.operators.ngram import ngram_count, ngram_topk
 from hadoop_mapreduce_spark.sources.tables import load_table
 
@@ -54,6 +62,13 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q6_forecast_revenue": relational.q6_forecast_revenue,
     "q18_large_volume_customer": relational.q18_large_volume_customer,
+    "q4_order_priority": relational.q4_order_priority,
+    "q7_volume_shipping": relational.q7_volume_shipping,
+    "q10_returned_items": relational.q10_returned_items,
+    "q12_shipping_lag": relational.q12_shipping_lag,
+    "q14_promo_effect": relational.q14_promo_effect,
+    "q19_discounted_revenue": relational.q19_discounted_revenue,
+    "q22_global_sales_opportunity": relational.q22_global_sales_opportunity,
     "filter_predicates": relational.filter_predicates,
     "project_compute": relational.project_compute,
     "string_functions": relational.string_functions,
@@ -72,6 +87,12 @@ QUERIES: dict[str, QueryFn] = {
     "agg_cube": relational.agg_cube,
     "agg_having": relational.agg_having,
     "agg_approx_distinct": relational.agg_approx_distinct,  # rows-only (HLL)
+    "pivot_status_by_segment": relational.pivot_status_by_segment,
+    "grouping_sets_sales": relational.grouping_sets_sales,
+    "join_full_outer": relational.join_full_outer,
+    "correlated_scalar_subquery": relational.correlated_scalar_subquery,
+    "stats_aggregates": relational.stats_aggregates,
+    "percentile_stats": relational.percentile_stats,
     # --- Stage 2: windows ---
     "window_topk_per_group": relational.window_topk_per_group,
     "window_rank_dense": relational.window_rank_dense,
@@ -102,6 +123,12 @@ QUERIES: dict[str, QueryFn] = {
     "events_session": timeseries.events_session,
     "events_dedup_first": timeseries.events_dedup_first,
     "asof_join_events_orders": timeseries.asof_join_events_orders,
+    "events_gap_fill": timeseries.events_gap_fill,
+    # --- UDF surface (Arrow-batched pandas UDFs + row-at-a-time) ---
+    "udf_pandas_vector_norm": udfs.udf_pandas_vector_norm,
+    "udf_grouped_agg_mean": udfs.udf_grouped_agg_mean,
+    "udf_apply_in_pandas_zscore": udfs.udf_apply_in_pandas_zscore,
+    "udf_python_scalar": udfs.udf_python_scalar,
 }
 
 
@@ -553,5 +580,159 @@ SELECT e.event_id, e.user_id, o.o_orderdate::VARCHAR AS last_order_date
 FROM events e ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate)::BIGINT AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "q12_shipping_lag": """
+SELECT CASE WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) <= 60 THEN 'NORMAL'
+            ELSE 'SLOW' END AS lag_band,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY lag_band ORDER BY lag_band
+""",
+    "q14_promo_effect": """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+  * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    "q19_discounted_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 5 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity BETWEEN 10 AND 50)
+""",
+    "q22_global_sales_opportunity": """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey::BIGINT AS c_nationkey, count(*) AS numcust,
+  round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY 1 ORDER BY 1
+""",
+    "pivot_status_by_segment": """
+SELECT c_mktsegment,
+  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    "grouping_sets_sales": """
+SELECT l_returnflag, l_linestatus,
+  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+  count(*) AS n, round(sum(l_extendedprice), 2) AS volume
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid
+""",
+    "join_full_outer": """
+WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+     s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT coalesce(c.k, s.k)::BIGINT AS nationkey,
+  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.k = s.k
+ORDER BY nationkey
+""",
+    "correlated_scalar_subquery": """
+WITH ca AS (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg FROM orders GROUP BY 1)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders JOIN ca ON o_custkey = k
+WHERE o_totalprice > 1.5 * cust_avg
+ORDER BY o_orderkey
+""",
+    "stats_aggregates": """
+SELECT l_returnflag, count(*) AS n,
+  round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+  round(var_samp(l_quantity), 4) AS qty_var,
+  round(corr(l_extendedprice, l_quantity), 6) + 0.0 AS price_qty_corr,
+  round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "percentile_stats": """
+SELECT o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "events_gap_fill": """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+observed AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour::VARCHAR AS hour, coalesce(o.n, 0) AS n
+FROM spine s LEFT JOIN observed o ON s.user_id = o.user_id AND s.hour = o.hour
+ORDER BY s.user_id, s.hour
+""",
+    "udf_pandas_vector_norm": """
+SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+""",
+    "udf_grouped_agg_mean": """
+SELECT o_orderstatus,
+  round(CASE WHEN count(*) <= 2 THEN avg(o_totalprice)
+             ELSE (sum(o_totalprice) - min(o_totalprice) - max(o_totalprice)) / (count(*) - 2)
+        END, 4) AS trimmed_avg_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "udf_apply_in_pandas_zscore": """
+WITH st AS (
+  SELECT user_id, event_id, value,
+    avg(value) OVER (PARTITION BY user_id) AS m,
+    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+)
+SELECT user_id, event_id,
+  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 ELSE (value - m) / sd END, 6) AS zscore
+FROM st ORDER BY user_id, event_id
+""",
+    "udf_python_scalar": """
+SELECT p_partkey,
+  list_sum(list_transform(regexp_extract_all(p_partkey::VARCHAR, '\\d'), x -> x::INT))::BIGINT AS key_digit_sum
+FROM part ORDER BY p_partkey
 """,
 }
