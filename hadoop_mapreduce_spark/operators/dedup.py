@@ -330,3 +330,133 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id1", "id2")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (the 5th dedup family: semantic duplicates)
+# --------------------------------------------------------------------------
+
+def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-dup: every (id1 < id2) pair whose
+    cosine similarity meets the threshold.
+
+    Vectors are L2-normalised *once per row* before pairing, so the pair
+    predicate is a plain dot product — half the per-pair flops of naive
+    cosine, all inside codegen (zip_with/aggregate, no Python). The pair
+    generation is O(N^2): this is the ground-truth/oracle twin; the scale
+    path is dedup_embedding_lsh (sign-random-projection banding below).
+    """
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+
+    # norm computed once per row in its own projection (not inside the
+    # transform lambda, which would re-evaluate it per element: O(d^2))
+    unit = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).select(
+        "id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    a = unit.select(F.col("id").alias("id1"), F.col("u").alias("u1"))
+    b = unit.select(F.col("id").alias("id2"), F.col("u").alias("u2"))
+    cos = F.aggregate(
+        F.zip_with("u1", "u2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Driver query: exact embedding near-dup pairs at cosine >= 0.4.
+
+    (The fixture embeddings are near-random — max pairwise cosine ~0.51 —
+    so the production-typical 0.9 threshold would return zero rows; 0.4
+    exercises the operator with a non-trivial result set.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_cosine_pairs(emb, threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id1", "id2")
+    )
+
+
+def srp_signatures(vectors: DataFrame, n_bits: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection (SRP) signatures for cosine LSH.
+
+    Hyperplane r_i has deterministic ±1 components derived from
+    xxhash64(bit i, dim j) — no RNG, reproducible across runs/engines.
+    bit_i = 1 iff dot(v, r_i) > 0; P[bits agree] = 1 - angle/pi, the
+    standard SRP guarantee. Computed via posexplode (one row per vector
+    element) + conditional sums — entirely JVM-side, one shuffle on id.
+    """
+    elems = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
+    )
+    # ±1 component for (bit i, dim j): low bit of xxhash64("i:j")
+    sums = elems.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.xxhash64(F.concat_ws(":", F.lit(i), F.col("j"))) % 2 == 0,
+                   F.col("x")).otherwise(-F.col("x"))
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ])
+    sig = sums.select(
+        "id",
+        *[(F.col(f"s{i}") > 0).cast("int").alias(f"b{i}") for i in range(n_bits)],
+    )
+    return sig
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+                        n_bits: int = 16, bands: int = 8) -> DataFrame:
+    """Approximate embedding near-dup: SRP-LSH banding + exact verify.
+
+    Candidate pairs = vectors agreeing on all bits of >= 1 band
+    (bands x (n_bits/bands) banding); survivors are verified with the
+    exact cosine. At 100 TB the band join touches only hash-equal
+    buckets — linear-ish in data size instead of O(N^2). Recall < 1 by
+    construction → registered rows-only (no SQL oracle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = srp_signatures(emb, n_bits=n_bits).persist()
+    rows_per_band = n_bits // bands
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"b{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)]).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).distinct()
+    cand = (
+        buckets.alias("x").join(buckets.alias("y"),
+                                (F.col("x.bucket") == F.col("y.bucket"))
+                                & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+
+    unit = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    u1 = unit.select(F.col("id").alias("id1"), F.col("u").alias("u1"))
+    u2 = unit.select(F.col("id").alias("id2"), F.col("u").alias("u2"))
+    cos = F.aggregate(F.zip_with("u1", "u2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    out = (
+        cand.join(u1, "id1").join(u2, "id2")
+        .select("id1", "id2", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id1", "id2")
+    )
+    return out

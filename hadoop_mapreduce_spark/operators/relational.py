@@ -855,3 +855,282 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style compounds, third wave — completes all 22 TPC-H query shapes
+# (the fixtures carry no partsupp / l_receiptdate / l_commitdate /
+# p_container / p_mfgr, so Q2/Q9/Q11/Q16/Q17/Q20/Q21 are re-expressed on
+# the columns that exist; the operator shape of each query is preserved)
+# --------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part (correlated min subquery).
+
+    partsupp doesn't exist in the fixture, so unit cost is derived from
+    lineitem (min extendedprice/quantity per part-supplier). The Q2
+    pattern survives intact: an aggregate subquery computes the per-part
+    minimum, and an equi-join on (partkey, cost == min) selects the
+    winners. Both aggregates are partial-agg friendly; part/supplier/
+    nation are broadcast so the only shuffle is the lineitem groupBy.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            (F.col("p_size").between(1, 15)) & (F.col("p_type") == "STANDARD"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        unit.join(best, (unit.l_partkey == best.l_partkey)
+                  & (unit.unit_cost == best.best_cost))
+        .drop(best.l_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                # floor(x*1e4+0.5)/1e4 instead of round(): price/qty lands
+                # exactly on .xxxx5 half-boundaries (4-decimal price / 2),
+                # where engine round() directions disagree; floor on the
+                # binary double is engine-identical
+                (F.floor(F.col("unit_cost") * 10000 + F.lit(0.5)) / 10000).alias("unit_cost"))
+        .orderBy("unit_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue.
+
+    Conditional-sum over a 7-way join; all dims broadcast, the fact
+    chain shuffles once per fact-fact key. The share division happens
+    after aggregation (2 rows), not per-row.
+    """
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    n_cust = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")))
+    n_supp = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    part = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flow = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_supp, supp.s_nationkey == F.col("sn_key"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                volume.alias("volume"), F.col("supp_nation"))
+    )
+    return (
+        flow.groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year.
+
+    No partsupp/ps_supplycost in the fixture — cost is modelled as
+    0.5 * p_retailprice * quantity, keeping the profit-expression shape
+    (revenue minus quantity-scaled cost) and the %substring% part filter.
+    """
+    part = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_name").contains("red")))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of the
+    national total (aggregate + scalar-subquery threshold).
+
+    Value per part is lineitem volume from suppliers of three nations;
+    the threshold side is a 1-row aggregate joined by crossJoin —
+    broadcast-trivial at any scale.
+    """
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")))
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    # cutoff = 3x the average per-part value — scale-invariant (TPC-H's
+    # fixed fraction of the total would converge to zero rows as the
+    # part count grows with SF)
+    threshold = val.agg((F.avg("value") * 3.0).alias("cutoff"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .where(F.col("value") > F.col("cutoff"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer count by order count (left join with an ON-side
+    filter, double aggregation). The ON-clause predicate keeps customers
+    with zero surviving orders (count 0 bucket) — semantically distinct
+    from a WHERE, and the reason this is a left join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a quarter (the VIEW +
+    scalar-max pattern). Revenue is rounded to 2dp *before* the max
+    comparison on both engines so summation-order noise can't split a
+    tie across engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute group
+    (partsupp replaced by the lineitem part-supplier bridge)."""
+    part = F.broadcast(_t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders (correlated AVG
+    subquery against the same fact table). The per-part average is a
+    separate aggregate joined back on partkey — the decorrelated plan
+    Catalyst itself would produce for the subquery form."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3"))
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a large quantity of PROMO
+    parts in 1997 (nested EXISTS chain re-expressed as aggregate +
+    semi-join; partsupp availability replaced by shipped quantity)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    part = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+                       .select("p_partkey"))
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier in multi-supplier orders.
+
+    The classic EXISTS / NOT-EXISTS pair over lineitem is re-expressed
+    as one per-(order, supplier) aggregate + one per-order aggregate —
+    two shuffles total instead of two extra joins against the fact
+    table, which is the right trade at 100 TB (late = shipped > 60 days
+    after order date; the fixture has no receipt/commit dates).
+    """
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_flag = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast("long")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        per_order.join(supp, per_order.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -93,6 +93,17 @@ QUERIES: dict[str, QueryFn] = {
     "correlated_scalar_subquery": relational.correlated_scalar_subquery,
     "stats_aggregates": relational.stats_aggregates,
     "percentile_stats": relational.percentile_stats,
+    # --- Stage 1c: third TPC-H wave (all 22 TPC-H query shapes now present) ---
+    "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+    "q8_market_share": relational.q8_market_share,
+    "q9_product_profit": relational.q9_product_profit,
+    "q11_important_stock": relational.q11_important_stock,
+    "q13_order_distribution": relational.q13_order_distribution,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q16_supplier_part_count": relational.q16_supplier_part_count,
+    "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+    "q20_excess_suppliers": relational.q20_excess_suppliers,
+    "q21_waiting_supplier": relational.q21_waiting_supplier,
     # --- Stage 2: windows ---
     "window_topk_per_group": relational.window_topk_per_group,
     "window_rank_dense": relational.window_rank_dense,
@@ -108,6 +119,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_simhash": dedup.dedup_simhash,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,  # rows-only (SRP recall < 1)
     "sim_search_topk": similarity.sim_search_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approximate)
     "embedding_stats": similarity.embedding_stats,
@@ -707,6 +720,141 @@ observed AS (
 SELECT s.user_id, s.hour::VARCHAR AS hour, coalesce(o.n, 0) AS n
 FROM spine s LEFT JOIN observed o ON s.user_id = o.user_id AND s.hour = o.hour
 ORDER BY s.user_id, s.hour
+""",
+    "q2_min_cost_supplier": """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM unit GROUP BY 1)
+SELECT p_partkey, p_name, s_name, n_name,
+  floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
+FROM unit JOIN best ON unit.l_partkey = best.l_partkey AND unit.unit_cost = best.best_cost
+JOIN part ON p_partkey = unit.l_partkey
+JOIN supplier ON s_suppkey = unit.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD'
+ORDER BY unit_cost, p_partkey, s_name LIMIT 100
+""",
+    "q8_market_share": """
+WITH flow AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+    l_extendedprice * (1 - l_discount) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM flow GROUP BY o_year ORDER BY o_year
+""",
+    "q9_product_profit": """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+  round(sum(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "q11_important_stock": """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, round(value, 2) AS value FROM val
+WHERE value > (SELECT avg(value) * 3.0 FROM val)
+ORDER BY value DESC, p_partkey
+""",
+    "q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "q16_supplier_part_count": """
+SELECT p_brand, p_type, p_size::BIGINT AS p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "q17_small_qty_revenue": """
+WITH pa AS (SELECT l_partkey AS ap_key, 0.5 * avg(l_quantity) AS half_avg FROM lineitem GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+JOIN pa ON l_partkey = ap_key
+WHERE l_quantity < half_avg
+""",
+    "q20_excess_suppliers": """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 50)
+ORDER BY s_suppkey
+""",
+    "q21_waiting_supplier": """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+    max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+""",
+    "dedup_embedding_cosine": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+ORDER BY id1, id2
 """,
     "udf_pandas_vector_norm": """
 SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm

@@ -1,0 +1,94 @@
+"""Wave-3 relational surface (TPC-H Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21
+shapes) + embedding-cosine near-dup: oracle parity at sf0.001 and plan /
+semantic invariants the oracle hash can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_embedding_lsh,
+    embedding_cosine_pairs,
+    srp_signatures,
+)
+from hadoop_mapreduce_spark.plans.explain import static_plan_text
+from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR
+
+WAVE3 = [
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "dedup_embedding_cosine",
+]
+
+
+def _norm(rows, cols):
+    return sorted(tuple(str(v) for _, v in sorted(zip(cols, r))) for r in rows)
+
+
+@pytest.mark.parametrize("name", WAVE3)
+def test_wave3_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    got = _norm([tuple(r) for r in df.collect()], df.columns)
+    cur = duck.execute(ORACLE[name])
+    want = _norm(cur.fetchall(), [d[0] for d in cur.description])
+    assert got == want
+
+
+def test_q20_is_semi_join(spark):
+    plan = static_plan_text(QUERIES["q20_excess_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_q13_distribution_covers_every_customer(spark):
+    """The left join (ON-side filter) must keep every customer exactly
+    once — the distribution's custdist column sums to the customer count,
+    including any zero-order bucket."""
+    rows = QUERIES["q13_order_distribution"](spark, SF_DIR).collect()
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    # and the ON-side filter really removed urgent orders from the counts
+    n_nonurgent = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_orderpriority") != "1-URGENT").count()
+    )
+    assert sum(r.c_count * r.custdist for r in rows) == n_nonurgent
+
+
+def test_embedding_cosine_planted_dup(spark):
+    """A vector duplicated under a new id must appear as a pair with
+    cosine ~1; an orthogonal vector must not pair with anything."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]), (3, [-3.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r.id1, r.id2): r.cosine for r in embedding_cosine_pairs(vecs, 0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - 1.0) < 1e-9
+
+
+def test_srp_signature_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    s1 = {r.id: tuple(r[1:]) for r in srp_signatures(emb, n_bits=8).collect()}
+    s2 = {r.id: tuple(r[1:]) for r in srp_signatures(emb, n_bits=8).collect()}
+    assert s1 == s2
+
+
+def test_embedding_lsh_subset_of_exact_with_high_recall(spark):
+    """Every LSH pair is a true pair (verify step guarantees precision 1);
+    recall against the exact all-pairs result stays high."""
+    exact = {(r.id1, r.id2) for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+    approx = {(r.id1, r.id2) for r in dedup_embedding_lsh(spark, SF_DIR).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.8
