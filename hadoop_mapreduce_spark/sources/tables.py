@@ -151,3 +151,39 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    opts = {"header": "true"}
+    opts.update(options)
+    df.write.mode(mode).options(**opts).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hive-style bucketing via saveAsTable).
+
+    The 100 TB join strategy: two fact tables bucketed on their join key
+    with the same bucket count join WITHOUT any shuffle — each task reads
+    the matching bucket pair (plus, with sort_by, without a sort). One
+    write-time shuffle amortised over every subsequent join is the
+    classic trade for repeatedly-joined fact tables; at 1000 executors
+    it removes the single largest network cost in the pipeline.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

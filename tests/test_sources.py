@@ -1,0 +1,103 @@
+"""Source/sink surface (SURVEY.md §2.EXT sources/sinks row): csv/json
+round-trips preserve the relational results, the tsv sink is
+byte-compatible with the reference's TextOutputFormat, and bucketed
+tables join shuffle-free (the 100 TB co-located-join strategy)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import (
+    load_table,
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_tsv,
+)
+from tests.conftest import SF_DIR
+
+
+def test_csv_round_trip_preserves_aggregate(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv(spark, path)
+    want = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    got = back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_json_round_trip_preserves_rows(spark, tmp_path):
+    cust = load_table(spark, SF_DIR, "customer")
+    path = str(tmp_path / "cust_json")
+    write_json(cust, path)
+    back = read_json(spark, path)
+    assert back.count() == cust.count()
+    assert set(back.columns) == set(cust.columns)
+    assert back.agg(F.round(F.sum("c_acctbal"), 2)).collect() == \
+        cust.agg(F.round(F.sum("c_acctbal"), 2)).collect()
+
+
+def test_tsv_sink_reference_byte_format(spark, tmp_path):
+    """Output must be `key\\tvalue` lines — the reference's
+    TextOutputFormat (WordCount.java:158; golden format report.md:77-90)."""
+    df = spark.createDataFrame([("a clam cram", 1), ("can a clam", 2)], ["ngram", "count"])
+    path = str(tmp_path / "tsv_out")
+    write_tsv(df, path)
+    lines = set()
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            lines.update(ln.rstrip("\n") for ln in fh if ln.strip())
+    assert lines == {"a clam cram\t1", "can a clam\t2"}
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(tmp_path_factory):
+    from hadoop_mapreduce_spark import get_spark
+
+    spark = get_spark("tests")
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 4,
+                   sort_by=["o_orderkey"], path=str(base / "orders_b"))
+    write_bucketed(li, "lineitem_b", ["l_orderkey"], 4,
+                   sort_by=["l_orderkey"], path=str(base / "lineitem_b"))
+    return "orders_b", "lineitem_b"
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the join plan contains no Exchange (shuffle) at all."""
+    o, l = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(o).join(spark.table(l),
+                                F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # one Exchange for the final groupBy is fine; the *join* itself
+        # must not shuffle either side: no Exchange below SortMergeJoin
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part
+        # correctness: same result as the plain parquet join
+        want = (
+            load_table(spark, SF_DIR, "orders")
+            .join(load_table(spark, SF_DIR, "lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -53,3 +53,74 @@ def test_streaming_dedup_drops_duplicate_ids(spark, event_json_dir):
     n_events = spark.read.json(event_json_dir).count()
     assert got.count() == n_events  # fixture ids are unique
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_running_totals_match_batch(spark, event_json_dir):
+    """applyInPandasWithState cumulative state across micro-batches: the
+    final per-user totals equal the batch groupBy over the same data."""
+    from hadoop_mapreduce_spark.streaming.windows import running_user_totals
+
+    stream = read_event_stream(spark, event_json_dir, max_files_per_trigger=1)
+    got = run_to_memory_sink(running_user_totals(stream), "t_state", spark)
+    # update mode emits one row per (user, batch); the final state is the
+    # max n_events per user (counts are monotone)
+    final = got.groupBy("user_id").agg(
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max("n_events").alias("n_events"),
+    )
+    batch = (
+        spark.read.json(event_json_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert g == b
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than (max seen ts - watermark) arriving in a later
+    micro-batch is dropped from the windowed aggregation."""
+    import json as _json
+    import time
+
+    path = tmp_path / "late_events"
+    path.mkdir()
+
+    def write_file(name, rows):
+        with open(path / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    # batch 1: two events at 12:00 — watermark advances to 10:00 (2h)
+    write_file("b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T12:00:00Z", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T12:10:00Z", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},
+    ])
+    stream = read_event_stream(spark, str(path), max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName("t_late")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event at 05:00 — 5h before the watermark → dropped;
+        # one at 12:30 — on time → counted
+        write_file("b2.json", [
+            {"event_id": 3, "ts": "2024-01-01T05:00:00Z", "user_id": 1,
+             "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T12:30:00Z", "user_id": 1,
+             "event_type": "a", "value": 1.0, "props": "{}"},
+        ])
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_late").groupBy("window_start").agg(F.max("n").alias("n")).collect()
+    by_window = {str(r.window_start): r.n for r in rows}
+    # 12:00 window saw all three on-time events; the 05:00 window never appears
+    assert by_window.get("2024-01-01 12:00:00") == 3
+    assert not any(k.startswith("2024-01-01 05") for k in by_window)
