@@ -28,12 +28,15 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
     "window_topk_per_group",
     "agg_distinct",
     "join_range_theta",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_search_topk",
     "text_quality",
     "token_count",
