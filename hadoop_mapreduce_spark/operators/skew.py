@@ -1,0 +1,100 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew by splitting oversized shuffle partitions. Salting is the
+manual fallback for the cases AQE can't fix:
+
+  * a single join KEY so hot that splitting its partition still leaves
+    one straggler task (AQE splits by partition, not by key);
+  * aggregations, which AQE's skew handling does not cover at all.
+
+Both helpers are deterministic (hash-derived salt, no RNG) and preserve
+exact semantics — verified against the unsalted plans in
+tests/test_skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_of(*cols: Column | str, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) from row content — xxhash64 so
+    rows of a hot key spread uniformly without RNG (rand() would break
+    retry idempotence: a re-executed task must salt identically)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join where the LEFT side's key distribution is skewed.
+
+    Left rows get a content-derived salt in [0, n_salts); the right side
+    is replicated n_salts times via an explode. The shuffle key becomes
+    (key, salt), so a key holding X% of the rows spreads over n_salts
+    tasks instead of one. Cost: right side x n_salts — use only when the
+    right side is small-ish but above the broadcast threshold (if it
+    broadcasts, there is no shuffle to skew in the first place).
+
+    salt_source names a left column whose values vary within the hot key
+    (default: the whole row via all columns).
+    """
+    salt_cols = [salt_source] if salt_source else [F.col(c) for c in left.columns]
+    l_salted = left.withColumn("__salt", _salt_of(*salt_cols, n_salts=n_salts))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = l_salted.join(
+        r_salted,
+        (l_salted[left_key] == r_salted[right_key]) & (l_salted["__salt"] == r_salted["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (group_cols, salt), then final aggregate on group_cols.
+
+    Only algebraic aggregates compose across phases — supported:
+    sum, count, min, max. (avg = sum/count at the call site; distinct
+    counts need a different decomposition.) Spark's own partial
+    aggregation already does this per-TASK; the salt phase adds a
+    partial per (key, salt) SHUFFLE partition, which bounds the final
+    task's input to n_groups x n_salts rows no matter how skewed the
+    raw data is.
+
+    aggs maps output column name -> "fn(col)", e.g. {"total": "sum(value)"}.
+    """
+    import re as _re
+
+    salt = _salt_of(*[F.col(c) for c in df.columns], n_salts=n_salts)
+    partial_exprs, final_exprs = [], []
+    for out_name, spec in aggs.items():
+        m = _re.fullmatch(r"(sum|count|min|max)\((\w+|\*)\)", spec.strip())
+        if not m:
+            raise ValueError(f"unsupported aggregate spec: {spec!r}")
+        fn, col = m.groups()
+        part_col = f"__p_{out_name}"
+        if fn == "count":
+            partial_exprs.append(
+                (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(part_col))
+            final_exprs.append(F.sum(part_col).alias(out_name))
+        else:
+            partial_exprs.append(getattr(F, fn)(col).alias(part_col))
+            final_exprs.append(getattr(F, fn)(part_col).alias(out_name))
+    partial = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*group_cols).agg(*final_exprs)

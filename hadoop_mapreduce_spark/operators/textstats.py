@@ -8,7 +8,7 @@ flagship n-gram pipeline and these stats agree on what a "token" is).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
@@ -146,4 +146,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, kgram: int = 8) -> DataFra
         .agg(F.min("h").alias("min_kgram_hash"))
         .select("doc_id", "content_md5", "min_kgram_hash")
         .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k terms per document by TF-IDF (smoothed idf = ln((N+1)/(df+1))).
+
+    Three aggregates over the exploded token stream — tf per (doc, term),
+    df per term, N — then a per-doc window top-k. The df side is tiny
+    (vocabulary-sized) and broadcast; the only big shuffle is the tf
+    groupBy, partitioned by (doc_id, term) so partial aggregation
+    collapses repeated terms map-side. Ranking uses the unrounded score
+    (IEEE-identical in any engine given identical tf/df integers), so
+    ranks are engine-stable; only the reported score is rounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.round("score", 6).alias("tfidf"), F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("doc_id", "rnk")
     )

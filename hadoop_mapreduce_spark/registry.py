@@ -128,6 +128,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": textstats.token_count,
     "language_id": textstats.language_id,
     "doc_fingerprint": textstats.doc_fingerprint,
+    "tfidf_top_terms": textstats.tfidf_top_terms,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     # --- Stage 4: time-series / streaming (batch twins) ---
@@ -522,6 +523,23 @@ pred AS (
 )
 SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
+""",
+    "tfidf_top_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, tf * ln((n + 1.0) / (df + 1.0)) AS score
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS tfidf, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
 """,
     "doc_fingerprint": r"""
 WITH c AS (

@@ -29,6 +29,7 @@ WAVE3 = [
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     "dedup_embedding_cosine",
+    "tfidf_top_terms",
 ]
 
 

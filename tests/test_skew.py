@@ -1,0 +1,73 @@
+"""Skew mitigation: salted join / salted aggregate must preserve exact
+semantics while spreading hot keys across (key, salt) shuffle partitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.skew import salted_aggregate, salted_join
+from hadoop_mapreduce_spark.plans.explain import static_plan_text
+from hadoop_mapreduce_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _skewed(spark):
+    """events with 90% of rows forced onto one hot user."""
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1)).otherwise(F.col("user_id")),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = _skewed(spark)
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey).select("event_id", "c_mktsegment")
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8).select(
+        "event_id", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer_matches(spark):
+    ev = _skewed(spark)
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
+        "event_id", "c_mktsegment")
+    salted = salted_join(ev, cust, "user_id", "c_custkey", n_salts=8, how="left").select(
+        "event_id", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect(), ), key=str) == \
+        sorted(map(tuple, salted.collect()), key=str)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = _skewed(spark)
+    plain = ev.groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    salted = salted_aggregate(
+        ev, ["user_id", "event_type"],
+        {"total": "sum(value)", "n": "count(*)", "lo": "min(value)", "hi": "max(value)"},
+        n_salts=8,
+    )
+    p = {(r.user_id, r.event_type): (round(r.total, 6), r.n, r.lo, r.hi) for r in plain.collect()}
+    s = {(r.user_id, r.event_type): (round(r.total, 6), r.n, r.lo, r.hi) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_aggregate_shuffles_on_salt(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = salted_aggregate(ev, ["user_id"], {"n": "count(*)"}, n_salts=8)
+    plan = static_plan_text(out)
+    # the first exchange must partition on (user_id, __salt), not user_id
+    assert "__salt" in plan
+
+
+def test_salt_is_deterministic_across_runs(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    a = salted_aggregate(ev, ["user_id"], {"n": "count(*)"}, n_salts=8).collect()
+    b = salted_aggregate(ev, ["user_id"], {"n": "count(*)"}, n_salts=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
