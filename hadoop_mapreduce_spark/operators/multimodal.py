@@ -100,3 +100,66 @@ def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("doc_id")
     )
+
+
+def _resize_stub(w: int, h: int, max_side: int = 256) -> tuple[int, int]:
+    """STUB resize — pure integer math standing in for a real resampler
+    (PIL Image.thumbnail). Aspect-preserving clamp of the longest side to
+    max_side, floor semantics, never upscales."""
+    longest = max(w, h)
+    if longest <= max_side:
+        return w, h
+    return (w * max_side) // longest, (h * max_side) // longest
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str, max_side: int = 256) -> DataFrame:
+    """Resize pattern: decoded dims → target dims via a vectorised batch
+    transform. Real pipelines emit the resized blob too; the stub keeps
+    the shapes (mapInPandas in/out, one row per image) and the integer
+    dim math real."""
+    decoded = decode_batches(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _resize_stub(w, h, max_side)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "new_width": [d[0] for d in dims],
+                "new_height": [d[1] for d in dims],
+            })
+
+    out_schema = "doc_id long, width long, height long, new_width long, new_height long"
+    return decoded.mapInPandas(resize, out_schema).orderBy("doc_id")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str, dim: int = 8) -> DataFrame:
+    """Feature-extract pattern: blob → fixed-dim float vector (the shape
+    of an image/audio embedding model run under mapInPandas). The stub
+    features are deterministic in the byte length (f_i = ((n_bytes *
+    (i+1)) % 1000) / 1000) so the l2 norm is SQL-checkable; a real model
+    swap changes only the batch fn body, not the plumbing/schema."""
+    import numpy as np
+
+    blobs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["blob"].map(len).to_numpy()[:, None].astype(np.int64)
+            mult = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+            feats = ((n * mult) % 1000) / 1000.0  # (batch, dim) — vectorised
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "features": list(feats),
+                "feat_norm": np.sqrt((feats * feats).sum(axis=1)),
+            })
+
+    out = blobs.mapInPandas(extract, "doc_id long, features array<double>, feat_norm double")
+    return out.select(
+        "doc_id", F.size("features").cast("long").alias("dim"),
+        F.round("feat_norm", 6).alias("feat_norm"),
+    ).orderBy("doc_id")

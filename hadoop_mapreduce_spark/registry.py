@@ -131,6 +131,8 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
+    "multimodal_resize": multimodal.multimodal_resize,
+    "multimodal_features": multimodal.multimodal_features,
     # --- Stage 4: time-series / streaming (batch twins) ---
     "events_tumbling": timeseries.events_tumbling,
     "events_sliding": timeseries.events_sliding,
@@ -567,6 +569,27 @@ FROM documents ORDER BY doc_id
     "frame_sample": """
 SELECT doc_id, ((octet_length(encode(text)) % 30) // 7 + 1)::BIGINT AS n_sampled
 FROM documents ORDER BY doc_id
+""",
+    "multimodal_resize": """
+WITH d AS (
+  SELECT doc_id,
+    (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+    (octet_length(encode(text)) % 480 + 1)::BIGINT AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CASE WHEN greatest(width, height) <= 256 THEN width
+       ELSE width * 256 // greatest(width, height) END AS new_width,
+  CASE WHEN greatest(width, height) <= 256 THEN height
+       ELSE height * 256 // greatest(width, height) END AS new_height
+FROM d ORDER BY doc_id
+""",
+    "multimodal_features": """
+WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)
+SELECT doc_id, 8::BIGINT AS dim,
+  round(sqrt(list_sum(list_transform(generate_series(1, 8),
+    i -> ((n * i) % 1000 / 1000.0) * ((n * i) % 1000 / 1000.0)))), 6) AS feat_norm
+FROM b ORDER BY doc_id
 """,
     "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR AS window_start, event_type,
