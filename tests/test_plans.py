@@ -7,6 +7,8 @@ no accidental cartesian products, partial aggregation present.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hadoop_mapreduce_spark.operators import relational
 from hadoop_mapreduce_spark.operators.ngram import ngram_count
 from hadoop_mapreduce_spark.plans.explain import (
@@ -63,3 +65,42 @@ def test_range_theta_join_not_nested_loop(spark):
     text = plan_text(relational.join_range_theta(spark, SF_DIR))
     assert "CartesianProduct" not in text
     assert ("SortMergeJoin" in text) or ("BroadcastHashJoin" in text) or ("ShuffledHashJoin" in text)
+
+
+def test_q9_part_filter_pushed(spark):
+    """The %substring% part filter must reach the part scan as a pushed
+    StringContains, and the dims must broadcast."""
+    df = relational.q9_product_profit(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "p_name" in pf
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_q15_date_filters_pushed(spark):
+    df = relational.q15_top_supplier(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf
+
+
+def test_q21_two_shuffle_aggregation_no_extra_fact_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is re-expressed as two aggregates —
+    the plan must contain exactly one join against lineitem (orders) plus
+    the broadcast supplier join, never three fact-table joins."""
+    text = plan_text(relational.q21_waiting_supplier(spark, SF_DIR))
+    assert text.count("SortMergeJoin") <= 1  # li x orders; supplier is broadcast
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """partitionBy write + year-filter read: only matching partitions are
+    scanned (PartitionFilters in the scan, non-matching dirs untouched)."""
+    from hadoop_mapreduce_spark.sources.tables import write_parquet
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_year"])
+    read = spark.read.parquet(path).where(F.col("o_year") == 1997)
+    text = plan_text(read)
+    assert "PartitionFilters" in text and "o_year" in text
+    n_1997 = orders.where(F.col("o_year") == 1997).count()
+    assert read.count() == n_1997
