@@ -874,22 +874,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners. Both aggregates are partial-agg friendly; part/supplier/
     nation are broadcast so the only shuffle is the lineitem groupBy.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    unit = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
-    best = unit.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
     part = F.broadcast(
         _t(spark, sf_dir, "part").where(
             (F.col("p_size").between(1, 15)) & (F.col("p_type") == "STANDARD"))
     )
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # per-part minimum via a window over the aggregate, not a second
+    # aggregate + self-join: one computation of `unit` instead of two
+    # branches (exchange reuse is best-effort; the window is guaranteed),
+    # and the (p,s)->(p) shuffle carries one row per part-supplier pair
+    best = unit.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
     return (
-        unit.join(best, (unit.l_partkey == best.l_partkey)
-                  & (unit.unit_cost == best.best_cost))
-        .drop(best.l_partkey)
+        best.where(F.col("unit_cost") == F.col("best_cost"))
         .join(part, F.col("l_partkey") == part.p_partkey)
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
