@@ -1137,3 +1137,22 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (t-digest style percentile_approx with
+    accuracy 1000) — the sketch twin of percentile_stats: mergeable
+    across partitions, so at 100 TB the shuffle carries one digest per
+    group instead of the values a sort-based exact percentile needs.
+    Registered rows-only: sketch outputs are implementation-defined.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.25, 1000).alias("p25"),
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("median"),
+            F.percentile_approx("o_totalprice", 0.75, 1000).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "agg_cube": relational.agg_cube,
     "agg_having": relational.agg_having,
     "agg_approx_distinct": relational.agg_approx_distinct,  # rows-only (HLL)
+    "approx_percentile_stats": relational.approx_percentile_stats,  # rows-only (t-digest)
     "pivot_status_by_segment": relational.pivot_status_by_segment,
     "grouping_sets_sales": relational.grouping_sets_sales,
     "join_full_outer": relational.join_full_outer,

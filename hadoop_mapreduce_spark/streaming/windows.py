@@ -107,3 +107,12 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, spark: SparkSession) -> 
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table. Spark plans this as a broadcast hash join
+    per micro-batch — no stream state, no watermark needed; the dim can
+    be refreshed between restarts. The canonical pattern for decorating
+    an event stream with slowly-changing reference data."""
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "left")

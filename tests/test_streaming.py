@@ -124,3 +124,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # 12:00 window saw all three on-time events; the 05:00 window never appears
     assert by_window.get("2024-01-01 12:00:00") == 3
     assert not any(k.startswith("2024-01-01 05") for k in by_window)
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, event_json_dir):
+    from hadoop_mapreduce_spark.streaming.windows import enrich_with_dim
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_event_stream(spark, event_json_dir, max_files_per_trigger=2)
+    got = run_to_memory_sink(
+        enrich_with_dim(stream, cust, "user_id", "c_custkey").select(
+            "event_id", "c_mktsegment"),
+        "t_enrich", spark,
+    )
+    want = (
+        spark.read.json(event_json_dir)
+        .join(cust, F.col("user_id") == F.col("c_custkey"), "left")
+        .select("event_id", "c_mktsegment")
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == \
+        sorted(map(tuple, want.collect()), key=str)
