@@ -405,77 +405,131 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str, threshold: float = 
     )
 
 
+def _srp_planes(n_bits: int, dim: int):
+    """Deterministic ±1 hyperplane matrix (n_bits x dim): component (i,j)
+    is the low bit of md5(f"{i}:{j}") — no RNG, identical on every
+    worker/run. Tiny (64x64 = 4 KB), rebuilt on demand."""
+    import hashlib
+
+    import numpy as np
+
+    flat = [
+        1.0 if (hashlib.md5(f"{i}:{j}".encode()).digest()[0] & 1) else -1.0
+        for i in range(n_bits) for j in range(dim)
+    ]
+    return np.array(flat, dtype=np.float64).reshape(n_bits, dim)
+
+
 def srp_signatures(vectors: DataFrame, n_bits: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection (SRP) signatures for cosine LSH.
 
-    Hyperplane r_i has deterministic ±1 components derived from
-    xxhash64(bit i, dim j) — no RNG, reproducible across runs/engines.
-    bit_i = 1 iff dot(v, r_i) > 0; P[bits agree] = 1 - angle/pi, the
-    standard SRP guarantee. Computed via posexplode (one row per vector
-    element) + conditional sums — entirely JVM-side, one shuffle on id.
+    bit_i = 1 iff dot(v, r_i) > 0 with deterministic ±1 hyperplanes
+    (_srp_planes); P[bits agree] = 1 - angle/pi, the standard SRP
+    guarantee. One BLAS matmul per Arrow batch inside mapInPandas — the
+    plane matrix depends only on (n_bits, dim), so hashing per row (let
+    alone per row x bit, the naive SQL formulation) is pure waste. No
+    shuffle at all: signatures are computed where the vectors sit.
     """
-    elems = vectors.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
-    )
-    # ±1 component for (bit i, dim j): low bit of xxhash64("i:j")
-    sums = elems.groupBy("id").agg(*[
-        F.sum(
-            F.when(F.xxhash64(F.concat_ws(":", F.lit(i), F.col("j"))) % 2 == 0,
-                   F.col("x")).otherwise(-F.col("x"))
-        ).alias(f"s{i}")
-        for i in range(n_bits)
-    ])
-    sig = sums.select(
-        "id",
-        *[(F.col(f"s{i}") > 0).cast("int").alias(f"b{i}") for i in range(n_bits)],
-    )
-    return sig
+    import numpy as np
+
+    schema = "id long, " + ", ".join(f"b{i} int" for i in range(n_bits))
+
+    def sign(batches):
+        import pandas as pd
+
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _srp_planes(n_bits, mat.shape[1])
+            bits = (mat @ planes.T) > 0
+            out = {"id": pdf[id_col].to_numpy()}
+            for i in range(n_bits):
+                out[f"b{i}"] = bits[:, i].astype("int32")
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(sign, schema)
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4,
-                        n_bits: int = 16, bands: int = 8) -> DataFrame:
+                        n_bits: int = 64, bands: int = 16,
+                        max_bucket: int = 2048) -> DataFrame:
     """Approximate embedding near-dup: SRP-LSH banding + exact verify.
 
-    Candidate pairs = vectors agreeing on all bits of >= 1 band
-    (bands x (n_bits/bands) banding); survivors are verified with the
-    exact cosine. At 100 TB the band join touches only hash-equal
-    buckets — linear-ish in data size instead of O(N^2). Recall < 1 by
-    construction → registered rows-only (no SQL oracle).
+    Candidate pairs = vectors agreeing on all bits of >= 1 band (bands x
+    (n_bits/bands) banding; r=4 bits/band → a random pair collides with
+    p≈2^-4 per band while a cosine-0.9 pair collides with p≈0.54 and is
+    recalled w.p. ~1-(1-0.54)^16 ≈ 1). Two scale guards:
+
+      * hot-bucket suppression: buckets larger than max_bucket are
+        dropped before the self-join — an oversized bucket is O(size^2)
+        pairs carrying almost no signal (standard LSH-at-scale practice;
+        its members still pair via their other bands);
+      * the verify step carries only (id1, id2) through the shuffle and
+        scores batches against a broadcast unit-vector matrix with one
+        BLAS gemv-style lookup per pair — no per-pair array
+        materialisation in a join (which OOMs once candidates hit ~10M).
+
+    Recall < 1 by construction → registered rows-only (no SQL oracle).
     """
+    import numpy as np
+
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = srp_signatures(emb, n_bits=n_bits).persist()
+    sig = srp_signatures(emb, n_bits=n_bits)
     rows_per_band = n_bits // bands
     band_cols = [
         F.concat_ws("_", F.lit(b), *[F.col(f"b{b * rows_per_band + r}")
                                      for r in range(rows_per_band)]).alias("bucket")
         for b in range(bands)
     ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).distinct()
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    bucket_sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    pruned = buckets.join(
+        F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
+        "bucket", "left_anti",
+    )
     cand = (
-        buckets.alias("x").join(buckets.alias("y"),
-                                (F.col("x.bucket") == F.col("y.bucket"))
-                                & (F.col("x.id") < F.col("y.id")))
+        pruned.alias("x").join(pruned.alias("y"),
+                               (F.col("x.bucket") == F.col("y.bucket"))
+                               & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
         .distinct()
     )
-    from hadoop_mapreduce_spark.functions.vectors import l2_norm
 
     unit = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
         l2_norm(F.col("embedding")).alias("nrm"),
     ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    u1 = unit.select(F.col("id").alias("id1"), F.col("u").alias("u1"))
-    u2 = unit.select(F.col("id").alias("id2"), F.col("u").alias("u2"))
-    cos = F.aggregate(F.zip_with("u1", "u2", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    out = (
-        cand.join(u1, "id1").join(u2, "id2")
-        .select("id1", "id2", cos.alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    rows = unit.collect()
+    idx = {r.id: i for i, r in enumerate(rows)}
+    mat = np.array([r.u for r in rows], dtype=np.float64)
+    b_idx = spark.sparkContext.broadcast(idx)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def verify(batches):
+        import pandas as pd
+
+        ix, m = b_idx.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            r1 = m[[ix[i] for i in pdf["id1"]]]
+            r2 = m[[ix[i] for i in pdf["id2"]]]
+            cos = (r1 * r2).sum(axis=1)
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id1": pdf["id1"][keep], "id2": pdf["id2"][keep],
+                "cosine": cos[keep],
+            })
+
+    return (
+        cand.mapInPandas(verify, "id1 long, id2 long, cosine double")
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
         .orderBy("id1", "id2")
     )
-    return out

@@ -1,0 +1,110 @@
+"""Scale-stress smoke: measure how the heavy operators scale with data.
+
+Synthesises a KxSF0.1 dataset (union of sf0.1 with shifted ids — same
+distributions, K times the rows) in a scratch dir, then times the
+shuffle/compute-heavy operators at 1x and Kx. Near-linear wall-clock
+growth (and sub-quadratic for the pair-generating ops) is the evidence
+that the partitioning strategy holds as data grows; a super-linear jump
+flags an operator that would fall over at cluster scale.
+
+Usage:  PYTHONPATH=/root/repo python tools/scale_smoke.py [K] [scratch_dir]
+Prints one JSON line: {"k": K, "queries": {name: {"t1": s, "tk": s,
+"ratio": tk/t1}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HEAVY = [
+    "ngram_count",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q21_waiting_supplier",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "text_quality",
+    "token_count",
+    "tfidf_top_terms",
+    "events_session",
+]
+
+ID_COLS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
+
+def build_scaled(spark, src: str, dst: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, src, name)
+        if name in ID_COLS and k > 1:
+            idc = ID_COLS[name]
+            # shift the primary id per copy so dedup/self-join ops see
+            # distinct entities, not k-way duplicates of every row
+            shift = 10_000_000
+            parts = [df] + [
+                df.withColumn(idc, F.col(idc) + i * shift) for i in range(1, k)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    scratch = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="scale_smoke_")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hadoop_mapreduce_spark import get_spark
+    from hadoop_mapreduce_spark.registry import QUERIES
+
+    spark = get_spark("scale-smoke", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_scaled(spark, src, scratch, k)
+    try:
+        results = {}
+        for name in HEAVY:
+            fn = QUERIES[name]
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, src).write.format("noop").mode("overwrite").save()
+            t1 = time.time() - t0
+            t0 = time.time()
+            fn(spark, scratch).write.format("noop").mode("overwrite").save()
+            tk = time.time() - t0
+            results[name] = {
+                "t1": round(t1, 3), "tk": round(tk, 3),
+                "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            }
+            print(f"  {name:24s} 1x={t1:6.2f}s {k}x={tk:6.2f}s ratio={tk / t1:5.2f}",
+                  file=sys.stderr)
+        print(json.dumps({"k": k, "src": src, "queries": results}))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
