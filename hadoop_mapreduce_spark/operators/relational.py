@@ -1156,3 +1156,38 @@ def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    over orders by total price within each status partition."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def json_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs the
+    path-extraction in json_functions) — struct field access, null-safe
+    handling of malformed documents."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.select(
+            "event_id",
+            F.col("p.k").cast("long").alias("k"),
+            F.col("p").isNotNull().cast("int").cast("long").alias("valid"),
+        )
+        .orderBy("event_id")
+    )

@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     "math_functions": relational.math_functions,
     "array_functions": relational.array_functions,
     "json_functions": relational.json_functions,
+    "json_from_json_typed": relational.json_from_json_typed,
     "join_broadcast_dim": relational.join_broadcast_dim,
     "join_outer": relational.join_outer,
     "join_semi_anti": relational.join_semi_anti,
@@ -111,6 +112,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_running_sum": relational.window_running_sum,
     "window_lag_lead": relational.window_lag_lead,
     "window_range_frame": relational.window_range_frame,
+    "window_distribution": relational.window_distribution,
     "sort_multi_key_limit": relational.sort_multi_key_limit,
     "set_operations": relational.set_operations,
     "union_by_name": relational.union_by_name,
@@ -307,6 +309,20 @@ SELECT event_type, count(*) AS n,
   round(avg(k), 4) AS avg_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
 FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY event_type ORDER BY event_type
+""",
+    "window_distribution": """
+SELECT o_orderkey, o_orderstatus,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  ntile(4) OVER w::BIGINT AS quartile
+FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    "json_from_json_typed": """
+SELECT event_id,
+  json_extract_string(props, '$.k')::BIGINT AS k,
+  CASE WHEN json_valid(props) THEN 1 ELSE 0 END::BIGINT AS valid
+FROM events ORDER BY event_id
 """,
     "join_broadcast_dim": """
 SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
