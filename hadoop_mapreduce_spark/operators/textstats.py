@@ -178,3 +178,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 F.round("score", 6).alias("tfidf"), F.col("rnk").cast("long").alias("rnk"))
         .orderBy("doc_id", "rnk")
     )
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str, depth: int = 4,
+                      width: int = 256, k: int = 20) -> DataFrame:
+    """Heavy hitters via a count-min sketch built as DataFrame ops.
+
+    Sketch build: each token occurrence updates `depth` counters at
+    (row d, xxhash64(d, term) % width) — one groupBy over depth x width
+    cells, so the shuffle carries at most depth*width rows per partition
+    regardless of corpus size (the point of a sketch at 100 TB: the
+    aggregation state is O(1), not O(vocabulary)).  Estimate for a term
+    = min over its depth cells (classic CMS upper-bound estimate,
+    overcounts on collision, never undercounts).  The top-k candidates
+    come from the distinct-term side joined against the sketch.
+
+    Registered rows-only: estimates are sketch-parameter-dependent (the
+    invariant estimate >= true count is asserted in tests instead).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("term"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(F.xxhash64(F.lit(d), F.col("term")), F.lit(width)).alias("c"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell")
+    )
+    sketch = cells.groupBy("cell.d", "cell.c").agg(F.count(F.lit(1)).alias("cnt"))
+    # estimate each distinct term against the broadcast sketch
+    terms = toks.distinct()
+    probes = terms.select(
+        "term",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(F.xxhash64(F.lit(d), F.col("term")), F.lit(width)).alias("c"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("p"),
+    ).select("term", "p.d", "p.c")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "c"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("est"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("est").cast("long").alias("est"))
+    )

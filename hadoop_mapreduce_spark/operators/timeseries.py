@@ -146,3 +146,45 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly aggregates are
+    re-aggregated into daily rows, and both resolutions are emitted from
+    ONE pass over the raw data.
+
+    The daily tier reads the hourly tier, never the events table — at
+    100 TB that is the difference between re-scanning raw data per
+    resolution and a continuous-aggregate cascade (hourly rows are
+    ~1/3600th of raw). sum/count re-aggregate losslessly; avg is derived
+    at the end from the re-aggregated sums (averaging averages would be
+    wrong).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    hourly_out = hourly.select(
+        F.lit("hour").alias("resolution"),
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type", "n",
+        F.round("sv", 2).alias("total_value"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+    )
+    daily_out = (
+        hourly.groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("day").alias("resolution"),
+            F.col("day").cast("string").alias("bucket"),
+            "event_type", "n",
+            F.round("sv", 2).alias("total_value"),
+            F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+        )
+    )
+    return hourly_out.unionByName(daily_out).orderBy("resolution", "bucket", "event_type")

@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "language_id": textstats.language_id,
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,
+    "heavy_hitters_cms": textstats.heavy_hitters_cms,  # rows-only (sketch estimate)
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -143,6 +144,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_dedup_first": timeseries.events_dedup_first,
     "asof_join_events_orders": timeseries.asof_join_events_orders,
     "events_gap_fill": timeseries.events_gap_fill,
+    "events_hierarchical_rollup": timeseries.events_hierarchical_rollup,
     # --- UDF surface (Arrow-batched pandas UDFs + row-at-a-time) ---
     "udf_pandas_vector_norm": udfs.udf_pandas_vector_norm,
     "udf_grouped_agg_mean": udfs.udf_grouped_agg_mean,
@@ -913,6 +915,21 @@ p AS (
 )
 SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
 ORDER BY id1, id2
+""",
+    "events_hierarchical_rollup": """
+WITH hourly AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS bucket, event_type,
+    count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT 'hour' AS resolution, bucket::VARCHAR AS bucket, event_type, n,
+  round(sv, 2) AS total_value, round(sv / n, 6) AS avg_value
+FROM hourly
+UNION ALL
+SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), round(sum(sv), 2),
+  round(sum(sv) / sum(n), 6)
+FROM hourly GROUP BY day, event_type
+ORDER BY resolution, bucket, event_type
 """,
     "udf_pandas_vector_norm": """
 SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm

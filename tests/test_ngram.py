@@ -90,3 +90,25 @@ def test_topk_ordering(spark):
     df = spark.createDataFrame([("b b b a a c",)], ["text"])
     top = rows(ngram_topk(df, "text", 1, k=2))
     assert top == [("b", 3), ("a", 2)]
+
+
+def test_cms_heavy_hitters_never_undercount(spark):
+    """Count-min sketch invariant: every estimate >= the true count, and
+    the true top-1 term appears among the heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+    from hadoop_mapreduce_spark.operators.textstats import heavy_hitters_cms
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    est = {r.term: r.est for r in heavy_hitters_cms(spark, SF_DIR, k=20).collect()}
+    true = {
+        r.term: r.cnt
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokenize(normalize_text(F.col("text")))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert all(est[t] >= true[t] for t in est)
+    top_term = max(true, key=lambda t: (true[t], t))
+    assert top_term in est

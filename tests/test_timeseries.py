@@ -73,3 +73,27 @@ def test_sliding_double_count(spark):
 
     # every event appears in exactly 2 sliding windows (2h window, 1h slide)
     assert total == 2 * load_table(spark, SF_DIR, "events").count()
+
+
+def test_hierarchical_rollup_daily_matches_direct(spark):
+    """The daily tier (re-aggregated from hourly) must equal a direct
+    daily aggregation of the raw events — lossless rollup cascade."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.timeseries import events_hierarchical_rollup
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = events_hierarchical_rollup(spark, SF_DIR)
+    daily = {
+        (r.bucket, r.event_type): (r.n, r.total_value)
+        for r in out.where(F.col("resolution") == "day").collect()
+    }
+    direct = {
+        (str(r.bucket), r.event_type): (r.n, r.total_value)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert daily == direct
