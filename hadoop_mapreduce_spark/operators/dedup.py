@@ -354,18 +354,19 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
     """
     import numpy as np
 
-    from hadoop_mapreduce_spark.functions.vectors import l2_norm
-
     spark = vectors.sparkSession
-    unit = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    raw = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
 
-    rows = unit.collect()
+    # normalisation happens in numpy (row / ||row||), not as a JVM
+    # transform() — one vectorised pass instead of a per-element
+    # expression tree evaluated twice (once for the collect, once for
+    # the mapInPandas input)
+    rows = raw.collect()
     ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([r.u for r in rows], dtype=np.float64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    if len(mat):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -376,7 +377,8 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
         for pdf in batches:
             if not len(pdf):
                 continue
-            block = np.vstack(pdf["u"].to_numpy())
+            block = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
             sims = block @ all_mat.T  # (b, N) in one BLAS call
             row_ids = pdf["id"].to_numpy()
             hit_r, hit_c = np.nonzero(
@@ -387,7 +389,7 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
                 "cosine": sims[hit_r, hit_c],
             })
 
-    return unit.mapInPandas(score, "id1 long, id2 long, cosine double")
+    return raw.mapInPandas(score, "id1 long, id2 long, cosine double")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
