@@ -101,9 +101,21 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    """(id, h0) — one row per shingle occurrence, shingle pre-hashed to a
+    64-bit long. The shared input of the MinHash signature pass AND the
+    exact-Jaccard verify pass: tokenising + shingling + hashing is the
+    dominant scan cost, so computing it once (and persisting it at the
+    call site) halves the corpus passes of the LSH pipeline."""
+    sh = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
+    return sh.select("id", F.xxhash64("s").alias("h0"))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, shingle_k: int = 3,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature over token-k-shingles.
 
@@ -116,12 +128,15 @@ def minhash_signatures(
     determinism — the correctness oracle checks exact Jaccard, not
     signature bytes.
     """
-    sh = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
     # Hash the (variable-length) shingle string ONCE, then derive the
     # hash family by re-mixing that 64-bit value: h_i = xxhash64(i, h0)
     # is constant-time per function vs re-hashing the string num_hashes
     # times (32x the string-hash work). Standard one-base-hash MinHash.
-    base = sh.select("id", F.xxhash64("s").alias("h0"))
+    base = (
+        hashed_shingles
+        if hashed_shingles is not None
+        else hashed_shingle_rows(docs, id_col, text_col, shingle_k)
+    )
     agg = base.groupBy("id").agg(
         *[F.expr(f"min(xxhash64({i}, h0)) as h{i}") for i in range(num_hashes)]
     )
@@ -151,27 +166,32 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int) -> Da
 
 def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
-                            shingle_k: int = 3) -> DataFrame:
+                            shingle_k: int = 3,
+                            hashed_shingles: DataFrame | None = None) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (columnar:
     array_intersect/array_union on the two shingle arrays).
 
-    docs is first semi-joined (broadcast) to the candidate id set, so
-    shingle arrays are built only for documents that appear in a pair —
-    at scale the candidate set is orders of magnitude smaller than the
-    corpus. Shingles are compared as xxhash64 longs, not strings: set
+    The shingle source is semi-joined (broadcast) to the candidate id
+    set, so shingle arrays are built only for documents that appear in a
+    pair — at scale the candidate set is orders of magnitude smaller than
+    the corpus. Shingles are compared as xxhash64 longs, not strings: set
     sizes are identical w.h.p. (64-bit collisions ~1e-16 per doc pair)
-    and long-array intersection is several times cheaper than string."""
+    and long-array intersection is several times cheaper than string.
+    Pass hashed_shingles (persisted) to reuse the signature pass's
+    tokenisation instead of re-scanning the corpus."""
     ids = (
         pairs.select(F.col("id1").alias("cid"))
         .union(pairs.select(F.col("id2").alias("cid")))
         .distinct()
     )
-    cand_docs = docs.join(
-        F.broadcast(ids), docs[id_col] == ids.cid, "left_semi"
-    )
+    if hashed_shingles is not None:
+        hashed = hashed_shingles.join(
+            F.broadcast(ids), hashed_shingles["id"] == ids.cid, "left_semi")
+    else:
+        cand_docs = docs.join(F.broadcast(ids), docs[id_col] == ids.cid, "left_semi")
+        hashed = hashed_shingle_rows(cand_docs, id_col, text_col, shingle_k)
     sh = (
-        shingle_rows(cand_docs, id_col, text_col, shingle_k, distinct=False)
-        .select("id", F.xxhash64("s").alias("hs"))
+        hashed.withColumnRenamed("h0", "hs")
         .groupBy("id")
         .agg(F.collect_set("hs").alias("sh"))
     )
@@ -198,6 +218,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     scaling as O(candidates), not O(n^2).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE: sharing one persisted hashed-shingle pass between the
+    # signature and verify stages was measured SLOWER here (caching ~2.5M
+    # shingle rows costs more than re-tokenising the candidate subset);
+    # the hashed_shingles= hooks remain for corpora where the balance
+    # flips (long documents, large candidate sets).
     sigs = minhash_signatures(docs, num_hashes=32)
     # Persist the candidate pairs: the verify stage references them three
     # times (id set + both sides of the shingle join) and without a
