@@ -1191,3 +1191,34 @@ def json_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def sample_seeded(spark: SparkSession, sf_dir: str, fraction: float = 0.1,
+                  seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli sample of orders — deterministic for a fixed
+    (seed, partitioning): each task XORs the seed with its partition
+    index, so the same data + same split layout reproduces the same
+    sample (the property tests rely on exactly that). Registered
+    rows-only: the selected subset is engine-specific by construction.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sample(fraction=fraction, seed=seed)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """Stratified sample via sampleBy: per-stratum fractions (downsample
+    the dominant order status, keep the rare ones) — the class-rebalancing
+    pattern of a training-data pipeline. Rows-only for the same reason as
+    sample_seeded."""
+    orders = _t(spark, sf_dir, "orders")
+    fractions = {"F": 0.05, "O": 0.05, "P": 1.0}
+    return (
+        orders.sampleBy("o_orderstatus", fractions, seed=seed)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderstatus")
+    )

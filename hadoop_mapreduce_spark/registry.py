@@ -117,6 +117,8 @@ QUERIES: dict[str, QueryFn] = {
     "set_operations": relational.set_operations,
     "union_by_name": relational.union_by_name,
     "distinct_dedup_rows": relational.distinct_dedup_rows,
+    "sample_seeded": relational.sample_seeded,  # rows-only (engine-specific subset)
+    "sample_stratified": relational.sample_stratified,  # rows-only (engine-specific subset)
     # --- Stage 3: LLM-pipeline ---
     "dedup_exact": dedup.dedup_exact,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

@@ -93,3 +93,25 @@ def test_embedding_lsh_subset_of_exact_with_high_recall(spark):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.8
+
+
+def test_sample_seeded_deterministic_and_sized(spark):
+    a = QUERIES["sample_seeded"](spark, SF_DIR).collect()
+    b = QUERIES["sample_seeded"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    total = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # Bernoulli(0.1): expect ~10%, allow wide tolerance for small N
+    assert 0.03 * total <= len(a) <= 0.25 * total
+
+
+def test_sample_stratified_respects_fractions(spark):
+    rows = {r.o_orderstatus: r.n_sampled for r in
+            QUERIES["sample_stratified"](spark, SF_DIR).collect()}
+    full = {r.o_orderstatus: r.n for r in
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the 100%-kept stratum is exact; downsampled strata are well below it
+    assert rows.get("P", 0) == full.get("P", 0)
+    for s in ("F", "O"):
+        if s in full:
+            assert rows.get(s, 0) < 0.2 * full[s]
