@@ -1222,3 +1222,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataF
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("o_orderstatus")
     )
+
+
+def array_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality: posexplode of the embedding array
+    (first 4 elements) — the UNNEST WITH ORDINALITY shape."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 4))
+            .alias("pos", "val"),
+        )
+        .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                F.round("val", 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar functions: levenshtein between part name and
+    type, plus a length-normalised similarity — dedup-adjacent fuzzy
+    matching at the scalar level (exact DP algorithm, engine-portable)."""
+    part = _t(spark, sf_dir, "part")
+    lev = F.levenshtein("p_name", "p_type")
+    maxlen = F.greatest(F.length("p_name"), F.length("p_type"))
+    return (
+        part.select(
+            "p_partkey",
+            lev.cast("long").alias("lev_name_type"),
+            F.round(1 - lev / maxlen, 6).alias("name_type_sim"),
+        )
+        .orderBy("p_partkey")
+    )

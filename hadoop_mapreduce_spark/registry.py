@@ -77,6 +77,8 @@ QUERIES: dict[str, QueryFn] = {
     "array_functions": relational.array_functions,
     "json_functions": relational.json_functions,
     "json_from_json_typed": relational.json_from_json_typed,
+    "array_explode_pos": relational.array_explode_pos,
+    "string_distance": relational.string_distance,
     "join_broadcast_dim": relational.join_broadcast_dim,
     "join_outer": relational.join_outer,
     "join_semi_anti": relational.join_semi_anti,
@@ -327,6 +329,20 @@ SELECT event_id,
   json_extract_string(props, '$.k')::BIGINT AS k,
   CASE WHEN json_valid(props) THEN 1 ELSE 0 END::BIGINT AS valid
 FROM events ORDER BY event_id
+""",
+    "array_explode_pos": """
+SELECT vec_id, (g.ord - 1)::BIGINT AS pos, round(g.val, 6) AS val
+FROM embeddings,
+  LATERAL (SELECT unnest((embedding::DOUBLE[])[1:4]) AS val,
+                  generate_subscripts((embedding::DOUBLE[])[1:4], 1) AS ord) g
+WHERE vec_id < 100
+ORDER BY vec_id, pos
+""",
+    "string_distance": """
+SELECT p_partkey,
+  levenshtein(p_name, p_type)::BIGINT AS lev_name_type,
+  round(1 - levenshtein(p_name, p_type) * 1.0 / greatest(length(p_name), length(p_type)), 6) AS name_type_sim
+FROM part ORDER BY p_partkey
 """,
     "join_broadcast_dim": """
 SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
