@@ -188,3 +188,27 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hourly_out.unionByName(daily_out).orderBy("resolution", "bucket", "event_type")
+
+
+def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style downsample: per (user, day) — first value by time
+    (open), last (close), min (low), max (high). min_by/max_by keep the
+    whole thing one hash aggregate; no window, no sort, so the shuffle
+    is one row per (user, day) after map-side partials. Ties on ts are
+    broken by event_id via the packed (ts, event_id) ordering struct."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", F.col("day").cast("string").alias("day"),
+                "open", "close", "low", "high", "n")
+        .orderBy("user_id", "day")
+    )

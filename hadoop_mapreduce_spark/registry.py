@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_mapreduce_spark.operators import (
     dedup,
+    pipeline,
     multimodal,
     relational,
     similarity,
@@ -122,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_seeded": relational.sample_seeded,  # rows-only (engine-specific subset)
     "sample_stratified": relational.sample_stratified,  # rows-only (engine-specific subset)
     # --- Stage 3: LLM-pipeline ---
+    "pipeline_curation": pipeline.pipeline_curation,
     "dedup_exact": dedup.dedup_exact,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_simhash": dedup.dedup_simhash,
@@ -149,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join_events_orders": timeseries.asof_join_events_orders,
     "events_gap_fill": timeseries.events_gap_fill,
     "events_hierarchical_rollup": timeseries.events_hierarchical_rollup,
+    "events_daily_ohlc": timeseries.events_daily_ohlc,
     # --- UDF surface (Arrow-batched pandas UDFs + row-at-a-time) ---
     "udf_pandas_vector_norm": udfs.udf_pandas_vector_norm,
     "udf_grouped_agg_mean": udfs.udf_grouped_agg_mean,
@@ -459,6 +462,51 @@ FROM (
     "distinct_dedup_rows": """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 ORDER BY l_returnflag, l_linestatus
+""",
+    "pipeline_curation": rf"""
+WITH t0 AS (
+  SELECT doc_id, text, source, {_TOKS} AS t,
+    length(text) AS nc,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, text, source, t, nc, np, len(t) AS ntok,
+    list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS awl
+  FROM t0
+),
+q AS (
+  SELECT doc_id, text, source, t,
+    round((CASE WHEN ntok >= 5 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN np * 1.0 / nc < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+  FROM t1
+),
+d0 AS (SELECT doc_id, text, source, t FROM q WHERE quality >= 0.6),
+keep AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY sha256(text)),
+d1 AS (SELECT d0.* FROM d0 JOIN keep USING (doc_id)),
+toks_all AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks_all, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh_all a JOIN sh_all b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS j
+  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+),
+live AS (
+  SELECT id2 FROM jac
+  WHERE j >= 0.8 AND id1 IN (SELECT doc_id FROM d1) AND id2 IN (SELECT doc_id FROM d1)
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM live))
+SELECT source, count(*) AS n_docs, sum(len(t))::BIGINT AS total_tokens
+FROM d2 GROUP BY source ORDER BY source
 """,
     "dedup_exact": """
 SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -933,6 +981,15 @@ p AS (
 )
 SELECT id1, id2, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
 ORDER BY id1, id2
+""",
+    "events_daily_ohlc": """
+SELECT user_id, date_trunc('day', ts)::TIMESTAMP::VARCHAR AS day,
+  round(arg_min(value, printf('%020d|%010d', epoch_ns(ts), event_id)), 2) AS open,
+  round(arg_max(value, printf('%020d|%010d', epoch_ns(ts), event_id)), 2) AS close,
+  round(min(value), 2) AS low,
+  round(max(value), 2) AS high,
+  count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY user_id, day
 """,
     "events_hierarchical_rollup": """
 WITH hourly AS (
