@@ -560,3 +560,66 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
         .orderBy("id1", "id2")
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components over near-dup pairs (iterative algorithm)
+# --------------------------------------------------------------------------
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation connected components.
+
+    nodes: (doc_id), edges: (id1, id2) undirected. Each round every node
+    takes the minimum label among itself and its neighbours; convergence
+    in O(component diameter) rounds (driver-side loop with a per-round
+    convergence count — the canonical iterative-algorithm pattern on
+    Spark; large-star/small-star halves the round count at extreme
+    scale, same join shape). Labels persist per round and the previous
+    round is unpersisted, so peak storage is two label tables.
+    """
+    sym = (
+        edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("comp").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("neigh_min", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str,
+                               threshold: float = 0.8) -> DataFrame:
+    """Component id (= min reachable doc_id) per document, where edges
+    are exact shingle-Jaccard >= threshold pairs. The cluster-then-keep-
+    canonical step of a dedup pipeline: keep component == doc_id rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select("id1", "id2")
+    out = connected_components(docs, pairs)
+    return (
+        out.select("doc_id", F.col("comp").cast("long").alias("component"))
+        .orderBy("doc_id")
+    )

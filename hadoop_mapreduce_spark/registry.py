@@ -129,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup.dedup_simhash,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    "dedup_connected_components": dedup.dedup_connected_components,
     "dedup_embedding_lsh": dedup.dedup_embedding_lsh,  # rows-only (SRP recall < 1)
     "sim_search_topk": similarity.sim_search_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approximate)
@@ -513,6 +514,22 @@ SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copie
 FROM documents GROUP BY sha256(text) ORDER BY keep_id
 """,
     "dedup_minhash_lsh": f"WITH {_SHINGLES} ORDER BY id1, id2",
+    "dedup_connected_components": f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  UNION
+  SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT src AS doc_id, min(node)::BIGINT AS component
+FROM reach GROUP BY src ORDER BY doc_id
+""",
     "dedup_ngram_jaccard": f"WITH {_SHINGLES} ORDER BY id1, id2",
     "dedup_simhash": r"""
 WITH toks AS (

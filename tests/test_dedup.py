@@ -76,3 +76,14 @@ def test_simhash_hamming_near_dup(spark):
     ids = {(r.id1, r.id2) for r in pairs}
     assert (1, 2) in ids
     assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_connected_components_merges_chains(spark):
+    """a~b and b~c edges (no direct a~c) must land all three in one
+    component labelled by the min id; isolated nodes keep their own id."""
+    from hadoop_mapreduce_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id1", "id2"])
+    comp = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
