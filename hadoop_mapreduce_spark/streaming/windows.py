@@ -116,3 +116,21 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key:
     be refreshed between restarts. The canonical pattern for decorating
     an event stream with slowly-changing reference data."""
     return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "left")
+
+
+def write_stream_foreach_batch(stream: DataFrame, path: str):
+    """foreachBatch parquet sink: each micro-batch lands as an append
+    stamped with its batch_id. foreachBatch is the streaming escape hatch
+    for sinks Spark lacks a native connector for (JDBC upserts, custom
+    stores); batch_id makes redelivery idempotent-checkable downstream
+    (exactly-once = at-least-once delivery + idempotent write keyed on
+    batch_id)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -143,3 +143,17 @@ def test_stream_static_enrichment_matches_batch_join(spark, event_json_dir):
     )
     assert sorted(map(tuple, got.collect()), key=str) == \
         sorted(map(tuple, want.collect()), key=str)
+
+
+def test_foreach_batch_sink_writes_all_rows(spark, event_json_dir, tmp_path):
+    from hadoop_mapreduce_spark.streaming.windows import write_stream_foreach_batch
+
+    out = str(tmp_path / "fb_out")
+    stream = read_event_stream(spark, event_json_dir, max_files_per_trigger=2)
+    q = write_stream_foreach_batch(stream.select("event_id", "user_id"), out)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    n_src = spark.read.json(event_json_dir).count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
+    assert written.select("batch_id").distinct().count() >= 2  # multiple micro-batches
