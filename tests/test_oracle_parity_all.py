@@ -1,0 +1,36 @@
+"""Differential oracle parity for EVERY oracle-paired query, in-repo.
+
+The driver runs this comparison at sf0.01 per round; this test enforces
+the same contract at sf0.001 on every pytest run, so an operator can't
+silently drift from its oracle between rounds. Queries registered
+without SQL (approximate/stateful) are exercised rows-only: they must
+execute and return a well-formed result.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR
+
+
+def _norm(rows, cols):
+    return sorted(tuple(str(v) for _, v in sorted(zip(cols, r))) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    got_rows = df.collect()
+    sql = ORACLE.get(name)
+    if sql is None:
+        # rows-only contract: executes, yields columns, row count >= 0
+        assert df.columns
+        assert len(got_rows) >= 0
+        return
+    got = _norm([tuple(r) for r in got_rows], df.columns)
+    cur = duck.execute(sql)
+    want = _norm(cur.fetchall(), [d[0] for d in cur.description])
+    assert sorted(df.columns) == sorted(d[0] for d in cur.description)
+    assert got == want
