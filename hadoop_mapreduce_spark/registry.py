@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_mapreduce_spark.operators import (
+    advanced,
     dedup,
     pipeline,
     multimodal,
@@ -158,6 +159,15 @@ QUERIES: dict[str, QueryFn] = {
     "udf_grouped_agg_mean": udfs.udf_grouped_agg_mean,
     "udf_apply_in_pandas_zscore": udfs.udf_apply_in_pandas_zscore,
     "udf_python_scalar": udfs.udf_python_scalar,
+    # --- Wave 4: advanced SQL surface (maps, higher-order fns, unpivot,
+    #     IGNORE NULLS windows, boolean aggs, extract-all, Python UDTF) ---
+    "map_functions": advanced.map_functions,
+    "higher_order_array": advanced.higher_order_array,
+    "unpivot_measures": advanced.unpivot_measures,
+    "window_ignore_nulls": advanced.window_ignore_nulls,
+    "bool_count_aggs": advanced.bool_count_aggs,
+    "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
+    "udtf_tokens": advanced.udtf_tokens,
 }
 
 
@@ -1049,5 +1059,72 @@ FROM st ORDER BY user_id, event_id
 SELECT p_partkey,
   list_sum(list_transform(regexp_extract_all(p_partkey::VARCHAR, '\\d'), x -> x::INT))::BIGINT AS key_digit_sum
 FROM part ORDER BY p_partkey
+""",
+    "map_functions": """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+  count(*)::BIGINT AS n_status,
+  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0)::BIGINT AS n_f,
+  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0)::BIGINT AS n_o,
+  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN cnt END), 0)::BIGINT AS n_p,
+  sum(CASE WHEN cnt > 50 THEN 1 ELSE 0 END)::BIGINT AS n_big_status
+FROM c GROUP BY 1 ORDER BY 1
+""",
+    "higher_order_array": """
+SELECT vec_id,
+  (len(list_filter(embedding::DOUBLE[], x -> x > 0.5)) > 0)::BIGINT AS any_gt_half,
+  (len(list_filter(embedding::DOUBLE[], x -> abs(x) >= 10.0)) = 0)::BIGINT AS all_small,
+  round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) + 0.0 AS mean_val,
+  round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sum_sq
+FROM embeddings ORDER BY vec_id
+""",
+    "unpivot_measures": """
+WITH w AS (
+  SELECT l_returnflag,
+    round(sum(l_quantity), 2) AS sum_qty,
+    round(sum(l_extendedprice), 2) AS sum_price,
+    round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+ORDER BY l_returnflag, measure
+""",
+    "window_ignore_nulls": """
+SELECT user_id, event_id,
+  round(last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value,
+  round(first_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_valid
+FROM events ORDER BY user_id, event_id
+""",
+    "bool_count_aggs": """
+SELECT o_orderpriority,
+  bool_and(o_totalprice > 1000.0)::BIGINT AS all_over_1k,
+  bool_or(o_totalprice > 400000.0)::BIGINT AS any_over_400k,
+  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "regexp_extract_all_terms": """
+SELECT term, count(*)::BIGINT AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{8,}')) AS term FROM documents)
+GROUP BY term HAVING count(*) >= 3 ORDER BY cnt DESC, term
+""",
+    "udtf_tokens": """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'),
+                t -> t <> '')[1:10] AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, (g.ord - 1)::INT AS pos, g.token
+FROM d, LATERAL (SELECT unnest(toks) AS token, generate_subscripts(toks, 1) AS ord) g
+ORDER BY doc_id, pos
 """,
 }

@@ -27,8 +27,9 @@ CARTESIAN_OK = {
     "q22_global_sales_opportunity",
 }
 
-# the one query that intentionally demonstrates a row-at-a-time Python UDF
-PYTHON_ROW_OK = {"udf_python_scalar"}
+# queries that intentionally demonstrate row-at-a-time Python evaluation
+# (the scalar-UDF and UDTF API surfaces; each has a JVM-side twin)
+PYTHON_ROW_OK = {"udf_python_scalar", "udtf_tokens"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
