@@ -136,6 +136,37 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC columnar source — same predicate-pushdown / column-pruning
+    contract as parquet (both flow through the vectorised columnar scan)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Opaque-blob source for multimodal columns: one row per file with
+    (path, modificationTime, length, content: binary) — the ingest edge
+    for the image/audio operators in operators/multimodal.py, which
+    treat media as binary columns + typed metadata.  At scale, set
+    ``spark.sql.files.maxPartitionBytes`` so a task holds a bounded
+    number of blobs; tiny-file explosions are the real 100 TB risk, so
+    production ingest should compact blobs into parquet binary columns
+    (write_parquet) after first read — which is exactly what the fixture
+    generator does for documents/embeddings."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Tab-separated text sink — byte-compatible with the reference's
     TextOutputFormat ``key\\tvalue`` lines (reference WordCount.java:158;

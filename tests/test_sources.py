@@ -101,3 +101,45 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_orc_round_trip_preserves_aggregate(spark, tmp_path):
+    from hadoop_mapreduce_spark.sources.tables import read_orc, write_orc
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    before = (
+        li.groupBy("l_returnflag").agg(F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    ).collect()
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    after = (
+        read_orc(spark, path)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    ).collect()
+    assert sorted(before) == sorted(after)
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from hadoop_mapreduce_spark.plans.explain import static_plan_text
+    from hadoop_mapreduce_spark.sources.tables import read_orc, write_orc
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li_orc_push")
+    write_orc(li, path)
+    df = read_orc(spark, path).where(F.col("l_quantity") > 30.0).select("l_orderkey")
+    text = static_plan_text(df)
+    assert "PushedFilters" in text and "l_quantity" in text
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    from hadoop_mapreduce_spark.sources.tables import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not a blob")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01\x02payload-a"
+    assert rows["b.bin"].length == len(b"payload-b")
