@@ -178,3 +178,48 @@ def seq_packing(spark: SparkSession, sf_dir: str,
         .applyInPandas(pack, schema=_PACK_SCHEMA)
         .orderBy("source", "pack_id")
     )
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: one row per check with its
+    violation count — the validation gate a training-data pipeline runs
+    before accepting a batch.
+
+    Each check is an independent aggregate/anti-join; Spark runs them as
+    parallel stages and the union is row-count = number of checks, so
+    the result is driver-safe at any scale. FK checks are left_anti
+    joins on the natural keys (shuffle or broadcast per AQE's choice).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        check("orders_custkey_fk",
+              orders.join(customer, orders.o_custkey == customer.c_custkey,
+                          "left_anti")),
+        check("lineitem_orderkey_fk",
+              lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                            "left_anti")),
+        check("lineitem_qty_positive", lineitem.where(F.col("l_quantity") <= 0)),
+        check("lineitem_discount_range",
+              lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        check("documents_text_nonempty",
+              docs.where(F.col("text").isNull() | (F.length(F.trim("text")) == 0))),
+        check("events_ts_not_null", events.where(F.col("ts").isNull())),
+        check("orders_totalprice_positive", orders.where(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("long")
+    ).orderBy("check_name")

@@ -174,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_scrub": curation.text_scrub,
     "dataset_split": curation.dataset_split,
     "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
+    "dq_checks": curation.dq_checks,
 }
 
 
@@ -1168,6 +1169,29 @@ SELECT CASE WHEN bucket < 10 THEN 'val'
             ELSE 'train' END AS split,
   count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
 FROM b GROUP BY 1 ORDER BY 1
+""",
+    "dq_checks": r"""
+WITH c AS (
+  SELECT 'orders_custkey_fk' AS check_name,
+    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+  UNION ALL SELECT 'lineitem_orderkey_fk',
+    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL SELECT 'lineitem_qty_positive',
+    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+  UNION ALL SELECT 'lineitem_discount_range',
+    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+  UNION ALL SELECT 'documents_text_nonempty',
+    (SELECT count(*) FROM documents WHERE text IS NULL OR length(trim(text)) = 0)
+  UNION ALL SELECT 'events_ts_not_null',
+    (SELECT count(*) FROM events WHERE ts IS NULL)
+  UNION ALL SELECT 'orders_totalprice_positive',
+    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+)
+SELECT check_name, n_violations::BIGINT AS n_violations,
+  (n_violations = 0)::BIGINT AS passed
+FROM c ORDER BY check_name
 """,
     "udtf_tokens": """
 WITH d AS (
