@@ -150,6 +150,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             **options) -> DataFrame:
+    """XML source (built into Spark 4): one row per ``row_tag`` element,
+    schema inferred. (Avro, by contrast, ships as an external module not
+    deployed in this environment — use parquet/orc for binary columnar.)"""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
+    )
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def read_binary_files(spark: SparkSession, path: str,
                       glob: str | None = None) -> DataFrame:
     """Opaque-blob source for multimodal columns: one row per file with

@@ -143,3 +143,21 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert bytes(rows["a.bin"].content) == b"\x00\x01\x02payload-a"
     assert rows["b.bin"].length == len(b"payload-b")
+
+
+def test_xml_round_trip_preserves_rows(spark, tmp_path):
+    from hadoop_mapreduce_spark.sources.tables import read_xml, write_xml
+
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation").select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )

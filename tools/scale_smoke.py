@@ -34,6 +34,8 @@ HEAVY = [
     "token_count",
     "tfidf_top_terms",
     "events_session",
+    "doc_chunking",
+    "seq_packing",
 ]
 
 ID_COLS = {
