@@ -193,3 +193,22 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat (SQL LISTAGG / string_agg): nations per
+    region as one sorted comma-joined string.  collect_list order is
+    nondeterministic under parallel aggregation, so array_sort before
+    array_join makes the result stable at any partition count — the only
+    safe form of string aggregation on a cluster."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

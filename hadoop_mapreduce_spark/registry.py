@@ -169,6 +169,7 @@ QUERIES: dict[str, QueryFn] = {
     "bool_count_aggs": advanced.bool_count_aggs,
     "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
     "udtf_tokens": advanced.udtf_tokens,
+    "string_agg_sorted": advanced.string_agg_sorted,
     # --- Training-data curation beyond dedup ---
     "doc_chunking": curation.doc_chunking,
     "text_scrub": curation.text_scrub,
@@ -1203,5 +1204,12 @@ WITH d AS (
 SELECT doc_id, (g.ord - 1)::INT AS pos, g.token
 FROM d, LATERAL (SELECT unnest(toks) AS token, generate_subscripts(toks, 1) AS ord) g
 ORDER BY doc_id, pos
+""",
+    "string_agg_sorted": """
+SELECT r_name,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+  count(*)::BIGINT AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
 """,
 }
