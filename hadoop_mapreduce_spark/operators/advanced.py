@@ -212,3 +212,20 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+def bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor): fold the
+    customer keys of each order-priority class bit-wise.  All three are
+    commutative+associative, so Spark's partial aggregation applies and
+    shuffle volume is O(groups) — same scale shape as sum/count."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_custkey").cast("long").alias("keys_and"),
+            F.bit_or("o_custkey").cast("long").alias("keys_or"),
+            F.bit_xor("o_custkey").cast("long").alias("keys_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )

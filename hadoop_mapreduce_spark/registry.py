@@ -170,6 +170,7 @@ QUERIES: dict[str, QueryFn] = {
     "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
     "udtf_tokens": advanced.udtf_tokens,
     "string_agg_sorted": advanced.string_agg_sorted,
+    "bitwise_aggs": advanced.bitwise_aggs,
     # --- Training-data curation beyond dedup ---
     "doc_chunking": curation.doc_chunking,
     "text_scrub": curation.text_scrub,
@@ -1211,5 +1212,12 @@ SELECT r_name,
   count(*)::BIGINT AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+""",
+    "bitwise_aggs": """
+SELECT o_orderpriority,
+  bit_and(o_custkey)::BIGINT AS keys_and,
+  bit_or(o_custkey)::BIGINT AS keys_or,
+  bit_xor(o_custkey)::BIGINT AS keys_xor
+FROM orders GROUP BY 1 ORDER BY 1
 """,
 }
