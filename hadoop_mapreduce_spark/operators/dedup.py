@@ -362,59 +362,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8
 # --------------------------------------------------------------------------
 
 def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_blocks: int = 8) -> DataFrame:
     """Exact all-pairs cosine near-dup: every (id1 < id2) pair whose
     cosine similarity meets the threshold.
 
-    Blocked matrix multiplication, not a pairwise join: the unit-vector
-    matrix is broadcast once, then each partition of rows scores against
-    it with ONE BLAS matmul inside an Arrow-batched mapInPandas — no
-    O(N^2)-row join materialisation, no per-pair array allocation (a
-    zip_with/aggregate pair join is ~50x slower at N=2000). Only the
-    above-threshold pairs ever leave the worker.
+    Distributed block-pair matmul — NOTHING is collected to the driver.
+    Each vector is hashed into one of `n_blocks` blocks; every unordered
+    block pair (b1 <= b2) becomes one applyInPandas group holding the two
+    blocks' rows, scored with ONE BLAS matmul per group. A pair (x, y)
+    lands in exactly one group (the pair of their hash blocks), so no
+    dedup pass is needed, and only above-threshold pairs leave the
+    worker.
 
-    O(N^2 d) flops regardless — this is the ground-truth/oracle twin and
-    assumes the broadcast side fits an executor (~1 GB per million rows
-    at d=64 float64). The scale path is dedup_embedding_lsh below.
+    Scale story: O(N^2 d) flops are intrinsic to the exact computation,
+    but memory is now bounded — each group materialises 2N/n_blocks
+    vectors, and each vector is shuffled n_blocks+1 times (once per
+    group it joins). Pick n_blocks so a block fits a worker
+    (~0.5 GB/million rows at d=64 float64 ⇒ a few hundred blocks at
+    100 TB); parallelism = n_blocks*(n_blocks+1)/2 groups. The
+    sub-quadratic path is dedup_embedding_lsh below.
     """
-    import numpy as np
-
     spark = vectors.sparkSession
     raw = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    spine = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "b1 int, b2 int",
+    )
+    # side 0 = rows whose block is b1; side 1 = rows whose block is b2.
+    # Diagonal groups (b1 == b2) take only side 0 — both sides would be
+    # the same rows — and compare within the block.
+    left = raw.join(F.broadcast(spine), F.col("blk") == F.col("b1")).select(
+        "b1", "b2", F.lit(0).alias("side"), "id", "v")
+    right = raw.join(
+        F.broadcast(spine.where(F.col("b1") != F.col("b2"))),
+        F.col("blk") == F.col("b2"),
+    ).select("b1", "b2", F.lit(1).alias("side"), "id", "v")
+    tagged = left.unionByName(right)
 
-    # normalisation happens in numpy (row / ||row||), not as a JVM
-    # transform() — one vectorised pass instead of a per-element
-    # expression tree evaluated twice (once for the collect, once for
-    # the mapInPandas input)
-    rows = raw.collect()
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    if len(mat):
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def score(batches):
+    def score(pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T  # (b, N) in one BLAS call
-            row_ids = pdf["id"].to_numpy()
-            hit_r, hit_c = np.nonzero(
-                (sims >= threshold) & (row_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame({
-                "id1": row_ids[hit_r],
-                "id2": all_ids[hit_c],
-                "cosine": sims[hit_r, hit_c],
-            })
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        A = np.vstack(a["v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        a_ids = a["id"].to_numpy()
+        diagonal = pdf["b1"].iat[0] == pdf["b2"].iat[0]
+        if diagonal:
+            B, b_ids = A, a_ids
+        else:
+            b = pdf[pdf["side"] == 1]
+            if not len(b):
+                return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+            B = np.vstack(b["v"].to_numpy()).astype(np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            b_ids = b["id"].to_numpy()
+        sims = A @ B.T  # one BLAS call per block pair
+        lo = np.minimum(a_ids[:, None], b_ids[None, :])
+        hi = np.maximum(a_ids[:, None], b_ids[None, :])
+        # diagonal: B is A, so each unordered pair shows up in BOTH
+        # orientations — keep only the strict upper triangle by id.
+        # off-diagonal: each pair shows up exactly once; orient via lo<hi.
+        in_order = (a_ids[:, None] < b_ids[None, :]) if diagonal else (lo < hi)
+        hit_r, hit_c = np.nonzero((sims >= threshold) & in_order)
+        return pd.DataFrame({
+            "id1": lo[hit_r, hit_c],
+            "id2": hi[hit_r, hit_c],
+            "cosine": sims[hit_r, hit_c],
+        })
 
-    return raw.mapInPandas(score, "id1 long, id2 long, cosine double")
+    return tagged.groupBy("b1", "b2").applyInPandas(
+        score, "id1 long, id2 long, cosine double")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
@@ -495,15 +520,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         dropped before the self-join — an oversized bucket is O(size^2)
         pairs carrying almost no signal (standard LSH-at-scale practice;
         its members still pair via their other bands);
-      * the verify step carries only (id1, id2) through the shuffle and
-        scores batches against a broadcast unit-vector matrix with one
-        BLAS gemv-style lookup per pair — no per-pair array
-        materialisation in a join (which OOMs once candidates hit ~10M).
+      * the verify step is fully distributive: candidate (id1, id2)
+        pairs join back to the normalised-vector table twice on id
+        (shuffle O(candidates + N) — nothing ever lands on the driver),
+        then an Arrow-batched mapInPandas scores each batch with one
+        vectorised row-wise dot product. At 100 TB the embedding table
+        never has to fit anywhere whole.
 
     Recall < 1 by construction → registered rows-only (no SQL oracle).
     """
-    import numpy as np
-
     from hadoop_mapreduce_spark.functions.vectors import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -533,21 +558,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         F.col("embedding").cast("array<double>").alias("v"),
         l2_norm(F.col("embedding")).alias("nrm"),
     ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    rows = unit.collect()
-    idx = {r.id: i for i, r in enumerate(rows)}
-    mat = np.array([r.u for r in rows], dtype=np.float64)
-    b_idx = spark.sparkContext.broadcast(idx)
-    b_mat = spark.sparkContext.broadcast(mat)
+    pair_vecs = (
+        cand.join(unit.select(F.col("id").alias("id1"), F.col("u").alias("u1")), "id1")
+        .join(unit.select(F.col("id").alias("id2"), F.col("u").alias("u2")), "id2")
+        .select("id1", "id2", "u1", "u2")
+    )
 
     def verify(batches):
+        import numpy as np
         import pandas as pd
 
-        ix, m = b_idx.value, b_mat.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            r1 = m[[ix[i] for i in pdf["id1"]]]
-            r2 = m[[ix[i] for i in pdf["id2"]]]
+            r1 = np.vstack(pdf["u1"].to_numpy()).astype(np.float64)
+            r2 = np.vstack(pdf["u2"].to_numpy()).astype(np.float64)
             cos = (r1 * r2).sum(axis=1)
             keep = cos >= threshold
             yield pd.DataFrame({
@@ -556,7 +581,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
             })
 
     return (
-        cand.mapInPandas(verify, "id1 long, id2 long, cosine double")
+        pair_vecs.mapInPandas(verify, "id1 long, id2 long, cosine double")
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
         .orderBy("id1", "id2")
     )

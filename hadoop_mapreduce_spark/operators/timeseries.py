@@ -161,20 +161,28 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong).
     """
     ev = load_table(spark, sf_dir, "events")
+    # Sum `value` as DECIMAL(18,6), not DOUBLE: double addition is not
+    # associative, so a sum landing on a round() half-boundary flips with
+    # partition order. Decimal partial sums are exact, so every tier (and
+    # the DuckDB oracle, which applies the same cast) rounds the same
+    # single value regardless of shuffle layout.
     hourly = (
         ev.groupBy(
             F.date_trunc("day", "ts").alias("day"),
             F.date_trunc("hour", "ts").alias("bucket"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
     )
     hourly_out = hourly.select(
         F.lit("hour").alias("resolution"),
         F.col("bucket").cast("string").alias("bucket"),
         "event_type", "n",
-        F.round("sv", 2).alias("total_value"),
-        F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+        F.round("sv", 2).cast("double").alias("total_value"),
+        F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
     daily_out = (
         hourly.groupBy("day", "event_type")
@@ -183,8 +191,8 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("day").alias("resolution"),
             F.col("day").cast("string").alias("bucket"),
             "event_type", "n",
-            F.round("sv", 2).alias("total_value"),
-            F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+            F.round("sv", 2).cast("double").alias("total_value"),
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
         )
     )
     return hourly_out.unionByName(daily_out).orderBy("resolution", "bucket", "event_type")

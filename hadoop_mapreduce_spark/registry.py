@@ -1030,15 +1030,15 @@ FROM events GROUP BY 1, 2 ORDER BY user_id, day
     "events_hierarchical_rollup": """
 WITH hourly AS (
   SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS bucket, event_type,
-    count(*) AS n, sum(value) AS sv
+    count(*) AS n, sum(value::DECIMAL(18,6)) AS sv
   FROM events GROUP BY 1, 2, 3
 )
 SELECT 'hour' AS resolution, bucket::VARCHAR AS bucket, event_type, n,
-  round(sv, 2) AS total_value, round(sv / n, 6) AS avg_value
+  round(sv, 2)::DOUBLE AS total_value, round(sv::DOUBLE / n, 6) AS avg_value
 FROM hourly
 UNION ALL
-SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), round(sum(sv), 2),
-  round(sum(sv) / sum(n), 6)
+SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), round(sum(sv), 2)::DOUBLE,
+  round(sum(sv)::DOUBLE / sum(n), 6)
 FROM hourly GROUP BY day, event_type
 ORDER BY resolution, bucket, event_type
 """,
