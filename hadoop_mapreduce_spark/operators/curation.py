@@ -122,16 +122,20 @@ _PACK_SCHEMA = (
 
 
 def seq_packing(spark: SparkSession, sf_dir: str,
-                max_tokens: int = 512) -> DataFrame:
+                max_tokens: int = 512, n_buckets: int = 8) -> DataFrame:
     """Greedy sequence packing: bin documents into <= max_tokens context
-    windows, first-fit in deterministic doc_id order within each source.
+    windows, first-fit in deterministic doc_id order within each
+    (source, hash-bucket) group.
 
-    One shuffle (groupBy source); the first-fit scan is inherently
-    sequential per group, so it runs as an Arrow-batched applyInPandas
-    over each source partition — the applyInPandasWithState-style
-    pattern for order-dependent state. At 100 TB you sub-partition the
-    pack key (e.g. source x date) to bound group size; packing quality
-    is unaffected because packs never need to span sub-partitions.
+    The pack key is source x pmod(xxhash64(doc_id), n_buckets), NOT
+    source alone: one hot source would otherwise become a single
+    unbounded pandas group (the first-fit scan is inherently sequential
+    per group, so a group must fit a worker). Bucketing bounds every
+    group to ~1/n_buckets of its source and adds parallelism; packing
+    quality is unaffected because packs never span buckets. Pack ids are
+    bucket-strided (local * n_buckets + bucket) so they stay unique per
+    source without a renumbering shuffle. At 100 TB, raise n_buckets so
+    source_size / n_buckets fits an Arrow group (~1e6 docs).
 
     Registered rows-only (first-fit is procedural, not SQL-expressible);
     tests/test_curation.py asserts the packing invariants instead:
@@ -144,6 +148,7 @@ def seq_packing(spark: SparkSession, sf_dir: str,
     sized = docs.select(
         "source",
         "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
         F.least(
             F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
             F.lit(max_tokens),
@@ -152,6 +157,7 @@ def seq_packing(spark: SparkSession, sf_dir: str,
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
         bins: list[tuple[int, int]] = []  # (remaining, n_docs)
         assign: list[int] = []
         for t in pdf["n_tokens"]:
@@ -164,7 +170,7 @@ def seq_packing(spark: SparkSession, sf_dir: str,
             if placed is None:
                 bins.append((max_tokens - int(t), 1))
                 placed = len(bins) - 1
-            assign.append(placed)
+            assign.append(placed * n_buckets + bucket)
         pdf = pdf.assign(pack_id=assign)
         out = (
             pdf.groupby("pack_id", as_index=False)
@@ -174,7 +180,7 @@ def seq_packing(spark: SparkSession, sf_dir: str,
         return out[["source", "pack_id", "n_docs", "pack_tokens"]]
 
     return (
-        sized.groupBy("source")
+        sized.groupBy("source", "bucket")
         .applyInPandas(pack, schema=_PACK_SCHEMA)
         .orderBy("source", "pack_id")
     )

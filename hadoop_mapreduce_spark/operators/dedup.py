@@ -602,6 +602,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Spark; large-star/small-star halves the round count at extreme
     scale, same join shape). Labels persist per round and the previous
     round is unpersisted, so peak storage is two label tables.
+
+    Raises RuntimeError if labels are still changing after max_iter
+    rounds: returning silently would hand back SPLIT components (wrong
+    labels) on any graph whose diameter exceeds max_iter — invisible on
+    small fixtures, latent data corruption at scale.
     """
     sym = (
         edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
@@ -632,6 +637,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): component diameter exceeds "
+            f"max_iter — raise max_iter or switch to large-star/small-star")
     return labels
 
 

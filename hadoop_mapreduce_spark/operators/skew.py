@@ -46,7 +46,20 @@ def salted_join(
 
     salt_source names a left column whose values vary within the hot key
     (default: the whole row via all columns).
+
+    `how` is restricted to joins whose semantics survive right-side
+    replication: for right/full outer joins every UNMATCHED right row
+    exists once per salt replica and would be null-extended n_salts
+    times. (right_semi/right_anti dedupe by definition but would salt
+    the wrong side — the left is the skewed one here.)
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            f"replicated {n_salts}x, so right/full outer joins would emit "
+            f"each unmatched right row once per salt replica. "
+            f"Supported: inner, left(_outer), left_semi, left_anti, cross.")
     salt_cols = [salt_source] if salt_source else [F.col(c) for c in left.columns]
     l_salted = left.withColumn("__salt", _salt_of(*salt_cols, n_salts=n_salts))
     r_salted = right.withColumn(

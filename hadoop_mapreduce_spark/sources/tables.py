@@ -60,7 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     see identical instants. Session TZ is pinned to UTC so rendered
     timestamps are engine-independent.
     """
-    key = (id(spark), sf_dir, name)
+    # applicationId (e.g. "local-1699999999999") embeds the session start
+    # time, so it is unique per SparkSession lifetime — unlike id(spark),
+    # which CPython can reuse for a NEW session after the old one is
+    # garbage-collected, handing back DataFrames bound to a dead session.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _relation_cache.get(key)
     if cached is not None:
         return cached

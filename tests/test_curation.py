@@ -22,12 +22,16 @@ def test_seq_packing_invariants(spark, duck):
     # completeness: every document lands in exactly one pack
     n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in packs) == n_docs
-    # pack ids are dense per source, starting at 0
+    # pack ids are unique per source (bucket-strided: local*n_buckets+bucket,
+    # so unique-but-not-dense — density would force a renumbering shuffle)
     by_source: dict[str, list[int]] = {}
     for r in packs:
         by_source.setdefault(r.source, []).append(r.pack_id)
     for ids in by_source.values():
-        assert sorted(ids) == list(range(len(ids)))
+        assert len(ids) == len(set(ids))
+    # bucketing bounds every pandas group: no single (source, bucket)
+    # group may hold the whole corpus's packs for a source
+    assert len({i % 8 for ids in by_source.values() for i in ids}) > 1
 
 
 def test_seq_packing_deterministic(spark):

@@ -87,3 +87,17 @@ def test_connected_components_merges_chains(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id1", "id2"])
     comp = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A 6-node path needs ~5 propagation rounds; max_iter=2 must raise
+    rather than silently return split components (wrong labels)."""
+    import pytest
+
+    from hadoop_mapreduce_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["id1", "id2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)

@@ -5,6 +5,12 @@ the same contract at sf0.001 on every pytest run, so an operator can't
 silently drift from its oracle between rounds. Queries registered
 without SQL (approximate/stateful) are exercised rows-only: they must
 execute and return a well-formed result.
+
+Rows are compared IN EMITTED ORDER whenever the oracle carries an ORDER
+BY — a regression in a query's sort would otherwise slip through a
+multiset comparison. Oracles whose ORDER BY is not total (ties leave
+the within-tie order engine-defined) are listed in _TIED_ORDER and fall
+back to multiset comparison, as do the few oracles with no ORDER BY.
 """
 
 from __future__ import annotations
@@ -14,9 +20,13 @@ import pytest
 from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
 from tests.conftest import SF_DIR
 
+# Oracles where the ORDER BY does not pin a total order (ties possible),
+# so Spark and DuckDB may legitimately interleave tied rows differently.
+_TIED_ORDER: set[str] = set()
 
-def _norm(rows, cols):
-    return sorted(tuple(str(v) for _, v in sorted(zip(cols, r))) for r in rows)
+
+def _key(rows, cols):
+    return [tuple(str(v) for _, v in sorted(zip(cols, r))) for r in rows]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -29,8 +39,12 @@ def test_query_matches_oracle(spark, duck, name):
         assert df.columns
         assert len(got_rows) >= 0
         return
-    got = _norm([tuple(r) for r in got_rows], df.columns)
+    got = _key([tuple(r) for r in got_rows], df.columns)
     cur = duck.execute(sql)
-    want = _norm(cur.fetchall(), [d[0] for d in cur.description])
+    want = _key(cur.fetchall(), [d[0] for d in cur.description])
     assert sorted(df.columns) == sorted(d[0] for d in cur.description)
-    assert got == want
+    ordered = "order by" in sql.lower() and name not in _TIED_ORDER
+    if ordered:
+        assert got == want
+    else:
+        assert sorted(got) == sorted(want)

@@ -71,3 +71,13 @@ def test_salt_is_deterministic_across_runs(spark):
     a = salted_aggregate(ev, ["user_id"], {"n": "count(*)"}, n_salts=8).collect()
     b = salted_aggregate(ev, ["user_id"], {"n": "count(*)"}, n_salts=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    ev = load_table(spark, SF_DIR, "events").limit(10)
+    for bad in ("right", "right_outer", "full", "full_outer", "outer"):
+        try:
+            salted_join(ev, ev, "user_id", "user_id", how=bad)
+            assert False, f"how={bad} should have raised"
+        except ValueError as e:
+            assert "replicated" in str(e)
