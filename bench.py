@@ -78,8 +78,14 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
-    # DuckDB 1x mark (BASELINE.md: oracle wall-clock at the same sf)
-    duck: dict[str, float] = {}
+    # DuckDB 1x mark (BASELINE.md protocol). Cold vs warm matters: the
+    # first execution pays parquet metadata reads + buffer-pool fill
+    # (what a one-shot analytic query actually costs); repeat executions
+    # run entirely from memory. Round 1 recorded only the warm number —
+    # record BOTH, per query, so the Spark ratio is judged against an
+    # explicit protocol rather than whichever cache state happened.
+    duck_cold: dict[str, float] = {}
+    duck_warm: dict[str, float] = {}
     try:
         import duckdb
 
@@ -95,19 +101,28 @@ def main() -> None:
                 continue
             t0 = time.time()
             con.execute(sql).fetchall()
-            duck[name] = round(time.time() - t0, 3)
+            duck_cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            duck_warm[name] = round(time.time() - t0, 3)
     except Exception:  # noqa: BLE001 — baseline timing is best-effort
         pass
 
     total = round(sum(times.values()), 3)
+    cold_total = round(sum(duck_cold.values()), 3)
+    warm_total = round(sum(duck_warm.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "duckdb_baseline": duck,
-        "duckdb_total": round(sum(duck.values()), 3),
+        "duckdb_baseline": duck_warm,
+        "duckdb_cold": duck_cold,
+        "duckdb_total": warm_total,
+        "duckdb_cold_total": cold_total,
+        "spark_vs_duckdb_cold": round(total / cold_total, 2) if cold_total else None,
+        "spark_vs_duckdb_warm": round(total / warm_total, 2) if warm_total else None,
     }))
 
 

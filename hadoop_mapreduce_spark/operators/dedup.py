@@ -363,7 +363,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8
 
 def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           n_blocks: int = 8) -> DataFrame:
+                           n_blocks: int = 4) -> DataFrame:
     """Exact all-pairs cosine near-dup: every (id1 < id2) pair whose
     cosine similarity meets the threshold.
 
@@ -377,10 +377,11 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
 
     Scale story: O(N^2 d) flops are intrinsic to the exact computation,
     but memory is now bounded — each group materialises 2N/n_blocks
-    vectors, and each vector is shuffled n_blocks+1 times (once per
-    group it joins). Pick n_blocks so a block fits a worker
-    (~0.5 GB/million rows at d=64 float64 ⇒ a few hundred blocks at
-    100 TB); parallelism = n_blocks*(n_blocks+1)/2 groups. The
+    vectors, and each vector is shuffled n_blocks times (once per
+    group it joins) — so n_blocks trades shuffle volume against
+    per-worker memory. Pick the smallest n_blocks whose block fits a
+    worker (~0.5 GB/million rows at d=64 float64 ⇒ a few hundred blocks
+    at 100 TB); parallelism = n_blocks*(n_blocks+1)/2 groups. The
     sub-quadratic path is dedup_embedding_lsh below.
     """
     spark = vectors.sparkSession

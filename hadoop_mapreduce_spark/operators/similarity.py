@@ -84,20 +84,24 @@ def ivf_assign(vectors: DataFrame, n_lists: int = 16,
         .where(F.col("rn") == 1)
         .select(F.col("bucket").alias("list_id"), F.col(vec_col).alias("cvec"))
     )
+    # argmax per vector as a max_by AGGREGATE, not a row_number window:
+    # max_by is algebraic, so map-side partials reduce the N x n_lists
+    # scored rows to one row per vector before the shuffle, and no sort
+    # happens at all (the window shape shuffles and sorts all N x n_lists
+    # rows). Tie-break = lowest list_id via the negated second struct
+    # field; any_value(vec) is safe because every scored row of one
+    # vector carries the identical vector.
+    best = F.max_by(
+        "list_id", F.struct(F.col("csim"), (-F.col("list_id")).alias("nl")))
     assigned = (
         vectors.crossJoin(F.broadcast(centroids))
         .select(
             id_col, vec_col, "list_id",
             cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("list_id"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn", "csim")
+        .groupBy(id_col)
+        .agg(best.alias("list_id"), F.any_value(vec_col).alias(vec_col))
+        .select(id_col, vec_col, "list_id")
     )
     return centroids, assigned
 

@@ -157,3 +157,142 @@ def test_foreach_batch_sink_writes_all_rows(spark, event_json_dir, tmp_path):
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
     assert written.select("batch_id").distinct().count() >= 2  # multiple micro-batches
+
+
+# ---------------------------------------------------------------------------
+# Differential batch-vs-stream equality (VERDICT r1 #7): append-mode
+# output of the streaming pipelines must EQUAL the batch twin's result
+# for every window the watermark closed — not just agree on counts.
+# ---------------------------------------------------------------------------
+
+def _write_json(path, name, rows):
+    import json as _json
+
+    with open(path / name, "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+
+def _ev(eid, ts, uid, value=1.0, etype="a"):
+    return {"event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+def test_session_append_equals_batch_twin(spark, tmp_path):
+    """Closed session windows emitted by the stream (append mode) are
+    row-for-row identical to the batch session_window aggregation over
+    the same events. A far-future event advances the watermark past every
+    real session so all of them close and flush."""
+    from hadoop_mapreduce_spark.streaming.windows import session_counts
+
+    path = tmp_path / "sess_events"
+    path.mkdir()
+    # user 1: one session (10:00,10:10), then a second after a >30m gap
+    # (11:30); user 2: one session extended across micro-batches
+    # (10:05 then 10:20 — arrives in batch 2, still within the gap).
+    _write_json(path, "b1.json", [
+        _ev(1, "2024-01-01T10:00:00Z", 1, 1.5),
+        _ev(2, "2024-01-01T10:10:00Z", 1, 2.5),
+        _ev(3, "2024-01-01T10:05:00Z", 2, 1.0),
+    ])
+    stream = read_event_stream(spark, str(path), max_files_per_trigger=1)
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory").queryName("t_sess_diff")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_json(path, "b2.json", [
+            _ev(4, "2024-01-01T11:30:00Z", 1, 4.0),
+            _ev(5, "2024-01-01T10:20:00Z", 2, 3.0),
+        ])
+        q.processAllAvailable()
+        # watermark advancer: a day later → every real session closes
+        _write_json(path, "b3.json", [_ev(99, "2024-01-02T12:00:00Z", 99)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, str(r.session_start), r.n_events, round(r.session_value, 6))
+        for r in spark.table("t_sess_diff").collect()
+        if r.user_id != 99  # the advancer's own session never closes
+    }
+    batch = (
+        spark.read.json(str(path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("user_id") != 99)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select("user_id", F.col("w.start").cast("string").alias("session_start"),
+                "n_events", "session_value")
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events, round(r.session_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
+    # the cross-batch session really merged: user 2 has ONE session of 2 events
+    assert {(u, n) for (u, _s, n, _v) in got if u == 2} == {(2, 2)}
+
+
+def test_tumbling_append_late_drop_vs_batch_twin(spark, tmp_path):
+    """Append-mode tumbling output == batch twin over the ON-TIME events:
+    a row behind the watermark is dropped from the stream but present in
+    a naive batch aggregation — the differential check shows exactly the
+    late-data divergence, and equality holds once the late row is
+    excluded from the batch side."""
+    path = tmp_path / "tumb_events"
+    path.mkdir()
+    _write_json(path, "b1.json", [
+        _ev(1, "2024-01-01T12:00:00Z", 1),
+        _ev(2, "2024-01-01T12:10:00Z", 1),
+    ])
+    stream = read_event_stream(spark, str(path), max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName("t_tumb_diff")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # 05:00 is 5h behind the 10:00 watermark → dropped by the stream
+        _write_json(path, "b2.json", [
+            _ev(3, "2024-01-01T05:00:00Z", 1),
+            _ev(4, "2024-01-01T12:30:00Z", 1),
+        ])
+        q.processAllAvailable()
+        _write_json(path, "b3.json", [_ev(99, "2024-01-02T12:00:00Z", 99)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r.window_start), r.event_type, r.n, round(r.total_value, 6))
+        for r in spark.table("t_tumb_diff").collect()
+        if str(r.window_start) < "2024-01-02"  # advancer's window stays open
+    }
+    all_events = spark.read.json(str(path)).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    batch_naive = (
+        all_events.where(F.col("user_id") != 99)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").cast("string").alias("ws"), "event_type", "n", "total_value")
+    )
+    naive = {(r.ws, r.event_type, r.n, round(r.total_value, 6))
+             for r in batch_naive.collect()}
+    # the naive batch result contains the late 05:00 window — streams differ
+    assert any(w.startswith("2024-01-01 05") for (w, _t, _n, _v) in naive)
+    assert not any(w.startswith("2024-01-01 05") for (w, _t, _n, _v) in got)
+    # excluding the late row, stream == batch exactly
+    batch_ontime = (
+        all_events.where((F.col("user_id") != 99) & (F.col("event_id") != 3))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").cast("string").alias("ws"), "event_type", "n", "total_value")
+    )
+    want = {(r.ws, r.event_type, r.n, round(r.total_value, 6))
+            for r in batch_ontime.collect()}
+    assert got == want
