@@ -71,12 +71,31 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    # Local-mode scheduling floor: the wall-clock of a do-nothing job
+    # (1-row noop write). Every per-query number below carries ~this
+    # fixed cost regardless of the plan — on a cluster it is paid once
+    # per stage across thousands of tasks, not once per query. Reported
+    # so the ratio can be read floor-adjusted (see BASELINE.md).
+    floor_df = spark.range(1)
+    floor_runs = []
+    for _ in range(5):
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.time() - t0)
+    floor = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
+
+    # Two passes at the TARGET sf, mirroring the DuckDB cold/warm pair
+    # below: pass 1 (cold) includes first-touch costs (parquet footers,
+    # JIT ramp on the sf-specific plans); pass 2 (warm) is steady-state.
+    # Ratios are then compared like-for-like (cold/cold, warm/warm).
+    times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
+    for target in (times, times_warm):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            target[name] = round(time.time() - t0, 3)
 
     # DuckDB 1x mark (BASELINE.md protocol). Cold vs warm matters: the
     # first execution pays parquet metadata reads + buffer-pool fill
@@ -109,6 +128,7 @@ def main() -> None:
         pass
 
     total = round(sum(times.values()), 3)
+    warm_spark_total = round(sum(times_warm.values()), 3)
     cold_total = round(sum(duck_cold.values()), 3)
     warm_total = round(sum(duck_warm.values()), 3)
     print(json.dumps({
@@ -116,13 +136,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_warm": times_warm,
+        "spark_warm_total": warm_spark_total,
         "sf": sf,
         "duckdb_baseline": duck_warm,
         "duckdb_cold": duck_cold,
         "duckdb_total": warm_total,
         "duckdb_cold_total": cold_total,
         "spark_vs_duckdb_cold": round(total / cold_total, 2) if cold_total else None,
-        "spark_vs_duckdb_warm": round(total / warm_total, 2) if warm_total else None,
+        "spark_vs_duckdb_warm": round(warm_spark_total / warm_total, 2) if warm_total else None,
+        "spark_sched_floor_sec": floor,
+        "spark_warm_exfloor_total": round(
+            sum(max(t - floor, 0.0) for t in times_warm.values()), 3),
     }))
 
 

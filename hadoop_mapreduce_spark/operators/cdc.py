@@ -1,0 +1,127 @@
+"""Change-data-capture apply: MERGE INTO semantics on plain parquet.
+
+The reference engine (and vanilla Hadoop MapReduce generally) has no
+mutation story at all — every "update" is a full rewrite. A dataset
+pipeline needs the lakehouse primitive: apply a batch of keyed changes
+(insert / update / delete) to a snapshot, producing the next snapshot.
+Delta/Iceberg implement this as MERGE INTO; on plain parquet the same
+semantics are one full-outer join on the key:
+
+      target ⟗ changes ON key
+      ├─ change.op = 'D'            → row dropped
+      ├─ change.op in ('U','I')     → change's values win
+      └─ no change for this key     → target row unchanged
+
+Scale: ONE shuffle of target ∪ changes on the merge key (or zero if
+both sides are bucketed by key — sources/tables.py bucketed writes);
+changes are usually ≪ target, so AQE turns the join into a broadcast
+and the snapshot never shuffles at all. That is the plan shape Delta's
+own merge produces after file pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def merge_apply(target: DataFrame, changes: DataFrame, key: str,
+                op_col: str = "op") -> DataFrame:
+    """Apply keyed changes to a snapshot (MERGE INTO emulation).
+
+    changes carries the full row payload plus `op_col` in
+    {'I','U','D'}; one change row per key (enforce upstream — CDC
+    compaction keeps the last change per key). Returns the next
+    snapshot with the target's column set.
+    """
+    data_cols = [c for c in target.columns]
+    ch = changes.select(
+        F.col(key).alias("__ck"), F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
+    )
+    joined = target.join(ch, target[key] == F.col("__ck"), "full_outer")
+    # deletes vanish; updates/inserts take the change payload; untouched
+    # target rows pass through. A change key absent from the target with
+    # op='U' upserts (insert) — the defensive merge default.
+    keep = F.col("__op").isNull() | (F.col("__op") != F.lit("D"))
+    out_cols = [
+        F.coalesce(F.col("__ck"), F.col(key)).alias(key)
+    ] + [
+        F.when(F.col("__op").isin("I", "U"), F.col(f"__c_{c}"))
+        .otherwise(F.col(c)).alias(c)
+        for c in data_cols if c != key
+    ]
+    return joined.where(keep).select(*out_cols)
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: apply a deterministic synthetic change batch to the
+    orders snapshot — keys ≡ 0 (mod 10) get a price bump (update), keys
+    ≡ 1 are retired (delete), and a shifted-key copy of keys ≡ 2 arrives
+    as new rows (insert). Emits a per-status summary of the NEXT
+    snapshot so the result is small and order-stable at any sf.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    updates = (
+        orders.where(k % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = orders.where(k % 10 == 1).withColumn("op", F.lit("D"))
+    inserts = (
+        orders.where(k % 10 == 2)
+        .withColumn("o_orderkey", k + F.lit(1_000_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_apply(orders, changes, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: build a versioned history from a
+    change log, with validity intervals per business key.
+
+    The fixture has no real change feed, so one is derived
+    deterministically: each customer's orders become "segment changes"
+    (the customer's acct_balance-at-order is modelled as totalprice).
+    The SCD2 assembly itself is the general pattern: window by business
+    key ordered by change time; valid_from = change ts, valid_to = next
+    change's ts (open interval NULL for the current row), version =
+    row_number. One shuffle (the window partition), no self-join —
+    lag/lead does the interval stitching that a naive implementation
+    would do with an O(N^2) range self-join.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("o_orderdate").over(w))
+        .where(F.col("version") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "version",
+            F.col("o_orderdate").cast("string").alias("valid_from"),
+            F.col("valid_to").cast("string").alias("valid_to"),
+            F.col("o_totalprice").alias("balance"),
+        )
+        .orderBy("custkey", "version")
+    )

@@ -425,19 +425,30 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
             B = np.vstack(b["v"].to_numpy()).astype(np.float64)
             B /= np.linalg.norm(B, axis=1, keepdims=True)
             b_ids = b["id"].to_numpy()
-        sims = A @ B.T  # one BLAS call per block pair
-        lo = np.minimum(a_ids[:, None], b_ids[None, :])
-        hi = np.maximum(a_ids[:, None], b_ids[None, :])
-        # diagonal: B is A, so each unordered pair shows up in BOTH
-        # orientations — keep only the strict upper triangle by id.
-        # off-diagonal: each pair shows up exactly once; orient via lo<hi.
-        in_order = (a_ids[:, None] < b_ids[None, :]) if diagonal else (lo < hi)
-        hit_r, hit_c = np.nonzero((sims >= threshold) & in_order)
-        return pd.DataFrame({
-            "id1": lo[hit_r, hit_c],
-            "id2": hi[hit_r, hit_c],
-            "cosine": sims[hit_r, hit_c],
-        })
+        # Chunk A so the sims slab is bounded (~chunk x |B| doubles, i.e.
+        # tens of MB) no matter how big the block is — without this a
+        # large block makes |A| x |B| float64 scores at once (13 GB per
+        # group at 8x sf0.1) and the worker thrashes. Flops are identical.
+        chunk = max(1, (16 << 20) // max(len(b_ids), 1) // 8)  # ~16 MB slabs
+        frames = []
+        for s in range(0, len(a_ids), chunk):
+            sl = slice(s, s + chunk)
+            sims = A[sl] @ B.T  # one BLAS call per slab
+            a_sl = a_ids[sl]
+            lo = np.minimum(a_sl[:, None], b_ids[None, :])
+            hi = np.maximum(a_sl[:, None], b_ids[None, :])
+            # diagonal: B is A, so each unordered pair shows up in BOTH
+            # orientations — keep only the strict upper triangle by id.
+            # off-diagonal: each pair appears exactly once; orient lo<hi.
+            in_order = (a_sl[:, None] < b_ids[None, :]) if diagonal else (lo < hi)
+            hit_r, hit_c = np.nonzero((sims >= threshold) & in_order)
+            frames.append(pd.DataFrame({
+                "id1": lo[hit_r, hit_c],
+                "id2": hi[hit_r, hit_c],
+                "cosine": sims[hit_r, hit_c],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"id1": [], "id2": [], "cosine": []})
 
     return tagged.groupBy("b1", "b2").applyInPandas(
         score, "id1 long, id2 long, cosine double")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_mapreduce_spark.operators import (
     advanced,
+    cdc,
     curation,
     dedup,
     pipeline,
@@ -177,6 +178,9 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split": curation.dataset_split,
     "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
     "dq_checks": curation.dq_checks,
+    # --- CDC / lakehouse mutation surface ---
+    "cdc_merge_orders": cdc.cdc_merge_orders,
+    "scd2_customer_history": cdc.scd2_customer_history,
 }
 
 
@@ -1219,6 +1223,46 @@ SELECT o_orderpriority,
   bit_or(o_custkey)::BIGINT AS keys_or,
   bit_xor(o_custkey)::BIGINT AS keys_xor
 FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "cdc_merge_orders": """
+WITH orders0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, 'U' AS op
+  FROM orders0 WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+  FROM orders0 WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 'I'
+  FROM orders0 WHERE o_orderkey % 10 = 2
+),
+merged AS (
+  SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+    CASE WHEN c.op IN ('I','U') THEN c.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+    CASE WHEN c.op IN ('I','U') THEN c.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+  FROM orders0 t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+  round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM merged GROUP BY 1 ORDER BY 1
+""",
+    "scd2_customer_history": """
+WITH v AS (
+  SELECT o_custkey AS custkey,
+    row_number() OVER w AS version,
+    o_orderdate::VARCHAR AS valid_from,
+    (lead(o_orderdate) OVER w)::VARCHAR AS valid_to,
+    o_totalprice AS balance
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT custkey, version::BIGINT AS version, valid_from, valid_to, balance
+FROM v WHERE version <= 3 ORDER BY custkey, version
 """,
 }
 

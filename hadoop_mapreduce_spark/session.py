@@ -28,10 +28,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # Local mode runs driver + all 32 executor threads + every broadcast
+    # build in ONE JVM whose heap defaults to 1g — that heap, not any
+    # plan, is what falls over first as data grows (observed: broadcast
+    # build OOM at 8x sf0.1). Size it like the single node it is; on a
+    # real cluster this maps to normal executor/driver memory sizing.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         # --- query optimization ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

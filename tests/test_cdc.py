@@ -1,0 +1,68 @@
+"""MERGE INTO emulation (operators/cdc.py): semantics unit tests on a
+tiny controlled snapshot + the registered fixture queries' invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.cdc import (
+    cdc_merge_orders,
+    merge_apply,
+    scd2_customer_history,
+)
+from tests.conftest import SF_DIR
+
+
+def test_merge_apply_insert_update_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, "U"),   # update key 2
+            (3, None, None, "D"),   # delete key 3
+            (9, "i", 90.0, "I"),    # insert new key 9
+        ],
+        ["k", "name", "val", "op"],
+    )
+    got = {r.k: (r.name, r.val) for r in merge_apply(target, changes, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 9: ("i", 90.0)}
+
+
+def test_merge_apply_upsert_on_missing_update_key(spark):
+    """An op='U' for a key absent from the target inserts (defensive
+    upsert), never silently drops the change."""
+    target = spark.createDataFrame([(1, 1.0)], ["k", "val"])
+    changes = spark.createDataFrame([(7, 7.0, "U")], ["k", "val", "op"])
+    got = {r.k: r.val for r in merge_apply(target, changes, "k").collect()}
+    assert got == {1: 1.0, 7: 7.0}
+
+
+def test_cdc_merge_orders_key_arithmetic(spark):
+    """Next-snapshot invariants: all %10==1 keys gone, inserted keys
+    present above the shift, updated keys keep their count."""
+    out = cdc_merge_orders(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # inserted rows carry the synthetic status 'N' and shifted min key
+    by_status = {r.o_orderstatus: r for r in rows}
+    assert "N" in by_status
+    assert by_status["N"].min_key >= 1_000_000_000
+
+
+def test_scd2_intervals_are_contiguous(spark):
+    """valid_to of version v equals valid_from of version v+1 for each
+    business key, and versions are dense from 1 (valid_to may be non-NULL
+    on the last KEPT version when the customer has more changes beyond
+    the version<=3 cut)."""
+    hist = scd2_customer_history(spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.custkey, []).append(r)
+    assert by_key
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.valid_to == nxt.valid_from
