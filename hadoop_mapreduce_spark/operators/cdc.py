@@ -28,18 +28,39 @@ from hadoop_mapreduce_spark.sources.tables import load_table
 
 
 def merge_apply(target: DataFrame, changes: DataFrame, key: str,
-                op_col: str = "op") -> DataFrame:
+                op_col: str = "op", seq_col: str | None = None) -> DataFrame:
     """Apply keyed changes to a snapshot (MERGE INTO emulation).
 
     changes carries the full row payload plus `op_col` in
-    {'I','U','D'}; one change row per key (enforce upstream — CDC
-    compaction keeps the last change per key). Returns the next
-    snapshot with the target's column set.
+    {'I','U','D'}. Duplicate change rows per key are COMPACTED here
+    (not assumed away): last-change-wins by ``seq_col`` when the feed
+    carries a change-sequence/LSN column, else by a deterministic
+    (op, payload) ordering so the result never depends on partition
+    layout. Without compaction a duplicated key would fan out through
+    the full-outer join and silently multiply snapshot rows.
+
+    Scale: the compaction is a max_by hash aggregate keyed on the merge
+    key — the same key the join shuffles on, so AQE/co-partitioning
+    folds both into one exchange of the (small) change set.
     """
     data_cols = [c for c in target.columns]
-    ch = changes.select(
+    payload = [c for c in data_cols if c != key]
+    order = (
+        F.col(seq_col) if seq_col is not None
+        else F.struct(F.col(op_col), *[F.col(c) for c in payload])
+    )
+    compacted = (
+        changes.groupBy(key)
+        .agg(F.max_by(
+            F.struct(F.col(op_col).alias(op_col),
+                     *[F.col(c).alias(c) for c in payload]),
+            order,
+        ).alias("__ch"))
+        .select(key, "__ch.*")
+    )
+    ch = compacted.select(
         F.col(key).alias("__ck"), F.col(op_col).alias("__op"),
-        *[F.col(c).alias(f"__c_{c}") for c in data_cols if c != key],
+        *[F.col(c).alias(f"__c_{c}") for c in payload],
     )
     joined = target.join(ch, target[key] == F.col("__ck"), "full_outer")
     # deletes vanish; updates/inserts take the change payload; untouched
@@ -62,10 +83,16 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ 1 are retired (delete), and a shifted-key copy of keys ≡ 2 arrives
     as new rows (insert). Emits a per-status summary of the NEXT
     snapshot so the result is small and order-stable at any sf.
+
+    The insert-key shift is max(o_orderkey), computed from the data (a
+    one-row broadcast, not a driver round-trip): a fixed constant would
+    collide with real orderkeys once sf grows past the constant / 6M,
+    silently turning inserts into updates.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     k = F.col("o_orderkey")
+    mx = orders.agg(F.max("o_orderkey").alias("__mx"))
     updates = (
         orders.where(k % 10 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
@@ -74,7 +101,9 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes = orders.where(k % 10 == 1).withColumn("op", F.lit("D"))
     inserts = (
         orders.where(k % 10 == 2)
-        .withColumn("o_orderkey", k + F.lit(1_000_000_000))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("o_orderkey", k + F.col("__mx"))
+        .drop("__mx")
         .withColumn("o_orderstatus", F.lit("N"))
         .withColumn("op", F.lit("I"))
     )

@@ -53,7 +53,10 @@ def salted_join(
     times. (right_semi/right_anti dedupe by definition but would salt
     the wrong side — the left is the skewed one here.)
     """
-    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "cross"}
+    # "semi"/"anti" are Spark-accepted aliases for leftsemi/leftanti —
+    # same left-side semantics, so equally safe under replication.
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti",
+               "semi", "anti", "cross"}
     if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join does not support how={how!r}: the right side is "

@@ -166,6 +166,15 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition order. Decimal partial sums are exact, so every tier (and
     # the DuckDB oracle, which applies the same cast) rounds the same
     # single value regardless of shuffle layout.
+    #
+    # The derived average is emitted as integer MICRO-units (sv*1e6 DIV n,
+    # truncating integer division) rather than round(double/n, 6): a
+    # decimal->double conversion is correctly rounded in the JVM but goes
+    # through two roundings in engines that store decimals as int128 and
+    # divide by 10^scale, so a quotient sitting within 1 ulp of a rounding
+    # half-boundary can flip between engines/versions. Integer division of
+    # exact integers is bit-identical everywhere; consumers read the
+    # average as avg_value_micros/1e6.
     hourly = (
         ev.groupBy(
             F.date_trunc("day", "ts").alias("day"),
@@ -182,7 +191,7 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("string").alias("bucket"),
         "event_type", "n",
         F.round("sv", 2).cast("double").alias("total_value"),
-        F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
+        F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
     )
     daily_out = (
         hourly.groupBy("day", "event_type")
@@ -192,7 +201,7 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("string").alias("bucket"),
             "event_type", "n",
             F.round("sv", 2).cast("double").alias("total_value"),
-            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
+            F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
         )
     )
     return hourly_out.unionByName(daily_out).orderBy("resolution", "bucket", "event_type")
