@@ -36,7 +36,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    # scale path (SRP-LSH banding + exact verify) is the headline; the
+    # O(N^2)-flops exact block-pair cosine stays as its recall oracle
+    # below, not as a timed headline entry.
+    "dedup_embedding_lsh",
     "sim_search_topk",
     "text_quality",
     "token_count",
@@ -114,8 +117,13 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        # The LSH headline has no SQL oracle (recall < 1 by design);
+        # DuckDB's baseline for the same TASK (embedding near-dup pairs)
+        # is its exact all-pairs query — time that so both engines are
+        # charged for the task, not silently dropped from one total.
+        duck_twin = {"dedup_embedding_lsh": "dedup_embedding_cosine"}
         for name in HEADLINE:
-            sql = ORACLE.get(name)
+            sql = ORACLE.get(duck_twin.get(name, name))
             if sql is None:
                 continue
             t0 = time.time()
@@ -125,6 +133,20 @@ def main() -> None:
             con.execute(sql).fetchall()
             duck_warm[name] = round(time.time() - t0, 3)
     except Exception:  # noqa: BLE001 — baseline timing is best-effort
+        pass
+
+    # Recall of the headline LSH embedding-dedup vs the exact block-pair
+    # cosine at the same threshold (untimed — the exact op is the recall
+    # oracle, deliberately NOT a headline entry because its O(N^2) flops
+    # are the thing the LSH path exists to avoid). LSH verifies each pair
+    # exactly, so lsh_pairs is a subset of exact_pairs and recall =
+    # |lsh| / |exact|.
+    lsh_recall = None
+    try:
+        lsh_n = QUERIES["dedup_embedding_lsh"](spark, sf_dir).count()
+        exact_n = QUERIES["dedup_embedding_cosine"](spark, sf_dir).count()
+        lsh_recall = round(lsh_n / exact_n, 4) if exact_n else None
+    except Exception:  # noqa: BLE001 — recall reporting is best-effort
         pass
 
     total = round(sum(times.values()), 3)
@@ -145,6 +167,7 @@ def main() -> None:
         "duckdb_cold_total": cold_total,
         "spark_vs_duckdb_cold": round(total / cold_total, 2) if cold_total else None,
         "spark_vs_duckdb_warm": round(warm_spark_total / warm_total, 2) if warm_total else None,
+        "embedding_lsh_recall_vs_exact": lsh_recall,
         "spark_sched_floor_sec": floor,
         "spark_warm_exfloor_total": round(
             sum(max(t - floor, 0.0) for t in times_warm.values()), 3),

@@ -45,10 +45,14 @@ def merge_apply(target: DataFrame, changes: DataFrame, key: str,
     """
     data_cols = [c for c in target.columns]
     payload = [c for c in data_cols if c != key]
-    order = (
-        F.col(seq_col) if seq_col is not None
-        else F.struct(F.col(op_col), *[F.col(c) for c in payload])
-    )
+    # The ordering is always a struct: with seq_col it leads, and the
+    # deterministic (op, payload) tail breaks seq ties — and carries
+    # rows whose seq is NULL (a bare NULL order would make max_by skip
+    # the row entirely, yielding a ghost null change for keys whose
+    # changes all have NULL seq; a null struct FIELD merely sorts
+    # lowest, so such rows still compact deterministically).
+    lead = [F.col(seq_col)] if seq_col is not None else []
+    order = F.struct(*lead, F.col(op_col), *[F.col(c) for c in payload])
     compacted = (
         changes.groupBy(key)
         .agg(F.max_by(

@@ -193,7 +193,12 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .where(F.col("ship_year") == 1999)
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # fixture (TPC-H-ish, not TPC-H) — order by every varying output
+        # column so the emitted order is total up to identical rows
+        # (tools/order_audit.py flagged the 2-column key as tied).
+        .orderBy("l_orderkey", "l_linenumber", "net_charge", "disc_band",
+                 "flag_status")
     )
 
 
@@ -242,7 +247,10 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").alias("qty_floor"),
         F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
         F.pmod(F.col("l_orderkey"), 7).alias("key_mod7"),
-    ).orderBy("l_orderkey", "l_linenumber")
+        # non-unique fixture key → full-column tie-breakers (see
+        # project_compute / tools/order_audit.py)
+    ).orderBy("l_orderkey", "l_linenumber", "abs_dev", "qty_sqrt",
+              "price_ln", "disc_sq")
 
 
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,7 +290,7 @@ SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
   l_returnflag || '-' || l_linestatus AS flag_status,
   year(l_shipdate)::BIGINT AS ship_year
 FROM lineitem WHERE year(l_shipdate) = 1999
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, net_charge, disc_band, flag_status
 """,
     "string_functions": """
 SELECT p_partkey,
@@ -325,7 +325,8 @@ SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
   floor(l_quantity)::BIGINT AS qty_floor,
   round(power(l_discount, 2), 6) AS disc_sq,
   (l_orderkey % 7)::BIGINT AS key_mod7
-FROM lineitem ORDER BY l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, abs_dev, qty_sqrt, price_ln, disc_sq
 """,
     "array_functions": """
 SELECT vec_id,

@@ -45,10 +45,74 @@ def test_cdc_merge_orders_key_arithmetic(spark):
     out = cdc_merge_orders(spark, SF_DIR)
     rows = out.collect()
     assert rows
-    # inserted rows carry the synthetic status 'N' and shifted min key
+    # inserted rows carry the synthetic status 'N', and their keys sit
+    # strictly above every key of the base snapshot (the shift is
+    # max(o_orderkey), data-derived — see cdc_merge_orders docstring)
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    base_max = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.max("o_orderkey").alias("mx")).collect()[0].mx
+    )
     by_status = {r.o_orderstatus: r for r in rows}
     assert "N" in by_status
-    assert by_status["N"].min_key >= 1_000_000_000
+    assert by_status["N"].min_key > base_max
+
+
+def test_merge_apply_compacts_duplicate_changes_no_seq(spark):
+    """Several change rows for one key must compact (last-change-wins by
+    the deterministic (op, payload) ordering), never fan out through the
+    full-outer join and multiply snapshot rows."""
+    target = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                                   ["k", "name", "val"])
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 21.0, "U"),
+            (2, "b9", 29.0, "U"),  # wins: ('U','b9',29.0) > ('U','b1',21.0)
+            (2, "b5", 25.0, "U"),
+        ],
+        ["k", "name", "val", "op"],
+    )
+    out = merge_apply(target, changes, "k").collect()
+    assert len(out) == 2  # no fan-out
+    got = {r.k: (r.name, r.val) for r in out}
+    assert got == {1: ("a", 10.0), 2: ("b9", 29.0)}
+
+
+def test_merge_apply_compacts_by_seq_col(spark):
+    """With a change-sequence column the HIGHEST seq wins regardless of
+    payload ordering, and a key whose changes all carry NULL seq still
+    compacts deterministically (payload fallback) instead of producing a
+    ghost null row."""
+    target = spark.createDataFrame([(1, "a", 10.0)], ["k", "name", "val"])
+    changes = spark.createDataFrame(
+        [
+            # key 1: seq decides — payload order would pick "zzz"
+            (1, "zzz", 99.0, "U", 5),
+            (1, "mid", 50.0, "U", 7),
+            # key 8: all NULL seq — deterministic payload fallback, and
+            # the row must NOT be dropped by max_by null-skipping
+            (8, "n1", 1.0, "I", None),
+            (8, "n2", 2.0, "I", None),
+        ],
+        ["k", "name", "val", "op", "seq"],
+    )
+    out = merge_apply(target, changes, "k", seq_col="seq").collect()
+    got = {r.k: (r.name, r.val) for r in out}
+    assert got == {1: ("mid", 50.0), 8: ("n2", 2.0)}
+
+
+def test_merge_apply_seq_prefers_non_null(spark):
+    """A non-NULL seq beats a NULL seq for the same key (null struct
+    fields sort lowest)."""
+    target = spark.createDataFrame([(1, 0.0)], ["k", "val"])
+    changes = spark.createDataFrame(
+        [(1, 111.0, "U", None), (1, 7.0, "U", 1)],
+        ["k", "val", "op", "seq"],
+    )
+    got = {r.k: r.val for r in merge_apply(target, changes, "k",
+                                           seq_col="seq").collect()}
+    assert got == {1: 7.0}
 
 
 def test_scd2_intervals_are_contiguous(spark):

@@ -22,6 +22,15 @@ from tests.conftest import SF_DIR
 
 # Oracles where the ORDER BY does not pin a total order (ties possible),
 # so Spark and DuckDB may legitimately interleave tied rows differently.
+# AUDITED (round 4): tools/order_audit.py extracts every oracle's
+# top-level ORDER BY key and checks for duplicated key tuples in DuckDB
+# at sf0.01. It found two non-total keys — math_functions and
+# project_compute ordered by (l_orderkey, l_linenumber), which is NOT
+# unique in the synthetic fixture — fixed by adding full-column
+# tie-breakers to both the Spark query and the oracle rather than
+# listing them here. All other ordered oracles have total keys; the 4
+# oracles with no ORDER BY (q6/q14/q17/q19, single-row aggregates) use
+# the multiset path below. Re-run the audit when adding oracles.
 _TIED_ORDER: set[str] = set()
 
 

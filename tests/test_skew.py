@@ -40,6 +40,22 @@ def test_salted_join_left_outer_matches(spark):
         sorted(map(tuple, salted.collect()), key=str)
 
 
+def test_salted_join_semi_anti_match_plain(spark):
+    """semi/anti survive right-side replication: every salt exists on
+    the replicated right, so key-membership is unchanged — output must
+    equal the plain leftsemi/leftanti joins row-for-row."""
+    ev = _skewed(spark)
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey").where(
+        F.col("c_custkey") % 3 == 0)  # partial key set so anti is non-trivial
+    for how in ("semi", "anti"):
+        plain = ev.join(cust, ev.user_id == cust.c_custkey,
+                        "left" + how).select("event_id")
+        salted = salted_join(ev, cust, "user_id", "c_custkey",
+                             n_salts=8, how=how).select("event_id")
+        assert sorted(r.event_id for r in plain.collect()) == \
+            sorted(r.event_id for r in salted.collect()), how
+
+
 def test_salted_aggregate_matches_plain(spark):
     ev = _skewed(spark)
     plain = ev.groupBy("user_id", "event_type").agg(

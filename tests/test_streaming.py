@@ -126,6 +126,59 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert not any(k.startswith("2024-01-01 05") for k in by_window)
 
 
+def test_watermark_metrics_count_drops_and_evictions(spark, tmp_path):
+    """The engine's OWN observability agrees with the semantics the
+    differential tests assert: StreamingQueryProgress.stateOperators
+    reports exactly one row dropped by the watermark for the one late
+    event, and state eviction (numRowsRemoved > 0) once the watermark
+    passes the open windows — the bounded-state guarantee that matters
+    on an unbounded 100 TB/day stream."""
+    import json as _json
+    import time
+
+    path = tmp_path / "metric_events"
+    path.mkdir()
+    _write_json(path, "b1.json", [
+        _ev(1, "2024-01-01T12:00:00Z", 1),
+        _ev(2, "2024-01-01T12:10:00Z", 1),
+    ])
+    stream = read_event_stream(spark, str(path), max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName("t_metrics")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # one late row (05:00, 5h behind the 10:00 watermark) + one on time
+        _write_json(path, "b2.json", [
+            _ev(3, "2024-01-01T05:00:00Z", 1),
+            _ev(4, "2024-01-01T12:30:00Z", 1),
+        ])
+        time.sleep(0.2)
+        q.processAllAvailable()
+        # advancer: pushes the watermark past 12:00-13:00 → window closes,
+        # its state row is EVICTED (append emits it downstream)
+        _write_json(path, "b3.json", [_ev(99, "2024-01-02T12:00:00Z", 99)])
+        time.sleep(0.2)
+        q.processAllAvailable()
+
+        progresses = [_json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progresses for so in p.get("stateOperators", [])
+    )
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in progresses for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"expected exactly the 05:00 row dropped, got {dropped}"
+    assert removed >= 1, "closed windows must evict their state rows"
+
+
 def test_stream_static_enrichment_matches_batch_join(spark, event_json_dir):
     from hadoop_mapreduce_spark.streaming.windows import enrich_with_dim
 
