@@ -526,18 +526,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
     Candidate pairs = vectors agreeing on all bits of >= 1 band (bands x
     (n_bits/bands) banding; r=4 bits/band → a random pair collides with
     p≈2^-4 per band while a cosine-0.9 pair collides with p≈0.54 and is
-    recalled w.p. ~1-(1-0.54)^16 ≈ 1). Two scale guards:
+    recalled w.p. ~1-(1-0.54)^16 ≈ 1). Scale guards:
 
       * hot-bucket suppression: buckets larger than max_bucket are
-        dropped before the self-join — an oversized bucket is O(size^2)
+        dropped before pair scoring — an oversized bucket is O(size^2)
         pairs carrying almost no signal (standard LSH-at-scale practice;
         its members still pair via their other bands);
-      * the verify step is fully distributive: candidate (id1, id2)
-        pairs join back to the normalised-vector table twice on id
-        (shuffle O(candidates + N) — nothing ever lands on the driver),
-        then an Arrow-batched mapInPandas scores each batch with one
-        vectorised row-wise dot product. At 100 TB the embedding table
-        never has to fit anywhere whole.
+      * verification is BUCKET-LOCAL: each band bucket (bounded by
+        max_bucket) is one applyInPandas group holding its members'
+        unit vectors; one BLAS matmul scores all within-bucket pairs
+        and ONLY above-threshold pairs leave the worker. Candidate
+        pairs are never materialised as shuffle rows — the earlier
+        formulation (bucket self-join → 10^7-10^8 candidate rows →
+        distinct → two joins back to the vector table) shuffled
+        O(candidates) rows; this one shuffles O(bands·N) vector rows
+        plus O(result) pairs, the same reshape the exact block-pair
+        scorer uses but with LSH buckets as the blocks. A pair sharing
+        k bands is scored k times (bounded extra flops, all in BLAS)
+        and deduped by the final distinct over the tiny result set.
 
     Recall < 1 by construction → registered rows-only (no SQL oracle).
     """
@@ -557,44 +563,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
         "bucket", "left_anti",
     )
-    cand = (
-        pruned.alias("x").join(pruned.alias("y"),
-                               (F.col("x.bucket") == F.col("y.bucket"))
-                               & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
-    )
 
     unit = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
         l2_norm(F.col("embedding")).alias("nrm"),
     ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    pair_vecs = (
-        cand.join(unit.select(F.col("id").alias("id1"), F.col("u").alias("u1")), "id1")
-        .join(unit.select(F.col("id").alias("id2"), F.col("u").alias("u2")), "id2")
-        .select("id1", "id2", "u1", "u2")
-    )
+    member_vecs = pruned.join(unit, "id").select("bucket", "id", "u")
 
-    def verify(batches):
+    def score_bucket(pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            r1 = np.vstack(pdf["u1"].to_numpy()).astype(np.float64)
-            r2 = np.vstack(pdf["u2"].to_numpy()).astype(np.float64)
-            cos = (r1 * r2).sum(axis=1)
-            keep = cos >= threshold
-            yield pd.DataFrame({
-                "id1": pdf["id1"][keep], "id2": pdf["id2"][keep],
-                "cosine": cos[keep],
-            })
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        sims = U @ U.T  # bucket ≤ max_bucket rows → ≤ 32 MB slab
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        r, c = iu[0][keep], iu[1][keep]
+        lo = np.minimum(ids[r], ids[c])
+        hi = np.maximum(ids[r], ids[c])
+        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": sims[r, c]})
 
     return (
-        pair_vecs.mapInPandas(verify, "id1 long, id2 long, cosine double")
+        member_vecs.groupBy("bucket")
+        .applyInPandas(score_bucket, "id1 long, id2 long, cosine double")
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .distinct()  # a pair sharing k bands was scored k times
         .orderBy("id1", "id2")
     )
 
