@@ -67,15 +67,30 @@ def sim_search_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int
 # IVF approximate nearest neighbour
 # --------------------------------------------------------------------------
 
-def ivf_assign(vectors: DataFrame, n_lists: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: centroids = the vectors whose id ranks
-    first in each of n_lists id-hash buckets (a seedless, reproducible
-    stand-in for k-means — at production scale you'd run
-    ml.clustering.KMeans once and persist the centroids).
+def kmeans_centroids(vectors: DataFrame, n_lists: int = 16, n_iter: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) for the IVF coarse index.
 
-    Returns (centroids, assignments): every vector is assigned to its
-    max-cosine centroid via one broadcast pass over the data.
+    Init = the vector whose id ranks first in each of n_lists id-hash
+    buckets (seedless, reproducible). Each Lloyd iteration is two
+    shuffle-disciplined passes, both algebraic so map-side partial
+    aggregation bounds shuffle volume regardless of row count:
+
+      * assign: vectors ⨯ broadcast(centroids), argmax cosine as a
+        max_by AGGREGATE (partials collapse the N×k scored rows to one
+        row per vector before any shuffle);
+      * update: posexplode member vectors → avg per (list_id, pos) —
+        partial agg means the shuffle carries O(k·d·tasks) rows, never
+        O(N·d) — then rebuild the centroid array ordered by pos.
+        Spherical k-means: cosine assignment is scale-invariant, so
+        the mean direction needs no explicit renormalisation.
+
+    A list that loses all members keeps its previous centroid (left
+    join + coalesce) — no empty-cluster respawn heuristics, so the
+    result is deterministic. Each iteration's k-row centroid table is
+    localCheckpoint'ed (k·d doubles — trivially small) to truncate
+    lineage, the same bounded-iteration pattern as
+    dedup.connected_components.
     """
     w = Window.partitionBy("bucket").orderBy(id_col)
     centroids = (
@@ -83,7 +98,48 @@ def ivf_assign(vectors: DataFrame, n_lists: int = 16,
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(F.col("bucket").alias("list_id"), F.col(vec_col).alias("cvec"))
+        .localCheckpoint()
     )
+    best = F.max_by(
+        "list_id", F.struct(F.col("csim"), (-F.col("list_id")).alias("nl")))
+    for _ in range(n_iter):
+        assigned = (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select(
+                id_col, vec_col, "list_id",
+                cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
+            )
+            .groupBy(id_col)
+            .agg(best.alias("list_id"), F.any_value(vec_col).alias(vec_col))
+        )
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.col("pm.m").alias("new_cvec"))
+        )
+        centroids = (
+            centroids.join(means, "list_id", "left")
+            .select("list_id",
+                    F.coalesce(F.col("new_cvec").cast("array<float>"),
+                               F.col("cvec")).alias("cvec"))
+            .localCheckpoint()
+        )
+    return centroids
+
+
+def ivf_assign(vectors: DataFrame, n_lists: int = 16, n_iter: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: coarse centroids from distributed
+    k-means (kmeans_centroids — Lloyd iterations, seedless hash init).
+
+    Returns (centroids, assignments): every vector is assigned to its
+    max-cosine centroid via one broadcast pass over the data.
+    """
+    centroids = kmeans_centroids(vectors, n_lists=n_lists, n_iter=n_iter,
+                                 id_col=id_col, vec_col=vec_col)
     # argmax per vector as a max_by AGGREGATE, not a row_number window:
     # max_by is algebraic, so map-side partials reduce the N x n_lists
     # scored rows to one row per vector before the shuffle, and no sort

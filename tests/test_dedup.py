@@ -101,3 +101,25 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(1, 7)], ["id1", "id2"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=2)
+
+
+def test_embedding_lsh_subset_of_exact_with_recall(spark):
+    """Every LSH pair must appear in the exact all-pairs result with the
+    identical cosine (verification is exact ⇒ precision 1), and banding
+    recall must clear a floor at the fixture threshold."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    thr = 0.3  # lower than the registered 0.4 so sf0.001 yields enough pairs
+    lsh = {(r.id1, r.id2): r.cosine
+           for r in dedup_embedding_lsh(spark, SF_DIR, threshold=thr).collect()}
+    exact = {(r.id1, r.id2): r.cosine
+             for r in dedup_embedding_cosine(spark, SF_DIR, threshold=thr).collect()}
+    assert set(lsh) <= set(exact), f"false positives: {set(lsh) - set(exact)}"
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+    assert len(exact) >= 5, "fixture produced too few pairs to measure recall"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall} below floor ({len(lsh)}/{len(exact)})"

@@ -40,6 +40,34 @@ def test_ivf_assignment_covers_all(spark):
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
 
+def test_kmeans_improves_objective_and_is_deterministic(spark):
+    """Lloyd iterations must not worsen the clustering objective (avg
+    best-centroid cosine), and the seedless init + deterministic updates
+    must give identical centroids across runs."""
+    from hadoop_mapreduce_spark.functions.vectors import cosine_similarity
+    from hadoop_mapreduce_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def objective(n_iter):
+        cents = kmeans_centroids(emb, n_lists=8, n_iter=n_iter)
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", cosine_similarity(
+                F.col("embedding"), F.col("cvec")).alias("csim"))
+            .groupBy("vec_id").agg(F.max("csim").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    o0, o2 = objective(0), objective(2)
+    assert o2 >= o0 - 1e-9, f"k-means worsened objective: {o0} -> {o2}"
+
+    a = kmeans_centroids(emb, n_lists=8, n_iter=2).collect()
+    b = kmeans_centroids(emb, n_lists=8, n_iter=2).collect()
+    assert sorted((r.list_id, tuple(r.cvec)) for r in a) == \
+        sorted((r.list_id, tuple(r.cvec)) for r in b)
+
+
 def test_ivf_recall_reasonable(spark):
     """IVF with 4/16 probes should still find most true neighbours on the
     fixture (labels cluster the synthetic embeddings)."""

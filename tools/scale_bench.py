@@ -81,8 +81,11 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{scratch}/{t}.parquet/*.parquet')"
                 )
+            # same task-level twin as bench.py: DuckDB's baseline for the
+            # LSH embedding-dedup headline is its exact all-pairs query
+            duck_twin = {"dedup_embedding_lsh": "dedup_embedding_cosine"}
             for name in HEADLINE:
-                sql = ORACLE.get(name)
+                sql = ORACLE.get(duck_twin.get(name, name))
                 if sql is None:
                     continue
                 con.execute(sql).fetchall()
