@@ -1,0 +1,258 @@
+"""Dataset-mixing / decontamination / quantization operators — the
+pipeline stages between "corpus is deduplicated" and "corpus is a
+training set" (SURVEY.md §2.EXT north-star surface, round 4):
+
+  * benchmark decontamination (n-gram overlap against a held-out set —
+    the GPT-3/PaLM-style 13-gram check, here 4-gram to match the tiny
+    fixture vocabulary);
+  * repetition-based quality flags (Gopher-style: top-token fraction,
+    distinct-token fraction);
+  * domain mixture sampling (deterministic per-source rates via a
+    portable md5 bucket — the "sample Common Crawl at 0.25, books at
+    1.0" step);
+  * embedding int8 quantization with reconstruction-error audit;
+  * deterministic global shuffle (training-order permutation that any
+    executor can re-derive — no central shuffle service state).
+
+Scale conventions shared by all five:
+
+  * every per-document metric is keyed by doc_id — aggregations shuffle
+    once on that key and nothing else;
+  * the benchmark n-gram set in decontamination is broadcast: benchmark
+    suites are O(MB) while the training side is O(TB), so the big side
+    never shuffles;
+  * hashes are md5-derived (engine-portable, seed-stable), never
+    engine-native — the DuckDB oracle re-derives every bucket;
+  * no Python UDFs anywhere — all expressions are JVM built-ins that
+    fuse into whole-stage codegen with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.functions.text import (
+    ngrams_from_tokens,
+    normalize_text,
+    tokenize,
+)
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _md5_bucket(col, mod: int):
+    """Engine-portable deterministic bucket in [0, mod): first 15 hex
+    chars of md5 (< 2^60, fits a signed long on both engines) mod n.
+    Matches curation.dataset_split's oracle convention exactly."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long") % mod
+    )
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str,
+                        n: int = 4, bench_mod: int = 20) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with a held-out benchmark set.
+
+    The fixture has no separate benchmark table, so the benchmark set is
+    carved deterministically (doc_id % bench_mod == 0 — 5% of docs);
+    the remaining 95% are "training". A training doc is contaminated if
+    any of its distinct 4-grams appears in any benchmark doc — the
+    published recipe (GPT-3 app. C uses 13-grams; 4 here because the
+    synthetic vocabulary is ~30 words and docs are ~40 tokens).
+
+    Scale: the benchmark n-gram set is DISTINCT'd then broadcast — real
+    benchmark suites are a few MB of n-grams, so the corpus-side scan
+    streams against a broadcast hash set (no shuffle of the big side).
+    The only wide exchange is the per-(source) count at the end, after
+    the per-doc semi-join collapses to one boolean per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), n)
+        )).alias("g"),
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = grams.where(is_bench).select("g").distinct()
+    hit_docs = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    train = docs.where(~is_bench).select("doc_id", "source")
+    return (
+        train.join(hit_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0)))
+            .cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_rate",
+            F.round(F.col("n_contaminated") / F.col("n_train_docs"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality flags, aggregated per source.
+
+    Per document: top_token_frac (share of tokens that are the single
+    most frequent token) and distinct_frac (distinct tokens / tokens).
+    A doc is flagged repetitive when top_token_frac > 0.125 or
+    distinct_frac < 0.32 (Gopher Rule-of-thumb shapes, thresholds set
+    at ~p90 of the fixture distribution so the flag is exercised).
+
+    Scale: explode → count by (doc_id, token) → re-aggregate by doc_id.
+    Both shuffles are keyed by doc_id (the second is a sub-key rollup of
+    the first, so AQE coalesces them onto the same exchange); the final
+    per-source rollup moves one row per document. No UDFs, no windows —
+    a max/sum/count re-aggregation, the map-side-combinable form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(tokenize(normalize_text(F.col("text")))).alias("w"),
+    )
+    per_tok = tok.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    ).select(
+        "doc_id", "source", "n_tokens",
+        (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+        (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_frac"),
+    )
+    flagged = (F.col("top_token_frac") > 0.125) | (F.col("distinct_frac") < 0.32)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+            F.round(F.avg("top_token_frac"), 4).alias("avg_top_token_frac"),
+            F.round(F.avg("distinct_frac"), 4).alias("avg_distinct_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture sampling: downsample each source to its target
+    rate with a deterministic, engine-portable keep rule.
+
+    Target rates are a function of the source index (srcN): the first 5
+    sources keep 100%, the next 5 keep 50%, then 25%, then 10% — the
+    shape of a real mixture table ("books 1.0, web 0.25, ..."). The
+    keep decision is md5(doc_id) % 100 < rate so (a) any executor or
+    downstream loader re-derives membership from the key alone, (b)
+    growing the corpus never resamples existing docs, and (c) the
+    DuckDB oracle reproduces the exact subset.
+
+    Scale: one projection + one per-source rollup (the rollup moves 20
+    rows). The sample itself never materialises driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    rate = (
+        F.when(idx < 5, F.lit(100))
+        .when(idx < 10, F.lit(50))
+        .when(idx < 15, F.lit(25))
+        .otherwise(F.lit(10))
+    )
+    kept = _md5_bucket(F.col("doc_id"), 100) < rate
+    return (
+        docs.select(
+            "source", "n_chars",
+            rate.cast("long").alias("target_pct"),
+            kept.cast("long").alias("kept"),
+        )
+        .groupBy("source", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    reconstruction-error audit per label.
+
+    Per vector: scale = max|x| / 127; q_i = floor(x_i/scale + 0.5)
+    (explicit half-up — Spark round() and DuckDB round() disagree on
+    ties, floor(x+0.5) is identical in both); dequantized error is the
+    mean squared difference. Emits per-label vector counts, mean scale
+    and mean MSE — the audit a pipeline runs before committing to a
+    quantized ANN index (4x memory cut, bounded recall loss).
+
+    Scale: pure higher-order array expressions (transform / zip_with /
+    aggregate) — per-row JVM work inside codegen, zero shuffle until the
+    10-row label rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    deq = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)) * scale)
+    sq_err = F.aggregate(
+        F.zip_with(v, deq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mse = sq_err / F.size(F.col("embedding"))
+    return (
+        emb.select(F.col("label").cast("long").alias("label"),
+                   scale.alias("scale"), mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("mse"), 8).alias("avg_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+def global_shuffle_order(spark: SparkSession, sf_dir: str,
+                         n_shards: int = 8, head: int = 5) -> DataFrame:
+    """Deterministic global training-order shuffle: permute the corpus
+    by md5(doc_id), sharded for parallel writes.
+
+    shard = md5-bucket(doc_id) % n_shards; within a shard the order is
+    the md5 hex string itself (uniform, uncorrelated with insertion
+    order). Any process re-derives a document's (shard, position)
+    from its key — resumable epoch iteration with no shuffle-service
+    state. Emits the first `head` docs of every shard (the permutation's
+    checkable prefix) rather than the full corpus.
+
+    Scale: one hash-partition exchange on shard + a per-shard sort —
+    exactly the write path of a sharded training-set materialisation.
+    The row_number window is per-shard (n_shards-way parallel), never a
+    single global window.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        _md5_bucket(F.col("doc_id"), n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= head)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )

@@ -29,6 +29,7 @@ from hadoop_mapreduce_spark.operators import (
     advanced,
     cdc,
     curation,
+    datamix,
     dedup,
     pipeline,
     multimodal,
@@ -181,6 +182,12 @@ QUERIES: dict[str, QueryFn] = {
     # --- CDC / lakehouse mutation surface ---
     "cdc_merge_orders": cdc.cdc_merge_orders,
     "scd2_customer_history": cdc.scd2_customer_history,
+    # --- Dataset mixing / decontamination / quantization (round 4) ---
+    "decontaminate_ngram": datamix.decontaminate_ngram,
+    "quality_repetition": datamix.quality_repetition,
+    "domain_mixture_sample": datamix.domain_mixture_sample,
+    "embedding_quantize": datamix.embedding_quantize,
+    "global_shuffle_order": datamix.global_shuffle_order,
 }
 
 
@@ -1265,6 +1272,103 @@ WITH v AS (
 )
 SELECT custkey, version::BIGINT AS version, valid_from, valid_to, balance
 FROM v WHERE version <= 3 ORDER BY custkey, version
+""",
+    "decontaminate_ngram": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 0)
+SELECT t.source, count(*)::BIGINT AS n_train_docs,
+  count(h.doc_id)::BIGINT AS n_contaminated,
+  round(count(h.doc_id) * 1.0 / count(*), 4) AS contam_rate
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY t.source ORDER BY t.source
+""",
+    "quality_repetition": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, source, unnest(t) AS w FROM toks),
+cnt AS (SELECT doc_id, source, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+m AS (
+  SELECT doc_id, source, sum(c) AS n_tokens, max(c) AS top_c,
+         count(*) AS n_distinct
+  FROM cnt GROUP BY 1, 2
+),
+d AS (
+  SELECT source,
+    top_c * 1.0 / n_tokens AS top_token_frac,
+    n_distinct * 1.0 / n_tokens AS distinct_frac
+  FROM m
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(((top_token_frac > 0.125) OR (distinct_frac < 0.32))::BIGINT)::BIGINT
+    AS n_flagged,
+  round(avg(top_token_frac), 4) AS avg_top_token_frac,
+  round(avg(distinct_frac), 4) AS avg_distinct_frac
+FROM d GROUP BY source ORDER BY source
+""",
+    "domain_mixture_sample": r"""
+WITH s AS (
+  SELECT source, n_chars,
+    regexp_extract(source, '([0-9]+)', 1)::INT AS idx,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS b
+  FROM documents
+),
+d AS (
+  SELECT source, n_chars,
+    CASE WHEN idx < 5 THEN 100 WHEN idx < 10 THEN 50
+         WHEN idx < 15 THEN 25 ELSE 10 END AS target_pct,
+    CASE WHEN b < (CASE WHEN idx < 5 THEN 100 WHEN idx < 10 THEN 50
+                        WHEN idx < 15 THEN 25 ELSE 10 END)
+         THEN 1 ELSE 0 END AS kept
+  FROM s
+)
+SELECT source, target_pct::BIGINT AS target_pct,
+  count(*)::BIGINT AS n_docs, sum(kept)::BIGINT AS n_sampled,
+  sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)::BIGINT AS sampled_chars
+FROM d GROUP BY 1, 2 ORDER BY source
+""",
+    "embedding_quantize": """
+WITH v AS (
+  SELECT label::BIGINT AS label,
+    list_transform(embedding, x -> x::DOUBLE) AS ve,
+    len(embedding) AS d
+  FROM embeddings
+),
+q AS (
+  SELECT label, ve, d,
+    greatest(list_max(list_transform(ve, x -> abs(x))), 1e-30) / 127.0 AS scale
+  FROM v
+),
+e AS (
+  SELECT label, scale,
+    list_sum(list_transform(ve,
+      x -> (x - floor(x / scale + 0.5) * scale)
+           * (x - floor(x / scale + 0.5) * scale))) / d AS mse
+  FROM q
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+  round(avg(scale), 6) AS avg_scale,
+  round(avg(mse), 8) AS avg_mse
+FROM e GROUP BY label ORDER BY label
+""",
+    "global_shuffle_order": """
+WITH k AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS k,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 8 AS shard
+  FROM documents
+)
+SELECT shard, pos, doc_id FROM (
+  SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY k) AS pos,
+         doc_id
+  FROM k
+) WHERE pos <= 5 ORDER BY shard, pos
 """,
 }
 

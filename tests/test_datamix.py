@@ -1,0 +1,99 @@
+"""Semantic invariants for the dataset-mixing / decontamination /
+quantization operators (operators/datamix.py). Oracle parity for all
+five is covered automatically by tests/test_oracle_parity_all.py; these
+tests pin the properties the oracle comparison can't express (error
+bounds, permutation well-formedness, sampling monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.datamix import (
+    decontaminate_ngram,
+    domain_mixture_sample,
+    embedding_quantize,
+    global_shuffle_order,
+    quality_repetition,
+)
+from hadoop_mapreduce_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_decontaminate_counts_and_signal(spark):
+    rows = decontaminate_ngram(spark, SF_DIR).collect()
+    assert rows
+    # benchmark docs (doc_id % 20 == 0) are excluded from the train side
+    n_train = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 20 != 0).count()
+    )
+    assert sum(r.n_train_docs for r in rows) == n_train
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train_docs
+        assert abs(r.contam_rate - round(r.n_contaminated / r.n_train_docs, 4)) < 1e-9
+    # the fixture's planted near-duplicates make the check non-vacuous
+    assert sum(r.n_contaminated for r in rows) > 0
+
+
+def test_quality_repetition_flags_bounded_and_nonzero(spark):
+    rows = quality_repetition(spark, SF_DIR).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert 0.0 < r.avg_top_token_frac <= 1.0
+        assert 0.0 < r.avg_distinct_frac <= 1.0
+    assert sum(r.n_flagged for r in rows) > 0
+
+
+def test_domain_mixture_rates(spark):
+    rows = domain_mixture_sample(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        assert r.sampled_chars >= 0
+        if r.target_pct == 100:
+            # full-rate sources keep every document (md5 bucket < 100 always)
+            assert r.n_sampled == r.n_docs
+    # the mixture is real: at least one source is actually downsampled
+    assert any(r.n_sampled < r.n_docs for r in rows if r.target_pct < 100)
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 symmetric quantization: per-element error <= scale/2, so
+    MSE <= scale^2/4 — checked per label on the aggregated audit (avg of
+    per-vector MSEs vs avg scale needs the per-vector bound, so assert
+    it on the raw vectors too for one label)."""
+    rows = embedding_quantize(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_vecs > 0
+        assert r.avg_scale > 0
+        assert 0 <= r.avg_mse
+    # tight per-vector check, computed independently of the operator
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30)) / 127.0
+    deq = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)) * scale)
+    max_err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
+    bad = emb.select((max_err <= scale / 2 + F.lit(1e-12)).alias("ok")).where(~F.col("ok"))
+    assert bad.count() == 0
+
+
+def test_global_shuffle_is_wellformed_permutation_prefix(spark):
+    rows = global_shuffle_order(spark, SF_DIR).collect()
+    # 8 shards x 5 head positions, every doc at most once
+    assert len(rows) == 40
+    assert len({r.doc_id for r in rows}) == 40
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == [1, 2, 3, 4, 5]
+
+
+def test_global_shuffle_deterministic(spark):
+    a = [tuple(r) for r in global_shuffle_order(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in global_shuffle_order(spark, SF_DIR).collect()]
+    assert a == b
