@@ -198,6 +198,121 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
     )
 
 
+def knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = 5,
+                 n_bits: int = 64, bands: int = 16,
+                 max_bucket: int = 2048) -> DataFrame:
+    """Approximate k-NN JOIN: every vector finds its top-k cosine
+    neighbours — the all-pairs primitive behind semantic dedup
+    clustering and hard-negative mining, distinct from sim_search_topk
+    (which broadcasts a small query set against the corpus; a kNN join
+    is N queries over N candidates, so neither side is broadcastable).
+
+    Same SRP-LSH machinery as dedup_embedding_lsh (shared signatures /
+    banding / hot-bucket suppression), but each band bucket emits every
+    member's within-bucket top-k instead of thresholded pairs; a final
+    per-vector window over the ≤ bands·k surviving candidates picks the
+    global top-k. Shuffle volume is O(bands·N) vector rows in and
+    O(bands·k·N) candidate rows out of the bucket stage — never the
+    O(N²) scored matrix.
+
+    Vectors whose every band lands in a suppressed or singleton bucket
+    return fewer than k (possibly zero) neighbours — the standard LSH
+    contract. Registered rows-only (recall < 1 by construction);
+    tests/test_similarity_extra.py bounds recall against the exact
+    brute-force join at fixture scale.
+    """
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+    from hadoop_mapreduce_spark.operators.dedup import srp_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = srp_signatures(emb, n_bits=n_bits)
+    rows_per_band = n_bits // bands
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"b{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)]).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    bucket_sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    pruned = buckets.join(
+        F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
+        "bucket", "left_anti",
+    )
+    unit = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    member_vecs = pruned.join(unit, "id").select("bucket", "id", "u")
+
+    def bucket_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "score": []})
+        U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        sims = U @ U.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        # per row: indices of the kk largest sims (argpartition, O(n))
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = top.ravel()
+        return pd.DataFrame({
+            "qid": ids[rows], "nid": ids[cols], "score": sims[rows, cols],
+        })
+
+    cands = (
+        member_vecs.groupBy("bucket")
+        .applyInPandas(bucket_topk, "qid long, nid long, score double")
+        # a (qid, nid) seen via several bands appears once per band —
+        # identical score, so max() dedups without a separate distinct
+        .groupBy("qid", "nid").agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", F.round("score", 6).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def embedding_kmeans_stats(spark: SparkSession, sf_dir: str,
+                           n_lists: int = 16, n_iter: int = 3) -> DataFrame:
+    """Cluster-structure audit of the corpus embedding space: run the
+    deterministic distributed k-means (kmeans_centroids — the IVF coarse
+    quantizer) and report per-cluster membership and cohesion — the
+    "what domains does this corpus contain" step before mixture
+    reweighting, and the health check for the IVF index itself.
+
+    Scale: ivf_assign's broadcast-assignment pass (max_by aggregate, no
+    window) plus one broadcast join back to the 16-row centroid table;
+    the only shuffle keyed by cluster id moves one row per vector.
+    Registered rows-only (iterative Lloyd refinement is not
+    SQL-expressible; invariants are pinned in tests/test_similarity_extra.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assign(emb, n_lists=n_lists, n_iter=n_iter)
+    return (
+        assigned.join(F.broadcast(centroids), "list_id")
+        .select(
+            F.col("list_id").cast("long").alias("cluster"),
+            cosine_similarity(F.col("embedding"), F.col("cvec")).alias("csim"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("csim"), 6).alias("avg_cohesion"),
+            F.round(F.min("csim"), 6).alias("min_cohesion"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics — exercises dot/norm over groups."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -188,6 +188,8 @@ QUERIES: dict[str, QueryFn] = {
     "domain_mixture_sample": datamix.domain_mixture_sample,
     "embedding_quantize": datamix.embedding_quantize,
     "global_shuffle_order": datamix.global_shuffle_order,
+    "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
+    "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
 }
 
 

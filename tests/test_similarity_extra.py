@@ -1,0 +1,82 @@
+"""Invariants + recall bounds for the approximate kNN join and the
+k-means cluster audit (operators/similarity.py round-4 additions).
+Both are registered rows-only (approximate / iterative), so these tests
+carry the correctness weight the SQL oracle can't."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.operators.similarity import (
+    cosine_topk,
+    embedding_kmeans_stats,
+    knn_join_lsh,
+)
+from hadoop_mapreduce_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+K = 5
+
+
+def test_knn_join_shape_invariants(spark):
+    rows = knn_join_lsh(spark, SF_DIR, k=K).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.qid != r.nid  # never a self-pair
+        assert -1.0 - 1e-9 <= r.score <= 1.0 + 1e-9
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= K
+        # scores are non-increasing with rank
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+        # a vector never appears twice in one query's neighbour list
+        assert len({r.nid for r in rs}) == len(rs)
+
+
+def test_knn_join_recall_vs_exact(spark):
+    """Every reported neighbour's score is exact (verification is exact
+    cosine), and recall@5 against the brute-force join clears the LSH
+    design point. The fixture's clustered embeddings give the banding
+    (16 bands x 4 bits) high collision probability for true neighbours."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(emb, emb, k=K).collect()
+    }
+    approx_rows = knn_join_lsh(spark, SF_DIR, k=K).collect()
+    approx = {(r.qid, r.nid) for r in approx_rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"recall@{K} {recall:.3f} below design point"
+    # scores of recovered pairs match the exact scorer (both round to 6)
+    exact_scores = {
+        (r.qid, r.nid): r.score for r in cosine_topk(emb, emb, k=K).collect()
+    }
+    for r in approx_rows:
+        if (r.qid, r.nid) in exact_scores:
+            assert abs(r.score - exact_scores[(r.qid, r.nid)]) < 1e-6
+
+
+def test_knn_join_deterministic(spark):
+    a = [tuple(r) for r in knn_join_lsh(spark, SF_DIR, k=K).collect()]
+    b = [tuple(r) for r in knn_join_lsh(spark, SF_DIR, k=K).collect()]
+    assert a == b
+
+
+def test_kmeans_stats_partition_and_cohesion(spark):
+    rows = embedding_kmeans_stats(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    # every vector is assigned to exactly one cluster
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert len(rows) <= 16
+    for r in rows:
+        assert r.n_members > 0
+        assert -1.0 - 1e-9 <= r.min_cohesion <= r.avg_cohesion <= 1.0 + 1e-9
+
+
+def test_kmeans_stats_deterministic(spark):
+    a = [tuple(r) for r in embedding_kmeans_stats(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in embedding_kmeans_stats(spark, SF_DIR).collect()]
+    assert a == b
