@@ -621,8 +621,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .union(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
     )
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("comp")).persist()
-    labels.count()
+    # localCheckpoint, NOT persist: persist truncates recomputation but
+    # the logical plan still references the previous round's frame twice
+    # (neigh + join), so the plan tree doubles per round — past ~10
+    # rounds the driver hangs in Catalyst analysis long before any
+    # executor works. Checkpointing resets the plan to a leaf scan each
+    # round; prior rounds' blocks are reclaimed by the ContextCleaner
+    # when their references drop, so the live set is two label tables.
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("comp")).localCheckpoint()
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.b == labels.doc_id)
@@ -635,24 +642,128 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("neigh_min", F.col("comp"))).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "doc_id")
             .where(F.col("comp") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): component diameter exceeds "
             f"max_iter — raise max_iter or switch to large-star/small-star")
     return labels
+
+
+def connected_components_star(nodes: DataFrame, edges: DataFrame,
+                              max_iter: int = 25) -> DataFrame:
+    """Alternating large-star / small-star connected components —
+    the O(log n)-round algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14), vs O(component diameter) rounds
+    for min-label propagation (connected_components above). On a 100 TB
+    pair graph whose duplicate chains can be thousands of hops long,
+    round count IS the cost — each round is a full shuffle of the edge
+    set — so this is the scale path; label propagation stays as the
+    differential twin (tests assert identical components on every
+    fixture and on adversarial long-path graphs).
+
+    Each round:
+      * large-star: every node u attaches its strictly-larger neighbours
+        to m(u) = min(Γ(u) ∪ {u}) → emitted edges always point
+        child > parent;
+      * small-star: grouping the resulting (child, parent) edges by
+        child, re-attach the child and all its parents to the smallest
+        parent.
+    Fixed point = a star forest: every surviving edge is
+    (node, component-min). Both passes are one groupBy + one join on the
+    node id — the same shuffle shape as one label-propagation round.
+    Each round's edge set is localCheckpoint'ed to truncate lineage.
+
+    Raises RuntimeError on non-convergence (same contract as
+    connected_components: silent truncation would mean split components).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.least("id1", "id2").alias("b"),
+                     F.greatest("id1", "id2").alias("a"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )  # (a, b) = (child, parent-candidate), b < a always
+    for _ in range(max_iter):
+        # Both passes are expressed as a window-min + projection — one
+        # shuffle each, no self-joins (a join formulation recomputes the
+        # neighbour-min subtree once per consumer; the window computes it
+        # in place on the same partitioning the next pass reuses).
+        # --- large-star over the symmetric neighbourhood: every node u
+        #     attaches its strictly-larger neighbours v to
+        #     m(u) = min(Γ(u) ∪ {u}) ---
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        wu = Window.partitionBy("u")
+        large = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star: per child a (all parents b < a), re-attach a
+        #     and every parent to the smallest parent m ---
+        wa = Window.partitionBy("a")
+        small = large.withColumn("m", F.min("b").over(wa))
+        e_new = (
+            small.select(
+                F.when(F.col("b") == F.col("m"), F.col("a"))
+                .otherwise(F.col("b")).alias("a"),
+                F.col("m").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact set equality in ONE job: both sides are distinct sets, so
+        # tag +1/-1 and any (a,b) with a non-zero tag sum is a difference
+        # (cheaper than two exceptAll jobs per round — round count is the
+        # whole cost model of this algorithm).
+        changed = (
+            e_new.withColumn("s", F.lit(1))
+            .unionByName(e.withColumn("s", F.lit(-1)))
+            .groupBy("a", "b").agg(F.sum("s").alias("s"))
+            .where(F.col("s") != 0)
+            .count()
+        )
+        e = e_new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds — pathological edge set (rounds needed is O(log n), "
+            f"so this indicates a bug, not a deep graph)")
+    return nodes.join(e.select(F.col("a").alias("doc_id"),
+                               F.col("b").alias("root")), "doc_id", "left") \
+        .select("doc_id", F.coalesce("root", "doc_id").alias("comp"))
+
+
+def dedup_components_star(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.8) -> DataFrame:
+    """Driver twin of dedup_connected_components computed by the
+    alternating-star algorithm — same edges, same oracle (the recursive
+    min-reachable CTE), hash-checked to agree with label propagation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select("id1", "id2")
+    out = connected_components_star(docs, pairs)
+    return (
+        out.select("doc_id", F.col("comp").cast("long").alias("component"))
+        .orderBy("doc_id")
+    )
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str,

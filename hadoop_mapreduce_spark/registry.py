@@ -190,6 +190,7 @@ QUERIES: dict[str, QueryFn] = {
     "global_shuffle_order": datamix.global_shuffle_order,
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
     "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
+    "dedup_components_star": dedup.dedup_components_star,
 }
 
 
@@ -1373,6 +1374,11 @@ SELECT shard, pos, doc_id FROM (
 ) WHERE pos <= 5 ORDER BY shard, pos
 """,
 }
+
+# The alternating-star CC must produce bit-identical components to label
+# propagation, so it shares the recursive-CTE min-reachable oracle — the
+# driver hash-checks both implementations against the same SQL.
+ORACLE["dedup_components_star"] = ORACLE["dedup_connected_components"]
 
 
 # Registry order is stable and build-order-derived (Stage 0 → Wave 4 →

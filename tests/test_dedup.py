@@ -103,6 +103,63 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(nodes, edges, max_iter=2)
 
 
+def test_star_cc_matches_label_propagation_on_chains(spark):
+    from hadoop_mapreduce_spark.operators.dedup import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id1", "id2"])
+    comp = {r.doc_id: r.comp
+            for r in connected_components_star(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_star_cc_long_path_converges_where_propagation_cannot(spark):
+    """An 80-node path has diameter 79: min-label propagation needs ~79
+    rounds (raises within a 10-round budget), while alternating
+    large-star/small-star collapses it within the same budget — the
+    round-complexity gap (O(diameter) vs O(log n)) that makes the star
+    algorithm the 100 TB path for deep duplicate chains."""
+    import pytest
+
+    from hadoop_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 80
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id1", "id2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3)
+    comp = {r.doc_id: r.comp
+            for r in connected_components_star(nodes, edges, max_iter=10).collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_star_cc_differential_vs_propagation_random_graph(spark):
+    """Both algorithms must agree on every node of a pseudo-random graph
+    (deterministic edge set, multiple components, cycles, dup edges,
+    reversed pairs)."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 36
+    # deterministic scattering: edges within 3 residue classes mod 3,
+    # plus cycles and duplicate/reversed noise
+    pairs = [(i, i + 3) for i in range(0, n - 3)]
+    pairs += [(9, 0), (20, 23), (5, 2), (2, 5), (7, 7 + 3)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(pairs, ["id1", "id2"])
+    a = {r.doc_id: r.comp for r in connected_components(nodes, edges).collect()}
+    b = {r.doc_id: r.comp
+         for r in connected_components_star(nodes, edges).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2}  # three residue-class components
+
+
 def test_embedding_lsh_subset_of_exact_with_recall(spark):
     """Every LSH pair must appear in the exact all-pairs result with the
     identical cosine (verification is exact ⇒ precision 1), and banding
