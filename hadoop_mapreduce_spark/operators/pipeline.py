@@ -21,6 +21,103 @@ from hadoop_mapreduce_spark.operators.textstats import text_quality
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 
+def pipeline_pretrain(spark: SparkSession, sf_dir: str,
+                      min_quality: float = 0.6,
+                      ngram_n: int = 4, bench_mod: int = 20) -> DataFrame:
+    """The full pretraining-assembly pipeline as ONE declarative plan:
+    quality gate → exact dedup → benchmark decontamination → domain
+    mixture sampling → train/val/test split accounting. A user of the
+    engine runs this instead of wiring five jobs with intermediate
+    materialisations — Catalyst sees the whole chain, so each stage's
+    filter feeds the next without a pass over storage in between.
+
+    Stage order is scale order (cheap scan-speed gates first, shuffling
+    stages over ever-smaller survivor sets). Hash-independence matters
+    in the tail: the MIXTURE keep-decision uses a salted key
+    md5('mix:' || doc_id) while the SPLIT bucket uses md5(doc_id) — on
+    the same unsalted bucket, "bucket < rate" (mixture) would nest
+    inside "bucket < 10" (val split), silently exempting val/test from
+    downsampling and starving train.
+
+    Emits per-split doc/token accounting (3 rows) — the corpus ledger a
+    training run records before the first batch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (same composite score as text_quality)
+    q_ok = (
+        text_quality(spark, sf_dir)
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id")
+    )
+    d0 = docs.join(q_ok, "doc_id", "left_semi")
+
+    # 2. exact dedup: keep min doc_id per content hash
+    keep_exact = (
+        d0.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = d0.join(keep_exact, "doc_id", "left_semi")
+
+    # 3. decontamination (same rule as decontaminate_ngram): benchmark
+    # docs leave the corpus, and any train doc sharing an n-gram with
+    # the benchmark set is dropped; benchmark grams are broadcast.
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), ngram_n)
+        )).alias("g"),
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = grams.where(is_bench).select("g").distinct()
+    hits = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id").distinct()
+    )
+    d2 = (
+        d1.where(F.col("doc_id") % bench_mod != 0)
+        .join(hits, "doc_id", "left_anti")
+    )
+
+    # 4. domain mixture (salted hash — independent of the split bucket)
+    idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    rate = (
+        F.when(idx < 5, F.lit(100)).when(idx < 10, F.lit(50))
+        .when(idx < 15, F.lit(25)).otherwise(F.lit(10))
+    )
+    mix_bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 100
+    )
+    d3 = d2.where(mix_bucket < rate)
+
+    # 5. split + ledger
+    split_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(split_bucket < 10, F.lit("val"))
+        .when(split_bucket < 20, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.size(tokenize(normalize_text(F.col("text"))))
+    return (
+        d3.select(split.alias("split"), toks.alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 def pipeline_curation(spark: SparkSession, sf_dir: str,
                       min_quality: float = 0.6,
                       jaccard_threshold: float = 0.8) -> DataFrame:

@@ -191,6 +191,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
     "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
     "dedup_components_star": dedup.dedup_components_star,
+    "pipeline_pretrain": pipeline.pipeline_pretrain,
 }
 
 
@@ -1379,6 +1380,62 @@ SELECT shard, pos, doc_id FROM (
 # propagation, so it shares the recursive-CTE min-reachable oracle — the
 # driver hash-checks both implementations against the same SQL.
 ORACLE["dedup_components_star"] = ORACLE["dedup_connected_components"]
+
+# Compound pretraining-assembly pipeline: quality gate -> exact dedup ->
+# 4-gram benchmark decontamination -> salted-hash domain mixture ->
+# md5-bucket split ledger. Every stage reuses the per-stage oracles'
+# expressions so the compound result stays hash-checkable end to end.
+ORACLE["pipeline_pretrain"] = rf"""
+WITH t0 AS (
+  SELECT doc_id, text, source, {_TOKS} AS t,
+    length(text) AS nc,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id, text, source, t, nc, np, len(t) AS ntok,
+    list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS awl
+  FROM t0
+),
+q AS (
+  SELECT doc_id, text, source, t,
+    round((CASE WHEN ntok >= 5 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN np * 1.0 / nc < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+  FROM t1
+),
+d0 AS (SELECT doc_id, text, source, t FROM q WHERE quality >= 0.6),
+keep AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY sha256(text)),
+d1 AS (SELECT d0.* FROM d0 JOIN keep USING (doc_id)),
+toks_all AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks_all, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)
+),
+d2 AS (
+  SELECT * FROM d1
+  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+),
+d3 AS (
+  SELECT *,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS sb
+  FROM d2
+  WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100
+      < (CASE WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 5 THEN 100
+              WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 10 THEN 50
+              WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 15 THEN 25
+              ELSE 10 END)
+)
+SELECT CASE WHEN sb < 10 THEN 'val' WHEN sb < 20 THEN 'test'
+            ELSE 'train' END AS split,
+  count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS total_tokens
+FROM d3 GROUP BY 1 ORDER BY 1
+"""
 
 
 # Registry order is stable and build-order-derived (Stage 0 → Wave 4 →

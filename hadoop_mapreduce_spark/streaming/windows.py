@@ -134,3 +134,35 @@ def write_stream_foreach_batch(stream: DataFrame, path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame, right: DataFrame,
+    watermark: str = "2 hours", within: str = "interval 10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left event pairs with right events of the SAME user whose
+    timestamp falls in [left.ts - within, left.ts] — the streaming form
+    of the as-of/range join (click ↔ preceding impressions, trade ↔
+    quote window).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark can evict buffered state for rows past
+    (watermark + interval) — without the time bound a stream-stream join
+    must buffer both streams forever. That state bound is what makes
+    this runnable on an unbounded feed; tests assert the joined output
+    equals the batch join over the same files.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.user_id = r.user_id AND "
+        f"r.ts BETWEEN l.ts - {within} AND l.ts"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

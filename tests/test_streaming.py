@@ -231,6 +231,64 @@ def _ev(eid, ts, uid, value=1.0, etype="a"):
             "event_type": etype, "value": value, "props": "{}"}
 
 
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks ↔ preceding views within 10
+    minutes, same user) emits exactly the rows of the equivalent batch
+    join — across micro-batch boundaries in BOTH streams (a view in
+    batch 1 joins a click arriving in batch 2)."""
+    from hadoop_mapreduce_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    clicks = tmp_path / "clicks"
+    views = tmp_path / "views"
+    clicks.mkdir(), views.mkdir()
+    # views (right): user 1 at 10:00 and 10:07; user 2 at 10:00
+    _write_json(views, "v1.json", [
+        _ev(101, "2024-01-01T10:00:00Z", 1),
+        _ev(102, "2024-01-01T10:07:00Z", 1),
+        _ev(103, "2024-01-01T10:00:00Z", 2),
+    ])
+    # clicks (left) batch 1: user 1 at 10:05 (pairs with v101 only)
+    _write_json(clicks, "c1.json", [_ev(201, "2024-01-01T10:05:00Z", 1)])
+    ls = read_event_stream(spark, str(clicks), max_files_per_trigger=1)
+    rs = read_event_stream(spark, str(views), max_files_per_trigger=1)
+    q = (
+        stream_stream_interval_join(ls, rs)
+        .writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 clicks at 10:10 (pairs with v101 + v102 — both
+        # arrived in an EARLIER micro-batch of the other stream); user 2
+        # clicks at 10:20 (v103 is 20 min old — outside the interval)
+        _write_json(clicks, "c2.json", [
+            _ev(202, "2024-01-01T10:10:00Z", 1),
+            _ev(203, "2024-01-01T10:20:00Z", 2),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.left_id, r.right_id)
+           for r in spark.table("t_ssj").collect()}
+    batch_l = spark.read.schema(
+        read_event_stream(spark, str(clicks)).schema).json(str(clicks))
+    batch_r = spark.read.schema(
+        read_event_stream(spark, str(views)).schema).json(str(views))
+    want_df = batch_l.alias("l").join(
+        batch_r.alias("r"),
+        F.expr("l.user_id = r.user_id AND "
+               "r.ts BETWEEN l.ts - interval 10 minutes AND l.ts"),
+        "inner",
+    ).select(F.col("l.event_id").alias("left_id"),
+             F.col("r.event_id").alias("right_id"))
+    want = {(r.left_id, r.right_id) for r in want_df.collect()}
+    assert got == want
+    assert got == {(201, 101), (202, 101), (202, 102)}
+
+
 def test_session_append_equals_batch_twin(spark, tmp_path):
     """Closed session windows emitted by the stream (append mode) are
     row-for-row identical to the batch session_window aggregation over
