@@ -69,11 +69,18 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str,
     the per-doc semi-join collapses to one boolean per document.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    # tokens are materialised in their own projection BELOW the explode —
+    # nesting tokenize() inside the n-gram lambda would re-tokenise the
+    # document at every window position (O(len²) per doc; the same trap
+    # operators/ngram.py::explode_ngrams documents, measured 10× here).
+    toks = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("__t"),
+    )
+    grams = toks.select(
         "doc_id", "source",
         F.explode(F.array_distinct(
-            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), n)
-        )).alias("g"),
+            ngrams_from_tokens(F.col("__t"), n))).alias("g"),
     )
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_grams = grams.where(is_bench).select("g").distinct()

@@ -65,11 +65,13 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str,
     # the benchmark set is dropped; benchmark grams are broadcast.
     from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
 
-    grams = docs.select(
+    # tokens materialised below the explode (ngram.py's O(len²) trap)
+    toks_col = docs.select(
+        "doc_id", tokenize(normalize_text(F.col("text"))).alias("__t"))
+    grams = toks_col.select(
         "doc_id",
         F.explode(F.array_distinct(
-            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), ngram_n)
-        )).alias("g"),
+            ngrams_from_tokens(F.col("__t"), ngram_n))).alias("g"),
     )
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_grams = grams.where(is_bench).select("g").distinct()
