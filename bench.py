@@ -45,6 +45,12 @@ HEADLINE = [
     "token_count",
     "events_session",
     "asof_join_events_orders",
+    # round-4 families: graph CC (star algorithm), benchmark
+    # decontamination, and the compound pretraining-assembly pipeline —
+    # each oracle-paired so the DuckDB side is timed on the same task.
+    "dedup_components_star",
+    "decontaminate_ngram",
+    "pipeline_pretrain",
 ]
 
 

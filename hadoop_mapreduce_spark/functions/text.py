@@ -62,5 +62,13 @@ def ngrams_from_tokens(tokens: Column, n: int) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Token k-shingles of normalised text — the unit set for Jaccard /
-    MinHash near-duplicate detection."""
+    MinHash near-duplicate detection.
+
+    PERF WARNING: this composes tokenize() INSIDE the n-gram lambda, so
+    Catalyst re-tokenises the document at every window position —
+    O(len²) per doc (measured 10-12× slower at sf0.1). Convenient for
+    one-off expressions on short strings only; every scan-path operator
+    must materialise the token array in its own projection below the
+    explode instead (operators/ngram.py::explode_ngrams,
+    operators/dedup.py::shingle_rows are the patterns)."""
     return ngrams_from_tokens(tokenize(normalize_text(col)), k)
