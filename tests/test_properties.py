@@ -95,3 +95,120 @@ def test_salted_aggregate_equals_plain_for_any_data(spark, rows, n_salts):
             n_salts=n_salts).collect()
     }
     assert plain == salted
+
+
+@given(
+    n=st.integers(2, 10),
+    edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                   min_size=0, max_size=12),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cc_both_algorithms_match_union_find_model(spark, n, edges):
+    """Label propagation AND alternating-star CC must both equal a
+    driver-side union-find model for arbitrary small graphs (self-loops,
+    duplicate and reversed edges, out-of-range endpoints clipped)."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a % n, b % n) for a, b in edges]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp_of = {}
+    for i in range(n):
+        r = find(i)
+        comp_of.setdefault(r, min(j for j in range(n) if find(j) == r))
+    want = {i: comp_of[find(i)] for i in range(n)}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    if edges:
+        edges_df = spark.createDataFrame(edges, ["id1", "id2"])
+    else:
+        edges_df = spark.createDataFrame([], "id1 long, id2 long")
+    got_prop = {r.doc_id: r.comp
+                for r in connected_components(nodes_df, edges_df).collect()}
+    got_star = {r.doc_id: r.comp
+                for r in connected_components_star(nodes_df, edges_df).collect()}
+    assert got_prop == want
+    assert got_star == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 4),                        # key
+            st.floats(-100, 100, allow_nan=False),    # payload value
+            st.sampled_from(["I", "U", "D"]),         # op
+            st.one_of(st.none(), st.integers(0, 9)),  # seq (None = no LSN)
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_merge_apply_matches_dict_model(spark, changes):
+    """merge_apply == a sequential dict model for arbitrary change
+    batches: per key the winning change is max by (seq NULLS LOW, op,
+    payload), then D deletes / I-U upsert."""
+    from hadoop_mapreduce_spark.operators.cdc import merge_apply
+
+    target = {0: 10.0, 1: 11.0, 2: 12.0}
+    # model compaction: same ordering the operator's max_by struct uses
+    win: dict[int, tuple] = {}
+    for k, v, op, seq in changes:
+        key = ((seq is not None, seq if seq is not None else 0), op, v)
+        if k not in win or key > win[k][0]:
+            win[k] = (key, v, op)
+    want = dict(target)
+    for k, (_, v, op) in win.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    # round to dodge float printing differences (values pass through)
+    want = {k: round(v, 6) for k, v in want.items()}
+
+    tdf = spark.createDataFrame(list(target.items()), ["k", "val"])
+    cdf = spark.createDataFrame(
+        [(k, v, op, seq) for k, v, op, seq in changes],
+        "k long, val double, op string, seq long",
+    )
+    got = {r.k: round(r.val, 6)
+           for r in merge_apply(tdf, cdf, "k", seq_col="seq").collect()}
+    assert got == want
+
+
+@given(
+    vec=st.lists(st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=1, max_size=16),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_int8_quantization_error_bound_any_vector(spark, vec):
+    """Symmetric int8 quantization: per-element reconstruction error
+    <= scale/2 for arbitrary vectors (incl. all-zero: scale floors at
+    1e-30 and the error is exactly 0)."""
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30)) / 127.0
+    deq = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)) * scale)
+    max_err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
+    row = df.select(max_err.alias("e"), scale.alias("s")).collect()[0]
+    assert row.e <= row.s / 2 + 1e-12
