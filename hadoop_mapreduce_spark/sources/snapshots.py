@@ -1,0 +1,83 @@
+"""Versioned snapshots on plain parquet — the minimal lakehouse
+time-travel surface (Delta/Iceberg's snapshot isolation emulated with
+immutable version directories; the reference engine, like vanilla
+MapReduce, rewrites outputs in place and has no versioning at all).
+
+Layout: `<root>/v=N/` holds version N's full parquet snapshot; the
+highest N is the current table. Writes are atomic-by-convention: a new
+version lands in a fresh directory, so a failed write never corrupts a
+readable version and concurrent readers of v=N are never disturbed —
+the same immutability contract real table formats get from manifest
+files. At 100 TB, full-snapshot versions give way to Delta/Iceberg
+manifests + data-file reuse; the API here is the seam where that
+swap happens (`apply_changes` is already the MERGE plan shape AQE
+broadcasts — see operators/cdc.py::merge_apply).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_mapreduce_spark.operators.cdc import merge_apply
+
+_VER_RE = re.compile(r"^v=(\d+)$")
+
+
+def list_versions(root: str) -> list[int]:
+    """Sorted version numbers present under root ([] if none)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        m = _VER_RE.match(d)
+        if m and os.path.isdir(os.path.join(root, d)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str, version: int | None = None) -> int:
+    """Write df as the next (or an explicit) version; returns the version.
+
+    Refuses to overwrite an existing version — versions are immutable
+    (time travel depends on it; a rewritten version silently changes
+    history for every reader pinned to it).
+    """
+    have = list_versions(root)
+    v = (max(have) + 1 if have else 1) if version is None else version
+    if v in have:
+        raise ValueError(f"version {v} already exists under {root} — "
+                         f"versions are immutable; write a new one")
+    df.write.parquet(os.path.join(root, f"v={v}"))
+    return v
+
+
+def read_snapshot(spark: SparkSession, root: str,
+                  version: int | None = None) -> DataFrame:
+    """Read a specific version (time travel) or the latest."""
+    have = list_versions(root)
+    if not have:
+        raise FileNotFoundError(f"no versions under {root}")
+    v = max(have) if version is None else version
+    if v not in have:
+        raise FileNotFoundError(
+            f"version {v} not found under {root} (have {have})")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
+def apply_changes(spark: SparkSession, root: str, changes: DataFrame,
+                  key: str, op_col: str = "op",
+                  seq_col: str | None = None) -> int:
+    """MERGE a change batch into the latest snapshot and commit the
+    result as the next version; returns the new version number.
+
+    read latest → merge_apply (compacted changes, one key-join the
+    optimizer broadcasts when changes ≪ snapshot) → write v+1. The
+    previous version stays readable throughout — snapshot isolation for
+    free from immutability.
+    """
+    current = read_snapshot(spark, root)
+    merged = merge_apply(current, changes, key, op_col=op_col, seq_col=seq_col)
+    return write_snapshot(merged, root)

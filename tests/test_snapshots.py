@@ -1,0 +1,83 @@
+"""Versioned-snapshot (time travel) semantics: immutable versions,
+latest-pointer reads, MERGE-into-next-version, and history isolation
+(sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.snapshots import (
+    apply_changes,
+    list_versions,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+
+
+def test_write_read_roundtrip_and_latest(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = write_snapshot(_base(spark), root)
+    assert v1 == 1 and list_versions(root) == [1]
+    v2 = write_snapshot(_base(spark).withColumn("val", F.col("val") + 1), root)
+    assert v2 == 2
+    latest = {r.k: r.val for r in read_snapshot(spark, root).collect()}
+    assert latest == {1: 11.0, 2: 21.0, 3: 31.0}
+    pinned = {r.k: r.val for r in read_snapshot(spark, root, version=1).collect()}
+    assert pinned == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_versions_are_immutable(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(_base(spark), root)
+    with pytest.raises(ValueError, match="immutable"):
+        write_snapshot(_base(spark), root, version=1)
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root)
+    write_snapshot(_base(spark), root)
+    with pytest.raises(FileNotFoundError, match="version 7"):
+        read_snapshot(spark, root, version=7)
+
+
+def test_apply_changes_commits_next_version_history_intact(spark, tmp_path):
+    """MERGE produces v2 with insert/update/delete applied; v1 still
+    reads back the original snapshot (time travel across a mutation)."""
+    root = str(tmp_path / "tbl")
+    write_snapshot(_base(spark), root)
+    changes = spark.createDataFrame(
+        [(2, "b2", 22.0, "U"), (3, None, None, "D"), (9, "i", 90.0, "I")],
+        ["k", "name", "val", "op"],
+    )
+    v = apply_changes(spark, root, changes, "k")
+    assert v == 2
+    now = {r.k: (r.name, r.val) for r in read_snapshot(spark, root).collect()}
+    assert now == {1: ("a", 10.0), 2: ("b2", 22.0), 9: ("i", 90.0)}
+    before = {r.k: (r.name, r.val)
+              for r in read_snapshot(spark, root, version=1).collect()}
+    assert before == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_apply_changes_chain_three_versions(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(_base(spark), root)
+    schema = "k long, name string, val double, op string"
+    apply_changes(spark, root, spark.createDataFrame(
+        [(1, "a", 100.0, "U")], schema), "k")
+    apply_changes(spark, root, spark.createDataFrame(
+        [(2, None, None, "D")], schema), "k")
+    assert list_versions(root) == [1, 2, 3]
+    assert {r.k for r in read_snapshot(spark, root).collect()} == {1, 3}
+    assert {r.k for r in read_snapshot(spark, root, 2).collect()} == {1, 2, 3}
+    v2 = {r.k: r.val for r in read_snapshot(spark, root, 2).collect()}
+    assert v2[1] == 100.0
