@@ -234,3 +234,42 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str, depth: int = 4,
         .limit(k)
         .select("term", F.col("est").cast("long").alias("est"))
     )
+
+
+def keyword_search(spark: SparkSession, sf_dir: str,
+                   terms: tuple[str, ...] = ("spark", "window", "join"),
+                   k: int = 20) -> DataFrame:
+    """Conjunctive (AND) keyword search ranked by summed TF-IDF — the
+    query side of the inverted index tfidf_top_terms builds: find the
+    top-k documents containing EVERY query term.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    any shuffle (the isin predicate rides the scan), so the tf aggregate
+    touches O(matches) rows, not the corpus; df comes from the same
+    filtered stream (df of non-query terms is never computed). The
+    final top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a single-partition window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    qt = toks.where(F.col("term").isin(*terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+            F.sum(F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)))
+            .alias("score"),
+        )
+        .where(F.col("n_terms") == len(terms))  # conjunctive match
+    )
+    return (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .select("doc_id", F.col("total_tf").cast("long").alias("total_tf"),
+                F.round("score", 6).alias("score"))
+    )

@@ -192,6 +192,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
     "dedup_components_star": dedup.dedup_components_star,
     "pipeline_pretrain": pipeline.pipeline_pretrain,
+    "keyword_search": textstats.keyword_search,
 }
 
 
@@ -1435,6 +1436,26 @@ SELECT CASE WHEN sb < 10 THEN 'val' WHEN sb < 20 THEN 'test'
             ELSE 'train' END AS split,
   count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS total_tokens
 FROM d3 GROUP BY 1 ORDER BY 1
+"""
+
+# Conjunctive keyword search over the same tokenisation, ranked by
+# summed tf-idf with the smoothed idf tfidf_top_terms uses; ties on
+# score are broken by doc_id so the emitted order is total.
+ORACLE["keyword_search"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+qt AS (SELECT * FROM toks WHERE term IN ('spark', 'window', 'join')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf,
+    sum(tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY doc_id
+)
+SELECT doc_id, total_tf::BIGINT AS total_tf, round(score, 6) AS score
+FROM per_doc WHERE n_terms = 3
+ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
