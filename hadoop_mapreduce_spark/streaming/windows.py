@@ -166,3 +166,31 @@ def stream_stream_interval_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def stream_changes_into_snapshots(changes_stream: DataFrame, root: str,
+                                  key: str, op_col: str = "op"):
+    """Streaming CDC apply: each micro-batch of keyed changes MERGEs into
+    the latest versioned snapshot and commits as the next version
+    (sources/snapshots.py) — the streaming half of the lakehouse story:
+    an unbounded change feed continuously folding into a time-travelable
+    table.
+
+    foreachBatch is the right primitive: the merge is a batch plan per
+    micro-batch (AQE broadcasts the small change side), and the
+    batch_id-monotone version chain makes redelivery detectable — a
+    replayed batch writes a NEW version rather than corrupting the last
+    one, so recovery is "roll back to the version before the dup", never
+    a rewrite. Empty micro-batches commit nothing.
+    """
+    from hadoop_mapreduce_spark.sources.snapshots import apply_changes
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        if not df.isEmpty():
+            apply_changes(df.sparkSession, root, df, key, op_col=op_col)
+
+    return (
+        changes_stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

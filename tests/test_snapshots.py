@@ -81,3 +81,45 @@ def test_apply_changes_chain_three_versions(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, root, 2).collect()} == {1, 2, 3}
     v2 = {r.k: r.val for r in read_snapshot(spark, root, 2).collect()}
     assert v2[1] == 100.0
+
+
+def test_streaming_changes_fold_into_versions(spark, tmp_path):
+    """A file-source change stream MERGEs micro-batch-by-micro-batch into
+    the versioned table: one new version per non-empty batch, final state
+    equals the sequential application, and every intermediate version
+    remains readable (time travel across the stream's history)."""
+    import json as _json
+
+    from hadoop_mapreduce_spark.streaming.windows import (
+        stream_changes_into_snapshots,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(_base(spark), root)
+
+    feed = tmp_path / "changes"
+    feed.mkdir()
+    rows1 = [{"k": 1, "name": "a2", "val": 100.0, "op": "U"},
+             {"k": 9, "name": "i", "val": 90.0, "op": "I"}]
+    rows2 = [{"k": 2, "name": None, "val": None, "op": "D"}]
+    with open(feed / "b1.json", "w") as fh:
+        fh.writelines(_json.dumps(r) + "\n" for r in rows1)
+    with open(feed / "b2.json", "w") as fh:
+        fh.writelines(_json.dumps(r) + "\n" for r in rows2)
+
+    stream = (
+        spark.readStream.schema("k long, name string, val double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = stream_changes_into_snapshots(stream, root, "k")
+    q.awaitTermination(120)
+
+    assert list_versions(root) == [1, 2, 3]
+    final = {r.k: (r.name, r.val) for r in read_snapshot(spark, root).collect()}
+    assert final == {1: ("a2", 100.0), 3: ("c", 30.0), 9: ("i", 90.0)}
+    # intermediate history: after batch 1 both changes applied, 2 not yet deleted
+    mid = {r.k: r.val for r in read_snapshot(spark, root, version=2).collect()}
+    assert mid == {1: 100.0, 2: 20.0, 3: 30.0, 9: 90.0}
+    orig = {r.k: r.val for r in read_snapshot(spark, root, version=1).collect()}
+    assert orig == {1: 10.0, 2: 20.0, 3: 30.0}
