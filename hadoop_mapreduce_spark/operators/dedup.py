@@ -253,11 +253,19 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     Classic Charikar simhash: each distinct token contributes +1/-1 to
     each bit position of its 60-bit md5-derived hash; fingerprint bit =
     sign of the vote. Expressed as explode(distinct tokens) → ONE
-    hash-partitioned aggregation computing all `bits` votes as separate
-    sum() columns (wide-agg form): the shuffle carries `bits` longs per
-    document and there is no bits-fold row explosion — measured ~2x
-    faster than the (id, bit) tall form at sf0.1, and strictly less
-    shuffle volume at any scale. (Docs with zero tokens drop out via
+    hash-partitioned aggregation — but the per-bit votes are BIT-SLICED
+    into packed longs instead of `bits` separate sum() columns: each
+    aggregate long carries 4 bit-positions in 16-bit lanes (ones-count
+    per lane; the ±1 vote "s_i > 0" is equivalent to "2*ones_i > n"
+    with n = tokens per doc), so the agg buffer and shuffle row are
+    ceil(bits/4)+1 longs (16 for bits=60) instead of 60 — a quarter of
+    the wide-agg form's buffer traffic, same single-shuffle plan.
+    Lane bound: 16-bit lanes hold ≤ 65535 distinct tokens per document
+    (a web-scale doc with more distinct tokens than that is pathological;
+    the lane would wrap silently, so corpora beyond that need 32-bit
+    lanes / 2 positions per long — same construction). The top lane may
+    carry into the sign bit; extraction masks with & 65535, which is
+    exact under two's complement. (Docs with zero tokens drop out via
     the explode.)
     """
     from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
@@ -267,17 +275,25 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         "id", _h60(F.col("tk")).alias("h")
     )
     # Whole-expression SQL strings: one py4j round-trip per aggregate
-    # instead of 4-5 per Column-API node. Building 60 sums + a 60-term
-    # fingerprint chain through the Column API measured ~1.5s of pure
-    # driver-side plan construction; as expr() strings it's ~0.1s.
-    votes = th.groupBy("id").agg(
-        *[
-            F.expr(f"sum(if((shiftright(h, {i}) & 1) = 1, 1, -1)) as s{i}")
-            for i in range(bits)
+    # instead of 4-5 per Column-API node (a 60-term Column-API chain
+    # measured ~1.5s of pure driver-side plan construction).
+    lanes, lane_w = 4, 16
+    n_longs = (bits + lanes - 1) // lanes
+    packs = []
+    for j in range(n_longs):
+        terms = [
+            f"(shiftright(h, {j * lanes + k}) & 1) * {1 << (lane_w * k)}L"
+            for k in range(lanes)
+            if j * lanes + k < bits
         ]
-    )
-    fingerprint = " + ".join(f"if(s{i} > 0, {1 << i}L, 0L)" for i in range(bits))
-    return votes.select("id", F.expr(fingerprint).alias("simhash"))
+        packs.append(F.expr(f"sum({' + '.join(terms)}) as p{j}"))
+    votes = th.groupBy("id").agg(*packs, F.expr("count(1) as n"))
+    fp_terms = []
+    for i in range(bits):
+        j, k = divmod(i, lanes)
+        fp_terms.append(
+            f"if(2 * (shiftright(p{j}, {lane_w * k}) & 65535) > n, {1 << i}L, 0L)")
+    return votes.select("id", F.expr(" + ".join(fp_terms)).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,10 +771,17 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
 def dedup_components_star(spark: SparkSession, sf_dir: str,
                           threshold: float = 0.8) -> DataFrame:
     """Driver twin of dedup_connected_components computed by the
-    alternating-star algorithm — same edges, same oracle (the recursive
-    min-reachable CTE), hash-checked to agree with label propagation."""
+    alternating-star algorithm, with edges from the MinHash-LSH verified
+    candidates (the scale path end to end): candidate generation is
+    O(colliding pairs), not the inverted-index O(postings^2) of
+    dedup_ngram_jaccard — and because every candidate is verified with
+    EXACT shingle Jaccard before thresholding, the edge set equals the
+    exact all-pairs edge set w.h.p. (P[miss | j=0.8] ≈ 8e-8 per pair),
+    so this still hash-checks against the same recursive-CTE oracle as
+    label propagation. dedup_connected_components keeps the exact
+    inverted-index edge source as the oracle twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select("id1", "id2")
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select("id1", "id2")
     out = connected_components_star(docs, pairs)
     return (
         out.select("doc_id", F.col("comp").cast("long").alias("component"))

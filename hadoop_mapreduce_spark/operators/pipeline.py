@@ -41,37 +41,62 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str,
 
     Emits per-split doc/token accounting (3 rows) — the corpus ledger a
     training run records before the first batch.
-    """
-    docs = load_table(spark, sf_dir, "documents")
 
-    # 1. quality gate (same composite score as text_quality)
-    q_ok = (
-        text_quality(spark, sf_dir)
-        .where(F.col("quality") >= min_quality)
-        .select("doc_id")
-    )
-    d0 = docs.join(q_ok, "doc_id", "left_semi")
+    ONE token projection feeds every stage: the corpus is scanned and
+    tokenised exactly once into a persisted (doc_id, source, tokens,
+    sha256, char/punct counts) frame; the quality gate, the
+    decontamination grams, and the final token ledger all read from it.
+    The naive composition (call text_quality + re-tokenise for grams +
+    re-tokenise for the ledger) scans and regex-tokenises the corpus
+    three times — at 100 TB the tokenisation pass IS the dominant cost,
+    so sharing it is the single biggest win in the pipeline.
+    MEMORY_AND_DISK: the projection is ~tokens-sized, so on a real
+    cluster it spills rather than evicts under memory pressure.
+    """
+    from pyspark import StorageLevel
+
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    base = docs.select(
+        "doc_id",
+        "source",
+        tokenize(normalize_text(F.col("text"))).alias("t"),
+        F.sha2("text", 256).alias("h"),
+        n_chars.alias("nc"),
+        n_punct.alias("np"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 1. quality gate (same composite score as text_quality, computed
+    # from the shared token projection instead of a second corpus scan;
+    # rounded like text_quality so the gate is bit-identical)
+    n_tok = F.size("t")
+    avg_wl = F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x)) / n_tok
+    score = (
+        F.when(n_tok >= 5, 1.0).otherwise(0.0)
+        + F.when((avg_wl >= 3) & (avg_wl <= 10), 1.0).otherwise(0.0)
+        + F.when(F.col("np") / F.col("nc") < 0.2, 1.0).otherwise(0.0)
+    ) / 3.0
+    d0 = base.where(F.round(score, 4) >= min_quality)
 
     # 2. exact dedup: keep min doc_id per content hash
     keep_exact = (
-        d0.groupBy(F.sha2("text", 256).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        d0.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     d1 = d0.join(keep_exact, "doc_id", "left_semi")
 
     # 3. decontamination (same rule as decontaminate_ngram): benchmark
     # docs leave the corpus, and any train doc sharing an n-gram with
     # the benchmark set is dropped; benchmark grams are broadcast.
-    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
-
-    # tokens materialised below the explode (ngram.py's O(len²) trap)
-    toks_col = docs.select(
-        "doc_id", tokenize(normalize_text(F.col("text"))).alias("__t"))
-    grams = toks_col.select(
+    # Grams assemble from the persisted token arrays — no re-tokenise,
+    # and the explode sits above a cached column so the O(len²)
+    # CollapseProject trap (ngram.py) cannot re-materialise per position.
+    grams = base.select(
         "doc_id",
         F.explode(F.array_distinct(
-            ngrams_from_tokens(F.col("__t"), ngram_n))).alias("g"),
+            ngrams_from_tokens(F.col("t"), ngram_n))).alias("g"),
     )
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_grams = grams.where(is_bench).select("g").distinct()
@@ -108,9 +133,8 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str,
         .when(split_bucket < 20, F.lit("test"))
         .otherwise(F.lit("train"))
     )
-    toks = F.size(tokenize(normalize_text(F.col("text"))))
     return (
-        d3.select(split.alias("split"), toks.alias("n_tok"))
+        d3.select(split.alias("split"), F.size("t").alias("n_tok"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
