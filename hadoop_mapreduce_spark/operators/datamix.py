@@ -117,10 +117,13 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~p90 of the fixture distribution so the flag is exercised).
 
     Scale: explode → count by (doc_id, token) → re-aggregate by doc_id.
-    Both shuffles are keyed by doc_id (the second is a sub-key rollup of
-    the first, so AQE coalesces them onto the same exchange); the final
-    per-source rollup moves one row per document. No UDFs, no windows —
-    a max/sum/count re-aggregation, the map-side-combinable form.
+    Two keyed shuffles — the first hash-partitions by (doc_id, source,
+    token), which does NOT satisfy the second's (doc_id, source) key, so
+    Spark plans a second exchange; its input is already one row per
+    distinct (doc, token), typically ~an order smaller than the token
+    stream. The final per-source rollup moves one row per document. No
+    UDFs, no windows — a max/sum/count re-aggregation, the
+    map-side-combinable form.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -167,6 +170,9 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). The sample itself never materialises driver-side.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # A source with no digits yields '' → cast → NULL → the 10% branch
+    # on BOTH engines (the oracle uses try_cast for exactly this case —
+    # DuckDB's plain ''::INT would raise instead of matching).
     idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
     rate = (
         F.when(idx < 5, F.lit(100))

@@ -256,8 +256,15 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = 5,
         sims = U @ U.T
         np.fill_diagonal(sims, -np.inf)
         kk = min(k, len(ids) - 1)
-        # per row: indices of the kk largest sims (argpartition, O(n))
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # per row: kk best by (score desc, nid asc) — the nid tie-break
+        # mirrors the final window's ordering so equal-score candidates
+        # are cut deterministically (a bare argpartition picks an
+        # arbitrary subset of tied scores, which varies with pandas
+        # group row order across shuffle fetches). lexsort's last key
+        # is primary; buckets are ≤ max_bucket rows so the O(n log n)
+        # per-row sort is bounded.
+        top = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
         rows = np.repeat(np.arange(len(ids)), kk)
         cols = top.ravel()
         return pd.DataFrame({

@@ -1321,7 +1321,7 @@ FROM d GROUP BY source ORDER BY source
     "domain_mixture_sample": r"""
 WITH s AS (
   SELECT source, n_chars,
-    regexp_extract(source, '([0-9]+)', 1)::INT AS idx,
+    try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT) AS idx,
     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS b
   FROM documents
 ),
@@ -1427,9 +1427,9 @@ d3 AS (
     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS sb
   FROM d2
   WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100
-      < (CASE WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 5 THEN 100
-              WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 10 THEN 50
-              WHEN regexp_extract(source, '([0-9]+)', 1)::INT < 15 THEN 25
+      < (CASE WHEN try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT) < 5 THEN 100
+              WHEN try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT) < 10 THEN 50
+              WHEN try_cast(regexp_extract(source, '([0-9]+)', 1) AS INT) < 15 THEN 25
               ELSE 10 END)
 )
 SELECT CASE WHEN sb < 10 THEN 'val' WHEN sb < 20 THEN 'test'

@@ -4,11 +4,12 @@ immutable version directories; the reference engine, like vanilla
 MapReduce, rewrites outputs in place and has no versioning at all).
 
 Layout: `<root>/v=N/` holds version N's full parquet snapshot; the
-highest N is the current table. Writes are atomic-by-convention: a new
-version lands in a fresh directory, so a failed write never corrupts a
-readable version and concurrent readers of v=N are never disturbed —
-the same immutability contract real table formats get from manifest
-files. At 100 TB, full-snapshot versions give way to Delta/Iceberg
+highest COMMITTED N is the current table. Commits are atomic: the write
+lands in a hidden temp directory and is renamed to v=N only once the
+job (and its _SUCCESS marker) completes, and version listing ignores
+any directory without _SUCCESS — so a failed or in-flight write is
+invisible to readers and concurrent readers of v=N are never disturbed,
+the same contract real table formats get from manifest files. At 100 TB, full-snapshot versions give way to Delta/Iceberg
 manifests + data-file reuse; the API here is the seam where that
 swap happens (`apply_changes` is already the MERGE plan shape AQE
 broadcasts — see operators/cdc.py::merge_apply).
@@ -27,13 +28,21 @@ _VER_RE = re.compile(r"^v=(\d+)$")
 
 
 def list_versions(root: str) -> list[int]:
-    """Sorted version numbers present under root ([] if none)."""
+    """Sorted COMMITTED version numbers under root ([] if none).
+
+    A version counts only if its directory holds the _SUCCESS marker the
+    Hadoop output committer writes after the job completes — a crashed or
+    in-flight write leaves a directory without it, and treating that as
+    the current version would hand 'latest' readers an incomplete
+    snapshot (this is the poor man's manifest; Delta/Iceberg commit via
+    a metadata file for exactly this reason).
+    """
     if not os.path.isdir(root):
         return []
     out = []
     for d in os.listdir(root):
         m = _VER_RE.match(d)
-        if m and os.path.isdir(os.path.join(root, d)):
+        if m and os.path.isfile(os.path.join(root, d, "_SUCCESS")):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -44,13 +53,27 @@ def write_snapshot(df: DataFrame, root: str, version: int | None = None) -> int:
     Refuses to overwrite an existing version — versions are immutable
     (time travel depends on it; a rewritten version silently changes
     history for every reader pinned to it).
+
+    Commit protocol: the job writes into a hidden temp directory, which
+    is os.rename'd to v=N only after the write (and its _SUCCESS marker)
+    completes — so a v=N directory either is a complete snapshot or does
+    not exist, and a failed write leaves nothing behind.
     """
     have = list_versions(root)
     v = (max(have) + 1 if have else 1) if version is None else version
-    if v in have:
+    final = os.path.join(root, f"v={v}")
+    if v in have or os.path.isdir(final):
         raise ValueError(f"version {v} already exists under {root} — "
                          f"versions are immutable; write a new one")
-    df.write.parquet(os.path.join(root, f"v={v}"))
+    tmp = os.path.join(root, f".inflight-v={v}")
+    try:
+        df.write.parquet(tmp)
+        os.rename(tmp, final)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return v
 
 
