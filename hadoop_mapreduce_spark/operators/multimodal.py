@@ -1,11 +1,19 @@
 """Multimodal column plumbing (SURVEY.md §2.EXT: image/audio/video as
 opaque binary columns + typed metadata).
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind `_decode_stub` (clearly marked; swap in
-PIL/torchaudio/ffmpeg on a real cluster). Everything around it — the
-binary column schema, Arrow-batched mapInPandas plumbing, batch shapes,
-partition sizing — is real and tested.
+The DECODE step is REAL: `parse_image_header` is a dependency-free
+byte-level parser for BMP / PNG / GIF (including a GIF block walk that
+counts animation frames) and JPEG SOF dimensions — no codec library
+needed, headers are pure byte slicing. The fixture has no media files,
+so `with_image_payload` SYNTHESISES genuinely valid image blobs
+(stdlib struct+zlib only: 24-bit BMPs, zlib-deflated PNGs with real
+CRCs, multi-frame GIF89a with a hand-rolled minimal LZW stream) whose
+dimensions derive deterministically from each document — the decode
+queries therefore exercise a real encode→parse round trip, verified
+bit-for-bit by the SQL oracle computing the same expected metadata
+directly. Unknown formats fall back to `_decode_stub` (clearly marked;
+full pixel decode for formats beyond headers is where PIL/ffmpeg slot
+in on a real cluster).
 
 Scale notes: binary payloads dominate row width, so
 ``spark.sql.files.maxPartitionBytes`` should be sized for ~1k rows per
@@ -15,6 +23,8 @@ streams Arrow batches so peak memory is one batch, not one partition.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,30 +34,205 @@ from pyspark.sql import functions as F
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, header string, width long, height long, n_frames long"
+    "doc_id long, format string, n_bytes long, "
+    "width long, height long, n_frames long"
 )
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
-    """Attach an opaque binary column + typed metadata, modelling an
-    image/audio blob table. The fixture has no real media, so the blob is
-    the utf-8 encoded text — the *plumbing* (binary type through scan,
-    shuffle, UDF) is identical for real payloads."""
+    """Attach an opaque binary column + typed metadata, modelling a blob
+    table whose payload bytes are opaque to the engine (the shape of an
+    audio/tensor column). Blob = utf-8 text bytes — the *plumbing*
+    (binary type through scan, shuffle, UDF) is identical for real
+    payloads, and the byte length stays SQL-checkable for the
+    feature-extraction oracle."""
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("blob"),
         F.struct(
-            F.lit("fake/png").alias("mime"),
+            F.lit("application/octet-stream").alias("mime"),
             F.length("text").alias("orig_len"),
         ).alias("meta"),
     )
 
 
+# --------------------------------------------------------------------------
+# Real image encoders (stdlib-only) — fixture blobs for the decode path
+# --------------------------------------------------------------------------
+
+def make_bmp(w: int, h: int) -> bytes:
+    """Valid 24-bit uncompressed BMP (BITMAPINFOHEADER), black pixels."""
+    stride = (3 * w + 3) // 4 * 4
+    size = 54 + stride * h
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                      2835, 2835, 0, 0)
+        + b"\x00" * (stride * h)
+    )
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def make_png(w: int, h: int) -> bytes:
+    """Valid 8-bit grayscale PNG (real zlib IDAT, real CRCs), black."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * w) * h  # filter byte 0 + one row, per row
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _gif_lzw_zeros(n_pixels: int) -> bytes:
+    """Minimal valid GIF LZW stream for n_pixels of color index 0 at
+    minimum code size 2: emit (clear, literal-0) per pixel then end —
+    the clear before every literal keeps the code table at its initial
+    size so every code is exactly 3 bits, LSB-packed (no dictionary
+    bookkeeping needed; any conformant decoder accepts repeated clears).
+    """
+    out = bytearray()
+    acc = nb = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += 3
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    for _ in range(n_pixels):
+        emit(4)  # clear
+        emit(0)  # literal: color index 0
+    emit(5)  # end of information
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(w: int, h: int, frames: int) -> bytes:
+    """Valid GIF89a with `frames` full-size image descriptors (the
+    multi-frame/animation case the frame-sampling operator consumes),
+    4-entry global color table, real LZW-coded pixel data."""
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x91, 0, 0)
+    gct = bytes(12)  # 4 colors x RGB
+    lzw = _gif_lzw_zeros(w * h)
+    blocks = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    img = (struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+           + bytes([2]) + blocks + b"\x00")
+    return hdr + gct + img * frames + b"\x3B"
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) with a genuinely valid image file per document:
+    format cycles bmp/png/gif by doc_id % 3; dimensions and GIF frame
+    count derive deterministically from the utf-8 byte length of the
+    text (w = n%64+1, h = n%48+1, gif frames = n%5+1) so the SQL oracle
+    can compute the expected decode output without parsing bytes.
+    Generation runs vectorised per Arrow batch — same mapInPandas shape
+    a real pipeline uses to fetch/transcode blobs."""
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text.encode("utf-8"))
+                w, h = n % 64 + 1, n % 48 + 1
+                kind = doc_id % 3
+                if kind == 0:
+                    blobs.append(make_bmp(w, h))
+                elif kind == 1:
+                    blobs.append(make_png(w, h))
+                else:
+                    blobs.append(make_gif(w, h, n % 5 + 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        generate, "doc_id long, blob binary")
+
+
+# --------------------------------------------------------------------------
+# Real header parser (decode)
+# --------------------------------------------------------------------------
+
+def _skip_subblocks(blob: bytes, pos: int) -> int:
+    """Skip a GIF data sub-block chain; returns position after the 0x00
+    terminator."""
+    while pos < len(blob):
+        n = blob[pos]
+        pos += 1 + n
+        if n == 0:
+            break
+    return pos
+
+
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF])
+
+
+def parse_image_header(blob: bytes) -> tuple[str, int, int, int] | None:
+    """REAL image metadata decode — pure byte parsing, no codec library.
+
+    Returns (format, width, height, n_frames) for BMP / PNG / GIF
+    (frames counted by walking the GIF block structure) / JPEG (SOF
+    marker scan), or None for unrecognised payloads.
+    """
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        w, h = struct.unpack_from("<ii", blob, 18)
+        return "bmp", w, abs(h), 1  # negative height = top-down rows
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24:
+        w, h = struct.unpack_from(">II", blob, 16)
+        return "png", w, h, 1
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 13:
+        w, h = struct.unpack_from("<HH", blob, 6)
+        packed = blob[10]
+        pos = 13
+        if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+            pos += 3 * (2 << (packed & 0x07))
+        frames = 0
+        while pos < len(blob):
+            b0 = blob[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x2C:  # image descriptor
+                frames += 1
+                lpacked = blob[pos + 9]
+                pos += 10
+                if lpacked & 0x80:  # local color table
+                    pos += 3 * (2 << (lpacked & 0x07))
+                pos += 1  # LZW minimum code size
+                pos = _skip_subblocks(blob, pos)
+            elif b0 == 0x21:  # extension: introducer + label + sub-blocks
+                pos += 2
+                pos = _skip_subblocks(blob, pos)
+            else:
+                break  # corrupt stream: report frames seen so far
+        return "gif", w, h, frames
+    if blob[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 9 <= len(blob) and blob[pos] == 0xFF:
+            marker = blob[pos + 1]
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(blob[pos + 5:pos + 7], "big")
+                w = int.from_bytes(blob[pos + 7:pos + 9], "big")
+                return "jpeg", w, h, 1
+            pos += 2 + int.from_bytes(blob[pos + 2:pos + 4], "big")
+    return None
+
+
 def _decode_stub(blob: bytes) -> tuple[int, int, int]:
-    """STUB decode — deterministic fake standing in for a real media
-    decoder (PIL.Image.open / av.open). Returns (width, height, n_frames)
-    derived from the payload bytes so tests are reproducible. Replace
-    with a real decoder where codecs exist."""
+    """STUB fallback for payloads parse_image_header does not recognise —
+    deterministic fake dims so unknown-format rows keep flowing with a
+    'unknown' tag instead of nulls/errors (replace with PIL/ffmpeg where
+    codecs exist)."""
     n = len(blob)
     return (n % 640) + 1, (n % 480) + 1, (n % 30) + 1
 
@@ -55,21 +240,33 @@ def _decode_stub(blob: bytes) -> tuple[int, int, int]:
 def decode_batches(blobs: DataFrame) -> DataFrame:
     """mapInPandas decode: Arrow-batched iterator in, iterator out.
 
-    This is the canonical multimodal pattern: per-batch vectorised
-    metadata extraction with a Python library, never per-row UDF calls.
+    This is the canonical multimodal pattern: per-batch metadata
+    extraction with a Python parser, never per-row UDF calls. Known
+    formats are REALLY parsed (parse_image_header); unknown payloads
+    take the clearly-tagged stub path.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["blob"].map(_decode_stub)
+            fmts, widths, heights, frames = [], [], [], []
+            for b in pdf["blob"]:
+                b = bytes(b)
+                parsed = parse_image_header(b)
+                if parsed is None:
+                    w, h, f = _decode_stub(b)
+                    parsed = ("unknown", w, h, f)
+                fmts.append(parsed[0])
+                widths.append(parsed[1])
+                heights.append(parsed[2])
+                frames.append(parsed[3])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "format": fmts,
                     "n_bytes": pdf["blob"].map(len),
-                    "header": pdf["blob"].map(lambda b: b[:4].hex()),
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
-                    "n_frames": dims.map(lambda d: d[2]),
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
                 }
             )
 
@@ -77,18 +274,28 @@ def decode_batches(blobs: DataFrame) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: binary payload → decoded metadata, ordered.
+    """Driver query: real image blobs → REAL header decode, ordered.
 
-    n_bytes/header are engine-checkable (octet_length / hex prefix in
-    SQL); width/height/n_frames come from the stub decoder.
+    The blobs are valid BMP/PNG/GIF files synthesised from each document
+    (with_image_payload); the output is what parse_image_header reads
+    back out of the actual bytes, hash-checked against the oracle's
+    direct computation of the same metadata — a full encode→decode
+    round trip. (n_bytes is parser input, not output, and PNG/GIF byte
+    lengths aren't SQL-computable — the registered query projects the
+    decoded metadata.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    return decode_batches(with_binary_payload(docs)).orderBy("doc_id")
+    return (
+        decode_batches(with_image_payload(docs))
+        .select("doc_id", "format", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    )
 
 
-def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
+def frame_sample(spark: SparkSession, sf_dir: str, every: int = 2) -> DataFrame:
     """Frame sampling pattern: explode decoded frame indices, keep every
-    k-th — the shape of video-frame extraction (decode is the stub)."""
+    k-th — the shape of video-frame extraction, driven by the REAL
+    per-blob frame counts (GIFs in the fixture carry 1-5 frames)."""
     decoded = multimodal_decode(spark, sf_dir)
     return (
         decoded.select(
@@ -102,27 +309,28 @@ def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
     )
 
 
-def _resize_stub(w: int, h: int, max_side: int = 256) -> tuple[int, int]:
-    """STUB resize — pure integer math standing in for a real resampler
-    (PIL Image.thumbnail). Aspect-preserving clamp of the longest side to
-    max_side, floor semantics, never upscales."""
+def _resize_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving clamp of the longest side to max_side, floor
+    semantics, never upscales — the target-dimension math of a real
+    resampler (the pixel resample itself is where PIL slots in)."""
     longest = max(w, h)
     if longest <= max_side:
         return w, h
     return (w * max_side) // longest, (h * max_side) // longest
 
 
-def multimodal_resize(spark: SparkSession, sf_dir: str, max_side: int = 256) -> DataFrame:
-    """Resize pattern: decoded dims → target dims via a vectorised batch
-    transform. Real pipelines emit the resized blob too; the stub keeps
-    the shapes (mapInPandas in/out, one row per image) and the integer
-    dim math real."""
-    decoded = decode_batches(with_binary_payload(load_table(spark, sf_dir, "documents")))
+def multimodal_resize(spark: SparkSession, sf_dir: str, max_side: int = 32) -> DataFrame:
+    """Resize pattern: REAL decoded dims → target dims via a vectorised
+    batch transform. Real pipelines emit the resized blob too; here the
+    dim math is real (and oracle-checked) while the pixel resample is
+    the documented library slot. max_side=32 so the fixture's ≤64-px
+    images actually exercise both branches of the clamp."""
+    decoded = decode_batches(with_image_payload(load_table(spark, sf_dir, "documents")))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [
-                _resize_stub(w, h, max_side)
+                _resize_dims(w, h, max_side)
                 for w, h in zip(pdf["width"], pdf["height"])
             ]
             yield pd.DataFrame({

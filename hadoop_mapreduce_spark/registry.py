@@ -695,31 +695,38 @@ kg AS (
 )
 SELECT doc_id, md5(compact) AS content_md5, min_kgram_hash FROM kg ORDER BY doc_id
 """,
+    # The Spark side synthesises a VALID bmp/png/gif blob per document
+    # (format = doc_id % 3, dims/frames derived from the text byte
+    # length) and parses the actual bytes back; the oracle computes the
+    # expected metadata directly, so a parser bug (endianness, offset,
+    # GIF block walk) breaks the hash.
     "multimodal_decode": """
 SELECT doc_id,
-  octet_length(encode(text))::BIGINT AS n_bytes,
-  substr(lower(hex(encode(text))), 1, 8) AS header,
-  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
-  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
-  (octet_length(encode(text)) % 30 + 1)::BIGINT AS n_frames
+  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+  (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
+  (octet_length(encode(text)) % 48 + 1)::BIGINT AS height,
+  (CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 5 + 1
+        ELSE 1 END)::BIGINT AS n_frames
 FROM documents ORDER BY doc_id
 """,
     "frame_sample": """
-SELECT doc_id, ((octet_length(encode(text)) % 30) // 7 + 1)::BIGINT AS n_sampled
+SELECT doc_id,
+  ((CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 5 ELSE 0 END)
+    // 2 + 1)::BIGINT AS n_sampled
 FROM documents ORDER BY doc_id
 """,
     "multimodal_resize": """
 WITH d AS (
   SELECT doc_id,
-    (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
-    (octet_length(encode(text)) % 480 + 1)::BIGINT AS height
+    (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
+    (octet_length(encode(text)) % 48 + 1)::BIGINT AS height
   FROM documents
 )
 SELECT doc_id, width, height,
-  CASE WHEN greatest(width, height) <= 256 THEN width
-       ELSE width * 256 // greatest(width, height) END AS new_width,
-  CASE WHEN greatest(width, height) <= 256 THEN height
-       ELSE height * 256 // greatest(width, height) END AS new_height
+  CASE WHEN greatest(width, height) <= 32 THEN width
+       ELSE width * 32 // greatest(width, height) END AS new_width,
+  CASE WHEN greatest(width, height) <= 32 THEN height
+       ELSE height * 32 // greatest(width, height) END AS new_height
 FROM d ORDER BY doc_id
 """,
     "multimodal_features": """

@@ -1,15 +1,91 @@
-"""Multimodal plumbing tests: binary columns through mapInPandas, stub
-decode determinism, frame sampling shape."""
+"""Multimodal tests: REAL header decode (BMP/PNG/GIF/JPEG byte parsing)
+golden-checked against independently-constructed files, encoder→parser
+round trips, binary columns through mapInPandas, frame sampling shape."""
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 from hadoop_mapreduce_spark.operators.multimodal import (
     decode_batches,
     frame_sample,
+    make_bmp,
+    make_gif,
+    make_png,
     multimodal_decode,
+    parse_image_header,
     with_binary_payload,
+    with_image_payload,
 )
 from tests.conftest import SF_DIR
+
+# The canonical 1x1 transparent GIF (a widely-published reference file,
+# NOT produced by make_gif) — an independent golden input for the parser.
+ONE_PX_GIF = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\x00\x00\x00"
+    b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+    b"\x02\x02\x44\x01\x00\x3b"
+)
+
+
+def test_parser_golden_gif_independent():
+    assert parse_image_header(ONE_PX_GIF) == ("gif", 1, 1, 1)
+
+
+def test_parser_golden_bmp_hand_packed():
+    # hand-pack a BMP header independently of make_bmp
+    blob = (b"BM" + struct.pack("<IHHI", 54 + 12, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, 12,
+                          0, 0, 0, 0) + b"\x00" * 24)
+    # negative height = top-down scan order; parser reports magnitude
+    assert parse_image_header(blob) == ("bmp", 3, 2, 1)
+
+
+def test_parser_golden_jpeg_sof_scan():
+    # minimal JPEG: SOI, APP0 segment, SOF0 with h=7 w=9
+    blob = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 7, 9) + b"\x01\x11\x00")
+    assert parse_image_header(blob) == ("jpeg", 9, 7, 1)
+
+
+def test_parser_rejects_unknown():
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+
+
+def test_encoders_round_trip():
+    assert parse_image_header(make_bmp(17, 5)) == ("bmp", 17, 5, 1)
+    assert parse_image_header(make_png(64, 48)) == ("png", 64, 48, 1)
+    assert parse_image_header(make_gif(9, 7, 4)) == ("gif", 9, 7, 4)
+
+
+def test_png_is_structurally_valid():
+    blob = make_png(10, 3)
+    # verify chunk CRCs and that IDAT inflates to the exact raw size
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    seen = []
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        assert crc == zlib.crc32(tag + data), tag
+        seen.append(tag)
+        if tag == b"IDAT":
+            assert len(zlib.decompress(data)) == (10 + 1) * 3
+        pos += 12 + length
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_bmp_size_field_matches_length():
+    blob = make_bmp(5, 4)
+    (size,) = struct.unpack_from("<I", blob, 2)
+    assert size == len(blob)
 
 
 def test_binary_payload_schema(spark):
@@ -18,26 +94,40 @@ def test_binary_payload_schema(spark):
     assert dict(blob.dtypes)["blob"] == "binary"
     row = blob.collect()[0]
     assert bytes(row.blob) == b"hello world"
-    assert row.meta.mime == "fake/png"
+    assert row.meta.mime == "application/octet-stream"
 
 
-def test_decode_stub_deterministic(spark):
-    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+def test_decode_real_formats_through_spark(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 10), (1, "y" * 20), (2, "z" * 30)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           decode_batches(with_image_payload(docs)).collect()}
+    assert (out[0].format, out[0].width, out[0].height) == ("bmp", 11, 11)
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 21, 21)
+    assert (out[2].format, out[2].width, out[2].height, out[2].n_frames) == (
+        "gif", 31, 31, 30 % 5 + 1)
+    # n_bytes is the real file length, not the text length
+    assert out[0].n_bytes == len(make_bmp(11, 11))
+
+
+def test_decode_unknown_falls_back_to_stub(spark):
+    docs = spark.createDataFrame([(7, "plain text")], ["doc_id", "text"])
     out = decode_batches(with_binary_payload(docs)).collect()[0]
-    assert out.n_bytes == 11
-    assert out.header == b"hell".hex()
-    assert out.width == 12 and out.height == 12 and out.n_frames == 12
-    # running twice gives identical results
-    out2 = decode_batches(with_binary_payload(docs)).collect()[0]
-    assert out == out2
+    assert out.format == "unknown"
+    n = len(b"plain text")
+    assert (out.width, out.height, out.n_frames) == (
+        n % 640 + 1, n % 480 + 1, n % 30 + 1)
 
 
 def test_multimodal_decode_full_table(spark):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     decoded = multimodal_decode(spark, SF_DIR)
-    assert decoded.count() == n_docs
+    rows = decoded.collect()
+    assert len(rows) == n_docs
+    assert {r.format for r in rows} <= {"bmp", "png", "gif"}
 
 
 def test_frame_sample_counts(spark):
-    rows = frame_sample(spark, SF_DIR, every=7).collect()
-    assert all(1 <= r.n_sampled <= 5 for r in rows)  # n_frames <= 30 -> at most ceil(30/7)
+    rows = frame_sample(spark, SF_DIR, every=2).collect()
+    # frames are 1 (bmp/png) or 1-5 (gif) -> sampled every 2nd: 1-3
+    assert all(1 <= r.n_sampled <= 3 for r in rows)
