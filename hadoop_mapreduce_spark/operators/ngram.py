@@ -88,12 +88,20 @@ def ngram_count_text(
     if not cross_line:
         return ngram_count(lines, "value", n, sort=sort)
     # Rebuild each file as one document: order lines by their position.
+    # The sort key is (file_block_start, monotonic id): the block start
+    # byte offset (from the _metadata hidden column) pins the order of
+    # SPLITS within a file — bare monotonically_increasing_id only
+    # orders rows within one split (it embeds the partition index, and
+    # split->partition assignment order is scheduler convention, not
+    # contract, once a file spans multiple splits). Within a split the
+    # monotonic id is row-ordered, so the pair is a total file order.
     # At 100 TB-of-text scale you'd instead carry window boundaries with
     # mapPartitions; file-level collect_list is fine while individual text
     # files are modest (they are: the reference's unit is an e-book).
     docs = (
         lines.select(
             F.input_file_name().alias("file"),
+            F.col("_metadata.file_block_start").alias("blk"),
             F.monotonically_increasing_id().alias("pos"),
             F.col("value"),
         )
@@ -101,7 +109,9 @@ def ngram_count_text(
         .agg(
             F.concat_ws(
                 " ",
-                F.array_sort(F.collect_list(F.struct("pos", "value"))).getField("value"),
+                F.array_sort(
+                    F.collect_list(F.struct("blk", "pos", "value"))
+                ).getField("value"),
             ).alias("text")
         )
     )

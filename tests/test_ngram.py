@@ -86,6 +86,28 @@ def test_cross_line_mode(spark, tmp_path):
     assert crossed == [("alpha beta", 1), ("beta gamma", 1), ("gamma delta", 1)]
 
 
+def test_cross_line_multi_split_file(spark, tmp_path):
+    """A file spanning many input splits must reassemble in byte order:
+    the (file_block_start, id) sort key pins split order; with bare
+    monotonically_increasing_id the order is scheduler convention."""
+    p = tmp_path / "big.txt"
+    # ~40 KB, unique token per line so any misordered split shows up as
+    # a different bigram multiset
+    p.write_text("".join(f"w{i:05d} x{i:05d}\n" for i in range(2000)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        n_parts = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert n_parts > 4, "fixture must actually span multiple splits"
+        crossed = ngram_count_text(spark, str(p), 2, cross_line=True).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    got = {(r[0], r[1]) for r in crossed}
+    toks = [t for i in range(2000) for t in (f"w{i:05d}", f"x{i:05d}")]
+    want = {(" ".join(toks[i:i + 2]), 1) for i in range(len(toks) - 1)}
+    assert got == want
+
+
 def test_topk_ordering(spark):
     df = spark.createDataFrame([("b b b a a c",)], ["text"])
     top = rows(ngram_topk(df, "text", 1, k=2))
