@@ -93,18 +93,25 @@ def main() -> None:
         floor_runs.append(time.time() - t0)
     floor = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
 
-    # Two passes at the TARGET sf, mirroring the DuckDB cold/warm pair
+    # Three passes at the TARGET sf, mirroring the DuckDB cold/warm pair
     # below: pass 1 (cold) includes first-touch costs (parquet footers,
-    # JIT ramp on the sf-specific plans); pass 2 (warm) is steady-state.
-    # Ratios are then compared like-for-like (cold/cold, warm/warm).
+    # JIT ramp on the sf-specific plans); the warm number is the MIN of
+    # two steady-state passes per query — BASELINE.md's triplicate-run
+    # analysis showed single-shot warm times carry multi-second transient
+    # spikes (GC, box noise) that say nothing about the plan, and min-of-2
+    # is the cheapest estimator that rejects them. Ratios are compared
+    # like-for-like (cold/cold, warm/warm; DuckDB's warm pass gets the
+    # same min-of-2 treatment below).
     times: dict[str, float] = {}
     times_warm: dict[str, float] = {}
-    for target in (times, times_warm):
+    for target in (times, times_warm, times_warm):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            target[name] = round(time.time() - t0, 3)
+            dt = round(time.time() - t0, 3)
+            target[name] = (min(target[name], dt)
+                            if target is times_warm and name in target else dt)
 
     # DuckDB 1x mark (BASELINE.md protocol). Cold vs warm matters: the
     # first execution pays parquet metadata reads + buffer-pool fill
@@ -135,9 +142,14 @@ def main() -> None:
             t0 = time.time()
             con.execute(sql).fetchall()
             duck_cold[name] = round(time.time() - t0, 3)
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            duck_warm[name] = round(time.time() - t0, 3)
+            # warm = min of two steady-state runs (same estimator as the
+            # Spark side, so neither engine's ratio eats a noise spike)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+            duck_warm[name] = round(min(runs), 3)
     except Exception:  # noqa: BLE001 — baseline timing is best-effort
         pass
 
@@ -152,6 +164,25 @@ def main() -> None:
         lsh_n = QUERIES["dedup_embedding_lsh"](spark, sf_dir).count()
         exact_n = QUERIES["dedup_embedding_cosine"](spark, sf_dir).count()
         lsh_recall = round(lsh_n / exact_n, 4) if exact_n else None
+    except Exception:  # noqa: BLE001 — recall reporting is best-effort
+        pass
+
+    # Recall@5 of the approximate kNN JOIN vs the exact brute-force join
+    # (cosine_topk with the whole table as the query set) — same
+    # threshold as tests/test_similarity_extra.py (>= 0.6 by design: the
+    # banding trades the tail of each neighbour list for O(bands·k·N)
+    # work). Computed as a join-count, nothing collected.
+    knn_recall = None
+    try:
+        from hadoop_mapreduce_spark.operators.similarity import cosine_topk
+        from hadoop_mapreduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact_knn = cosine_topk(emb, emb, k=5).select("qid", "nid")
+        approx_knn = QUERIES["knn_join_lsh"](spark, sf_dir).select("qid", "nid")
+        hit = approx_knn.join(exact_knn, ["qid", "nid"], "left_semi").count()
+        denom = exact_knn.count()
+        knn_recall = round(hit / denom, 4) if denom else None
     except Exception:  # noqa: BLE001 — recall reporting is best-effort
         pass
 
@@ -174,6 +205,7 @@ def main() -> None:
         "spark_vs_duckdb_cold": round(total / cold_total, 2) if cold_total else None,
         "spark_vs_duckdb_warm": round(warm_spark_total / warm_total, 2) if warm_total else None,
         "embedding_lsh_recall_vs_exact": lsh_recall,
+        "knn_recall_vs_exact": knn_recall,
         "spark_sched_floor_sec": floor,
         "spark_warm_exfloor_total": round(
             sum(max(t - floor, 0.0) for t in times_warm.values()), 3),
