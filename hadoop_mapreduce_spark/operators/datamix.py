@@ -269,3 +269,93 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str,
         .select("shard", "pos", "doc_id")
         .orderBy("shard", "pos")
     )
+
+
+def dup_ngram_rate(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
+    """Repeated-long-n-gram rate per source — the scalable proxy for
+    exact-substring duplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" builds suffix arrays to find
+    >=50-token repeats; at 100 TB the distributed form of that signal is
+    "what fraction of a document's distinct long n-grams occur in some
+    other document too", which needs only one gram-keyed shuffle).
+
+    Shape: distinct n-grams per doc → ONE exchange keyed by the gram,
+    where a count() window computes each gram's corpus frequency in
+    place (no self-join, no second scan) → per-doc dup fraction →
+    per-source rollup. Gram keys are uniform by construction (they're
+    near-unique strings), so the shuffle has no skew at any scale.
+    Docs with fewer than n tokens contribute no grams and are counted
+    separately (n_short) so the rate's denominator is explicit.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("__t"))
+    grams = toks.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(F.col("__t"), n))).alias("g"),
+    )
+    shared = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    per_doc = (
+        grams.withColumn("n_docs_with_gram", shared)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs_with_gram") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    short = (
+        toks.where(F.size("__t") < n)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_short"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_dup") / F.col("n_grams")), 4)
+            .alias("avg_dup_rate"),
+            F.sum((F.col("n_dup") * 2 > F.col("n_grams")).cast("long"))
+            .alias("n_mostly_dup"),
+        )
+        .join(short, "source", "left")
+        .select("source", "n_docs", "avg_dup_rate", "n_mostly_dup",
+                F.coalesce("n_short", F.lit(0)).cast("long").alias("n_short"))
+        .orderBy("source")
+    )
+
+
+def sample_fixed_per_source(spark: SparkSession, sf_dir: str,
+                            cap: int = 12) -> DataFrame:
+    """Per-domain document cap: keep at most `cap` docs per source,
+    chosen deterministically by md5(doc_id) order — the "no single
+    domain dominates the mixture" guard applied after rate-based
+    sampling (domain_mixture_sample) when an absolute ceiling is the
+    policy. md5 order makes the kept set a uniform, growth-stable
+    sample: adding new docs can displace old ones only at the boundary,
+    and any engine re-derives membership from keys alone.
+
+    Scale: one hash exchange on source + a per-source top-cap — Spark
+    plans the row_number window with a partial sort; no global sort, no
+    driver involvement. Skew note: sources are the partition key, so a
+    corpus with few giant sources wants the two-phase variant (pre-trim
+    per shard with a salted key, then exact trim) — same plan shape
+    twice; documented rather than implemented because cap << shard size
+    makes the pre-trim nearly free.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select(
+            "source", "doc_id",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= cap)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("source", "rk")
+    )

@@ -273,3 +273,36 @@ def keyword_search(spark: SparkSession, sf_dir: str,
         .select("doc_id", F.col("total_tf").cast("long").alias("total_tf"),
                 F.round("score", 6).alias("score"))
     )
+
+
+def token_zipf_slope(spark: SparkSession, sf_dir: str,
+                     max_rank: int = 500) -> DataFrame:
+    """Zipf audit of the corpus token distribution: regression slope of
+    ln(count) on ln(rank) over the top max_rank tokens (natural text
+    sits near -1; a slope far off flags boilerplate-heavy or synthetic
+    corpora — a standard pre-training corpus health check).
+
+    One token-keyed aggregation (vocabulary-sized output), a rank window
+    over that tiny result, then a single-row regr_slope/regr_r2
+    aggregate. The window runs over ≤ |vocabulary| rows, not the token
+    stream, so the only corpus-sized exchange is the count groupBy with
+    map-side partial aggregation. Rank ties break by token so both
+    engines rank identically; the regression inputs are then
+    bit-identical integers and the rounded outputs match.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens("text")).alias("tk"))
+        .groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tk"))
+    ranked = counts.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= max_rank)
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(c), ln(r))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(c), ln(r))"), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.max("c").cast("long").alias("top_count"),
+    )

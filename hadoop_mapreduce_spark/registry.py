@@ -193,6 +193,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components_star": dedup.dedup_components_star,
     "pipeline_pretrain": pipeline.pipeline_pretrain,
     "keyword_search": textstats.keyword_search,
+    # --- round 5: corpus-hygiene + SQL-surface additions ---
+    "dup_ngram_rate": datamix.dup_ngram_rate,
+    "sample_fixed_per_source": datamix.sample_fixed_per_source,
+    "token_zipf_slope": textstats.token_zipf_slope,
 }
 
 
@@ -1464,6 +1468,60 @@ SELECT doc_id, total_tf::BIGINT AS total_tf, round(score, 6) AS score
 FROM per_doc WHERE n_terms = 3
 ORDER BY score DESC, doc_id LIMIT 20
 """
+
+# Repeated-long-n-gram rate: distinct 8-grams per doc, corpus frequency
+# via a window over the gram key (one exchange), per-source rollup.
+ORACLE["dup_ngram_rate"] = rf"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) x
+),
+f AS (SELECT doc_id, source, count(*) OVER (PARTITION BY g) AS nd FROM g),
+pd AS (
+  SELECT doc_id, source, count(*) AS n_grams, sum((nd > 1)::BIGINT) AS n_dup
+  FROM f GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    round(avg(n_dup * 1.0 / n_grams), 4) AS avg_dup_rate,
+    sum((n_dup * 2 > n_grams)::BIGINT)::BIGINT AS n_mostly_dup
+  FROM pd GROUP BY source
+),
+short AS (
+  SELECT source, count(*) AS n_short FROM toks WHERE len(t) < 8 GROUP BY source
+)
+SELECT agg.source, n_docs, avg_dup_rate, n_mostly_dup,
+  coalesce(n_short, 0)::BIGINT AS n_short
+FROM agg LEFT JOIN short USING (source) ORDER BY agg.source
+"""
+
+# Deterministic per-domain cap: md5(doc_id) order, ties by doc_id.
+ORACLE["sample_fixed_per_source"] = r"""
+WITH r AS (
+  SELECT source, doc_id,
+    row_number() OVER (
+      PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT source, rk::BIGINT AS rk, doc_id FROM r WHERE rk <= 12
+ORDER BY source, rk
+"""
+
+# Zipf slope over the top-500 token ranks (rank ties broken by token so
+# the regression inputs are bit-identical integers on both engines).
+ORACLE["token_zipf_slope"] = rf"""
+WITH c AS (
+  SELECT tk, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS tk FROM documents) GROUP BY tk
+),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS r FROM c)
+SELECT round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+  round(regr_r2(ln(c), ln(r)), 6) AS zipf_r2,
+  count(*)::BIGINT AS n_ranks, max(c)::BIGINT AS top_count
+FROM r WHERE r <= 500
+"""
+
 
 
 # Registry order is stable and build-order-derived (Stage 0 → Wave 4 →

@@ -97,3 +97,51 @@ def test_global_shuffle_deterministic(spark):
     a = [tuple(r) for r in global_shuffle_order(spark, SF_DIR).collect()]
     b = [tuple(r) for r in global_shuffle_order(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_dup_ngram_rate_bounds(spark):
+    from hadoop_mapreduce_spark.operators.datamix import dup_ngram_rate
+
+    rows = dup_ngram_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_dup_rate <= 1.0
+        assert 0 <= r.n_mostly_dup <= r.n_docs
+
+
+def test_dup_ngram_rate_detects_duplicates(spark):
+    from hadoop_mapreduce_spark.operators.datamix import dup_ngram_rate
+    import tempfile, os
+
+    # two identical long docs + one unique: the dup pair's grams are all
+    # shared, the unique doc's grams are not
+    data = [
+        (1, "a", " ".join(f"t{i}" for i in range(20))),
+        (2, "a", " ".join(f"t{i}" for i in range(20))),
+        (3, "a", " ".join(f"u{i}" for i in range(20))),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data, ["doc_id", "source", "text"]
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = dup_ngram_rate(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 2 of 3 docs fully duplicated -> avg rate = 2/3, both flagged
+    assert abs(r.avg_dup_rate - round(2 / 3, 4)) < 1e-9
+    assert r.n_mostly_dup == 2 and r.n_short == 0
+
+
+def test_sample_fixed_per_source_cap_and_determinism(spark):
+    from hadoop_mapreduce_spark.operators.datamix import sample_fixed_per_source
+
+    a = sample_fixed_per_source(spark, SF_DIR, cap=7).collect()
+    b = sample_fixed_per_source(spark, SF_DIR, cap=7).collect()
+    assert a == b  # deterministic
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r.source, []).append(r.rk)
+    for src, rks in per_src.items():
+        assert rks == sorted(rks) and len(rks) <= 7
