@@ -58,10 +58,41 @@ def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- Stage 0: the reference's own surface (flagship) ---
+    # The driver records a 50-query correctness window per round in
+    # registry order; rounds 1-4 covered positions 1-100 of the old
+    # order. The queries below had NEVER been driver-recorded (only
+    # CORRECTNESS_full.json covers them), so round 5 moves them to the
+    # FRONT of the registry — this round's window witnesses all of
+    # them. Pure reordering: no key or implementation changed.
+    "window_ignore_nulls": advanced.window_ignore_nulls,
+    "bool_count_aggs": advanced.bool_count_aggs,
+    "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
+    "udtf_tokens": advanced.udtf_tokens,
+    "string_agg_sorted": advanced.string_agg_sorted,
+    "bitwise_aggs": advanced.bitwise_aggs,
+    "doc_chunking": curation.doc_chunking,
+    "text_scrub": curation.text_scrub,
+    "dataset_split": curation.dataset_split,
+    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
+    "dq_checks": curation.dq_checks,
+    "cdc_merge_orders": cdc.cdc_merge_orders,
+    "scd2_customer_history": cdc.scd2_customer_history,
+    "decontaminate_ngram": datamix.decontaminate_ngram,
+    "quality_repetition": datamix.quality_repetition,
+    "domain_mixture_sample": datamix.domain_mixture_sample,
+    "embedding_quantize": datamix.embedding_quantize,
+    "global_shuffle_order": datamix.global_shuffle_order,
+    "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
+    "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
+    "dedup_components_star": dedup.dedup_components_star,
+    "pipeline_pretrain": pipeline.pipeline_pretrain,
+    "keyword_search": textstats.keyword_search,
+    "dup_ngram_rate": datamix.dup_ngram_rate,
+    "sample_fixed_per_source": datamix.sample_fixed_per_source,
+    "token_zipf_slope": textstats.token_zipf_slope,
+    # --- previously driver-recorded (r1-r4 windows) ---
     "ngram_count": _ngram_count,
     "ngram_topk": _ngram_topk,
-    # --- Stage 1: relational core ---
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q3_shipping_priority": relational.q3_shipping_priority,
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -102,7 +133,6 @@ QUERIES: dict[str, QueryFn] = {
     "correlated_scalar_subquery": relational.correlated_scalar_subquery,
     "stats_aggregates": relational.stats_aggregates,
     "percentile_stats": relational.percentile_stats,
-    # --- Stage 1c: third TPC-H wave (all 22 TPC-H query shapes now present) ---
     "q2_min_cost_supplier": relational.q2_min_cost_supplier,
     "q8_market_share": relational.q8_market_share,
     "q9_product_profit": relational.q9_product_profit,
@@ -113,7 +143,6 @@ QUERIES: dict[str, QueryFn] = {
     "q17_small_qty_revenue": relational.q17_small_qty_revenue,
     "q20_excess_suppliers": relational.q20_excess_suppliers,
     "q21_waiting_supplier": relational.q21_waiting_supplier,
-    # --- Stage 2: windows ---
     "window_topk_per_group": relational.window_topk_per_group,
     "window_rank_dense": relational.window_rank_dense,
     "window_running_sum": relational.window_running_sum,
@@ -126,7 +155,6 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_dedup_rows": relational.distinct_dedup_rows,
     "sample_seeded": relational.sample_seeded,  # rows-only (engine-specific subset)
     "sample_stratified": relational.sample_stratified,  # rows-only (engine-specific subset)
-    # --- Stage 3: LLM-pipeline ---
     "pipeline_curation": pipeline.pipeline_curation,
     "dedup_exact": dedup.dedup_exact,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -148,7 +176,6 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
     "multimodal_features": multimodal.multimodal_features,
-    # --- Stage 4: time-series / streaming (batch twins) ---
     "events_tumbling": timeseries.events_tumbling,
     "events_sliding": timeseries.events_sliding,
     "events_session": timeseries.events_session,
@@ -157,46 +184,13 @@ QUERIES: dict[str, QueryFn] = {
     "events_gap_fill": timeseries.events_gap_fill,
     "events_hierarchical_rollup": timeseries.events_hierarchical_rollup,
     "events_daily_ohlc": timeseries.events_daily_ohlc,
-    # --- UDF surface (Arrow-batched pandas UDFs + row-at-a-time) ---
     "udf_pandas_vector_norm": udfs.udf_pandas_vector_norm,
     "udf_grouped_agg_mean": udfs.udf_grouped_agg_mean,
     "udf_apply_in_pandas_zscore": udfs.udf_apply_in_pandas_zscore,
     "udf_python_scalar": udfs.udf_python_scalar,
-    # --- Wave 4: advanced SQL surface (maps, higher-order fns, unpivot,
-    #     IGNORE NULLS windows, boolean aggs, extract-all, Python UDTF) ---
     "map_functions": advanced.map_functions,
     "higher_order_array": advanced.higher_order_array,
     "unpivot_measures": advanced.unpivot_measures,
-    "window_ignore_nulls": advanced.window_ignore_nulls,
-    "bool_count_aggs": advanced.bool_count_aggs,
-    "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
-    "udtf_tokens": advanced.udtf_tokens,
-    "string_agg_sorted": advanced.string_agg_sorted,
-    "bitwise_aggs": advanced.bitwise_aggs,
-    # --- Training-data curation beyond dedup ---
-    "doc_chunking": curation.doc_chunking,
-    "text_scrub": curation.text_scrub,
-    "dataset_split": curation.dataset_split,
-    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
-    "dq_checks": curation.dq_checks,
-    # --- CDC / lakehouse mutation surface ---
-    "cdc_merge_orders": cdc.cdc_merge_orders,
-    "scd2_customer_history": cdc.scd2_customer_history,
-    # --- Dataset mixing / decontamination / quantization (round 4) ---
-    "decontaminate_ngram": datamix.decontaminate_ngram,
-    "quality_repetition": datamix.quality_repetition,
-    "domain_mixture_sample": datamix.domain_mixture_sample,
-    "embedding_quantize": datamix.embedding_quantize,
-    "global_shuffle_order": datamix.global_shuffle_order,
-    "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
-    "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
-    "dedup_components_star": dedup.dedup_components_star,
-    "pipeline_pretrain": pipeline.pipeline_pretrain,
-    "keyword_search": textstats.keyword_search,
-    # --- round 5: corpus-hygiene + SQL-surface additions ---
-    "dup_ngram_rate": datamix.dup_ngram_rate,
-    "sample_fixed_per_source": datamix.sample_fixed_per_source,
-    "token_zipf_slope": textstats.token_zipf_slope,
 }
 
 

@@ -60,6 +60,7 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             if not have_all:
                 build_scaled(spark, src, scratch, k)
+        heap = {}
         if phase in ("spark", "both"):
             # Spark: warm once (codegen/JIT + first touch), then measure.
             for name in HEADLINE:
@@ -69,6 +70,26 @@ def main() -> None:
                 QUERIES[name](spark, scratch).write.format("noop").mode("overwrite").save()
                 sp[name] = round(time.time() - t0, 3)
                 print(f"  spark {name:24s} {sp[name]:7.2f}s", file=sys.stderr)
+            # Measured heap envelope of the single local JVM (driver + all
+            # executor threads + broadcasts): peak used across the heap
+            # memory pools vs -Xmx — the "does this scale still fit the
+            # configured heap" number BASELINE.md's memory table records.
+            try:
+                mgmt = spark._jvm.java.lang.management.ManagementFactory
+                peak = used = maxm = 0
+                for pool in mgmt.getMemoryPoolMXBeans():
+                    if pool.getType().toString() == "Heap memory":
+                        peak += pool.getPeakUsage().getUsed()
+                        used += pool.getUsage().getUsed()
+                mem = mgmt.getMemoryMXBean().getHeapMemoryUsage()
+                maxm = mem.getMax()
+                heap = {
+                    "heap_peak_gb": round(peak / (1 << 30), 2),
+                    "heap_used_end_gb": round(used / (1 << 30), 2),
+                    "heap_max_gb": round(maxm / (1 << 30), 2),
+                }
+            except Exception:  # noqa: BLE001 — envelope is best-effort
+                pass
 
         # DuckDB: same warm-measure protocol on the same scaled parquet.
         du: dict[str, float] = {}
@@ -108,6 +129,7 @@ def main() -> None:
             "duckdb_total": du_total,
             "spark_vs_duckdb": round(sp_total / du_total, 2)
             if (du_total and sp_cmp) else None,
+            **heap,
         }))
     finally:
         if not keep:
