@@ -35,6 +35,7 @@ from hadoop_mapreduce_spark.operators import (
     multimodal,
     relational,
     similarity,
+    sql4,
     textstats,
     timeseries,
     udfs,
@@ -64,6 +65,11 @@ QUERIES: dict[str, QueryFn] = {
     # CORRECTNESS_full.json covers them), so round 5 moves them to the
     # FRONT of the registry — this round's window witnesses all of
     # them. Pure reordering: no key or implementation changed.
+    # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
+    "recursive_monthly_spine": sql4.recursive_monthly_spine,
+    "lateral_topk_orders": sql4.lateral_topk_orders,
+    "variant_props_stats": sql4.variant_props_stats,
+    "collation_ci_counts": sql4.collation_ci_counts,
     "window_ignore_nulls": advanced.window_ignore_nulls,
     "bool_count_aggs": advanced.bool_count_aggs,
     "regexp_extract_all_terms": advanced.regexp_extract_all_terms,
@@ -1522,3 +1528,47 @@ FROM r WHERE r <= 500
 # curation → CDC). It is deliberately NOT tuned to any driver recording
 # window: in-repo tests/test_oracle_parity_all.py verifies every entry
 # against its oracle each round regardless of what the driver records.
+
+
+# --- Spark-4 SQL-surface oracles (DuckDB speaks all four shapes) ---
+
+ORACLE["recursive_monthly_spine"] = """
+WITH RECURSIVE mon(m) AS (
+  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM mon
+  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+)
+SELECT m::DATE AS month_start, count(o_orderkey)::BIGINT AS n_orders,
+  coalesce(sum(round(o_totalprice, 2)), 0)::DECIMAL(18,2) AS total_price
+FROM mon LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m ORDER BY m
+"""
+
+ORACLE["lateral_topk_orders"] = """
+SELECT c.c_custkey, o.o_orderkey,
+  round(o.o_totalprice, 2)::DECIMAL(18,2) AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o_totalprice DESC, o.o_orderkey
+"""
+
+ORACLE["variant_props_stats"] = """
+SELECT event_type, count(*)::BIGINT AS n,
+  count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+  round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+  max(json_extract(props, '$.k')::INT)::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["collation_ci_counts"] = """
+WITH names AS (
+  SELECT r_name AS name FROM region
+  UNION ALL SELECT lower(r_name) FROM region
+)
+SELECT min(name) AS rep, count(*)::BIGINT AS n
+FROM names GROUP BY lower(name) ORDER BY rep
+"""
