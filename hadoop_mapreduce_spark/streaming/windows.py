@@ -194,3 +194,55 @@ def stream_changes_into_snapshots(changes_stream: DataFrame, root: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — Spark 4's
+    arbitrary-state API (the successor to applyInPandasWithState, with
+    typed state handles, optional per-state TTL, and timers).
+
+    Same semantics as running_user_totals above, expressed as a
+    StatefulProcessor with a ValueState handle — the two operators are
+    differential twins and tests assert identical drained output. The
+    ttlDurationMs hook on getValueState is where an unbounded keyspace
+    (e.g. per-session rather than per-user state) gets bounded; unset
+    here because user totals are deliberately monotone over the run.
+
+    ENVIRONMENT GATE: the TWS python driver-worker requires the
+    `google.protobuf` package (its state-server protocol is protobuf);
+    containers without it fail at query start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The differential
+    test skips in that case (tests/test_streaming.py) and
+    running_user_totals (applyInPandasWithState, no protobuf
+    dependency) remains the fully-tested stateful path. Requires the
+    RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        "user_id long, n_events long, total_value double",
+        "Update",
+        "None",
+    )

@@ -407,3 +407,46 @@ def test_tumbling_append_late_drop_vs_batch_twin(spark, tmp_path):
     want = {(r.ws, r.event_type, r.n, round(r.total_value, 6))
             for r in batch_ontime.collect()}
     assert got == want
+
+
+def test_tws_running_totals_match_apply_in_pandas_twin(spark, event_json_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) drains to
+    the same final per-user totals as the applyInPandasWithState twin
+    and as the batch groupBy. Skips where the TWS python worker's
+    protobuf dependency is absent (see running_user_totals_tws docstring)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas worker needs google.protobuf")
+    from hadoop_mapreduce_spark.streaming.windows import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def final_totals(df):
+        return {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in df.groupBy("user_id").agg(
+                F.max_by("total_value", "n_events").alias("total_value"),
+                F.max("n_events").alias("n_events"),
+            ).collect()
+        }
+
+    stream = read_event_stream(spark, event_json_dir, max_files_per_trigger=1)
+    tws = final_totals(
+        run_to_memory_sink(running_user_totals_tws(stream), "t_tws", spark))
+    stream2 = read_event_stream(spark, event_json_dir, max_files_per_trigger=1)
+    apip = final_totals(
+        run_to_memory_sink(running_user_totals(stream2), "t_tws_twin", spark))
+    assert tws == apip
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.read.json(event_json_dir).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        ).collect()
+    }
+    assert tws == batch
