@@ -359,3 +359,124 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str,
         .select("source", F.col("rk").cast("long").alias("rk"), "doc_id")
         .orderBy("source", "rk")
     )
+
+
+def _bloom_probes(gram_col, n_hashes: int, m_bits: int):
+    """k engine-portable Bloom probes for one n-gram: hash i is the
+    first 15 hex chars of md5('b<i>|' || gram) (< 2^60, positive) mod
+    m_bits. Returns a list of (word_index, bit_mask) Column pairs —
+    word = h / 63, mask = 1L << (h % 63). 63 bits per word, not 64:
+    DuckDB raises Out of Range on ``1 << 63`` (signed overflow), so the
+    sign bit is never used — costs 1.6% bitmap space for an oracle that
+    runs on both engines. md5-derived so the DuckDB oracle rebuilds the
+    identical bitmap (registry convention: never engine-native
+    hashes)."""
+    probes = []
+    for i in range(n_hashes):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}|"), gram_col)), 1, 15),
+                16, 10)
+            .cast("long") % m_bits
+        )
+        word = (h / 63).cast("long")
+        # F.shiftleft's numBits arg only takes a Python int literal;
+        # call_function routes the column-valued shift through SQL
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (h % 63).cast("int"))
+        probes.append((word, mask))
+    return probes
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
+                        bench_mod: int = 20, m_bits: int = 1 << 16,
+                        n_hashes: int = 3) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact broadcast gram set (decontaminate_ngram's scale sibling).
+
+    Why this exists at 100 TB: the exact variant broadcasts every
+    distinct benchmark n-gram. Real contamination sweeps check a corpus
+    against MANY benchmark suites at 13-gram granularity — the union can
+    reach hundreds of millions of grams, past comfortable broadcast
+    size. The Bloom bitmap is m_bits/8 bytes REGARDLESS of how many
+    grams went in (here 8 KiB; production ~1-4 GiB for 1e9 grams at 1%
+    FPR), restoring the broadcast-the-small-side plan at any benchmark
+    scale. One-sided error: a Bloom filter never misses a real
+    contaminated gram (no false negatives — the recall guarantee that
+    matters for decontamination), and false positives only over-flag at
+    a bounded rate ((1-e^{-kn/m})^k; the superset property and the FPR
+    bound are asserted in tests/test_datamix.py against the exact
+    operator).
+
+    Plan: benchmark grams -> k probes each -> groupBy(word) bit_or(mask)
+    = the bitmap (<= m_bits/63 rows, ~8 KiB — broadcast). Training side:
+    distinct (doc, gram) -> k probes -> join broadcast bitmap -> a gram
+    "maybe hits" iff ALL k probed bits are set -> per-doc any-hit ->
+    per-source counts. The corpus side never shuffles except the final
+    per-source rollup of one row per document; the wide exchange of the
+    exact variant's DISTINCT over benchmark grams shrinks to a
+    m_bits/63-row bit_or aggregate (map-side combinable: bit_or is
+    associative and each partition emits at most m_bits/63 rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("__t"),
+    )
+    grams = toks.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(F.col("__t"), n))).alias("g"),
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    probes = _bloom_probes(F.col("g"), n_hashes, m_bits)
+
+    # build: one bit_or aggregate over probe words — O(m_bits/63) rows out
+    bench_bits = None
+    for word, mask in probes:
+        part = (grams.where(is_bench)
+                .select(word.alias("word"), mask.alias("mask")))
+        bench_bits = part if bench_bits is None else bench_bits.unionAll(part)
+    bitmap = bench_bits.groupBy("word").agg(
+        F.bit_or("mask").alias("bits"))
+
+    # probe: every distinct training (doc, gram) tests its k bits
+    probe_rows = None
+    for word, mask in probes:
+        part = (grams.where(~is_bench)
+                .select("doc_id", "g",
+                        word.alias("word"), mask.alias("mask")))
+        probe_rows = part if probe_rows is None else probe_rows.unionAll(part)
+    hits = (
+        probe_rows
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "bit_set",
+            F.when(F.col("bits").isNotNull()
+                   & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1)
+            .otherwise(0))
+        # a gram maybe-hits iff all k probes hit; a doc is flagged iff
+        # any gram maybe-hits — min-then-max collapses both in one pass
+        .groupBy("doc_id", "g")
+        .agg(F.min("bit_set").alias("gram_hit"))
+        .groupBy("doc_id")
+        .agg(F.max("gram_hit").alias("flagged"))
+    )
+    # anchor on the full training set: a doc shorter than n tokens has
+    # no grams, hence no probe rows — it must still count as clean
+    train = docs.where(~is_bench).select("doc_id", "source")
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("flagged"), F.lit(0)))
+            .cast("long").alias("n_flagged_bloom"),
+        )
+        .withColumn(
+            "flag_rate",
+            F.round(F.col("n_flagged_bloom") / F.col("n_train_docs"), 4),
+        )
+        .orderBy("source")
+    )

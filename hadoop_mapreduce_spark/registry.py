@@ -65,6 +65,8 @@ QUERIES: dict[str, QueryFn] = {
     # CORRECTNESS_full.json covers them), so round 5 moves them to the
     # FRONT of the registry — this round's window witnesses all of
     # them. Pure reordering: no key or implementation changed.
+    # round-5 scale-path additions (new, also unwitnessed):
+    "bloom_decontaminate": datamix.bloom_decontaminate,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1571,4 +1573,43 @@ WITH names AS (
 )
 SELECT min(name) AS rep, count(*)::BIGINT AS n
 FROM names GROUP BY lower(name) ORDER BY rep
+"""
+
+# Bloom-filter decontamination: the oracle rebuilds the identical
+# m=65536-bit / k=3 / 63-bit-word bitmap from md5-derived probes
+# (operators/datamix.py::bloom_decontaminate documents why 63 bits:
+# DuckDB raises on 1<<63). Hash-comparable because every hash is
+# md5-derived, never engine-native.
+ORACLE["bloom_decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
+),
+probes AS (
+  SELECT doc_id, g,
+    ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT
+      % 65536 AS h
+  FROM grams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+),
+bitmap AS (
+  SELECT h // 63 AS word, bit_or(1::BIGINT << (h % 63)::INT) AS bits
+  FROM probes WHERE doc_id % 20 = 0 GROUP BY 1
+),
+per_gram AS (
+  SELECT p.doc_id, p.g,
+    min(CASE WHEN b.bits IS NOT NULL
+              AND (b.bits & (1::BIGINT << (p.h % 63)::INT)) <> 0
+         THEN 1 ELSE 0 END) AS gram_hit
+  FROM probes p LEFT JOIN bitmap b ON p.h // 63 = b.word
+  WHERE p.doc_id % 20 <> 0
+  GROUP BY p.doc_id, p.g
+),
+hits AS (SELECT doc_id, max(gram_hit) AS flagged FROM per_gram GROUP BY doc_id),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 0)
+SELECT t.source, count(*)::BIGINT AS n_train_docs,
+  sum(coalesce(h.flagged, 0))::BIGINT AS n_flagged_bloom,
+  round(sum(coalesce(h.flagged, 0)) * 1.0 / count(*), 4) AS flag_rate
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+GROUP BY t.source ORDER BY t.source
 """

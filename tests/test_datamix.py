@@ -145,3 +145,27 @@ def test_sample_fixed_per_source_cap_and_determinism(spark):
         per_src.setdefault(r.source, []).append(r.rk)
     for src, rks in per_src.items():
         assert rks == sorted(rks) and len(rks) <= 7
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """One-sided error: the Bloom filter can only OVER-flag (false
+    positives, bounded rate) — it must NEVER miss a doc the exact
+    broadcast-gram-set variant flags (zero false negatives), and both
+    must agree on the training-doc universe."""
+    from hadoop_mapreduce_spark.operators.datamix import bloom_decontaminate
+
+    bloom = {r.source: r for r in bloom_decontaminate(spark, SF_DIR).collect()}
+    exact = {r.source: r for r in decontaminate_ngram(spark, SF_DIR).collect()}
+    assert set(bloom) == set(exact)
+    n_train = n_fp = 0
+    for s in exact:
+        assert bloom[s].n_train_docs == exact[s].n_train_docs
+        # no false negatives, per source
+        assert bloom[s].n_flagged_bloom >= exact[s].n_contaminated
+        n_train += bloom[s].n_train_docs
+        n_fp += bloom[s].n_flagged_bloom - exact[s].n_contaminated
+    # FPR bound: with m=65536 bits, k=3, and the fixture's ~1e3 benchmark
+    # grams, per-gram FPR is ~1e-4; even with ~40 gram trials per doc the
+    # per-doc over-flag rate stays far below 5% (deterministic given md5,
+    # so this is a fixed property of the fixture, not a flaky bound)
+    assert n_fp / n_train < 0.05
