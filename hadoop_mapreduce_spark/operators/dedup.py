@@ -805,3 +805,85 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         out.select("doc_id", F.col("comp").cast("long").alias("component"))
         .orderBy("doc_id")
     )
+
+
+def dedup_span_chunks(spark: SparkSession, sf_dir: str,
+                      chunk_tokens: int = 8) -> DataFrame:
+    """Sub-document exact dedup at chunk granularity: remove every
+    repeated `chunk_tokens`-token span, keeping only its first
+    occurrence in (doc_id, chunk_idx) order, then reconstruct each
+    document from its surviving chunks.
+
+    This is the chunk-granularity form of exact substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array dedup removes 50-token repeated spans;
+    fixed non-overlapping chunks trade span alignment for a pure
+    DataFrame plan). Whole-doc dedup (dedup_exact) misses boilerplate
+    repeated INSIDE otherwise-distinct pages — headers, license blocks,
+    navigation — which at web scale is most of the duplication mass.
+
+    Plan: tokenize → non-overlapping chunk windows (per-row expression,
+    no shuffle) → one exchange keyed by the chunk's 60-bit md5 hash
+    (NOT the chunk text — the shuffle key stays 8 bytes however long
+    the span is; 2^-60 collision odds per distinct-chunk pair, and the
+    same md5 on both engines keeps the oracle bit-comparable) → window
+    row_number picks the global first occurrence → one exchange keyed
+    by doc_id rebuilds surviving docs with an ordered collect_list.
+    Two keyed shuffles total, both uniform (chunk hashes are
+    content-hashes; doc_id is the natural key). The chunk text rides
+    the first shuffle because reconstruction needs it afterwards —
+    moving it once here is cheaper than the join-back that re-derives
+    it (a third shuffle of the same bytes).
+
+    Output per document: chunk counts before/after and an md5
+    fingerprint of the reconstructed text (documents whose every chunk
+    was first seen elsewhere reconstruct to '' — md5('') — rather than
+    disappearing).
+    """
+    from pyspark.sql import Window
+
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(normalize_text(F.col("text"))).alias("t"))
+    chunks = toks.where(F.size("t") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t), {chunk_tokens}),"
+                f" s -> concat_ws(' ', slice(t, s, {chunk_tokens})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id", "chunk_idx", "chunk", _h60(F.col("chunk")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("rebuilt"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce(F.col("rebuilt"), F.lit(""))).alias("dedup_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -67,6 +67,7 @@ QUERIES: dict[str, QueryFn] = {
     # them. Pure reordering: no key or implementation changed.
     # round-5 scale-path additions (new, also unwitnessed):
     "bloom_decontaminate": datamix.bloom_decontaminate,
+    "dedup_span_chunks": dedup.dedup_span_chunks,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1612,4 +1613,38 @@ SELECT t.source, count(*)::BIGINT AS n_train_docs,
   round(sum(coalesce(h.flagged, 0)) * 1.0 / count(*), 4) AS flag_rate
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 GROUP BY t.source ORDER BY t.source
+"""
+
+# Sub-document chunk dedup: first-occurrence-wins over 8-token spans,
+# dedupe key = 60-bit md5 of the chunk (same hash both engines, so the
+# rebuilt-text fingerprints are bit-comparable).
+ORACLE["dedup_span_chunks"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx, array_to_string(t[s:s+7], ' ') AS chunk
+  FROM (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    LATERAL (SELECT unnest(generate_series(1, len(t), 8)) AS s,
+                    unnest(generate_series(0, (len(t)-1)//8)) AS i) x
+),
+hashed AS (
+  SELECT doc_id, chunk_idx, chunk,
+    ('0x' || substr(md5(chunk), 1, 15))::UBIGINT::BIGINT AS h
+  FROM chunks
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM hashed
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks::BIGINT AS n_chunks,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+  md5(coalesce(r.rebuilt, '')) AS dedup_fp
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
 """

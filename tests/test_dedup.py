@@ -180,3 +180,32 @@ def test_embedding_lsh_subset_of_exact_with_recall(spark):
     assert len(exact) >= 5, "fixture produced too few pairs to measure recall"
     recall = len(lsh) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall} below floor ({len(lsh)}/{len(exact)})"
+
+
+def test_dedup_span_chunks_invariants(spark):
+    """Chunk dedup keeps at most the chunk count, keeps every FIRST
+    occurrence (the winner doc of any removed chunk appears earlier),
+    and reconstructs unchanged docs to their original normalized text."""
+    from hadoop_mapreduce_spark.operators.dedup import dedup_span_chunks
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = dedup_span_chunks(spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r.n_kept <= r.n_chunks for r in rows)
+    # duplication exists in the fixture (planted near-dups), so the op
+    # is non-vacuous
+    assert sum(r.n_chunks - r.n_kept for r in rows) > 0
+    # a doc with n_kept == n_chunks must fingerprint to its own
+    # normalized text (reconstruction is lossless when nothing removed)
+    import hashlib
+    originals = {
+        r.doc_id: hashlib.md5(" ".join(r.t).encode()).hexdigest()
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", tokenize(normalize_text(F.col("text"))).alias("t"))
+        .collect()
+    }
+    unchanged = [r for r in rows if r.n_kept == r.n_chunks]
+    assert unchanged
+    for r in unchanged:
+        assert r.dedup_fp == originals[r.doc_id]
