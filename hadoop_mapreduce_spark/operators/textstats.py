@@ -306,3 +306,51 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("n_ranks"),
         F.max("c").cast("long").alias("top_count"),
     )
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy: score each document by the mean
+    log-probability of its tokens under the corpus's own unigram model,
+    then roll up per source with an adaptive low-quality flag.
+
+    This is the dependency-free stand-in for the KenLM-perplexity
+    filters of CCNet/RefinedWeb: p(w) = corpus_count(w) / corpus_total,
+    doc score = mean over token occurrences of ln p(w). Repetitive or
+    rare-token-stuffed docs diverge from the corpus distribution and
+    score low; the flag threshold is the corpus-wide mean doc score
+    minus 0.05, so the cut adapts to the corpus rather than hardcoding
+    a perplexity number.
+
+    Plan: one token-keyed aggregation builds the unigram table
+    (vocabulary-sized — broadcast), the token stream joins it
+    broadcast-side and collapses to one row per doc (single doc-keyed
+    exchange), and the threshold is a 1-row aggregate crossJoin'd back
+    (broadcast, the registry's scalar pattern). The corpus is scanned
+    twice (vocab pass + scoring pass) — the classic two-pass LM build;
+    at 100 TB the vocab pass's output is MBs, so the second scan
+    dominates and nothing driver-side ever materialises.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens("text")).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("c") / F.col("n_total"))).alias("score"))
+    )
+    thresh = per_doc.agg(
+        (F.avg("score") - F.lit(0.05)).alias("cut"))
+    return (
+        per_doc.crossJoin(F.broadcast(thresh))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_logprob"),
+            F.sum((F.col("score") < F.col("cut")).cast("long"))
+            .alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )

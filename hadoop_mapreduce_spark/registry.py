@@ -68,6 +68,7 @@ QUERIES: dict[str, QueryFn] = {
     # round-5 scale-path additions (new, also unwitnessed):
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
+    "unigram_logprob_quality": textstats.unigram_logprob_quality,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1647,4 +1648,25 @@ SELECT t.doc_id, t.n_chunks::BIGINT AS n_chunks,
   md5(coalesce(r.rebuilt, '')) AS dedup_fp
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 ORDER BY t.doc_id
+"""
+
+# Corpus-unigram LM quality proxy (CCNet/RefinedWeb perplexity filter
+# without KenLM): flag cut = corpus mean doc score - 0.05, adaptive.
+ORACLE["unigram_logprob_quality"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS tk FROM documents
+),
+vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+total AS (SELECT sum(c) AS n_total FROM vocab),
+per_doc AS (
+  SELECT doc_id, source, avg(ln(c * 1.0 / n_total)) AS score
+  FROM tok JOIN vocab USING (tk), total
+  GROUP BY doc_id, source
+),
+thresh AS (SELECT avg(score) - 0.05 AS cut FROM per_doc)
+SELECT source, count(*)::BIGINT AS n_docs,
+  round(avg(score), 4) AS avg_logprob,
+  sum((score < cut)::BIGINT)::BIGINT AS n_low_quality
+FROM per_doc, thresh
+GROUP BY source ORDER BY source
 """
