@@ -1,0 +1,93 @@
+"""Data-layout operators: multi-dimensional clustering for scan
+pruning — the write-side half of "fast queries at 100 TB".
+
+A table range-partitioned on one key prunes scans filtered on that key
+and nothing else. Z-ordering (Morton curve) interleaves the bits of two
+keys so that rows close in EITHER dimension land in the same file:
+min/max footer stats then prune selective filters on both columns.
+This is what `OPTIMIZE ... ZORDER BY` does in lakehouse table formats;
+here it's expressed as a pure DataFrame projection + one aggregation,
+so the same plan writes z-clustered files via
+``df.repartitionByRange(F.col("zval")).write...`` at scale.
+
+Everything is JVM-side bit arithmetic (shiftleft/shiftright with
+literal shift amounts — whole-stage codegen keeps it fused with the
+scan); the oracle rebuilds the identical Morton codes with DuckDB's
+`<<`/`&`, so the query is hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def morton_interleave16(x: Column, y: Column) -> Column:
+    """32-bit Morton code from two 16-bit values: bit i of x lands at
+    position 2i, bit i of y at 2i+1. Built as a 32-term sum of masked
+    shifts with LITERAL shift amounts — every term stays inside
+    whole-stage codegen, and the identical expression is generated for
+    the DuckDB oracle (registry._morton_sql)."""
+    terms = []
+    for i in range(16):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str,
+                  prefix_shift: int = 11) -> DataFrame:
+    """Z-order the events table on (user_id, hour) and report the file
+    layout the clustering would produce.
+
+    File assignment is the z-value PREFIX (z >> prefix_shift) — exactly
+    how z-ordered writers cut files (contiguous Morton ranges), and a
+    pure projection: no global window, no single-partition sort. The
+    per-file min/max of BOTH dimensions is the result a reader's
+    footer-stats pruner would consume; narrow spans in both columns are
+    the point of the curve (a 1-D sort gets a narrow span in one
+    dimension and the full range in the other).
+
+    Plan: scan → bit-arithmetic projection → one groupBy(file_id)
+    exchange (map-side combinable min/max/count). At scale, replace the
+    groupBy with ``repartitionByRange(zval).sortWithinPartitions`` and
+    write — the layout analysis here IS the audit of that write.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    base = ev.select("user_id", hour.alias("hour"))
+    # Scale BOTH dimensions to 8-bit ranks from their min/max column
+    # stats (a 1-row broadcast aggregate — z-writers use the table
+    # stats the same way). Equal bit width is what makes interleaving
+    # meaningful: raw values give the wider-ranged column the high bits
+    # all to itself and the curve degenerates into a 1-D sort on it.
+    stats = base.agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        F.floor((F.col("user_id") - F.col("u0")) * 256
+                / (F.col("u1") - F.col("u0") + 1)).cast("long").alias("x"),
+        F.floor((F.col("hour") - F.col("h0")) * 256
+                / (F.col("h1") - F.col("h0") + 1)).cast("long").alias("y"),
+    )
+    z = morton_interleave16(F.col("x"), F.col("y"))
+    return (
+        keyed.select("x", "y", z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), prefix_shift).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+        )
+        .select(F.col("file_id").cast("long").alias("file_id"),
+                "n_rows", "min_x", "max_x", "min_y", "max_y")
+        .orderBy("file_id")
+    )

@@ -31,6 +31,7 @@ from hadoop_mapreduce_spark.operators import (
     curation,
     datamix,
     dedup,
+    layout,
     pipeline,
     multimodal,
     relational,
@@ -69,6 +70,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
     "unigram_logprob_quality": textstats.unigram_logprob_quality,
+    "zorder_layout": layout.zorder_layout,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1670,3 +1672,26 @@ SELECT source, count(*)::BIGINT AS n_docs,
 FROM per_doc, thresh
 GROUP BY source ORDER BY source
 """
+
+# Z-order layout audit: the oracle regenerates the identical 32-term
+# Morton interleave (operators/layout.py::morton_interleave16).
+_MORTON_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16))
+ORACLE["zorder_layout"] = f"""
+WITH base AS (
+  SELECT user_id, (epoch(ts)::BIGINT // 3600) AS hour FROM events
+),
+stats AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+                 min(hour) AS h0, max(hour) AS h1 FROM base),
+keyed AS (
+  SELECT ((user_id - u0) * 256 // (u1 - u0 + 1)) AS x,
+         ((hour - h0) * 256 // (h1 - h0 + 1)) AS y
+  FROM base, stats
+),
+zed AS (SELECT x, y, (@MORTON@)::BIGINT AS zval FROM keyed)
+SELECT (zval >> 11)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+  min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+  min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+FROM zed GROUP BY 1 ORDER BY 1
+""".replace("@MORTON@", _MORTON_SQL)
