@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_span_chunks": dedup.dedup_span_chunks,
     "unigram_logprob_quality": textstats.unigram_logprob_quality,
     "zorder_layout": layout.zorder_layout,
+    "ann_pq_adc": similarity.ann_pq_adc,  # rows-only (quantized ranks)
+    "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
