@@ -229,3 +229,87 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "passed", (F.col("n_violations") == 0).cast("long")
     ).orderBy("check_name")
+
+
+def split_leakage_guard(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate-aware train/val/test splitting with a leakage
+    audit — the step naive pipelines get wrong: hashing doc_id sends
+    near-identical documents to DIFFERENT splits, so the eval set
+    contains soft copies of training rows and benchmark numbers
+    inflate. The guard assigns splits by near-dup CLUSTER (connected
+    components over verified Jaccard >= threshold edges, cluster key =
+    component id), so an entire dup family lands in one split by
+    construction.
+
+    Output is one audit row: document/cluster counts plus the number of
+    near-dup pairs that straddle two splits under (a) the naive
+    per-document hash and (b) the cluster-keyed hash. The operator's
+    contract is grouped_leak_pairs == 0 — asserted in tests; the
+    non-zero naive count on the same corpus is the evidence the guard
+    matters.
+
+    Scale: edges and components reuse the dedup pipeline (banded LSH at
+    scale, exact inverted-index here for oracle parity); the split
+    decision is one md5 projection on the component id; the audit joins
+    the pair list (candidates only, tiny) against the assignment twice.
+    Shuffles: the CC rounds + one doc_id-keyed join — nothing new moves
+    the corpus.
+
+    Reference behavior: splitting by cluster is the published recipe in
+    e.g. The Pile / RefinedWeb dedup methodology; the md5 bucket matches
+    curation.dataset_split's portable convention (same hash both
+    engines).
+    """
+    from hadoop_mapreduce_spark.operators.dedup import (
+        connected_components,
+        dedup_ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2")
+    comp = connected_components(docs, pairs)  # (doc_id, comp)
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long") % 10
+        )
+
+    assigned = comp.select(
+        "doc_id",
+        F.when(bucket(F.col("doc_id")) < 8, "train")
+        .when(bucket(F.col("doc_id")) < 9, "val")
+        .otherwise("test").alias("naive_split"),
+        F.when(bucket(F.col("comp")) < 8, "train")
+        .when(bucket(F.col("comp")) < 9, "val")
+        .otherwise("test").alias("grouped_split"),
+        "comp",
+    )
+    a1 = assigned.select(F.col("doc_id").alias("id1"),
+                         F.col("naive_split").alias("n1"),
+                         F.col("grouped_split").alias("g1"))
+    a2 = assigned.select(F.col("doc_id").alias("id2"),
+                         F.col("naive_split").alias("n2"),
+                         F.col("grouped_split").alias("g2"))
+    audited = pairs.join(a1, "id1").join(a2, "id2")
+    leaks = audited.agg(
+        F.sum((F.col("n1") != F.col("n2")).cast("long"))
+        .alias("naive_leak_pairs"),
+        F.sum((F.col("g1") != F.col("g2")).cast("long"))
+        .alias("grouped_leak_pairs"),
+    )
+    counts = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("comp").alias("n_clusters"),
+        F.sum((F.col("grouped_split") == "train").cast("long"))
+        .alias("n_train_grouped"),
+    )
+    return counts.crossJoin(
+        leaks.select(
+            F.coalesce("naive_leak_pairs", F.lit(0)).alias("naive_leak_pairs"),
+            F.coalesce("grouped_leak_pairs", F.lit(0))
+            .alias("grouped_leak_pairs"),
+        )
+    )

@@ -73,6 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_layout": layout.zorder_layout,
     "ann_pq_adc": similarity.ann_pq_adc,  # rows-only (quantized ranks)
     "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
+    "split_leakage_guard": curation.split_leakage_guard,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1697,3 +1698,46 @@ SELECT (zval >> 11)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
   min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
 FROM zed GROUP BY 1 ORDER BY 1
 """.replace("@MORTON@", _MORTON_SQL)
+
+# Near-dup-aware split guard: cluster-keyed split assignment (recursive
+# CC over the exact-Jaccard edges) vs naive per-doc hash, with straddle
+# counts. grouped_leak_pairs = 0 is the operator's contract.
+ORACLE["split_leakage_guard"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (SELECT id1 AS a, id2 AS b FROM j UNION SELECT id2, id1 FROM j),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src),
+assigned AS (
+  SELECT doc_id, comp,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 10 < 9 THEN 'val'
+         ELSE 'test' END AS naive_split,
+    CASE WHEN ('0x' || substr(md5(comp::VARCHAR), 1, 15))::UBIGINT::BIGINT % 10 < 8 THEN 'train'
+         WHEN ('0x' || substr(md5(comp::VARCHAR), 1, 15))::UBIGINT::BIGINT % 10 < 9 THEN 'val'
+         ELSE 'test' END AS grouped_split
+  FROM comp
+),
+audited AS (
+  SELECT a1.naive_split AS n1, a1.grouped_split AS g1,
+         a2.naive_split AS n2, a2.grouped_split AS g2
+  FROM j JOIN assigned a1 ON j.id1 = a1.doc_id
+         JOIN assigned a2 ON j.id2 = a2.doc_id
+),
+leaks AS (
+  SELECT coalesce(sum((n1 <> n2)::BIGINT), 0)::BIGINT AS naive_leak_pairs,
+         coalesce(sum((g1 <> g2)::BIGINT), 0)::BIGINT AS grouped_leak_pairs
+  FROM audited
+),
+counts AS (
+  SELECT count(*)::BIGINT AS n_docs, count(DISTINCT comp)::BIGINT AS n_clusters,
+         sum((grouped_split = 'train')::BIGINT)::BIGINT AS n_train_grouped
+  FROM assigned
+)
+SELECT n_docs, n_clusters, n_train_grouped, naive_leak_pairs, grouped_leak_pairs
+FROM counts, leaks
+"""

@@ -61,3 +61,16 @@ def test_dataset_split_stable_under_subset(spark):
     assert set(full) <= {"train", "val", "test"}
     assert full.get("train", 0) > full.get("val", 0)
     assert full.get("train", 0) > full.get("test", 0)
+
+
+def test_split_leakage_guard_contract(spark):
+    """The guard's contract: cluster-keyed splits leak ZERO near-dup
+    pairs across splits, while the naive per-doc hash leaks some on the
+    same corpus (the evidence the guard matters)."""
+    from hadoop_mapreduce_spark.operators.curation import split_leakage_guard
+
+    row = split_leakage_guard(spark, SF_DIR).collect()[0]
+    assert row.grouped_leak_pairs == 0
+    assert row.naive_leak_pairs > 0
+    assert 0 < row.n_clusters <= row.n_docs
+    assert 0 < row.n_train_grouped <= row.n_docs
