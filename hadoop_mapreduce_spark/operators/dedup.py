@@ -858,32 +858,27 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str,
     ).select(
         "doc_id", "chunk_idx", "chunk", _h60(F.col("chunk")).alias("h"))
     w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
-    kept = (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
-    rebuilt = (
-        kept.groupBy("doc_id")
+    # flag winners instead of filtering them: every chunk row then flows
+    # into ONE doc-keyed aggregate that counts totals, counts keepers,
+    # and rebuilds the text in the same pass (collect_list drops the
+    # NULL entries of removed chunks) — a filter would need a separate
+    # totals aggregate plus a join to re-anchor fully-deduped docs.
+    flagged = chunks.withColumn(
+        "keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.concat_ws(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.md5(F.concat_ws(
                 " ",
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("chunk_idx", "chunk")))),
                     lambda s: s["chunk"],
                 ),
-            ).alias("rebuilt"),
-        )
-    )
-    totals = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.md5(F.coalesce(F.col("rebuilt"), F.lit(""))).alias("dedup_fp"),
+            )).alias("dedup_fp"),
         )
         .orderBy("doc_id")
     )
