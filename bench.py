@@ -51,6 +51,17 @@ HEADLINE = [
     "dedup_components_star",
     "decontaminate_ngram",
     "pipeline_pretrain",
+    # round-5 families, one representative each (same growth protocol as
+    # round 4's 19->22; totals across rounds are not comparable at face
+    # value — per-query rows are the stable series): Bloom-bitmap
+    # decontamination, sub-document span dedup, corpus-LM quality,
+    # Z-order layout, and the near-dup-aware split guard (whose DuckDB
+    # twin is the same recursive-CTE CC the star-CC row exercises).
+    "bloom_decontaminate",
+    "dedup_span_chunks",
+    "unigram_logprob_quality",
+    "zorder_layout",
+    "split_leakage_guard",
 ]
 
 

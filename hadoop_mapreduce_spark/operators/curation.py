@@ -262,14 +262,16 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     engines).
     """
     from hadoop_mapreduce_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         dedup_ngram_jaccard,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select(
         "id1", "id2")
-    comp = connected_components(docs, pairs)  # (doc_id, comp)
+    # star CC, not label propagation: O(log n) rounds vs O(diameter) —
+    # both produce min-reachable component ids (property-tested equal)
+    comp = connected_components_star(docs, pairs)  # (doc_id, comp)
 
     def bucket(col):
         return (
