@@ -371,3 +371,106 @@ def multimodal_features(spark: SparkSession, sf_dir: str, dim: int = 8) -> DataF
         "doc_id", F.size("features").cast("long").alias("dim"),
         F.round("feat_norm", 6).alias("feat_norm"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Audio modality: real RIFF/WAVE PCM writer + header parser
+# --------------------------------------------------------------------------
+
+def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
+             bits: int = 16) -> bytes:
+    """A genuinely valid RIFF/WAVE PCM file (header + silence payload —
+    the byte layout is real even though the samples are zeros; a codec
+    library would read it)."""
+    block_align = channels * bits // 8
+    data_len = n_samples * block_align
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits)
+    return hdr + fmt + b"data" + struct.pack("<I", data_len) + bytes(data_len)
+
+
+def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
+    """REAL WAV metadata decode: walks the RIFF chunk list (fmt may not
+    be the first chunk in the wild) and returns (sample_rate, channels,
+    bits, n_samples), or None for non-WAV payloads."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE" or len(blob) < 36:
+        return None
+    pos = 12
+    rate = ch = bits = block_align = None
+    n_samples = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if tag == b"fmt " and size >= 16:
+            _, ch, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", blob, pos + 8)
+        elif tag == b"data" and block_align:
+            n_samples = size // block_align
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or n_samples is None:
+        return None
+    return rate, ch, bits, n_samples
+
+
+def with_audio_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) with a valid WAV file per document: sample count
+    and rate derive deterministically from the utf-8 byte length of the
+    text (rate cycles 8k/16k/44.1k by doc_id % 3, n_samples =
+    n_bytes * 10) so the SQL oracle can compute the expected decode
+    output without parsing bytes. Same Arrow-batched mapInPandas shape
+    as with_image_payload."""
+    rates = (8000, 16000, 44100)
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                make_wav(rates[doc_id % 3], len(text.encode("utf-8")) * 10)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        generate, "doc_id long, blob binary")
+
+
+def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: real WAV blobs → REAL RIFF chunk-walk decode →
+    per-document audio metadata with duration. The oracle computes the
+    expected values from the deterministic payload recipe, so any
+    parser bug (chunk alignment, block-align math, little-endian
+    offsets) breaks the hash. Plan shape: mapInPandas generate →
+    mapInPandas decode → projection → orderBy; the decode is
+    Arrow-batched, never per-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_audio_payload(docs)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, bits_, samples = [], [], [], []
+            for b in pdf["blob"]:
+                parsed = parse_wav_header(bytes(b))
+                if parsed is None:
+                    parsed = (0, 0, 0, 0)
+                rates.append(parsed[0])
+                chans.append(parsed[1])
+                bits_.append(parsed[2])
+                samples.append(parsed[3])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sample_rate": rates,
+                "channels": chans,
+                "bits": bits_,
+                "n_samples": samples,
+            })
+
+    decoded = blobs.mapInPandas(
+        decode,
+        "doc_id long, sample_rate long, channels long, bits long, n_samples long",
+    )
+    return decoded.select(
+        "doc_id", "sample_rate", "channels", "bits", "n_samples",
+        F.round(F.col("n_samples") * 1000.0 / F.col("sample_rate"), 3)
+        .alias("duration_ms"),
+    ).orderBy("doc_id")

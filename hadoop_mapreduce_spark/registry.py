@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq_adc": similarity.ann_pq_adc,  # rows-only (quantized ranks)
     "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
     "split_leakage_guard": curation.split_leakage_guard,
+    "audio_meta": multimodal.audio_meta,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1740,4 +1741,21 @@ counts AS (
 )
 SELECT n_docs, n_clusters, n_train_grouped, naive_leak_pairs, grouped_leak_pairs
 FROM counts, leaks
+"""
+
+# Audio modality: real RIFF/WAVE chunk-walk decode; the oracle computes
+# the expected metadata from the deterministic payload recipe (rate
+# cycles 8k/16k/44.1k by doc_id % 3, n_samples = text bytes * 10), so
+# any parser bug breaks the hash — same contract as multimodal_decode.
+ORACLE["audio_meta"] = """
+WITH b AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)::BIGINT
+      AS sample_rate,
+    (octet_length(encode(text)) * 10)::BIGINT AS n_samples
+  FROM documents
+)
+SELECT doc_id, sample_rate, 1::BIGINT AS channels, 16::BIGINT AS bits,
+  n_samples, round(n_samples * 1000.0 / sample_rate, 3) AS duration_ms
+FROM b ORDER BY doc_id
 """

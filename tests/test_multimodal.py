@@ -131,3 +131,39 @@ def test_frame_sample_counts(spark):
     rows = frame_sample(spark, SF_DIR, every=2).collect()
     # frames are 1 (bmp/png) or 1-5 (gif) -> sampled every 2nd: 1-3
     assert all(1 <= r.n_sampled <= 3 for r in rows)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """parse_wav_header must really parse bytes: roundtrip through
+    make_wav, survive an extra chunk BEFORE fmt (wild files put LIST
+    first), honor RIFF 2-byte alignment, and reject non-WAV."""
+    import struct
+
+    from hadoop_mapreduce_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    assert parse_wav_header(make_wav(16000, 1234)) == (16000, 1, 16, 1234)
+    assert parse_wav_header(make_wav(44100, 7, channels=2, bits=8)) == \
+        (44100, 2, 8, 7)
+    # inject an odd-sized LIST chunk before fmt: the walker must skip
+    # it (with pad byte) and still find fmt/data
+    base = make_wav(8000, 50)
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    wild = base[:12] + odd + base[12:]
+    wild = wild[:4] + struct.pack("<I", len(wild) - 8) + wild[8:]
+    assert parse_wav_header(wild) == (8000, 1, 16, 50)
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\nnot a wav") is None
+    assert parse_wav_header(b"RIFF....WAVE") is None
+
+
+def test_audio_meta_counts(spark):
+    from hadoop_mapreduce_spark.operators.multimodal import audio_meta
+
+    rows = audio_meta(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r.sample_rate in (8000, 16000, 44100)
+        assert r.channels == 1 and r.bits == 16
+        assert abs(r.duration_ms - r.n_samples * 1000.0 / r.sample_rate) < 0.01
