@@ -212,3 +212,71 @@ def test_int8_quantization_error_bound_any_vector(spark, vec):
     max_err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
     row = df.select(max_err.alias("e"), scale.alias("s")).collect()[0]
     assert row.e <= row.s / 2 + 1e-12
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+    min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_morton_interleave_bijective_and_monotone_prefix(spark, pairs):
+    """The Morton code must be a bijection on 16-bit pairs (decodable by
+    de-interleaving bits) — the property that makes z-prefix file cuts
+    contiguous curve ranges."""
+    from hadoop_mapreduce_spark.operators.layout import morton_interleave16
+
+    df = spark.createDataFrame(pairs, "x: long, y: long").select(
+        "x", "y", morton_interleave16(F.col("x"), F.col("y")).alias("z"))
+    for r in df.collect():
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_span_chunk_dedup_conserves_and_reconstructs(spark, texts):
+    """For any corpus: kept <= total chunks, total kept == number of
+    DISTINCT chunk contents (first-occurrence-wins covers each distinct
+    chunk exactly once), and a doc losing nothing fingerprints to its
+    own normalized text."""
+    import hashlib
+
+    from hadoop_mapreduce_spark.operators import dedup as dd
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+    import hadoop_mapreduce_spark.operators.dedup as dedup_mod
+    from unittest.mock import patch
+
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long")
+    with patch.object(dedup_mod, "load_table", lambda s, d, n: df):
+        out = dd.dedup_span_chunks(spark, "ignored", chunk_tokens=2).collect()
+    # model: chunks of 2 tokens, stride 2, python-side
+    def chunks_of(t):
+        toks = [w for w in re.split(r"\s+", re.sub(r"[^a-zA-Z0-9\s]+", "", t).lower()) if w]
+        return [" ".join(toks[i:i + 2]) for i in range(0, len(toks), 2)]
+
+    all_chunks = []
+    per_doc = {}
+    for i, t in enumerate(texts):
+        cs = chunks_of(t)
+        if cs:
+            per_doc[i] = cs
+            all_chunks.extend(cs)
+    assert len(out) == len(per_doc)
+    got_kept = sum(r.n_kept for r in out)
+    assert got_kept == len(set(all_chunks))
+    seen = set()
+    for r in sorted(out, key=lambda r: r.doc_id):
+        cs = per_doc[r.doc_id]
+        assert r.n_chunks == len(cs)
+        # first occurrence within the doc also dedupes in-doc repeats
+        kept_model = []
+        for c in cs:
+            if c not in seen:
+                seen.add(c)
+                kept_model.append(c)
+        assert r.n_kept == len(kept_model)
+        want_fp = hashlib.md5(" ".join(kept_model).encode()).hexdigest()
+        assert r.dedup_fp == want_fp
