@@ -193,3 +193,152 @@ def pipeline_curation(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def pipeline_pretrain_scale(spark: SparkSession, sf_dir: str,
+                            n: int = 4, bench_mod: int = 20,
+                            chunk_tokens: int = 8,
+                            m_bits: int = 1 << 16,
+                            n_hashes: int = 3) -> DataFrame:
+    """The round-5 scale-path assembly: corpus-LM quality gate →
+    sub-document span dedup (with text reconstruction) → Bloom-bitmap
+    benchmark decontamination on the REBUILT text → per-source ledger.
+
+    pipeline_pretrain composes the exact-path operators (broadcast gram
+    set, whole-doc dedup); this twin composes their 100 TB siblings —
+    the Bloom filter whose broadcast size is constant in benchmark
+    count, span dedup that removes boilerplate inside surviving docs,
+    and the unigram-LM score that replaces hand-set quality cutoffs
+    with a corpus-adaptive one. Decontamination deliberately runs on
+    the REBUILT text: span dedup changes a document's gram set, and
+    probing the version that will actually be trained on is the
+    correct-by-construction order.
+
+    Stage plumbing (one Catalyst plan; shuffles in stage order):
+    unigram LM = one vocab aggregate (broadcast) + one doc-keyed agg;
+    span dedup = chunk-hash window + doc-keyed rebuild; decontamination
+    = bit_or bitmap (broadcast map) + a probe projection; ledger = one
+    per-source rollup. Benchmark docs (doc_id % bench_mod == 0) feed
+    the bitmap from their ORIGINAL text and are excluded from training.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+    from hadoop_mapreduce_spark.operators.datamix import _bloom_probes
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("t"))
+    is_bench = F.col("doc_id") % bench_mod == 0
+
+    # ---- stage A: corpus-unigram LM quality gate over TRAIN docs ----
+    tok = toks.where(~is_bench).select(
+        "doc_id", "source", F.explode("t").alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("c") / F.col("n_total"))).alias("score"))
+    )
+    cut = scored.agg((F.avg("score") - F.lit(0.05)).alias("cut"))
+    kept_q = (
+        scored.crossJoin(F.broadcast(cut))
+        .where(F.col("score") >= F.col("cut"))
+        .select("doc_id", "source")
+    )
+
+    # ---- stage B: span dedup + rebuild over quality survivors ----
+    chunks = (
+        toks.join(kept_q.select("doc_id"), "doc_id", "left_semi")
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id", "source",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, size(t), {chunk_tokens}),"
+                f" s -> concat_ws(' ', slice(t, s, {chunk_tokens})))"
+            )).alias("chunk_idx", "chunk"))
+        .select("doc_id", "source", "chunk_idx", "chunk",
+                F.conv(F.substring(F.md5("chunk"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    rebuilt = (
+        chunks.withColumn("keep", F.row_number().over(w) == 1)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(" ", F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("keep"), F.struct("chunk_idx", "chunk")))),
+                lambda s: s["chunk"],
+            )).alias("rebuilt"),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+
+    # ---- stage C: Bloom decontamination on the REBUILT text ----
+    bench_grams = toks.where(is_bench).select(
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(F.col("t"), n))).alias("g"))
+    bench_bits = None
+    for word, mask in _bloom_probes(F.col("g"), n_hashes, m_bits):
+        part = bench_grams.select(word.alias("word"), mask.alias("mask"))
+        bench_bits = part if bench_bits is None else bench_bits.unionAll(part)
+    bm1 = (
+        bench_bits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+             .alias("bm"))
+    )
+
+    def gram_hit(g):
+        conds = []
+        for word, mask in _bloom_probes(g, n_hashes, m_bits):
+            bits = F.element_at(F.col("bm"), word)
+            conds.append(
+                F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    final = (
+        rebuilt
+        .select("doc_id", "source", "n_kept",
+                F.split("rebuilt", " ").alias("rt"))
+        .crossJoin(F.broadcast(bm1))
+        .withColumn(
+            "contaminated",
+            F.exists(F.array_distinct(ngrams_from_tokens(F.col("rt"), n)),
+                     gram_hit))
+    )
+
+    # ---- ledger ----
+    n_in = toks.where(~is_bench).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"))
+    n_q = kept_q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    out = (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_dedup"),
+            F.sum((~F.col("contaminated")).cast("long")).alias("n_clean"),
+            F.sum(F.when(~F.col("contaminated"), F.size("rt"))
+                  .otherwise(F.lit(0))).cast("long").alias("final_tokens"),
+        )
+    )
+    return (
+        n_in.join(n_q, "source", "left")
+        .join(out, "source", "left")
+        .select(
+            "source",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_dedup"),
+            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+            F.coalesce("final_tokens", F.lit(0)).cast("long")
+            .alias("final_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
     "split_leakage_guard": curation.split_leakage_guard,
     "audio_meta": multimodal.audio_meta,
+    "pipeline_pretrain_scale": pipeline.pipeline_pretrain_scale,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1758,4 +1759,82 @@ WITH b AS (
 SELECT doc_id, sample_rate, 1::BIGINT AS channels, 16::BIGINT AS bits,
   n_samples, round(n_samples * 1000.0 / sample_rate, 3) AS duration_ms
 FROM b ORDER BY doc_id
+"""
+
+# Round-5 scale-path assembly: LM-quality gate -> span dedup + rebuild
+# -> Bloom decontamination ON THE REBUILT TEXT -> per-source ledger.
+# Every hash is md5-derived, so the chain is hash-comparable end to end.
+ORACLE["pipeline_pretrain_scale"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, source, unnest(t) AS tk FROM toks WHERE doc_id % 20 <> 0),
+vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+total AS (SELECT sum(c) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id, source, avg(ln(c * 1.0 / n_total)) AS score
+  FROM tok JOIN vocab USING (tk), total GROUP BY 1, 2
+),
+cut AS (SELECT avg(score) - 0.05 AS cut FROM scored),
+kept_q AS (SELECT doc_id, source FROM scored, cut WHERE score >= cut),
+chunks AS (
+  SELECT t.doc_id, t.source, x.i AS chunk_idx,
+    array_to_string(t.t[x.s:x.s+7], ' ') AS chunk
+  FROM toks t JOIN kept_q k USING (doc_id),
+    LATERAL (SELECT unnest(generate_series(1, len(t.t), 8)) AS s,
+                    unnest(generate_series(0, (len(t.t)-1)//8)) AS i) x
+  WHERE len(t.t) > 0
+),
+hashed AS (SELECT *, ('0x' || substr(md5(chunk), 1, 15))::UBIGINT::BIGINT AS h FROM chunks),
+keptc AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM hashed),
+rebuilt AS (
+  SELECT doc_id, source, sum((rn = 1)::BIGINT) AS n_kept,
+    string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1) AS rebuilt
+  FROM keptc GROUP BY 1, 2 HAVING sum((rn = 1)::BIGINT) > 0
+),
+bgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
+  WHERE doc_id % 20 = 0
+),
+bprobes AS (
+  SELECT ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT % 65536 AS h
+  FROM bgrams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+),
+bitmap AS (SELECT h // 63 AS word, bit_or(1::BIGINT << (h % 63)::INT) AS bits FROM bprobes GROUP BY 1),
+rt AS (SELECT doc_id, source, n_kept, string_split(rebuilt, ' ') AS rt FROM rebuilt),
+rgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(rt[i:i+3], ' ') AS g
+  FROM rt, LATERAL (SELECT unnest(generate_series(1, len(rt)-3)) AS i) x
+),
+rprobes AS (
+  SELECT doc_id, g,
+    ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT % 65536 AS h
+  FROM rgrams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+),
+pg AS (
+  SELECT p.doc_id, p.g,
+    min(CASE WHEN b.bits IS NOT NULL
+              AND (b.bits & (1::BIGINT << (p.h % 63)::INT)) <> 0
+         THEN 1 ELSE 0 END) AS hit
+  FROM rprobes p LEFT JOIN bitmap b ON p.h // 63 = b.word
+  GROUP BY 1, 2
+),
+contam AS (SELECT doc_id, max(hit) AS cont FROM pg GROUP BY 1),
+final AS (
+  SELECT r.doc_id, r.source, len(r.rt) AS ntok, coalesce(c.cont, 0) AS cont
+  FROM rt r LEFT JOIN contam c USING (doc_id)
+),
+n_in AS (SELECT source, count(*) AS n_in FROM documents WHERE doc_id % 20 <> 0 GROUP BY source),
+n_q AS (SELECT source, count(*) AS n_quality FROM kept_q GROUP BY source),
+outp AS (
+  SELECT source, count(*) AS n_dedup, sum((cont = 0)::BIGINT) AS n_clean,
+    sum(CASE WHEN cont = 0 THEN ntok ELSE 0 END) AS final_tokens
+  FROM final GROUP BY source
+)
+SELECT i.source, i.n_in::BIGINT AS n_in,
+  coalesce(q.n_quality, 0)::BIGINT AS n_quality,
+  coalesce(o.n_dedup, 0)::BIGINT AS n_dedup,
+  coalesce(o.n_clean, 0)::BIGINT AS n_clean,
+  coalesce(o.final_tokens, 0)::BIGINT AS final_tokens
+FROM n_in i LEFT JOIN n_q q USING (source) LEFT JOIN outp o USING (source)
+ORDER BY i.source
 """

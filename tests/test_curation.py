@@ -74,3 +74,20 @@ def test_split_leakage_guard_contract(spark):
     assert row.naive_leak_pairs > 0
     assert 0 < row.n_clusters <= row.n_docs
     assert 0 < row.n_train_grouped <= row.n_docs
+
+
+def test_pipeline_pretrain_scale_monotone_ledger(spark):
+    """Ledger stages only shrink: n_in >= n_quality >= n_dedup >=
+    n_clean, and surviving docs carry tokens."""
+    from hadoop_mapreduce_spark.operators.pipeline import (
+        pipeline_pretrain_scale,
+    )
+
+    rows = pipeline_pretrain_scale(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_in >= r.n_quality >= r.n_dedup >= r.n_clean >= 0
+        assert (r.final_tokens > 0) == (r.n_clean > 0)
+    # the pipeline must actually do something at each stage somewhere
+    assert any(r.n_clean < r.n_dedup for r in rows)  # decon fires
+    assert sum(r.final_tokens for r in rows) > 0
