@@ -362,3 +362,69 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def hll_union_sources(spark: SparkSession, sf_dir: str,
+                      lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-token sketches via Spark 4's Apache
+    DataSketches HLL surface: one hll_sketch_agg per source, then
+    hll_union_agg rolls the per-source sketches up to a corpus-wide
+    estimate WITHOUT re-touching the token stream — the sketch algebra
+    a 100 TB engine needs (per-partition sketches merge at bytes cost;
+    approx_count_distinct can't expose its partials for reuse).
+
+    Output: one row per source plus a '__all__' row whose estimate
+    comes from UNIONING the 20 source sketches (not from rescanning).
+    Registered rows-only (sketch estimates are implementation-specific);
+    tests assert each estimate within 5% of the exact distinct count —
+    HLL register maxima are order-independent, so the estimates are
+    deterministic for a given dataset.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tk"))
+    sketches = tok.groupBy("source").agg(
+        F.hll_sketch_agg("tk", F.lit(lg_k)).alias("sk"))
+    per_source = sketches.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct"))
+    union_all = (
+        sketches.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.lit("__all__").alias("source"),
+                F.hll_sketch_estimate("sk").cast("long").alias("est_distinct"))
+    )
+    return per_source.unionByName(union_all).orderBy("source")
+
+
+def doc_hash_embedding(spark: SparkSession, sf_dir: str,
+                       dim: int = 32) -> DataFrame:
+    """Feature-hashing document vectors (the "hashing trick"): bucket =
+    md5(token) mod dim, value = occurrence count — a dependency-free
+    text embedding that turns `documents` into vectors for the
+    similarity stack without a model. Output per doc: nnz (distinct
+    buckets hit), l2 norm, and the argmax bucket (ties to the lowest
+    bucket) — the scalar audit of the vector; the vector itself stays
+    distributed (one groupBy(doc, bucket) exchange, map-side
+    combinable).
+
+    Engine-portable: buckets are md5-derived, counts are integers, and
+    the norm rounds at 4dp — the DuckDB oracle rebuilds the identical
+    vectors, so this is hash-comparable (unlike a model embedding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens("text")).alias("tk"))
+    bucketed = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10)
+         .cast("long") % dim).alias("b"),
+    )
+    cells = bucketed.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("v"))
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("l2norm"),
+            F.max_by("b", F.struct(F.col("v"), (-F.col("b")).alias("nb")))
+            .cast("long").alias("top_bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -76,6 +76,8 @@ QUERIES: dict[str, QueryFn] = {
     "split_leakage_guard": curation.split_leakage_guard,
     "audio_meta": multimodal.audio_meta,
     "pipeline_pretrain_scale": pipeline.pipeline_pretrain_scale,
+    "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
+    "doc_hash_embedding": textstats.doc_hash_embedding,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1837,4 +1839,28 @@ SELECT i.source, i.n_in::BIGINT AS n_in,
   coalesce(o.final_tokens, 0)::BIGINT AS final_tokens
 FROM n_in i LEFT JOIN n_q q USING (source) LEFT JOIN outp o USING (source)
 ORDER BY i.source
+"""
+
+# Feature-hashing document vectors: md5-bucket counts, portable on both
+# engines; argmax tie-break = lowest bucket on both sides.
+ORACLE["doc_hash_embedding"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+cells AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT % 32 AS b,
+         count(*) AS v
+  FROM tok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, b, v,
+    row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, b ASC) AS rn
+  FROM cells
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS nnz,
+    round(sqrt(sum(v * v)), 4) AS l2norm
+  FROM cells GROUP BY doc_id
+)
+SELECT a.doc_id, a.nnz, a.l2norm, r.b::BIGINT AS top_bucket
+FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
+ORDER BY a.doc_id
 """
