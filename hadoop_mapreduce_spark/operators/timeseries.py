@@ -229,3 +229,72 @@ def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "open", "close", "low", "high", "n")
         .orderBy("user_id", "day")
     )
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str,
+                           n_out: int = 24) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each event_type's
+    (ts, value) series to n_out visually-representative points —
+    the standard dashboarding reduction (Steinarsson 2013): per bucket,
+    keep the point maximising the triangle area formed with the
+    previously KEPT point and the next bucket's centroid.
+
+    The selection is inherently sequential (each pick depends on the
+    previous), so it runs per-series inside applyInPandas — the pattern
+    this repo reserves for genuinely procedural kernels. Parallelism is
+    across series (one pandas group per event_type); a single series'
+    points must fit one worker, which holds by construction because the
+    INPUT to LTTB at scale is a pre-aggregate (per-minute OHLC/avg, a
+    bounded row count), not raw events.
+
+    Registered rows-only: triangle-area argmaxes over float arithmetic
+    aren't robustly SQL-portable (ties + FP associativity), so the
+    invariants are tested instead: first/last point kept verbatim,
+    exactly min(n_out, n) rows per series, output is a subsequence of
+    the input in time order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            out = pdf
+        else:
+            xs, ys = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+            # bucket boundaries over the interior points (first and
+            # last are always kept)
+            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            idx = [0]
+            a = 0
+            for b in range(n_out - 2):
+                lo, hi = bounds[b], bounds[b + 1]
+                nlo, nhi = bounds[b + 1], (bounds[b + 2]
+                                           if b + 2 < len(bounds) else n)
+                cx, cy = xs[nlo:nhi].mean(), ys[nlo:nhi].mean()
+                area = np.abs(
+                    (xs[a] - cx) * (ys[lo:hi] - ys[a])
+                    - (xs[a] - xs[lo:hi]) * (cy - ys[a]))
+                a = lo + int(area.argmax())
+                idx.append(a)
+            idx.append(n - 1)
+            out = pdf.iloc[idx]
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out[["event_type", "rank", "x", "y", "event_id"]]
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(
+            lttb,
+            "event_type string, rank long, x double, y double, event_id long")
+        .orderBy("event_type", "rank")
+    )

@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_pretrain_scale": pipeline.pipeline_pretrain_scale,
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
     "doc_hash_embedding": textstats.doc_hash_embedding,
+    "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,

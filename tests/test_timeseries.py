@@ -97,3 +97,39 @@ def test_hierarchical_rollup_daily_matches_direct(spark):
         .collect()
     }
     assert daily == direct
+
+
+def test_lttb_invariants(spark):
+    """LTTB contract: exactly n_out points per series (inputs are
+    longer), endpoints kept verbatim, output a time-ordered subsequence
+    of the input, deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_lttb_downsample,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    out = events_lttb_downsample(spark, SF_DIR, n_out=24).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).collect()
+    by_series = {}
+    for r in ev:
+        by_series.setdefault(r.event_type, []).append((r.x, r.event_id))
+    got = {}
+    for r in out:
+        got.setdefault(r.event_type, []).append(r)
+    for et, rows in got.items():
+        pts = sorted(by_series[et])
+        assert len(rows) == min(24, len(pts))
+        assert rows[0].event_id == pts[0][1]
+        assert rows[-1].event_id == pts[-1][1]
+        xs = [r.x for r in rows]
+        assert xs == sorted(xs)
+        ids = {p[1] for p in pts}
+        assert all(r.event_id in ids for r in rows)
+    out2 = events_lttb_downsample(spark, SF_DIR, n_out=24).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
