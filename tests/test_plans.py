@@ -104,3 +104,38 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert "PartitionFilters" in text and "o_year" in text
     n_1997 = orders.where(F.col("o_year") == 1997).count()
     assert read.count() == n_1997
+
+
+def test_bloom_probe_side_no_join_no_gram_shuffle(spark):
+    """The Bloom probe side must be a projection against a broadcast
+    one-row map: no SortMergeJoin anywhere, and the only Exchanges are
+    the bitmap build aggregate and the final per-source rollup —
+    never an exchange keyed by gram strings."""
+    from hadoop_mapreduce_spark.operators.datamix import bloom_decontaminate
+
+    text = static_plan_text(bloom_decontaminate(spark, SF_DIR))
+    assert "SortMergeJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_zorder_single_aggregation_exchange(spark):
+    """Z-order layout is a scan -> bit-arithmetic projection -> one
+    hash aggregate: no sort-merge join, no window, and the Morton
+    expression stays inside whole-stage codegen."""
+    from hadoop_mapreduce_spark.operators.layout import zorder_layout
+
+    text = static_plan_text(zorder_layout(spark, SF_DIR))
+    assert "SortMergeJoin" not in text
+    assert "Window" not in text
+    assert "codegen id" in text
+    assert text.count("HashAggregate") >= 2  # partial + final
+
+
+def test_span_chunks_exactly_two_keyed_exchanges(spark):
+    """Span dedup's contract: one exchange on the chunk hash (window)
+    plus one on doc_id (rebuild aggregate) — flag-don't-filter means no
+    third join exchange re-anchoring totals."""
+    from hadoop_mapreduce_spark.operators.dedup import dedup_span_chunks
+
+    text = static_plan_text(dedup_span_chunks(spark, SF_DIR))
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
