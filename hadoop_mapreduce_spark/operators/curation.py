@@ -263,12 +263,19 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     """
     from hadoop_mapreduce_spark.operators.dedup import (
         connected_components_star,
-        dedup_ngram_jaccard,
+        dedup_minhash_lsh,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select(
-        "id1", "id2")
+    # edges from the banded-LSH verified candidates, like
+    # dedup_components_star: every candidate is verified with EXACT
+    # shingle Jaccard before thresholding, so the edge set equals the
+    # exact all-pairs set w.h.p. (P[miss | j=0.8] ~ 8e-8 per pair) and
+    # the recursive-CTE oracle still hash-matches; generation is
+    # O(colliding pairs), not the inverted index's O(postings^2)
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2").persist()
+    pairs.count()  # materialize: referenced by CC rounds AND the audit
     # star CC, not label propagation: O(log n) rounds vs O(diameter) —
     # both produce min-reachable component ids (property-tested equal)
     comp = connected_components_star(docs, pairs)  # (doc_id, comp)
