@@ -104,3 +104,34 @@ def apply_changes(spark: SparkSession, root: str, changes: DataFrame,
     current = read_snapshot(spark, root)
     merged = merge_apply(current, changes, key, op_col=op_col, seq_col=seq_col)
     return write_snapshot(merged, root)
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest `keep_last` committed
+    versions (Delta VACUUM's contract at version granularity — full
+    snapshots mean a version is independently deletable; no data-file
+    refcounting needed until versions share files).
+
+    Time travel to a vacuumed version then raises in read_snapshot, the
+    same trade real retention makes. The CURRENT version can never be
+    deleted (keep_last is clamped to >= 1), uncommitted debris
+    directories (no _SUCCESS — crashed writes) are swept too, and
+    deletion order is oldest-first so a crash mid-vacuum leaves a
+    contiguous suffix of history. Returns the deleted version numbers.
+    """
+    import shutil
+
+    keep_last = max(1, keep_last)
+    versions = list_versions(root)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    # sweep uncommitted debris (tmp dirs and _SUCCESS-less versions)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            m = _VER_RE.match(d)
+            uncommitted = m and not os.path.isfile(os.path.join(p, "_SUCCESS"))
+            if uncommitted or d.startswith("."):
+                shutil.rmtree(p, ignore_errors=True)
+    return doomed

@@ -123,3 +123,42 @@ def test_streaming_changes_fold_into_versions(spark, tmp_path):
     assert mid == {1: 100.0, 2: 20.0, 3: 30.0, 9: 90.0}
     orig = {r.k: r.val for r in read_snapshot(spark, root, version=1).collect()}
     assert orig == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_vacuum_retention_and_debris_sweep(spark, tmp_path):
+    """vacuum keeps the newest keep_last committed versions, never the
+    current one's predecessor count below 1, deletes crashed-write
+    debris, and time travel to a vacuumed version raises."""
+    import os
+
+    import pytest
+
+    from hadoop_mapreduce_spark.sources.snapshots import (
+        list_versions,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        df = spark.range(10 + i).withColumnRenamed("id", "k")
+        write_snapshot(df, root)
+    assert list_versions(root) == [1, 2, 3, 4]
+    # fake a crashed write: version dir without _SUCCESS
+    os.makedirs(os.path.join(root, "v=9"))
+    with open(os.path.join(root, "v=9", "part-0.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert list_versions(root) == [1, 2, 3, 4]  # debris invisible
+
+    deleted = vacuum(root, keep_last=2)
+    assert deleted == [1, 2]
+    assert list_versions(root) == [3, 4]
+    assert not os.path.isdir(os.path.join(root, "v=9"))  # debris swept
+    assert read_snapshot(spark, root).count() == 13  # latest intact
+    assert read_snapshot(spark, root, version=3).count() == 12
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=1)
+    # keep_last clamps to 1: current version survives any argument
+    vacuum(root, keep_last=0)
+    assert list_versions(root) == [4]
