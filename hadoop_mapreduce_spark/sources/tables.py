@@ -245,3 +245,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     the DuckDB oracle uses)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_strict(spark: SparkSession, path: str, schema: str,
+                    mode: str = "PERMISSIVE",
+                    corrupt_col: str = "_corrupt_record",
+                    **options) -> DataFrame:
+    """Schema-enforced CSV ingest with explicit malformed-record policy
+    — the ingest hygiene a 100 TB pipeline needs (silent type coercion
+    on dirty CSV is how bad rows poison a corpus).
+
+    mode='PERMISSIVE' (default): unparseable rows null out and land
+    verbatim in `corrupt_col` for quarantine/audit; 'DROPMALFORMED'
+    silently drops them; 'FAILFAST' raises on the first. The corrupt
+    column must be declared in the schema for PERMISSIVE capture
+    (Spark contract) — this helper appends it automatically.
+    """
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema:
+        schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(schema)
+        .options(header="true", mode=mode,
+                 columnNameOfCorruptRecord=corrupt_col, **options)
+        .csv(path)
+    )
+
+
+def run_with_metrics(df: DataFrame, name: str, metric_exprs: dict):
+    """Attach Observation metrics to a DataFrame and force one pass
+    through the noop sink; returns the observed metric dict.
+
+    This is `df.observe` — metrics computed ON the executors DURING the
+    job (no second scan, no collect of data): row counts, null rates,
+    value bounds ride along with the write. The audit pattern for
+    production pipelines: the job that writes the corpus also emits its
+    own data-quality counters.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F  # noqa: F401 (callers build exprs)
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[v.alias(k) for k, v in metric_exprs.items()])
+    observed.write.format("noop").mode("overwrite").save()
+    return obs.get

@@ -161,3 +161,41 @@ def test_xml_round_trip_preserves_rows(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, nation.collect())
     )
+
+
+def test_read_csv_strict_permissive_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,10\n2,notanint\n3,30\n")
+    from hadoop_mapreduce_spark.sources.tables import read_csv_strict
+
+    df = read_csv_strict(spark, str(p), "k int, v int")
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].v == 10 and rows[1]._corrupt_record is None
+    assert rows[2].v is None and "notanint" in rows[2]._corrupt_record
+    # DROPMALFORMED silently drops the bad row
+    dropped = read_csv_strict(spark, str(p), "k int, v int",
+                              mode="DROPMALFORMED")
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
+
+
+def test_run_with_metrics_observes_during_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+        run_with_metrics,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = run_with_metrics(
+        docs, "corpus_audit",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_texts": F.sum(F.col("text").isNull().cast("long")),
+            "max_chars": F.max("n_chars"),
+        },
+    )
+    assert got["n_rows"] == docs.count()
+    assert got["null_texts"] == 0
+    assert got["max_chars"] > 0
