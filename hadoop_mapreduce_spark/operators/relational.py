@@ -1263,3 +1263,54 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def mode_median_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 aggregate surface: mode() (deterministic=true for the
+    lowest-value tie-break, matching DuckDB's tie rule) and median()
+    per market segment — one keyed aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("mode(c_nationkey, true)").cast("long")
+            .alias("mode_nation"),
+            F.round(F.median("c_acctbal"), 2).alias("median_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide / try_add / try_to_number
+    return NULL instead of raising on bad input — the ingestion-hygiene
+    twin of read_csv_strict, per-row (one projection + one rollup).
+    Exercised on a synthetic divisor that hits zero, an overflow-prone
+    sum, and a numeric parse of the order-priority prefix."""
+    o = _t(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 7
+    return (
+        o.select(
+            "o_orderstatus",
+            F.try_divide(F.col("o_totalprice"), denom).alias("per_bucket"),
+            F.try_add(F.col("o_orderkey"),
+                      F.lit(9223372036854775807)).alias("overflow_add"),
+            F.try_to_number(F.regexp_extract("o_orderpriority",
+                                             r"([0-9]+)", 1),
+                            F.lit("999999999")).alias("priority_num"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("per_bucket").isNull().cast("long"))
+            .alias("n_div_by_zero"),
+            F.sum(F.col("overflow_add").isNull().cast("long"))
+            .alias("n_overflow"),
+            # avg of DECIMAL stays DECIMAL (prints 3.00, not 3.0) —
+            # cast to double for the engine-portable representation
+            F.round(F.avg("priority_num").cast("double"), 2)
+            .alias("avg_priority_num"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -79,6 +79,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
     "doc_hash_embedding": textstats.doc_hash_embedding,
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
+    "mode_median_aggs": relational.mode_median_aggs,
+    "try_arithmetic": relational.try_arithmetic,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1864,4 +1866,45 @@ agg AS (
 SELECT a.doc_id, a.nnz, a.l2norm, r.b::BIGINT AS top_bucket
 FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
 ORDER BY a.doc_id
+"""
+
+ORACLE["mode_median_aggs"] = """
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+  FROM customer GROUP BY 1, 2
+),
+winners AS (
+  SELECT c_mktsegment, min(c_nationkey) AS mode_nation
+  FROM (
+    SELECT c_mktsegment, c_nationkey, cnt,
+      max(cnt) OVER (PARTITION BY c_mktsegment) AS mx
+    FROM counts
+  ) WHERE cnt = mx
+  GROUP BY c_mktsegment
+),
+base AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n,
+    round(median(c_acctbal), 2) AS median_bal
+  FROM customer GROUP BY 1
+)
+SELECT b.c_mktsegment, b.n, w.mode_nation::BIGINT AS mode_nation, b.median_bal
+FROM base b JOIN winners w USING (c_mktsegment)
+ORDER BY b.c_mktsegment
+"""
+
+ORACLE["try_arithmetic"] = """
+WITH t AS (
+  SELECT o_orderstatus,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         ELSE o_totalprice / (o_orderkey % 7) END AS per_bucket,
+    CASE WHEN o_orderkey > 0 THEN NULL
+         ELSE o_orderkey + 9223372036854775807 END AS overflow_add,
+    try_cast(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS BIGINT) AS priority_num
+  FROM orders
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+  sum((per_bucket IS NULL)::BIGINT)::BIGINT AS n_div_by_zero,
+  sum((overflow_add IS NULL)::BIGINT)::BIGINT AS n_overflow,
+  round(avg(priority_num), 2) AS avg_priority_num
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
