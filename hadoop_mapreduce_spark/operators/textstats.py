@@ -341,13 +341,22 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(_tokens("text")).alias("tk"))
-    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    # collapse to (doc, token) counts FIRST: the vocab aggregate then
+    # reads the compacted frame (not the occurrence stream), and the
+    # scoring join touches one row per distinct doc-token instead of
+    # one per occurrence — avg(ln p) over occurrences ==
+    # sum(c_dt * ln p)/sum(c_dt) exactly (measured 1.2x at sf0.1, far
+    # more on repetitive corpora where occurrences >> distinct pairs)
+    per_tok = tok.groupBy("doc_id", "source", "tk").agg(
+        F.count(F.lit(1)).alias("cdt"))
+    vocab = per_tok.groupBy("tk").agg(F.sum("cdt").alias("c"))
     total = vocab.agg(F.sum("c").alias("n_total"))
     per_doc = (
-        tok.join(F.broadcast(vocab), "tk")
+        per_tok.join(F.broadcast(vocab), "tk")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "source")
-        .agg(F.avg(F.log(F.col("c") / F.col("n_total"))).alias("score"))
+        .agg((F.sum(F.col("cdt") * F.log(F.col("c") / F.col("n_total")))
+              / F.sum("cdt")).alias("score"))
     )
     thresh = per_doc.agg(
         (F.avg("score") - F.lit(0.05)).alias("cut"))
