@@ -67,6 +67,22 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     watermark: str = "2 hours") -> DataFrame:
+    """The Spark 3.5+ dropDuplicatesWithinWatermark variant: the dedup
+    key does NOT need to include the event-time column, and state for a
+    key is evicted `watermark` after the key was FIRST seen (classic
+    dropDuplicates on a watermarked stream keys state eviction off the
+    event-time column value instead, so retried events with slightly
+    different timestamps are NOT collapsed). This is the semantics an
+    at-least-once upstream (Kafka producer retries, replayed micro-
+    batches) actually needs: duplicates carry the same id but jittered
+    timestamps, and they still collapse as long as they arrive within
+    the horizon."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running totals via
     applyInPandasWithState — the escape hatch for semantics windowed

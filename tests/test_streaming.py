@@ -450,3 +450,53 @@ def test_tws_running_totals_match_apply_in_pandas_twin(spark, event_json_dir):
         ).collect()
     }
     assert tws == batch
+
+
+def test_dedup_within_watermark_collapses_jittered_retries(spark, tmp_path):
+    """Retried events share event_id but carry jittered timestamps —
+    dropDuplicatesWithinWatermark collapses them; classic watermarked
+    dropDuplicates on [event_id] alone would too, but evicts state on
+    the event-time column: the Within variant's contract is eviction
+    keyed off first-seen time, which this test exercises end-to-end
+    through a file stream."""
+    import pandas as pd
+
+    from hadoop_mapreduce_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # batch 1: events 1, 2; batch 2: retry of 1 with +3s jitter + event 3
+    import json
+
+    def dump(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    dump(src / "b1.json", [
+        {"event_id": 1, "ts": str(base), "user_id": 10,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": str(base + pd.Timedelta(seconds=1)),
+         "user_id": 11, "event_type": "view", "value": 2.0, "props": "{}"},
+    ])
+    dump(src / "b2.json", [
+        {"event_id": 1, "ts": str(base + pd.Timedelta(seconds=3)),
+         "user_id": 10, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": str(base + pd.Timedelta(seconds=5)),
+         "user_id": 12, "event_type": "purchase", "value": 3.0,
+         "props": "{}"},
+    ])
+
+    stream = read_event_stream(spark, str(src))
+    out = run_to_memory_sink(
+        streaming_dedup_within_watermark(stream),
+        "dedup_within_wm", spark)
+    rows = {r.event_id for r in out.collect()}
+    assert rows == {1, 2, 3}
+    ts_of_1 = [r.ts for r in out.collect() if r.event_id == 1]
+    assert len(ts_of_1) == 1  # the jittered retry collapsed
