@@ -118,6 +118,12 @@ def vacuum(root: str, keep_last: int = 2) -> list[int]:
     directories (no _SUCCESS — crashed writes) are swept too, and
     deletion order is oldest-first so a crash mid-vacuum leaves a
     contiguous suffix of history. Returns the deleted version numbers.
+
+    Concurrency caveat (same as real VACUUM): the debris sweep cannot
+    distinguish a crashed write from an IN-FLIGHT one — do not run
+    vacuum concurrently with writers (Delta scopes this with a
+    retention window; full-snapshot versions make the window moot but
+    the writer exclusion remains).
     """
     import shutil
 
