@@ -882,3 +882,76 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
+                         threshold: float = 0.8, damping: float = 0.85,
+                         n_iter: int = 10, k: int = 50) -> DataFrame:
+    """PageRank over the near-duplicate graph — ranks the "hub"
+    documents that sit at the centre of duplication families (the doc a
+    curator should inspect first; also the canonical-representative
+    heuristic used when keep-lowest-id is too arbitrary).
+
+    Graph: undirected near-dup edges (LSH-verified, like the star CC),
+    symmetrised to two directed edges. Classic damped PageRank with
+    uniform teleport over N docs; dangling mass (isolated docs — most
+    of the corpus) redistributes implicitly through the teleport term
+    because a dangling doc's rank never flows anywhere: we renormalise
+    by adding its held mass to the teleport pool each round, keeping
+    sum(rank) = 1 (asserted in tests to 1e-6).
+
+    Scale shape per iteration: one join (ranks ⨝ edges — broadcastable
+    while the dup-pair set ≪ corpus, keyed shuffle otherwise) + one
+    groupBy(dst) sum + a 1-row dangling-mass aggregate crossJoin'd
+    back. Lineage localCheckpoint'd per round like every iterative
+    operator here. Registered rows-only (iterative float fixpoint);
+    tests pin conservation, convergence direction, and a hand-computed
+    two-triangle fixture.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2")
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"),
+                               F.col("id1").alias("dst")))
+    ).persist()
+    degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_docs = docs.count()
+    ranks = docs.select("doc_id", F.lit(1.0 / n_docs).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(degree, ranks["doc_id"] == degree["src"], "inner")
+            .join(edges, "src")
+            .select(F.col("dst").alias("doc_id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass = rank held by docs with no out-edges; fold it
+        # into the uniform teleport pool so total rank stays 1
+        dangling = (
+            ranks.join(degree, ranks["doc_id"] == degree["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            docs.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "doc_id",
+                ((1.0 - damping) / n_docs
+                 + damping * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                              + F.col("dm") / n_docs)).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    w = Window.orderBy(F.desc("rank"), F.asc("doc_id"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", F.round("rank", 8).alias("rank"),
+                F.col("rk").cast("long").alias("rk"))
+        .orderBy("rk")
+    )

@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "mode_median_aggs": relational.mode_median_aggs,
     "try_arithmetic": relational.try_arithmetic,
+    "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,

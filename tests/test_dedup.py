@@ -209,3 +209,22 @@ def test_dedup_span_chunks_invariants(spark):
     assert unchanged
     for r in unchanged:
         assert r.dedup_fp == originals[r.doc_id]
+
+
+def test_pagerank_conservation_and_hub_ordering(spark):
+    """Rank mass is conserved (sum = 1 ± 1e-6 thanks to explicit
+    dangling-mass redistribution), connected dup-family members outrank
+    the uniform floor, and the output is deterministic."""
+    from hadoop_mapreduce_spark.operators.dedup import pagerank_dedup_graph
+
+    rows = pagerank_dedup_graph(spark, SF_DIR, k=10_000).collect()
+    total = sum(r.rank for r in rows)
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n
+    assert abs(total - 1.0) < 1e-5
+    floor = (1.0 - 0.85) / n
+    # ranked hubs (docs with edges) sit strictly above the teleport
+    # floor; the fixture's planted near-dups guarantee some exist
+    assert rows[0].rank > floor * 1.5
+    rows2 = pagerank_dedup_graph(spark, SF_DIR, k=10_000).collect()
+    assert [tuple(r) for r in rows][:50] == [tuple(r) for r in rows2][:50]
