@@ -46,6 +46,25 @@ from hadoop_mapreduce_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a custom distributed source with
+    partition planning and doc_id-range filter pushdown
+    (sources/pyds.py). The oracle replays the deterministic md5 recipe,
+    so the source's rows are hash-checkable without any file input."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.pyds import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_docs").option("n_docs", 200).load()
+        .where((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
+        .select("doc_id", "n_chars",
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -82,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     "mode_median_aggs": relational.mode_median_aggs,
     "try_arithmetic": relational.try_arithmetic,
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
+    "pyds_custom_source": _pyds_custom_source,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1908,4 +1928,24 @@ SELECT o_orderstatus, count(*)::BIGINT AS n,
   sum((overflow_add IS NULL)::BIGINT)::BIGINT AS n_overflow,
   round(avg(priority_num), 2) AS avg_priority_num
 FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# The custom Python data source's generation recipe, replayed in SQL:
+# word i of doc d = WORDS[md5(d||'|'||i)[:4] % 19], n_tokens =
+# 8 + md5(d)[:2] % 9 — identical md5 arithmetic on both engines.
+ORACLE["pyds_custom_source"] = """
+WITH ids AS (SELECT unnest(generate_series(50, 149)) AS doc_id),
+tok AS (
+  SELECT ids.doc_id, x.i,
+    (['key','agg','row','scan','slow','fast','table','value','part','hash',
+      'merge','batch','spark','line','sort','window','shuffle','join','filter'])
+    [ (('0x' || substr(md5(ids.doc_id || '|' || x.i), 1, 4))::UBIGINT::BIGINT % 19) + 1 ] AS w
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0,
+      8 + ('0x' || substr(md5(ids.doc_id::VARCHAR), 1, 2))::UBIGINT::BIGINT % 9 - 1)) AS i) x
+),
+docs AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text FROM tok GROUP BY doc_id)
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
+FROM docs ORDER BY doc_id
 """

@@ -199,3 +199,38 @@ def test_run_with_metrics_observes_during_single_pass(spark):
     assert got["n_rows"] == docs.count()
     assert got["null_texts"] == 0
     assert got["max_chars"] > 0
+
+
+def test_python_datasource_distributed_and_pushdown(spark):
+    """The custom Python data source plans multiple partitions
+    (generation is distributed, not driver-side) and narrows its
+    generation range under doc_id predicates (pushFilters)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.pyds import (
+        SyntheticDocsReader,
+        register,
+    )
+
+    register(spark)
+    df = spark.read.format("synthetic_docs") \
+        .option("n_docs", 100).option("n_partitions", 4).load()
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4
+    # determinism: same recipe, same rows
+    a = df.orderBy("doc_id").limit(5).collect()
+    b = spark.read.format("synthetic_docs").option("n_docs", 100).load() \
+        .orderBy("doc_id").limit(5).collect()
+    assert a == b
+    # pushdown narrows the generated range (unit-level: reader state)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = SyntheticDocsReader({"n_docs": "100", "n_partitions": "4"})
+    leftover = list(r.pushFilters([
+        GreaterThanOrEqual(("doc_id",), 10), LessThan(("doc_id",), 30)]))
+    assert leftover == []
+    assert (r.lo, r.hi) == (10, 30)
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 20
+    # filtered count through the engine agrees
+    assert df.where("doc_id >= 10 and doc_id < 30").count() == 20
