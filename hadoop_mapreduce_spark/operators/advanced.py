@@ -229,3 +229,68 @@ def bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def udtf_polymorphic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF: the static analyze() hook computes the
+    OUTPUT SCHEMA from the call's literal arguments at plan time — here
+    a generic "top-n numeric columns as rows" unpivoter whose output
+    column naming depends on the n argument. This is the API for table
+    functions whose shape isn't fixed (dynamic pivots, schema-driven
+    expanders); the fixed-schema twin is udtf_tokens.
+
+    Python-path declaration query (like udtf_tokens): the JVM-side
+    equivalent of this particular call is an unpivot + window top-k,
+    and that is the 100 TB path.
+    """
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructType,
+    )
+
+    @udtf
+    class TopNValues:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.functions import AnalyzeResult
+
+            n = args[-1].value  # literal argument drives the schema
+            schema = StructType()
+            schema = schema.add("rank", IntegerType())
+            schema = schema.add("measure", StringType())
+            schema = schema.add(f"top{n}_value", DoubleType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, qty, price, disc, n):  # noqa: ANN001
+            vals = sorted(
+                [("qty", float(qty)), ("price", float(price)),
+                 ("disc", float(disc))],
+                key=lambda kv: -kv[1])[: int(n)]
+            for i, (name, v) in enumerate(vals):
+                yield i + 1, name, v
+
+    spark.udtf.register("topn_values", TopNValues)
+    # one canonical row per (orderkey, linenumber): the fixture's key
+    # is not unique, and a per-ROW table function would otherwise emit
+    # per-duplicate fan-outs the set-based oracle can't express
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 50)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"),
+             F.max("l_extendedprice").alias("l_extendedprice"),
+             F.max("l_discount").alias("l_discount"))
+    )
+    li.createOrReplaceTempView("_udtf_li")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, t.rank, t.measure,
+               round(t.top2_value, 2) AS top2_value
+        FROM _udtf_li,
+        LATERAL topn_values(l_quantity, l_extendedprice, l_discount, 2) t
+        ORDER BY l_orderkey, l_linenumber, t.rank
+        """
+    )

@@ -102,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "try_arithmetic": relational.try_arithmetic,
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
     "pyds_custom_source": _pyds_custom_source,
+    "udtf_polymorphic_topn": advanced.udtf_polymorphic_topn,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1948,4 +1949,34 @@ docs AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text FROM tok GROUP BY 
 SELECT doc_id, length(text)::BIGINT AS n_chars,
   (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
 FROM docs ORDER BY doc_id
+"""
+
+# Polymorphic UDTF twin: unpivot the three measures, rank desc with the
+# eval()'s stable-sort tie order (qty before price before disc).
+ORACLE["udtf_polymorphic_topn"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, max(l_quantity)::DOUBLE AS qty,
+         max(l_extendedprice)::DOUBLE AS price,
+         max(l_discount)::DOUBLE AS disc
+  FROM lineitem WHERE l_orderkey < 50 GROUP BY 1, 2
+),
+m AS (
+  SELECT l_orderkey, l_linenumber, measure, val,
+    row_number() OVER (
+      PARTITION BY l_orderkey, l_linenumber
+      ORDER BY val DESC,
+        CASE measure WHEN 'qty' THEN 1 WHEN 'price' THEN 2 ELSE 3 END
+    )::INT AS rank
+  FROM (
+    SELECT l_orderkey, l_linenumber, 'qty' AS measure, qty AS val FROM li
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', price FROM li
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', disc FROM li
+  )
+)
+SELECT l_orderkey, l_linenumber, rank, measure,
+  round(val, 2) AS top2_value
+FROM m WHERE rank <= 2
+ORDER BY l_orderkey, l_linenumber, rank
 """
