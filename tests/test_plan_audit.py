@@ -29,7 +29,12 @@ CARTESIAN_OK = {
 
 # queries that intentionally demonstrate row-at-a-time Python evaluation
 # (the scalar-UDF and UDTF API surfaces; each has a JVM-side twin)
-PYTHON_ROW_OK = {"udf_python_scalar", "udtf_tokens"}
+PYTHON_ROW_OK = {
+    "udf_python_scalar",
+    "udtf_tokens",
+    # deliberate Python-path UDTF declaration (the analyze() API)
+    "udtf_polymorphic_topn",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
