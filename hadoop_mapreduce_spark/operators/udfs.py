@@ -101,3 +101,47 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select("p_partkey", digit_sum("p_partkey").alias("key_digit_sum"))
         .orderBy("p_partkey")
     )
+
+
+def arrow_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: L2-normalise embeddings at the Arrow
+    RecordBatch level — one step lower than pandas (no pandas
+    conversion cost, columnar in/out), the right API when the kernel is
+    already vectorised and the pandas layer only adds copies.
+
+    Output is the per-vector audit (norm before, first component
+    after), rounded for engine portability — the DuckDB oracle
+    recomputes with list arithmetic, so this Arrow kernel is
+    hash-checked like any JVM operator.
+    """
+    import pyarrow as pa
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def normalize(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl.column("embedding").to_pylist()
+            import math
+
+            norms, first = [], []
+            for v in vecs:
+                n = math.sqrt(sum(float(x) * float(x) for x in v))
+                norms.append(n)
+                first.append(float(v[0]) / n if n else 0.0)
+            yield pa.record_batch(
+                [tbl.column("vec_id").combine_chunks(),
+                 pa.array(norms, pa.float64()),
+                 pa.array(first, pa.float64())],
+                names=["vec_id", "l2norm", "first_component"],
+            )
+
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        normalize, "vec_id long, l2norm double, first_component double")
+    return out.select(
+        "vec_id",
+        F.round("l2norm", 4).alias("l2norm"),
+        F.round("first_component", 6).alias("first_component"),
+    ).orderBy("vec_id")

@@ -103,6 +103,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
     "pyds_custom_source": _pyds_custom_source,
     "udtf_polymorphic_topn": advanced.udtf_polymorphic_topn,
+    "arrow_normalize_embeddings": udfs.arrow_normalize_embeddings,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1979,4 +1980,13 @@ SELECT l_orderkey, l_linenumber, rank, measure,
   round(val, 2) AS top2_value
 FROM m WHERE rank <= 2
 ORDER BY l_orderkey, l_linenumber, rank
+"""
+
+ORACLE["arrow_normalize_embeddings"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+             e[1] AS x0 FROM v)
+SELECT vec_id, round(nrm, 4) AS l2norm,
+  round(CASE WHEN nrm = 0 THEN 0.0 ELSE x0 / nrm END, 6) AS first_component
+FROM n ORDER BY vec_id
 """
