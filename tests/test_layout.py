@@ -44,3 +44,60 @@ def test_zorder_layout_bounds_both_dims(spark):
     # file ids are contiguous Morton ranges: disjoint and sorted
     ids = [r.file_id for r in rows]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_zorder_write_narrows_footer_stats(spark, tmp_path):
+    """End-to-end proof of the layout's value: write the events table
+    (a) unsorted and (b) repartitionByRange on the Morton code, then
+    read the parquet FOOTER stats (pyarrow row-group metadata) — the
+    z-ordered files' per-file (user_id, hour) spans must be materially
+    narrower than the unsorted ones. This is exactly the min/max a
+    reader's predicate pruner consumes, so narrower spans = skipped
+    files at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.layout import morton_interleave16
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", (F.unix_timestamp("ts") / 3600).cast("long").alias("hour"))
+    stats = ev.agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    keyed = ev.crossJoin(F.broadcast(stats)).select(
+        "user_id", "hour",
+        F.floor((F.col("user_id") - F.col("u0")) * 256
+                / (F.col("u1") - F.col("u0") + 1)).cast("long").alias("x"),
+        F.floor((F.col("hour") - F.col("h0")) * 256
+                / (F.col("h1") - F.col("h0") + 1)).cast("long").alias("y"),
+    ).withColumn("z", morton_interleave16(F.col("x"), F.col("y")))
+
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zed")
+    n_files = 8
+    keyed.repartition(n_files).write.parquet(plain)
+    keyed.repartitionByRange(n_files, "z").write.parquet(zed)
+
+    # per-file min/max read back through pyarrow (same values the
+    # footer statistics carry)
+    def spans(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "hour"])
+            if t.num_rows == 0:
+                continue
+            u = t.column("user_id").to_pylist()
+            h = t.column("hour").to_pylist()
+            out.append((max(u) - min(u), max(h) - min(h)))
+        return out
+
+    ps = spans(plain)
+    zs = spans(zed)
+    avg = lambda xs, i: sum(s[i] for s in xs) / len(xs)  # noqa: E731
+    # unsorted files span ~the full range in both dims; z-ordered files
+    # must be materially narrower in both
+    assert avg(zs, 0) < 0.7 * avg(ps, 0)
+    assert avg(zs, 1) < 0.7 * avg(ps, 1)
