@@ -298,3 +298,70 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str,
             "event_type string, rank long, x double, y double, event_id long")
         .orderBy("event_type", "rank")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → click → purchase per user, each
+    step's first occurrence required to fall AFTER the previous step's
+    (the product-analytics primitive; unordered "did all three" counts
+    overstate conversion).
+
+    Plan: one conditional aggregation per user (min ts per step —
+    map-side combinable, one exchange keyed by user_id), then ordering
+    constraints as a projection and a 1-row rollup. No self-joins, no
+    windows over the event stream — the naive per-step-join formulation
+    shuffles the fact table three times; this shuffles it once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stage1.cast("long")).alias("n_viewed"),
+        F.sum(stage2.cast("long")).alias("n_clicked_after_view"),
+        F.sum(stage3.cast("long")).alias("n_purchased_after_click"),
+        F.round(F.sum(stage3.cast("long"))
+                / F.sum(stage1.cast("long")), 4).alias("conversion"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str,
+                             max_weeks: int = 4) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (the cohort), counted by how many distinct later weeks they return
+    — the (cohort_week, week_offset) → users triangle every analytics
+    store ships.
+
+    Plan: first-activity via one user-keyed min aggregate; activity
+    weeks via one (user, week) distinct; one broadcastable join back
+    (per-user firsts ≪ events) and a (cohort, offset) rollup. Weeks are
+    derived with date_trunc so both engines bucket identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_wk").cast("date").cast("string").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .where(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -104,6 +104,8 @@ QUERIES: dict[str, QueryFn] = {
     "pyds_custom_source": _pyds_custom_source,
     "udtf_polymorphic_topn": advanced.udtf_polymorphic_topn,
     "arrow_normalize_embeddings": udfs.arrow_normalize_embeddings,
+    "events_funnel": timeseries.events_funnel,
+    "events_retention_cohorts": timeseries.events_retention_cohorts,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -1989,4 +1991,36 @@ n AS (SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
 SELECT vec_id, round(nrm, 4) AS l2norm,
   round(CASE WHEN nrm = 0 THEN 0.0 ELSE x0 / nrm END, 6) AS first_component
 FROM n ORDER BY vec_id
+"""
+
+ORACLE["events_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_users,
+  sum((t_view IS NOT NULL)::BIGINT)::BIGINT AS n_viewed,
+  sum((t_view IS NOT NULL AND t_click > t_view)::BIGINT)::BIGINT
+    AS n_clicked_after_view,
+  sum((t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click)::BIGINT)::BIGINT
+    AS n_purchased_after_click,
+  round(sum((t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click)::BIGINT)
+        * 1.0 / sum((t_view IS NOT NULL)::BIGINT), 4) AS conversion
+FROM per_user
+"""
+
+ORACLE["events_retention_cohorts"] = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id)
+SELECT cohort_wk::DATE::VARCHAR AS cohort_week,
+  (date_diff('day', cohort_wk, wk) // 7)::BIGINT AS week_offset,
+  count(DISTINCT w.user_id)::BIGINT AS n_users
+FROM weeks w JOIN first USING (user_id)
+WHERE date_diff('day', cohort_wk, wk) // 7 <= 4
+GROUP BY 1, 2 ORDER BY 1, 2
 """
