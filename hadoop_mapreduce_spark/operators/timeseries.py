@@ -365,3 +365,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str,
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def events_session_bigrams(spark: SparkSession, sf_dir: str,
+                           gap_minutes: int = 30, k: int = 20) -> DataFrame:
+    """The reference's flagship n-gram operator re-applied to event
+    STREAMS: top-k event-type bigrams within user sessions — "what do
+    users do next" path analysis (WordCount's sliding window over
+    tokens, with a session boundary instead of a line boundary;
+    SURVEY.md §1.4's cross-line question becomes cross-session, and
+    here the boundary is semantic, so bigrams never span sessions).
+
+    Sessionisation is the portable lag/cumsum formulation (session id =
+    running count of gap-exceeding steps per user) — bit-identical in
+    any SQL engine, unlike session_window whose twin events_session
+    already covers. Plan: one user-keyed window pass (lag + running
+    sum), ordered per-session type sequence via sort_array(collect_list)
+    (bounded by session length), bigram explode, count, TakeOrdered
+    top-k.
+    """
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(
+            (F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
+            .cast("long")
+        ).over(w).alias("session_id"),
+    )
+    seqs = (
+        stepped.groupBy("user_id", "session_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("types"))
+    )
+    bigrams = seqs.select(
+        F.explode(ngrams_from_tokens(F.col("types"), 2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(k)
+        .select("bigram", F.col("cnt").cast("long").alias("cnt"))
+    )

@@ -106,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_normalize_embeddings": udfs.arrow_normalize_embeddings,
     "events_funnel": timeseries.events_funnel,
     "events_retention_cohorts": timeseries.events_retention_cohorts,
+    "events_session_bigrams": timeseries.events_session_bigrams,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -2023,4 +2024,33 @@ SELECT cohort_wk::DATE::VARCHAR AS cohort_week,
 FROM weeks w JOIN first USING (user_id)
 WHERE date_diff('day', cohort_wk, wk) // 7 <= 4
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# The flagship n-gram applied to event sequences within gap-sessions:
+# sessionisation by the portable lag/cumsum formulation on both engines.
+ORACLE["events_session_bigrams"] = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+    epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+),
+seqs AS (
+  SELECT user_id, session_id,
+    list(event_type ORDER BY ts, event_id) AS types
+  FROM stepped GROUP BY user_id, session_id
+),
+bigrams AS (
+  SELECT types[i] || ' ' || types[i + 1] AS bigram
+  FROM seqs, LATERAL (SELECT unnest(generate_series(1, len(types) - 1)) AS i) x
+)
+SELECT bigram, count(*)::BIGINT AS cnt
+FROM bigrams GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 20
 """
