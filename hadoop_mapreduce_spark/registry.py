@@ -107,6 +107,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel": timeseries.events_funnel,
     "events_retention_cohorts": timeseries.events_retention_cohorts,
     "events_session_bigrams": timeseries.events_session_bigrams,
+    "triangle_count_dedup_graph": dedup.triangle_count_dedup_graph,
+    "events_anomaly_zscore": timeseries.events_anomaly_zscore,
     # round-5 Spark-4 SQL-surface additions (new, also unwitnessed):
     "recursive_monthly_spine": sql4.recursive_monthly_spine,
     "lateral_topk_orders": sql4.lateral_topk_orders,
@@ -2053,4 +2055,53 @@ bigrams AS (
 SELECT bigram, count(*)::BIGINT AS cnt
 FROM bigrams GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+# Degree-oriented triangle count (Suri & Vassilvitskii orientation):
+# every triangle counted exactly once at its minimum-(degree, id) vertex.
+ORACLE["triangle_count_dedup_graph"] = f"""
+WITH j AS (WITH {_SHINGLES}),
+und AS (SELECT id1 AS a, id2 AS b FROM j UNION ALL SELECT id2, id1 FROM j),
+deg AS (SELECT a AS v, count(*) AS d FROM und GROUP BY a),
+e AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v
+  WHERE (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+),
+wedges AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM e x JOIN e y ON x.a = y.a WHERE x.b < y.b
+),
+closers AS (SELECT a AS b, b AS c FROM e UNION ALL SELECT b, a FROM e),
+tris AS (SELECT DISTINCT w.a, w.b, w.c FROM wedges w JOIN closers cl USING (b, c))
+SELECT count(*)::BIGINT AS n_triangles,
+  count(*)::BIGINT AS n_distinct_triangles
+FROM tris
+"""
+
+ORACLE["events_anomaly_zscore"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hr, n,
+    avg(n) OVER w AS mu,
+    stddev_pop(n) OVER w AS sigma,
+    count(n) OVER w AS n_hist
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr::VARCHAR AS hour, n::BIGINT AS n,
+  round(mu, 4) AS mu,
+  round(CASE WHEN sigma = 0 THEN (CASE WHEN n = mu THEN 0.0 END)
+             ELSE (n - mu) / sigma END, 4) AS z,
+  (abs(coalesce(CASE WHEN sigma = 0 THEN (CASE WHEN n = mu THEN 0.0 END)
+                     ELSE (n - mu) / sigma END, 0.0)) > 3.0) AS is_anomaly
+FROM scored
+WHERE n_hist >= 3
+  AND abs(coalesce(CASE WHEN sigma = 0 THEN (CASE WHEN n = mu THEN 0.0 END)
+                        ELSE (n - mu) / sigma END, 0.0)) > 3.0
+ORDER BY event_type, hour
 """
