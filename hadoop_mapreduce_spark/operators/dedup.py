@@ -1,14 +1,22 @@
 """Deduplication operators for training-data pipelines (SURVEY.md §2.EXT Stage 3).
 
-Four dedup families, all shuffle-disciplined for 100 TB:
+Dedup families, all shuffle-disciplined for 100 TB:
 
   * exact      — content hash (sha256) + groupBy; one shuffle on the hash.
+  * span       — sub-document chunk dedup (first-occurrence-wins over
+                 fixed token windows, doc reconstruction).
   * minhash    — MinHash signatures + LSH banding; near-dup pairs at a
                  Jaccard threshold without the quadratic all-pairs join.
   * simhash    — 64-bit simhash fingerprints; Hamming-radius candidates
                  via band rotation.
   * ngram_jaccard — exact Jaccard via an inverted shingle index; the
                  ground-truth (and oracle) for the approximate methods.
+  * embedding  — exact block-pair cosine (oracle) and SRP-LSH with
+                 bucket-local verify (scale path).
+
+Plus the graph layer over the near-dup pairs: connected components
+(label propagation and O(log n) alternating-star), PageRank hub
+ranking, and degree-oriented triangle counting.
 
 Determinism: no RNG anywhere. Hashes whose values must match the SQL
 oracle bit-for-bit (simhash, fingerprints) are md5-derived (engine-
