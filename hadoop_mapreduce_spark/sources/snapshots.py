@@ -141,3 +141,21 @@ def vacuum(root: str, keep_last: int = 2) -> list[int]:
             if uncommitted or d.startswith("."):
                 shutil.rmtree(p, ignore_errors=True)
     return doomed
+
+
+def compact_snapshot(spark: SparkSession, root: str,
+                     target_files: int = 1) -> int:
+    """Small-file compaction: rewrite the LATEST version's data as
+    `target_files` files and commit it as the NEXT version (Delta
+    OPTIMIZE's contract: compaction is a new snapshot, never an
+    in-place rewrite — readers of the old version are undisturbed, and
+    time travel still sees the fragmented history).
+
+    The streaming-CDC path (stream_changes_into_snapshots) produces one
+    version per micro-batch with micro-batch-sized files; periodic
+    compaction is what keeps scan-time file counts bounded — at 100 TB
+    this is the job that turns 10^6 KB-files into 10^3 GB-files.
+    Returns the new version number.
+    """
+    current = read_snapshot(spark, root)
+    return write_snapshot(current.coalesce(target_files), root)

@@ -162,3 +162,27 @@ def test_vacuum_retention_and_debris_sweep(spark, tmp_path):
     # keep_last clamps to 1: current version survives any argument
     vacuum(root, keep_last=0)
     assert list_versions(root) == [4]
+
+
+def test_compact_snapshot_preserves_rows_and_history(spark, tmp_path):
+    import glob
+
+    from hadoop_mapreduce_spark.sources.snapshots import (
+        compact_snapshot,
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).withColumnRenamed("id", "k").repartition(8)
+    v1 = write_snapshot(df, root)
+    assert len(glob.glob(f"{root}/v={v1}/part-*")) == 8  # fragmented
+    v2 = compact_snapshot(spark, root, target_files=1)
+    assert v2 == v1 + 1
+    assert len(glob.glob(f"{root}/v={v2}/part-*")) == 1  # compacted
+    # identical content, history intact
+    a = sorted(r.k for r in read_snapshot(spark, root, version=v1).collect())
+    b = sorted(r.k for r in read_snapshot(spark, root, version=v2).collect())
+    assert a == b == list(range(100))
+    assert list_versions(root) == [v1, v2]
