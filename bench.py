@@ -197,6 +197,37 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — recall reporting is best-effort
         pass
 
+    # Recall@10 of the PQ-ADC + exact-rerank composition vs brute-force
+    # L2 top-10 (tests assert >= 0.8; reported here each run like the
+    # LSH and kNN recalls so quantization drift is visible per round).
+    pq_recall = None
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from hadoop_mapreduce_spark.functions.vectors import l2_sq_dist
+        from hadoop_mapreduce_spark.sources.tables import load_table as _lt
+
+        _emb = _lt(spark, sf_dir, "embeddings")
+        _q = _emb.where(_F.col("vec_id") < 5).select(
+            _F.col("vec_id").alias("qid"), _F.col("embedding").alias("qvec"))
+        _w = _W.partitionBy("qid").orderBy(_F.asc("d"), _F.asc("nid"))
+        _exact = (
+            _emb.crossJoin(_F.broadcast(_q))
+            .where(_F.col("vec_id") != _F.col("qid"))
+            .select("qid", _F.col("vec_id").alias("nid"),
+                    l2_sq_dist(_F.col("embedding"), _F.col("qvec")).alias("d"))
+            .withColumn("r", _F.row_number().over(_w))
+            .where(_F.col("r") <= 10)
+            .select("qid", "nid")
+        )
+        _approx = QUERIES["ann_pq_rerank"](spark, sf_dir).select("qid", "nid")
+        _hit = _approx.join(_exact, ["qid", "nid"], "left_semi").count()
+        _denom = _exact.count()
+        pq_recall = round(_hit / _denom, 4) if _denom else None
+    except Exception:  # noqa: BLE001 — recall reporting is best-effort
+        pass
+
     total = round(sum(times.values()), 3)
     warm_spark_total = round(sum(times_warm.values()), 3)
     cold_total = round(sum(duck_cold.values()), 3)
@@ -217,6 +248,7 @@ def main() -> None:
         "spark_vs_duckdb_warm": round(warm_spark_total / warm_total, 2) if warm_total else None,
         "embedding_lsh_recall_vs_exact": lsh_recall,
         "knn_recall_vs_exact": knn_recall,
+        "pq_rerank_recall_vs_exact": pq_recall,
         "spark_sched_floor_sec": floor,
         "spark_warm_exfloor_total": round(
             sum(max(t - floor, 0.0) for t in times_warm.values()), 3),
