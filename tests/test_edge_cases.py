@@ -56,3 +56,73 @@ def test_salted_aggregate_empty(spark):
     ])
     empty = spark.createDataFrame([], schema)
     assert salted_aggregate(empty, ["k"], {"n": "count(*)"}).count() == 0
+
+
+def test_bloom_with_no_benchmark_docs_flags_nothing(spark):
+    """A corpus whose id space contains no benchmark docs (doc_id %
+    bench_mod never 0) must produce an EMPTY bitmap and zero flags —
+    the element_at(map, word) NULL path, coalesced to a miss."""
+    from unittest.mock import patch
+
+    import hadoop_mapreduce_spark.operators.datamix as dm
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta", "en",
+             "srcX", 40) for i in range(1, 9)]  # ids 1..8, none % 20 == 0
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long")
+    with patch.object(dm, "load_table", lambda s, d, n: df):
+        out = dm.bloom_decontaminate(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0].n_train_docs == 8 and out[0].n_flagged_bloom == 0
+
+
+def test_span_chunks_doc_shorter_than_chunk(spark):
+    """A document shorter than one chunk is a single (short) chunk —
+    it must survive as its own first occurrence, not vanish."""
+    from unittest.mock import patch
+
+    import hadoop_mapreduce_spark.operators.dedup as dd
+
+    rows = [(1, "one two", "en", "s", 7), (2, "one two", "en", "s", 7)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long")
+    with patch.object(dd, "load_table", lambda s, d, n: df):
+        out = {r.doc_id: r for r in
+               dd.dedup_span_chunks(spark, "ignored", chunk_tokens=8).collect()}
+    assert out[1].n_chunks == 1 and out[1].n_kept == 1
+    # doc 2 is an exact dup at chunk granularity: fully removed
+    assert out[2].n_chunks == 1 and out[2].n_kept == 0
+
+
+def test_funnel_ordering_constraint_is_enforced(spark):
+    """A user who purchases BEFORE clicking must not count as converted
+    — the ordered-funnel property the unordered formulation gets wrong."""
+    from unittest.mock import patch
+
+    from datetime import datetime, timedelta
+
+    import hadoop_mapreduce_spark.operators.timeseries as ts
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: view -> click -> purchase (converts)
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, base + timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE click (must NOT convert)
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + timedelta(minutes=2), 2, "click", 1.0, "{}"),
+        (6, base + timedelta(minutes=1), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string,"
+        " value: double, props: string")
+    with patch.object(ts, "load_table", lambda s, d, n: df):
+        out = ts.events_funnel(spark, "ignored").collect()[0]
+    assert out.n_users == 2
+    assert out.n_viewed == 2
+    assert out.n_clicked_after_view == 2
+    assert out.n_purchased_after_click == 1  # only user 1
