@@ -262,3 +262,50 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def stream_decontaminate(doc_stream: DataFrame, bitmap_map: DataFrame,
+                         n: int = 4, m_bits: int = 1 << 16,
+                         n_hashes: int = 3) -> DataFrame:
+    """Streaming benchmark decontamination: incoming documents are
+    flagged against a STATIC Bloom bitmap (built batch-side from the
+    benchmark suites — datamix.bloom_decontaminate's build stage) via a
+    stream-static crossJoin of the one-row map. The stream side is a
+    pure projection (the same exists() probe as the batch operator), so
+    this is a stateless streaming stage: no watermark, no state store,
+    arbitrarily long-running.
+
+    This is the deployment shape decontamination actually wants: the
+    benchmark bitmap changes rarely (re-broadcast per restart), while
+    documents arrive forever; flagged docs route to quarantine via the
+    sink's partition column rather than being dropped silently.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.operators.datamix import _bloom_probes
+
+    def gram_hit(g):
+        conds = []
+        for word, mask in _bloom_probes(g, n_hashes, m_bits):
+            bits = F.element_at(F.col("bm"), word)
+            conds.append(
+                F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    toks = doc_stream.withColumn(
+        "__t", tokenize(normalize_text(F.col("text"))))
+    return (
+        toks.crossJoin(F.broadcast(bitmap_map))
+        .select(
+            "doc_id", "source", "text",
+            F.exists(
+                F.array_distinct(ngrams_from_tokens(F.col("__t"), n)),
+                gram_hit,
+            ).alias("contaminated"))
+    )

@@ -542,3 +542,69 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     run_once()  # restart from checkpoint: must process ONLY b2
     got = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
     assert got == list(range(25))  # every event exactly once
+
+
+def test_stream_decontaminate_matches_batch_flags(spark, tmp_path):
+    """Stream-static decontamination: docs streamed through the
+    batch-built Bloom bitmap must get the same flags the batch operator
+    assigns — the streaming stage is stateless (no watermark, no state
+    store), so batch/stream parity is exact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.datamix import _bloom_probes
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from hadoop_mapreduce_spark.streaming.windows import stream_decontaminate
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # batch-side bitmap build (the operator's build stage, verbatim)
+    grams = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.explode(F.array_distinct(ngrams_from_tokens(
+            tokenize(normalize_text(F.col("text"))), 4))).alias("g"))
+    bits = None
+    for word, mask in _bloom_probes(F.col("g"), 3, 1 << 16):
+        part = grams.select(word.alias("word"), mask.alias("mask"))
+        bits = part if bits is None else bits.unionAll(part)
+    bitmap = bits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    bm1 = bitmap.agg(F.map_from_entries(
+        F.collect_list(F.struct("word", "bits"))).alias("bm"))
+
+    # stream 40 training docs as two JSON micro-batches
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sample = [r.asDict() for r in docs.where(
+        (F.col("doc_id") % 20 != 0) & (F.col("doc_id") < 45)).collect()]
+    half = len(sample) // 2
+    for name, chunk in (("b1.json", sample[:half]), ("b2.json", sample[half:])):
+        with open(src / name, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(
+                    {k: r[k] for k in ("doc_id", "text", "source")}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = stream_decontaminate(stream, bm1)
+    q = (out.writeStream.format("memory").queryName("stream_decon")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.contaminated
+           for r in spark.table("stream_decon").collect()}
+    assert len(got) == len(sample)
+    # batch flags from the registered operator (per-source counts) —
+    # recompute per-doc flags batch-side for exact comparison
+    # reuse the same probe expression through the streaming helper on a
+    # batch frame (it is mode-agnostic)
+    batch_flags = {r.doc_id: r.contaminated for r in
+                   stream_decontaminate(
+                       docs.where((F.col("doc_id") % 20 != 0)
+                                  & (F.col("doc_id") < 45)), bm1).collect()}
+    assert got == batch_flags
+    assert any(got.values())  # fixture dups make the check non-vacuous
