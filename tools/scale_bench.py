@@ -92,16 +92,33 @@ def main() -> None:
                 pass
 
         # DuckDB: same warm-measure protocol on the same scaled parquet.
+        # Each query runs in a CHILD PROCESS with a hard cap: at 8x the
+        # split-leakage guard's recursive CTE spilled ~80 GB of temp and
+        # died with the whole phase's results lost — a DNF is recorded
+        # as null instead of silently killing the run (and the DNF
+        # itself is the scale evidence).
         du: dict[str, float] = {}
         if phase in ("duck", "both"):
-            import duckdb
+            import multiprocessing as mp
 
-            con = duckdb.connect()
-            for t in ("region", "nation", "customer", "supplier", "part",
-                      "orders", "lineitem", "events", "documents", "embeddings"):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{scratch}/{t}.parquet/*.parquet')"
-                )
+            def _duck_one(sql: str, scratch: str, q) -> None:
+                import time as _t
+
+                import duckdb as _d
+
+                c = _d.connect()
+                for t in ("region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem", "events",
+                          "documents", "embeddings"):
+                    c.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{scratch}/{t}.parquet/*.parquet')")
+                c.execute(sql).fetchall()  # warm
+                t0 = _t.time()
+                c.execute(sql).fetchall()
+                q.put(round(_t.time() - t0, 3))
+
+            cap = int(os.environ.get("SCALE_BENCH_DUCK_CAP_S", "900"))
             # same task-level twin as bench.py: DuckDB's baseline for the
             # LSH embedding-dedup headline is its exact all-pairs query
             duck_twin = {"dedup_embedding_lsh": "dedup_embedding_cosine"}
@@ -109,16 +126,25 @@ def main() -> None:
                 sql = ORACLE.get(duck_twin.get(name, name))
                 if sql is None:
                     continue
-                con.execute(sql).fetchall()
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                du[name] = round(time.time() - t0, 3)
-                print(f"  duck  {name:24s} {du[name]:7.2f}s", file=sys.stderr)
+                q = mp.Queue()
+                proc = mp.Process(target=_duck_one, args=(sql, scratch, q))
+                proc.start()
+                proc.join(cap)
+                if proc.is_alive():
+                    proc.terminate()
+                    proc.join()
+                    du[name] = None
+                    print(f"  duck  {name:24s} DNF >{cap}s", file=sys.stderr)
+                else:
+                    du[name] = q.get() if not q.empty() else None
+                    shown = du[name] if du[name] is not None else "CRASH"
+                    print(f"  duck  {name:24s} {shown}s", file=sys.stderr)
 
         # compare only queries BOTH engines ran (rows-only ops have no SQL)
-        sp_cmp = {q: s for q, s in sp.items() if q in du}
+        done = {q: v for q, v in du.items() if v is not None}
+        sp_cmp = {q: s for q, s in sp.items() if q in done}
         sp_total = round(sum(sp_cmp.values()), 3)
-        du_total = round(sum(du.values()), 3)
+        du_total = round(sum(done.values()), 3)
         print(json.dumps({
             "k": k,
             "src": src,
@@ -129,6 +155,7 @@ def main() -> None:
             "duckdb_total": du_total,
             "spark_vs_duckdb": round(sp_total / du_total, 2)
             if (du_total and sp_cmp) else None,
+            "duckdb_dnf": [q for q, v in du.items() if v is None],
             **heap,
         }))
     finally:
