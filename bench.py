@@ -90,6 +90,8 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    from hadoop_mapreduce_spark.session import release_caches as _rc
+    _rc()
 
     # Local-mode scheduling floor: the wall-clock of a do-nothing job
     # (1-row noop write). Every per-query number below carries ~this
@@ -104,23 +106,29 @@ def main() -> None:
         floor_runs.append(time.time() - t0)
     floor = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
 
-    # Three passes at the TARGET sf, mirroring the DuckDB cold/warm pair
+    # Four passes at the TARGET sf, mirroring the DuckDB cold/warm pair
     # below: pass 1 (cold) includes first-touch costs (parquet footers,
     # JIT ramp on the sf-specific plans); the warm number is the MIN of
-    # two steady-state passes per query — BASELINE.md's triplicate-run
+    # THREE steady-state passes per query — BASELINE.md's triplicate-run
     # analysis showed single-shot warm times carry multi-second transient
-    # spikes (GC, box noise) that say nothing about the plan, and min-of-2
-    # is the cheapest estimator that rejects them. Ratios are compared
-    # like-for-like (cold/cold, warm/warm; DuckDB's warm pass gets the
-    # same min-of-2 treatment below).
+    # spikes (GC, box noise) that say nothing about the plan, and min-of-3
+    # is the cheapest estimator that rejects them (VERDICT r5 item 1a).
+    # Ratios are compared like-for-like (cold/cold, warm/warm; DuckDB's
+    # warm pass gets the same min-of-3 treatment below). Operators that
+    # scoped_persist a mid-plan materialisation are released after every
+    # timed run, so each run is a full recompute — cross-run cache reuse
+    # would measure the cache, not the plan.
+    from hadoop_mapreduce_spark.session import release_caches
+
     times: dict[str, float] = {}
     times_warm: dict[str, float] = {}
-    for target in (times, times_warm, times_warm):
+    for target in (times, times_warm, times_warm, times_warm):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            release_caches()
             target[name] = (min(target[name], dt)
                             if target is times_warm and name in target else dt)
 
@@ -153,10 +161,10 @@ def main() -> None:
             t0 = time.time()
             con.execute(sql).fetchall()
             duck_cold[name] = round(time.time() - t0, 3)
-            # warm = min of two steady-state runs (same estimator as the
-            # Spark side, so neither engine's ratio eats a noise spike)
+            # warm = min of three steady-state runs (same estimator as
+            # the Spark side, so neither engine's ratio eats a spike)
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 runs.append(time.time() - t0)
@@ -228,20 +236,25 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — recall reporting is best-effort
         pass
 
+    release_caches()
     total = round(sum(times.values()), 3)
     warm_spark_total = round(sum(times_warm.values()), 3)
     cold_total = round(sum(duck_cold.values()), 3)
     warm_total = round(sum(duck_warm.values()), 3)
-    print(json.dumps({
-        "metric": "headline_queries_total_wall_sec",
-        "value": total,
+    summary = {
+        # headline metric/value/queries = the WARM (min-of-3) protocol —
+        # the steady-state number that predicts cluster throughput; the
+        # cold pass and DuckDB per-query numbers live in BENCH_DETAIL.json
+        # (stdout stays ONE compact line so the driver's tail-buffer
+        # capture parses it — VERDICT r5 item 8: r5's fat line overflowed
+        # the buffer and the driver recorded parsed:null).
+        "metric": "headline_queries_warm_total_wall_sec",
+        "value": warm_spark_total,
         "unit": "sec",
-        "queries": times,
-        "queries_warm": times_warm,
+        "queries": times_warm,
+        "spark_cold_total": total,
         "spark_warm_total": warm_spark_total,
         "sf": sf,
-        "duckdb_baseline": duck_warm,
-        "duckdb_cold": duck_cold,
         "duckdb_total": warm_total,
         "duckdb_cold_total": cold_total,
         "spark_vs_duckdb_cold": round(total / cold_total, 2) if cold_total else None,
@@ -252,7 +265,20 @@ def main() -> None:
         "spark_sched_floor_sec": floor,
         "spark_warm_exfloor_total": round(
             sum(max(t - floor, 0.0) for t in times_warm.values()), 3),
-    }))
+    }
+    detail = dict(summary)
+    detail.update({
+        "queries_cold": times,
+        "duckdb_baseline": duck_warm,
+        "duckdb_cold": duck_cold,
+    })
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -273,8 +273,9 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     # exact all-pairs set w.h.p. (P[miss | j=0.8] ~ 8e-8 per pair) and
     # the recursive-CTE oracle still hash-matches; generation is
     # O(colliding pairs), not the inverted index's O(postings^2)
-    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
-        "id1", "id2").persist()
+    from hadoop_mapreduce_spark.session import scoped_persist
+    pairs = scoped_persist(dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2"))
     pairs.count()  # materialize: referenced by CC rounds AND the audit
     # star CC, not label propagation: O(log n) rounds vs O(diameter) —
     # both produce min-reachable component ids (property-tested equal)

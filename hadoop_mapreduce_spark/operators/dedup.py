@@ -239,7 +239,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     # times (id set + both sides of the shingle join) and without a
     # materialisation point each reference would recompute the whole
     # signature+banding pipeline. Candidates are tiny (pairs only).
-    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=2).persist()
+    from hadoop_mapreduce_spark.session import scoped_persist
+    cands = scoped_persist(lsh_candidate_pairs(sigs, bands=16, rows_per_band=2))
     # Materialize the cache NOW: the verify stage references cands three
     # times, and letting the first big action populate the cache means
     # each reference races to recompute the whole signature pipeline
@@ -925,7 +926,9 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"),
                                F.col("id1").alias("dst")))
-    ).persist()
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+    edges = scoped_persist(edges)
     degree = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_docs = docs.count()
     ranks = docs.select("doc_id", F.lit(1.0 / n_docs).alias("rank"))

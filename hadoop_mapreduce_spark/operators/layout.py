@@ -24,21 +24,27 @@ from pyspark.sql import functions as F
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 
+def _spread16(v: Column) -> Column:
+    """Spread the low 16 bits of ``v`` to the even bit positions of a
+    32-bit word via the classic magic-number doubling steps (Hacker's
+    Delight §7-2): 4 shift-or-mask rounds instead of 16 per-bit terms.
+    Bit-identical to the naive per-bit interleave, ~6× fewer codegen
+    ops, and one-tenth the py4j calls to build the expression."""
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
 def morton_interleave16(x: Column, y: Column) -> Column:
     """32-bit Morton code from two 16-bit values: bit i of x lands at
-    position 2i, bit i of y at 2i+1. Built as a 32-term sum of masked
-    shifts with LITERAL shift amounts — every term stays inside
-    whole-stage codegen, and the identical expression is generated for
-    the DuckDB oracle (registry._morton_sql)."""
-    terms = []
-    for i in range(16):
-        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    z = terms[0]
-    for t in terms[1:]:
-        z = z + t
-    return z.cast("long")
+    position 2i, bit i of y at 2i+1. Built from two magic-number bit
+    spreads (see ``_spread16``) with LITERAL shifts/masks — the whole
+    code is ~12 fused integer ops inside whole-stage codegen, and the
+    identical expression is generated for the DuckDB oracle
+    (registry._MORTON_SQL)."""
+    return (_spread16(x) + F.shiftleft(_spread16(y), 1)).cast("long")
 
 
 def zorder_layout(spark: SparkSession, sf_dir: str,

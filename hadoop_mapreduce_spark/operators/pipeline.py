@@ -67,7 +67,9 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str,
         F.sha2("text", 256).alias("h"),
         n_chars.alias("nc"),
         n_punct.alias("np"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+    base = scoped_persist(base, StorageLevel.MEMORY_AND_DISK)
 
     # 1. quality gate (same composite score as text_quality, computed
     # from the shared token projection instead of a second corpus scan;

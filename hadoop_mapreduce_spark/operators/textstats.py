@@ -331,42 +331,62 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token-keyed aggregation builds the unigram table
     (vocabulary-sized — broadcast), the token stream joins it
-    broadcast-side and collapses to one row per doc (single doc-keyed
-    exchange), and the threshold is a 1-row aggregate crossJoin'd back
-    (broadcast, the registry's scalar pattern). The corpus is scanned
-    twice (vocab pass + scoring pass) — the classic two-pass LM build;
-    at 100 TB the vocab pass's output is MBs, so the second scan
-    dominates and nothing driver-side ever materialises.
+    broadcast-side and collapses to one PERSISTED row per doc (the
+    classic two-pass LM build's materialisation point — without it,
+    every broadcast-scalar subquery re-runs the token explode+shuffle:
+    measured 6 parquet scans / 6 explodes in the unpersisted plan,
+    1.2 s → ~0.5 s at sf0.1). The threshold and corpus total are then
+    1-row aggregates over the persisted doc table, crossJoin'd back
+    broadcast-side. The cache is registered via
+    ``session.scoped_persist`` so harness code can release it.
+
+    Two cross-engine determinism guards (ADVICE r5): (a) the score is
+    decomposed as a = mean_occurrence(ln c) so the corpus-total term
+    ln N — identical for every doc — cancels out of the threshold
+    comparison instead of being re-added with engine-specific FP
+    rounding; (b) both a and the cut are rounded to 8 dp on BOTH
+    engines before the `<` comparison, so summation-order FP noise
+    (~1e-13) cannot flip a boundary doc between engines.
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(_tokens("text")).alias("tk"))
     # collapse to (doc, token) counts FIRST: the vocab aggregate then
     # reads the compacted frame (not the occurrence stream), and the
     # scoring join touches one row per distinct doc-token instead of
-    # one per occurrence — avg(ln p) over occurrences ==
-    # sum(c_dt * ln p)/sum(c_dt) exactly (measured 1.2x at sf0.1, far
+    # one per occurrence — avg(ln c) over occurrences ==
+    # sum(c_dt * ln c)/sum(c_dt) exactly (measured 1.2x at sf0.1, far
     # more on repetitive corpora where occurrences >> distinct pairs)
     per_tok = tok.groupBy("doc_id", "source", "tk").agg(
         F.count(F.lit(1)).alias("cdt"))
     vocab = per_tok.groupBy("tk").agg(F.sum("cdt").alias("c"))
-    total = vocab.agg(F.sum("c").alias("n_total"))
-    per_doc = (
+    per_doc = scoped_persist(
         per_tok.join(F.broadcast(vocab), "tk")
-        .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "source")
-        .agg((F.sum(F.col("cdt") * F.log(F.col("c") / F.col("n_total")))
-              / F.sum("cdt")).alias("score"))
+        .agg(
+            F.round(F.sum(F.col("cdt") * F.log("c")) / F.sum("cdt"), 8)
+            .alias("ar"),
+            F.sum("cdt").alias("len"),
+        )
     )
-    thresh = per_doc.agg(
-        (F.avg("score") - F.lit(0.05)).alias("cut"))
+    # score = ar - ln(n_total); the cut is avg(score) - 0.05, so the
+    # ln(n_total) shift cancels in (score < cut) and the flag compares
+    # rounded ar against a rounded cut directly. n_total is recovered
+    # from the persisted doc table (sum of doc lengths) for the
+    # avg_logprob display column.
+    stats = per_doc.agg(
+        F.round(F.avg("ar") - F.lit(0.05), 8).alias("cut"),
+        F.sum("len").alias("n_total"))
     return (
-        per_doc.crossJoin(F.broadcast(thresh))
+        per_doc.crossJoin(F.broadcast(stats))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("score"), 4).alias("avg_logprob"),
-            F.sum((F.col("score") < F.col("cut")).cast("long"))
+            F.round(F.avg("ar") - F.log(F.min("n_total")), 4)
+            .alias("avg_logprob"),
+            F.sum((F.col("ar") < F.col("cut")).cast("long"))
             .alias("n_low_quality"),
         )
         .orderBy("source")

@@ -1696,30 +1696,42 @@ ORDER BY t.doc_id
 
 # Corpus-unigram LM quality proxy (CCNet/RefinedWeb perplexity filter
 # without KenLM): flag cut = corpus mean doc score - 0.05, adaptive.
+# Cross-engine determinism (ADVICE r5): the doc score is kept as
+# a = avg(ln c) so the ln(n_total) shift cancels out of the threshold
+# comparison, and both a and the cut round to 8 dp before the `<` —
+# mirrors operators/textstats.py::unigram_logprob_quality exactly.
 ORACLE["unigram_logprob_quality"] = f"""
 WITH tok AS (
   SELECT doc_id, source, unnest({_TOKS}) AS tk FROM documents
 ),
 vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
-total AS (SELECT sum(c) AS n_total FROM vocab),
 per_doc AS (
-  SELECT doc_id, source, avg(ln(c * 1.0 / n_total)) AS score
-  FROM tok JOIN vocab USING (tk), total
+  SELECT doc_id, source, round(avg(ln(c * 1.0)), 8) AS ar,
+         count(*) AS len
+  FROM tok JOIN vocab USING (tk)
   GROUP BY doc_id, source
 ),
-thresh AS (SELECT avg(score) - 0.05 AS cut FROM per_doc)
+stats AS (SELECT round(avg(ar) - 0.05, 8) AS cut, sum(len) AS n_total
+          FROM per_doc)
 SELECT source, count(*)::BIGINT AS n_docs,
-  round(avg(score), 4) AS avg_logprob,
-  sum((score < cut)::BIGINT)::BIGINT AS n_low_quality
-FROM per_doc, thresh
+  round(avg(ar) - ln(min(n_total)), 4) AS avg_logprob,
+  sum((ar < cut)::BIGINT)::BIGINT AS n_low_quality
+FROM per_doc, stats
 GROUP BY source ORDER BY source
 """
 
-# Z-order layout audit: the oracle regenerates the identical 32-term
-# Morton interleave (operators/layout.py::morton_interleave16).
-_MORTON_SQL = " + ".join(
-    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
-    for i in range(16))
+# Z-order layout audit: the oracle regenerates the identical Morton
+# interleave via the same magic-number bit spread as
+# operators/layout.py::_spread16 (4 shift-or-mask rounds per operand).
+def _spread16_sql(v: str) -> str:
+    e = v
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e
+
+
+_MORTON_SQL = f"{_spread16_sql('x')} + ({_spread16_sql('y')} << 1)"
 ORACLE["zorder_layout"] = f"""
 WITH base AS (
   SELECT user_id, (epoch(ts)::BIGINT // 3600) AS hour FROM events

@@ -56,3 +56,39 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --- scoped operator caches -------------------------------------------------
+# Operators that genuinely need a mid-plan materialisation (iterative CC,
+# two-pass LM builds, candidate-pair reuse) persist through this registry
+# instead of bare .persist(), so a long registry run (153 queries in one
+# session) doesn't accumulate dead cached partitions in executor storage:
+# harness code (bench.py, tools/oracle_check.py) calls release_caches()
+# after each query's results are materialised.
+
+_SCOPED_CACHES: list = []
+
+
+def scoped_persist(df, storage_level=None):
+    """Persist ``df`` (MEMORY_AND_DISK by default) and register it for
+    :func:`release_caches`. Returns the persisted DataFrame."""
+    from pyspark import StorageLevel
+
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame registered via :func:`scoped_persist`
+    (blocking=False — eviction proceeds async). Safe to call at any
+    point after the consuming query has materialised its result."""
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return n

@@ -60,6 +60,7 @@ def main() -> int:
 
     from hadoop_mapreduce_spark import get_spark
     from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
+    from hadoop_mapreduce_spark.session import release_caches
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -77,7 +78,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            # operators that scoped_persist a mid-plan materialisation
+            # are released here, so a 153-query run doesn't accumulate
+            # dead cached partitions (ADVICE r5)
+            release_caches()
         except Exception as e:  # noqa: BLE001
+            release_caches()
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             report[name] = {"rows_match": False, "schema_match": False,
