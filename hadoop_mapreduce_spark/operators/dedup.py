@@ -152,18 +152,42 @@ def minhash_signatures(
     return agg.select("id", F.expr(arr).alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
+                        max_bucket: int = 2048) -> DataFrame:
     """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
 
     Shuffle is keyed on (band_idx, band_hash) — uniformly distributed, so
     the self-join groups stay tiny unless documents genuinely collide.
+
+    Scale guard (VERDICT r5): buckets larger than ``max_bucket`` are
+    suppressed with a broadcast left-anti BEFORE the self-join — the
+    same hot-bucket cap as ``dedup_embedding_lsh``. A template-heavy
+    corpus (thousands of near-identical docs sharing one band bucket)
+    would otherwise materialise O(bucket²) candidate rows; with the cap
+    the pair count is bounded by bands·N·max_bucket/2. Members of a
+    suppressed bucket still pair through their other, smaller bands;
+    byte-identical mass duplicates are exact-dedup's job upstream of
+    any LSH pass (``dedup_exact``). The banded rows are persisted so
+    the bucket-size pass and both self-join sides read one
+    materialisation instead of re-running the signature pipeline
+    three times.
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     buckets = "array(" + ",".join(
         "hash(" + ",".join([str(b)] + [f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)]) + ")"
         for b in range(bands)
     ) + ")"
-    banded = sig_df.select("id", F.posexplode(F.expr(buckets)).alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = scoped_persist(
+        sig_df.select("id", F.posexplode(F.expr(buckets)).alias("band", "bucket")))
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket)
+        .select("band", "bucket")
+    )
+    pruned = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))

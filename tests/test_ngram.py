@@ -134,3 +134,32 @@ def test_cms_heavy_hitters_never_undercount(spark):
     assert all(est[t] >= true[t] for t in est)
     top_term = max(true, key=lambda t: (true[t], t))
     assert top_term in est
+
+
+def test_cross_line_runt_splits_and_empty_lines(spark, tmp_path):
+    """n=4 with one-token and empty lines across many tiny splits: the
+    junction walk must roll the (n-1)-token carry through partitions
+    holding fewer than n-1 tokens (the runt-partition branch)."""
+    p = tmp_path / "runt.txt"
+    lines = []
+    for i in range(300):
+        if i % 7 == 0:
+            lines.append("")                      # empty line
+        elif i % 3 == 0:
+            lines.append(f"t{i:04d}")             # single-token line
+        else:
+            lines.append(f"a{i:04d} b{i:04d}")
+    p.write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+        n_parts = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert n_parts > 8, "fixture must span many tiny splits"
+        got = {(r[0], r[1]) for r in
+               ngram_count_text(spark, str(p), 4, cross_line=True).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    toks = [t for ln in lines for t in ln.split() if t]
+    from collections import Counter
+    want = Counter(" ".join(toks[i:i + 4]) for i in range(len(toks) - 3))
+    assert got == set(want.items())
