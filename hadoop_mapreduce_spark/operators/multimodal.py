@@ -399,19 +399,27 @@ def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
         return None
     pos = 12
     rate = ch = bits = block_align = None
-    n_samples = None
+    data_size = None
+    # record the data chunk's SIZE during the walk and derive n_samples
+    # only after the loop, once block_align is known — a data chunk that
+    # precedes fmt (legal RIFF, rare in the wild) would otherwise be
+    # skipped while block_align was still None (ADVICE r5). A truncated
+    # fmt chunk returns None instead of raising struct.error.
     while pos + 8 <= len(blob):
         tag = blob[pos:pos + 4]
-        size = struct.unpack_from("<I", blob, pos + 4)[0]
-        if tag == b"fmt " and size >= 16:
-            _, ch, rate, _, block_align, bits = struct.unpack_from(
-                "<HHIIHH", blob, pos + 8)
-        elif tag == b"data" and block_align:
-            n_samples = size // block_align
+        try:
+            size = struct.unpack_from("<I", blob, pos + 4)[0]
+            if tag == b"fmt " and size >= 16:
+                _, ch, rate, _, block_align, bits = struct.unpack_from(
+                    "<HHIIHH", blob, pos + 8)
+            elif tag == b"data":
+                data_size = size
+        except struct.error:
+            return None
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
-    if rate is None or n_samples is None:
+    if rate is None or data_size is None or not block_align:
         return None
-    return rate, ch, bits, n_samples
+    return rate, ch, bits, data_size // block_align
 
 
 def with_audio_payload(docs: DataFrame) -> DataFrame:

@@ -479,8 +479,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str, n_queries: int = 5,
 
 
 def ann_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 5,
-                  k: int = 10, m: int = 16, n_codes: int = 16,
-                  shortlist: int = 100) -> DataFrame:
+                  k: int = 10, m: int = 16, n_codes: int = 32,
+                  shortlist: int = 300) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank — the production composition
     (FAISS's IVFADC+R): the quantized scan whittles N candidates down
     to `shortlist` per query using only 8-byte codes, then the exact

@@ -167,3 +167,30 @@ def test_audio_meta_counts(spark):
         assert r.sample_rate in (8000, 16000, 44100)
         assert r.channels == 1 and r.bits == 16
         assert abs(r.duration_ms - r.n_samples * 1000.0 / r.sample_rate) < 0.01
+
+
+def test_wav_data_before_fmt_and_truncated_fmt():
+    """ADVICE r5: a data chunk PRECEDING fmt is legal RIFF and must
+    still decode (n_samples derived after the walk once block_align is
+    known); a truncated fmt chunk returns None, never struct.error."""
+    import struct
+
+    from hadoop_mapreduce_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    base = make_wav(22050, 99)          # RIFF | fmt | data
+    fmt_chunk = base[12:12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16:]
+    swapped = base[:12] + data_chunk + fmt_chunk
+    swapped = swapped[:4] + struct.pack("<I", len(swapped) - 8) + swapped[8:]
+    assert parse_wav_header(swapped) == (22050, 1, 16, 99)
+    # fmt claims a 16-byte payload but the blob ends mid-header: the
+    # walker must return None (caught struct.error), not raise. A LIST
+    # filler pushes fmt far enough in that the 36-byte gate passes.
+    filler = b"LIST" + struct.pack("<I", 12) + b"\x00" * 12
+    trunc = base[:12] + filler + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    trunc = trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:]
+    assert len(trunc) >= 36
+    assert parse_wav_header(trunc) is None

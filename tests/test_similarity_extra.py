@@ -98,8 +98,9 @@ def test_pq_adc_shape_and_determinism(spark):
 
 def test_pq_rerank_recall_vs_exact(spark):
     """The ADC-shortlist + exact-rerank composition must recover most
-    true neighbours (recall@10 >= 0.8 on the fixture with an 8-byte
-    code and a 100-candidate shortlist; measured 0.92)."""
+    true neighbours (recall@10 >= 0.9 on the fixture with a 32-cell
+    codebook and a 300-candidate shortlist; measured 1.0 at both
+    sf0.01 and sf0.1 — VERDICT r5 item 4 raised the bar from 0.8)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -128,4 +129,4 @@ def test_pq_rerank_recall_vs_exact(spark):
         approx.setdefault(r.qid, set()).add(r.nid)
     hits = sum(len(exact[qq] & approx.get(qq, set())) for qq in exact)
     total = sum(len(v) for v in exact.values())
-    assert hits / total >= 0.8
+    assert hits / total >= 0.9

@@ -34,6 +34,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import HEADLINE  # noqa: E402
 
 
+def _shuffle_metrics(sc, after_stage: int) -> tuple[int, dict]:
+    """Sum shuffle write/read + spill bytes over stages with id >
+    ``after_stage`` (AppStatusStore walk — the same numbers the UI
+    shows). Returns (new_watermark, metrics). Best-effort: {} on any
+    reflection hiccup so the bench never dies for a metric."""
+    try:
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        empty = jvm.java.util.Collections.emptyList()
+        darr = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, darr, empty)
+        w = r = sp_mem = sp_disk = 0
+        hi = after_stage
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            sid = s.stageId()
+            hi = max(hi, sid)
+            if sid <= after_stage:
+                continue
+            w += s.shuffleWriteBytes()
+            r += s.shuffleReadBytes()
+            sp_mem += s.memoryBytesSpilled()
+            sp_disk += s.diskBytesSpilled()
+        return hi, {"shuffle_write_mb": round(w / 1e6, 2),
+                    "shuffle_read_mb": round(r / 1e6, 2),
+                    "spill_mem_mb": round(sp_mem / 1e6, 2),
+                    "spill_disk_mb": round(sp_disk / 1e6, 2)}
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return after_stage, {}
+
+
+def _duck_one(sql: str, scratch: str, q) -> None:
+    """Child-process DuckDB runner (module level so it pickles under
+    both fork and spawn start methods — ADVICE r5)."""
+    import time as _t
+
+    import duckdb as _d
+
+    c = _d.connect()
+    for t in ("region", "nation", "customer", "supplier",
+              "part", "orders", "lineitem", "events",
+              "documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{scratch}/{t}.parquet/*.parquet')")
+    c.execute(sql).fetchall()  # warm
+    t0 = _t.time()
+    c.execute(sql).fetchall()
+    q.put(round(_t.time() - t0, 3))
+
+
 def main() -> None:
     import argparse
 
@@ -61,15 +112,27 @@ def main() -> None:
             if not have_all:
                 build_scaled(spark, src, scratch, k)
         heap = {}
+        shuffle: dict[str, dict] = {}
         if phase in ("spark", "both"):
+            from hadoop_mapreduce_spark.session import release_caches
+
             # Spark: warm once (codegen/JIT + first touch), then measure.
             for name in HEADLINE:
                 QUERIES[name](spark, scratch).write.format("noop").mode("overwrite").save()
+                release_caches()
+            watermark, _ = _shuffle_metrics(spark.sparkContext, -1)
             for name in HEADLINE:
                 t0 = time.time()
                 QUERIES[name](spark, scratch).write.format("noop").mode("overwrite").save()
                 sp[name] = round(time.time() - t0, 3)
-                print(f"  spark {name:24s} {sp[name]:7.2f}s", file=sys.stderr)
+                release_caches()
+                # per-query shuffle/spill volume (VERDICT r5 item 9): the
+                # evidence that no operator's shuffle grows super-linearly
+                # with K — read alongside the heap envelope below
+                watermark, m = _shuffle_metrics(spark.sparkContext, watermark)
+                shuffle[name] = m
+                print(f"  spark {name:24s} {sp[name]:7.2f}s  {m}",
+                      file=sys.stderr)
             # Measured heap envelope of the single local JVM (driver + all
             # executor threads + broadcasts): peak used across the heap
             # memory pools vs -Xmx — the "does this scale still fit the
@@ -98,25 +161,11 @@ def main() -> None:
         # as null instead of silently killing the run (and the DNF
         # itself is the scale evidence).
         du: dict[str, float] = {}
+        du_timeout: list[str] = []
+        du_crash: list[str] = []
         if phase in ("duck", "both"):
             import multiprocessing as mp
-
-            def _duck_one(sql: str, scratch: str, q) -> None:
-                import time as _t
-
-                import duckdb as _d
-
-                c = _d.connect()
-                for t in ("region", "nation", "customer", "supplier",
-                          "part", "orders", "lineitem", "events",
-                          "documents", "embeddings"):
-                    c.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{scratch}/{t}.parquet/*.parquet')")
-                c.execute(sql).fetchall()  # warm
-                t0 = _t.time()
-                c.execute(sql).fetchall()
-                q.put(round(_t.time() - t0, 3))
+            import queue as _queue
 
             cap = int(os.environ.get("SCALE_BENCH_DUCK_CAP_S", "900"))
             # same task-level twin as bench.py: DuckDB's baseline for the
@@ -134,11 +183,20 @@ def main() -> None:
                     proc.terminate()
                     proc.join()
                     du[name] = None
+                    du_timeout.append(name)
                     print(f"  duck  {name:24s} DNF >{cap}s", file=sys.stderr)
-                else:
-                    du[name] = q.get() if not q.empty() else None
-                    shown = du[name] if du[name] is not None else "CRASH"
-                    print(f"  duck  {name:24s} {shown}s", file=sys.stderr)
+                    continue
+                # child exited: a non-zero exitcode is a CRASH (OOM-kill,
+                # abort); exitcode 0 should have enqueued a result — use a
+                # timed get, not the racy q.empty() (ADVICE r5)
+                try:
+                    du[name] = q.get(timeout=5)
+                    print(f"  duck  {name:24s} {du[name]}s", file=sys.stderr)
+                except _queue.Empty:
+                    du[name] = None
+                    du_crash.append(name)
+                    print(f"  duck  {name:24s} CRASH "
+                          f"(exit {proc.exitcode})", file=sys.stderr)
 
         # compare only queries BOTH engines ran (rows-only ops have no SQL)
         done = {q: v for q, v in du.items() if v is not None}
@@ -155,7 +213,9 @@ def main() -> None:
             "duckdb_total": du_total,
             "spark_vs_duckdb": round(sp_total / du_total, 2)
             if (du_total and sp_cmp) else None,
-            "duckdb_dnf": [q for q, v in du.items() if v is None],
+            "duckdb_dnf": du_timeout,
+            "duckdb_crash": du_crash,
+            "spark_shuffle": shuffle,
             **heap,
         }))
     finally:
