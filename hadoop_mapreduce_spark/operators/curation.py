@@ -263,7 +263,7 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     """
     from hadoop_mapreduce_spark.operators.dedup import (
         connected_components_star,
-        dedup_minhash_lsh,
+        minhash_pairs_unsorted,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -274,7 +274,7 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     # the recursive-CTE oracle still hash-matches; generation is
     # O(colliding pairs), not the inverted index's O(postings^2)
     from hadoop_mapreduce_spark.session import scoped_persist
-    pairs = scoped_persist(dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+    pairs = scoped_persist(minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select(
         "id1", "id2"))
     pairs.count()  # materialize: referenced by CC rounds AND the audit
     # star CC, not label propagation: O(log n) rounds vs O(diameter) —

@@ -241,41 +241,56 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
-    """Near-duplicate pairs with verified Jaccard >= threshold.
+def minhash_pairs_unsorted(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.8) -> DataFrame:
+    """Verified near-dup pairs (id1, id2, jaccard) WITHOUT the
+    presentation sort — the edge source for CC / leakage-guard /
+    PageRank consumers, which re-shuffle the pairs anyway; feeding them
+    the sorted dedup_minhash_lsh wastes a global range exchange per
+    caller.
 
     Pipeline: shingle → 32 MinHashes → 16-band x 2-row LSH → candidate
     self-join → exact Jaccard verify. P(miss | j=0.8) = (1-0.8^2)^16 ≈
     8e-8, so the output matches the exact all-pairs oracle w.h.p. while
     scaling as O(candidates), not O(n^2).
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    # NOTE: sharing one persisted hashed-shingle pass between the
-    # signature and verify stages was measured SLOWER here (caching ~2.5M
-    # shingle rows costs more than re-tokenising the candidate subset);
-    # the hashed_shingles= hooks remain for corpora where the balance
-    # flips — long documents + near-dup-heavy candidate sets, where
-    # tools/shingle_reuse_bench.py measures reuse 1.58x FASTER
-    # (2000 docs x 800 tokens: 17.0 s rescan vs 10.7 s reuse, identical
-    # output) — the crossover is data, not prose.
-    sigs = minhash_signatures(docs, num_hashes=32)
+    # ONE persisted hashed-shingle pass feeds BOTH the signature and the
+    # verify stages: tokenise+shingle+hash is the dominant scan cost
+    # (~0.7 s of the pipeline's ~3.3 s at sf0.1) and without the shared
+    # cache it ran once for the signatures and again for the verify's
+    # candidate re-shingle — r6 re-measured the full pipeline at 2.0 s
+    # shared vs 3.3 s rescan under the honest release-between-runs
+    # protocol (an earlier round measured rescan faster, but that
+    # comparison was polluted by cross-run candidate caching). The
+    # cache is ~260k (id, long) rows at sf0.1 — MBs, MEMORY_AND_DISK.
+    hs = scoped_persist(hashed_shingle_rows(docs))
+    sigs = minhash_signatures(docs, num_hashes=32, hashed_shingles=hs)
     # Persist the candidate pairs: the verify stage references them three
     # times (id set + both sides of the shingle join) and without a
     # materialisation point each reference would recompute the whole
     # signature+banding pipeline. Candidates are tiny (pairs only).
-    from hadoop_mapreduce_spark.session import scoped_persist
     cands = scoped_persist(lsh_candidate_pairs(sigs, bands=16, rows_per_band=2))
     # Materialize the cache NOW: the verify stage references cands three
     # times, and letting the first big action populate the cache means
     # each reference races to recompute the whole signature pipeline
     # (measured 2x the wall-clock). One tiny count job fills the cache.
     cands.count()
-    verified = exact_jaccard_for_pairs(docs, cands)
+    verified = exact_jaccard_for_pairs(docs, cands, hashed_shingles=hs)
     return (
         verified.where(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id1", "id2")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs with verified Jaccard >= threshold, globally
+    sorted for presentation (see minhash_pairs_unsorted for the
+    pipeline and its scale analysis)."""
+    return minhash_pairs_unsorted(spark, sf_dir, threshold) \
+        .orderBy("id1", "id2")
 
 
 # --------------------------------------------------------------------------
@@ -601,15 +616,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
     """
     from hadoop_mapreduce_spark.functions.vectors import l2_norm
 
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     sig = srp_signatures(emb, n_bits=n_bits)
     rows_per_band = n_bits // bands
-    band_cols = [
-        F.concat_ws("_", F.lit(b), *[F.col(f"b{b * rows_per_band + r}")
-                                     for r in range(rows_per_band)]).alias("bucket")
-        for b in range(bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    # LONG bucket key: band id in the high bits, the band's sign bits
+    # packed below — integer shuffle keys group/join several times
+    # cheaper than the former "b_0_1_0_1" concat_ws strings, and the
+    # per-row work drops from 16 string builds to 16 shift-adds
+    band_cols = []
+    for b in range(bands):
+        bits: Column = F.lit(b * (1 << rows_per_band))
+        for r in range(rows_per_band):
+            bits = bits + F.shiftleft(F.col(f"b{b * rows_per_band + r}"), r)
+        band_cols.append(bits.cast("long").alias("bucket"))
+    # persist the tiny (id, bucket) rows: the bucket-size pass, the
+    # prune anti-join and the verify groupBy all read them — without a
+    # materialisation point each consumer re-runs the SRP python stage
+    # (measured 3 Arrow round-trips; 2.1 s -> ~1.3 s at sf0.1)
+    buckets = scoped_persist(
+        sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")))
     bucket_sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     pruned = buckets.join(
         F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
@@ -770,28 +797,31 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         #     and every parent to the smallest parent m ---
         wa = Window.partitionBy("a")
         small = large.withColumn("m", F.min("b").over(wa))
-        e_new = (
+        raw = (
             small.select(
                 F.when(F.col("b") == F.col("m"), F.col("a"))
                 .otherwise(F.col("b")).alias("a"),
                 F.col("m").alias("b"),
             )
             .where(F.col("a") != F.col("b"))
-            .distinct()
+        )
+        # ONE keyed aggregation replaces the former distinct + tag-sum
+        # set-diff (two shuffles per round -> one; round cost IS this
+        # algorithm's cost model): tag new edges +1 and old edges -1,
+        # then per (a,b) mx=max(tag)/mn=min(tag) encode presence —
+        # new-only (1,1) and old-only (-1,-1) rows are the set
+        # difference, mx=1 rows are the deduped new edge set. The
+        # aggregation is checkpointed, so both consumers (the diff
+        # count and next round's e) read the materialised frame.
+        merged = (
+            raw.select("a", "b", F.lit(1).alias("s"))
+            .unionByName(e.select("a", "b", F.lit(-1).alias("s")))
+            .groupBy("a", "b")
+            .agg(F.max("s").alias("mx"), F.min("s").alias("mn"))
             .localCheckpoint()
         )
-        # exact set equality in ONE job: both sides are distinct sets, so
-        # tag +1/-1 and any (a,b) with a non-zero tag sum is a difference
-        # (cheaper than two exceptAll jobs per round — round count is the
-        # whole cost model of this algorithm).
-        changed = (
-            e_new.withColumn("s", F.lit(1))
-            .unionByName(e.withColumn("s", F.lit(-1)))
-            .groupBy("a", "b").agg(F.sum("s").alias("s"))
-            .where(F.col("s") != 0)
-            .count()
-        )
-        e = e_new
+        changed = merged.where(F.col("mx") != -F.col("mn")).count()
+        e = merged.where(F.col("mx") == 1).select("a", "b")
         if changed == 0:
             break
     else:
@@ -817,7 +847,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str,
     label propagation. dedup_connected_components keeps the exact
     inverted-index edge source as the oracle twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select("id1", "id2")
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select("id1", "id2")
     out = connected_components_star(docs, pairs)
     return (
         out.select("doc_id", F.col("comp").cast("long").alias("component"))
@@ -944,7 +974,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold).select(
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select(
         "id1", "id2")
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))

@@ -226,14 +226,24 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
     ENVIRONMENT GATE: the TWS python driver-worker requires the
     `google.protobuf` package (its state-server protocol is protobuf);
-    containers without it fail at query start with
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The differential
-    test skips in that case (tests/test_streaming.py) and
-    running_user_totals (applyInPandasWithState, no protobuf
-    dependency) remains the fully-tested stateful path. Requires the
-    RocksDB state store provider
-    (spark.sql.streaming.stateStore.providerClass).
+    containers without it would fail at query start with an opaque
+    async STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — so this
+    operator probes the import UP FRONT and raises a clear RuntimeError
+    instead. The differential test asserts the full stream==batch
+    equivalence where protobuf exists and asserts THIS contract error
+    where it doesn't (no skip either way); running_user_totals
+    (applyInPandasWithState, no protobuf dependency) remains the
+    fully-tested stateful path everywhere. Requires the RocksDB state
+    store provider (spark.sql.streaming.stateStore.providerClass).
     """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (TWS state-server protocol); install protobuf or "
+            "use running_user_totals (applyInPandasWithState) — same "
+            "semantics, no protobuf dependency") from e
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
