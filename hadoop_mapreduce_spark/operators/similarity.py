@@ -517,3 +517,114 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 5,
                 F.col("rank").cast("long").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+                     k: int = 10, n_lists: int = 8, n_probe: int = 3,
+                     m: int = 16, n_codes: int = 32,
+                     shortlist: int = 200) -> DataFrame:
+    """FAISS-style IVFADC + exact re-rank — the full production ANN
+    composition (Jégou et al. §IV): the IVF coarse quantizer prunes
+    WHICH vectors are scored (n_probe of n_lists inverted lists), PQ
+    codes on the RESIDUAL v - centroid(list(v)) shrink WHAT a score
+    costs (m uint8 codes + an LUT sum, never the raw vector), and the
+    exact pass re-ranks only the ADC shortlist.
+
+    Residual encoding matters: within a list the residuals are centred
+    near zero, so the per-subspace codebook spends its 32 cells on the
+    local spread instead of the global point cloud — the standard
+    IVFADC accuracy win over PQ-on-raw-vectors. One shared residual
+    codebook across lists (FAISS's default) keeps the LUT per
+    (query, probed list) at m x n_codes cells, built from the query's
+    OWN residual against that list's centroid.
+
+    Scale shape: at 100 TB the assignment table is written bucketed by
+    list_id (partition pruning reads n_probe/n_lists of the codes), the
+    codebook + centroids broadcast (KBs), ADC moves (qid, nid, dist)
+    rows only, and the re-rank fetches shortlist x Q raw vectors by id.
+    Registered rows-only (approximate); recall@10 vs brute force is
+    asserted >= 0.9 in tests and reported by bench.py. Extension
+    coverage (SURVEY.md §2.EXT embedding-space structure — the
+    reference has no ANN surface).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_assign(emb, n_lists=n_lists)
+    # residual per vector against its own list centroid (JVM zip_with)
+    resid = (
+        assigned.join(F.broadcast(centroids), "list_id")
+        .select("vec_id", "list_id",
+                F.zip_with("embedding", "cvec", lambda a, b: a - b)
+                .alias("rvec"))
+    )
+    subvecs = _pq_subvectors(resid, m, vec_col="rvec")
+    codebook = pq_codebook(subvecs, n_codes=n_codes)
+    best = F.min_by("code", F.struct(F.col("d2"), F.col("code")))
+    codes = (
+        subvecs.join(F.broadcast(codebook), "sub")
+        .select("vec_id", "sub", "code",
+                l2_sq_dist(F.col("svec"), F.col("cvec")).alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(best.alias("code"))
+        .join(resid.select("vec_id", "list_id"), "vec_id")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    # probed lists per query (coarse argmax over the broadcast centroids)
+    wq = Window.partitionBy("qid").orderBy(F.asc("qd2"), F.asc("list_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qvec", "list_id",
+                l2_sq_dist(F.col("qvec"), F.col("cvec")).alias("qd2"),
+                F.zip_with("qvec", "cvec", lambda a, b: a - b).alias("qres"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("qid", "list_id", "qres")
+    )
+    # per (query, probed list) LUT from the query's residual vs the
+    # shared residual codebook — m x n_codes x n_probe rows per query
+    qsub = probes.select(
+        "qid", "list_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col("qres"),
+                                  (j * (F.size("qres") / m) + 1).cast("int"),
+                                  (F.size("qres") / m).cast("int")),
+            )
+        ).alias("sub", "qsvec"),
+    )
+    lut = (
+        qsub.join(F.broadcast(codebook), "sub")
+        .select("qid", "list_id", "sub", "code",
+                l2_sq_dist(F.col("qsvec"), F.col("cvec")).alias("pdist"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["list_id", "sub", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("pdist").alias("adist"), F.count(F.lit(1)).alias("nsub"))
+        # a vector is scoreable only if every subspace hit the LUT of
+        # ITS list (it always does — the LUT covers all codes), so nsub
+        # == m guards against partial sums if a probe list is empty
+        .where(F.col("nsub") == m)
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= shortlist)
+        .select("qid", "nid")
+    )
+    exact = (
+        emb.join(F.broadcast(short), emb["vec_id"] == short["nid"])
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "nid",
+                l2_sq_dist(F.col("embedding"), F.col("qvec")).alias("d2"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("nid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", F.round("d2", 6).alias("dist"),
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )

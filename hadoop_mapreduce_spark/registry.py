@@ -141,6 +141,7 @@ QUERIES: dict[str, QueryFn] = {
     # these every round regardless.
     "ann_pq_adc": similarity.ann_pq_adc,  # rows-only (quantized ranks)
     "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
+    "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,  # rows-only (IVFADC)
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)

@@ -130,3 +130,48 @@ def test_pq_rerank_recall_vs_exact(spark):
     hits = sum(len(exact[qq] & approx.get(qq, set())) for qq in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9
+
+
+def test_ivfpq_rerank_recall_vs_exact(spark):
+    """FAISS-style IVFADC (+ exact re-rank) recovers >= 0.9 of true
+    top-10 neighbours on the fixture: residual PQ codes scored only in
+    the n_probe closest inverted lists, exact distances on the ADC
+    shortlist. The coarse pruning (3 of 8 lists) is what distinguishes
+    this from ann_pq_rerank — a true neighbour in an unprobed list is
+    unrecoverable, so this also bounds the IVF assignment quality."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.functions.vectors import l2_sq_dist
+    from hadoop_mapreduce_spark.operators.similarity import ann_ivfpq_rerank
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
+    exact_rows = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"),
+                l2_sq_dist(F.col("embedding"), F.col("qvec")).alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .collect()
+    )
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.qid, set()).add(r.nid)
+    approx = {}
+    rows = ann_ivfpq_rerank(spark, SF_DIR).collect()
+    for r in rows:
+        approx.setdefault(r.qid, set()).add(r.nid)
+    # shape: exact distances ascending per query, rank contiguous
+    for qid in approx:
+        qrows = sorted((r for r in rows if r.qid == qid), key=lambda r: r.rank)
+        assert [r.rank for r in qrows] == list(range(1, len(qrows) + 1))
+        dists = [r.dist for r in qrows]
+        assert dists == sorted(dists)
+    hits = sum(len(exact[qq] & approx.get(qq, set())) for qq in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9
