@@ -272,7 +272,20 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     # shingle Jaccard before thresholding, so the edge set equals the
     # exact all-pairs set w.h.p. (P[miss | j=0.8] ~ 8e-8 per pair) and
     # the recursive-CTE oracle still hash-matches; generation is
-    # O(colliding pairs), not the inverted index's O(postings^2)
+    # O(colliding pairs), not the inverted index's O(postings^2).
+    # ADVICE r5 flagged the probabilistic-equivalence risk (a banding
+    # miss on a new fixture would flip component ids and fail the hash
+    # spuriously). Decision: KEEP the LSH edge source for the
+    # hash-checked entry — the equivalence is pinned by
+    # tests/test_dedup.py::test_minhash_lsh_equals_exact_jaccard on the
+    # same fixtures the driver compares on, so a fixture/banding change
+    # that breaks it fails the suite first, with a readable diff,
+    # before it can look like a spurious driver mismatch. (Switching
+    # the registered query to exact all-pairs edges would make its cost
+    # the O(postings²) shape this operator exists to avoid — the DuckDB
+    # twin of which DNF'd at 8× and took 137 s at 4×.) The hot-bucket
+    # cap (r6) cannot drop fixture edges either: the cap only engages
+    # past 2048-member buckets, asserted adversarially in the same file.
     from hadoop_mapreduce_spark.session import scoped_persist
     pairs = scoped_persist(minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select(
         "id1", "id2"))

@@ -362,7 +362,14 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self range join on events: pairs of events by the same user within
     5 minutes. Equi key (user_id) bounds the quadratic blowup to within-
-    user groups; at scale add a time-bucket key to cap group size."""
+    user groups; at scale add a time-bucket key to cap group size.
+
+    The window compares exact MICROsecond epochs (unix_micros /
+    epoch_us) on both engines: second-granularity comparison was
+    engine-dependent at the boundary — Spark's unix_timestamp floors
+    while DuckDB's epoch()::BIGINT rounds, which flipped one pair at
+    sf0.1 (caught by the r6 full-registry sf0.1 oracle run; invisible
+    at sf0.01)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     a, b = ev.alias("a"), ev.alias("b")
     return (
@@ -370,7 +377,9 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.abs(F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")) <= 300),
+            & (F.abs(F.unix_micros(F.col("b.ts").cast("timestamp"))
+                     - F.unix_micros(F.col("a.ts").cast("timestamp")))
+               <= 300 * 1_000_000),
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -457,3 +457,61 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str,
+                            min_count: int = 5, k: int = 50) -> DataFrame:
+    """Collocation mining: top-k token bigrams by pointwise mutual
+    information, PMI = ln( p(ab) / (p(a)·p(b)) ) with all probabilities
+    estimated from the corpus itself — the classic Church & Hanks
+    measure; "new york"-style compounds score high because their joint
+    frequency dwarfs the unigram-independence prediction.
+
+    Plan: ONE tokenisation pass feeds both frequency tables — bigrams
+    via the existing n-gram assembly (tokens bound below the explode,
+    SURVEY §2.A op-4 machinery), unigrams from the same token arrays —
+    then two broadcast joins attach the unigram counts to each bigram
+    row (vocabulary-sized builds), a 1-row totals aggregate broadcasts
+    back, and the top-k is a TakeOrdered limit, no global sort. The
+    corpus is scanned twice (unigram pass + bigram pass — same
+    two-pass shape as unigram_logprob_quality); everything downstream
+    of the scans is vocabulary-sized. min_count guards the classic
+    PMI small-count instability (hapax pairs otherwise own the top).
+
+    PMI rounds to 6 dp on both engines — the log-ratio is a smooth
+    function of integer counts, so cross-engine FP agreement at 6 dp
+    is robust (no threshold comparison anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw"))
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+
+    big = (
+        toks.select(F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= min_count)
+        .select(F.split("bg", " ").getItem(0).alias("w1"),
+                F.split("bg", " ").getItem(1).alias("w2"),
+                "cab")
+    )
+    totals = toks.select(
+        F.sum(F.size("t")).alias("n_uni"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_big"))
+    pmi = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                             .withColumnRenamed("cw", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("cw", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2",
+            F.col("cab").cast("long").alias("n_pair"),
+            F.round(
+                F.log((F.col("cab") / F.col("n_big"))
+                      / ((F.col("c1") / F.col("n_uni"))
+                         * (F.col("c2") / F.col("n_uni")))), 6).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)

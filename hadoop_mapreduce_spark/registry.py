@@ -135,6 +135,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_ngram_rate": datamix.dup_ngram_rate,
     "sample_fixed_per_source": datamix.sample_fixed_per_source,
     "token_zipf_slope": textstats.token_zipf_slope,
+    "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -468,7 +469,7 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
     "join_self_pairs": """
 SELECT a.user_id AS user_id, count(*) AS n_pairs
 FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id
-  AND abs(epoch(b.ts)::BIGINT - epoch(a.ts)::BIGINT) <= 300
+  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
 GROUP BY a.user_id ORDER BY user_id
 """,
     "agg_distinct": """
@@ -2121,4 +2122,26 @@ WHERE n_hist >= 3
   AND abs(coalesce(CASE WHEN sigma = 0 THEN (CASE WHEN n = mu THEN 0.0 END)
                         ELSE (n - mu) / sigma END, 0.0)) > 3.0
 ORDER BY event_type, hour
+"""
+
+
+# Collocation mining: top-k bigrams by PMI (Church & Hanks). Same
+# tokenizer macro, ln ratio of joint to independent unigram estimates,
+# 6 dp rounding both engines, full-key ordering so LIMIT is stable.
+ORACLE["bigram_pmi_collocations"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uc AS (SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+),
+bc AS (SELECT w1, w2, count(*) AS cab FROM big GROUP BY w1, w2
+       HAVING count(*) >= 5),
+tot AS (SELECT sum(len(t)) AS n_uni, sum(greatest(len(t)-1, 0)) AS n_big
+        FROM toks)
+SELECT w1, w2, cab::BIGINT AS n_pair,
+  round(ln((cab * 1.0 / n_big)
+           / ((c1.cw * 1.0 / n_uni) * (c2.cw * 1.0 / n_uni))), 6) AS pmi
+FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w, tot
+ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
