@@ -786,12 +786,16 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v")))
         wu = Window.partitionBy("u")
+        # no mid-round distinct: |large| is exactly one row per
+        # symmetric edge with v > u (= |e|), duplicate (a,m) pairs are
+        # harmless under the small-star min and the round's single
+        # end-of-round distinct dedups them — dropping the former
+        # .distinct() here removes one shuffle per round
         large = (
             sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
         )
         # --- small-star: per child a (all parents b < a), re-attach a
         #     and every parent to the smallest parent m ---
@@ -805,24 +809,26 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
             )
             .where(F.col("a") != F.col("b"))
         )
-        # ONE keyed aggregation replaces the former distinct + tag-sum
-        # set-diff (two shuffles per round -> one; round cost IS this
-        # algorithm's cost model): tag new edges +1 and old edges -1,
-        # then per (a,b) mx=max(tag)/mn=min(tag) encode presence —
-        # new-only (1,1) and old-only (-1,-1) rows are the set
-        # difference, mx=1 rows are the deduped new edge set. The
-        # aggregation is checkpointed, so both consumers (the diff
-        # count and next round's e) read the materialised frame.
-        merged = (
-            raw.select("a", "b", F.lit(1).alias("s"))
-            .unionByName(e.select("a", "b", F.lit(-1).alias("s")))
-            .groupBy("a", "b")
-            .agg(F.max("s").alias("mx"), F.min("s").alias("mn"))
-            .localCheckpoint()
+        # One dedup shuffle per round, checkpointed (round cost IS this
+        # algorithm's cost model: one shuffle + one tiny stop-test job
+        # on the materialised frame — the former distinct + old∪new
+        # set-diff shape carried two shuffles and a full extra round).
+        e = raw.distinct().localCheckpoint()
+        # Stop test: e is a STAR FOREST (no parent appears as a child)
+        # ⟺ the next round would map e to itself — checking the new
+        # edge set directly saves the former protocol's whole final
+        # confirming round (two window shuffles run only to observe
+        # changed == 0). Soundness: large/small-star never disconnect a
+        # component, so a star-forest state means every component is
+        # one star rooted at its minimum — converged AND correct; a
+        # non-star state always changes next round, so max_iter still
+        # bounds pathological inputs.
+        violations = (
+            e.join(e.select(F.col("a").alias("b")).distinct(),
+                   "b", "left_semi")
+            .count()
         )
-        changed = merged.where(F.col("mx") != -F.col("mn")).count()
-        e = merged.where(F.col("mx") == 1).select("a", "b")
-        if changed == 0:
+        if violations == 0:
             break
     else:
         raise RuntimeError(
