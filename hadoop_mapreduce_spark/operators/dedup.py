@@ -145,11 +145,14 @@ def minhash_signatures(
         if hashed_shingles is not None
         else hashed_shingle_rows(docs, id_col, text_col, shingle_k)
     )
-    agg = base.groupBy("id").agg(
-        *[F.expr(f"min(xxhash64({i}, h0)) as h{i}") for i in range(num_hashes)]
-    )
-    arr = "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
-    return agg.select("id", F.expr(arr).alias("sig"))
+    # ONE parsed expression (array of the num_hashes min-aggregates),
+    # not num_hashes separate F.expr calls + a second array() projection
+    # — each F.expr is a py4j round-trip plus a SQL parse, and this
+    # plan is rebuilt per query execution (driver-side analysis is
+    # per-QUERY overhead that no executor count amortises)
+    sig = "array(" + ",".join(
+        f"min(xxhash64({i}, h0))" for i in range(num_hashes)) + ") as sig"
+    return base.groupBy("id").agg(F.expr(sig))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
@@ -160,17 +163,26 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
     the self-join groups stay tiny unless documents genuinely collide.
 
     Scale guard (VERDICT r5): buckets larger than ``max_bucket`` are
-    suppressed with a broadcast left-anti BEFORE the self-join — the
-    same hot-bucket cap as ``dedup_embedding_lsh``. A template-heavy
+    suppressed with a broadcast left-anti BEFORE any pair generation —
+    the same hot-bucket cap as ``dedup_embedding_lsh``. A template-heavy
     corpus (thousands of near-identical docs sharing one band bucket)
     would otherwise materialise O(bucket²) candidate rows; with the cap
     the pair count is bounded by bands·N·max_bucket/2. Members of a
     suppressed bucket still pair through their other, smaller bands;
     byte-identical mass duplicates are exact-dedup's job upstream of
     any LSH pass (``dedup_exact``). The banded rows are persisted so
-    the bucket-size pass and both self-join sides read one
-    materialisation instead of re-running the signature pipeline
-    three times.
+    the bucket-size pass and the pair pass read one materialisation
+    instead of re-running the signature pipeline twice.
+
+    Pair generation is BUCKET-LOCAL (r6): one hash aggregation collects
+    each surviving bucket's member ids (bounded at max_bucket·8 B =
+    16 KiB per group — the prune runs first, so a hot bucket's rows
+    never enter this shuffle) and the i<j pairs are emitted by an
+    array transform over the sorted membership. The former
+    formulation self-joined the banded rows on (band, bucket): same
+    exchange, but sort-merge sorted both sides and streamed every
+    bucket row against every match — the hash-agg + in-place pair
+    expansion does no per-row sort and shuffles each banded row once.
     """
     from hadoop_mapreduce_spark.session import scoped_persist
 
@@ -187,11 +199,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
         .select("band", "bucket")
     )
     pruned = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a, b = pruned.alias("a"), pruned.alias("b")
+    members = (
+        pruned.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        members.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x as id1, y as id2))))"
+        )).alias("p"))
+        .select("p.id1", "p.id2")
         .dropDuplicates()
     )
 
@@ -560,7 +579,14 @@ def srp_signatures(vectors: DataFrame, n_bits: int = 16,
     guarantee. One BLAS matmul per Arrow batch inside mapInPandas — the
     plane matrix depends only on (n_bits, dim), so hashing per row (let
     alone per row x bit, the naive SQL formulation) is pure waste. No
-    shuffle at all: signatures are computed where the vectors sit.
+    shuffle at all when the scan is already parallel: signatures are
+    computed where the vectors sit. Callers whose scan arrives as fewer
+    splits than the session's parallelism (a single small parquet file →
+    one split → the whole matmul stage on one core) should rebalance
+    before calling — see dedup_embedding_lsh's os-level file-count gate;
+    at real scale the scan has thousands of splits and no rebalance is
+    wanted, so the choice belongs to the call site that can see the
+    input layout.
     """
     import numpy as np
 
@@ -585,6 +611,47 @@ def srp_signatures(vectors: DataFrame, n_bits: int = 16,
     return vectors.select(id_col, vec_col).mapInPandas(sign, schema)
 
 
+def srp_bucket_rows(vectors: DataFrame, n_bits: int = 64, bands: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) band-bucket rows straight from the SRP stage.
+
+    Same signatures as srp_signatures, but the banding (reshape the
+    sign-bit matrix to (N, bands, r), dot with the bit weights, add the
+    band offset) happens in the SAME numpy kernel that computed the
+    bits, and the stage emits the exploded (id long, bucket long) rows
+    directly. Versus signatures → 64 int columns → 16 shift-add
+    expressions → explode, this removes a 65-field Arrow schema and a
+    ~100-node Catalyst projection from every plan build (~0.3 s of
+    driver-side analysis per run at any scale — per-QUERY cost, not
+    per-row) while shuffling the identical rows.
+    """
+    import numpy as np
+
+    rows_per_band = n_bits // bands
+
+    def bucketize(batches):
+        import pandas as pd
+
+        planes = None
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        offsets = (np.arange(bands, dtype=np.int64) << rows_per_band)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _srp_planes(n_bits, mat.shape[1])
+            bits = ((mat @ planes.T) > 0).reshape(len(pdf), bands, rows_per_band)
+            buckets = bits.astype(np.int64) @ weights + offsets[None, :]
+            yield pd.DataFrame({
+                "id": np.repeat(pdf[id_col].to_numpy(), bands),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        bucketize, "id long, bucket long")
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4,
                         n_bits: int = 64, bands: int = 16,
                         max_bucket: int = 2048) -> DataFrame:
@@ -600,17 +667,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         pairs carrying almost no signal (standard LSH-at-scale practice;
         its members still pair via their other bands);
       * verification is BUCKET-LOCAL: each band bucket (bounded by
-        max_bucket) is one applyInPandas group holding its members'
-        unit vectors; one BLAS matmul scores all within-bucket pairs
-        and ONLY above-threshold pairs leave the worker. Candidate
-        pairs are never materialised as shuffle rows — the earlier
-        formulation (bucket self-join → 10^7-10^8 candidate rows →
-        distinct → two joins back to the vector table) shuffled
-        O(candidates) rows; this one shuffles O(bands·N) vector rows
-        plus O(result) pairs, the same reshape the exact block-pair
-        scorer uses but with LSH buckets as the blocks. A pair sharing
-        k bands is scored k times (bounded extra flops, all in BLAS)
-        and deduped by the final distinct over the tiny result set.
+        max_bucket) holds its members' unit vectors; one BLAS matmul
+        scores all within-bucket pairs and ONLY above-threshold pairs
+        leave the worker. Candidate pairs are never materialised as
+        shuffle rows — the earlier formulation (bucket self-join →
+        10^7-10^8 candidate rows → distinct → two joins back to the
+        vector table) shuffled O(candidates) rows; this one shuffles
+        O(bands·N) vector rows plus O(result) pairs, the same reshape
+        the exact block-pair scorer uses but with LSH buckets as the
+        blocks. A pair sharing k bands is scored k times (bounded
+        extra flops, all in BLAS) and deduped by the final distinct
+        over the tiny result set. The Python side iterates SIZE
+        CLASSES, not buckets: rows arrive bucket-sorted per partition
+        (repartition + sortWithinPartitions — the same exchange a
+        groupBy would pay), buckets of equal size s are stacked into
+        one (nb, s, dim) tensor and scored by a single batched einsum,
+        so per-call Python overhead is O(#distinct sizes) instead of
+        O(#buckets) — the former one-pandas-call-per-bucket
+        applyInPandas spent ~4 ms/bucket on slice/DataFrame plumbing,
+        an order of magnitude more than its matmuls.
 
     Recall < 1 by construction → registered rows-only (no SQL oracle).
     """
@@ -619,24 +694,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
     from hadoop_mapreduce_spark.session import scoped_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = srp_signatures(emb, n_bits=n_bits)
-    rows_per_band = n_bits // bands
-    # LONG bucket key: band id in the high bits, the band's sign bits
-    # packed below — integer shuffle keys group/join several times
-    # cheaper than the former "b_0_1_0_1" concat_ws strings, and the
-    # per-row work drops from 16 string builds to 16 shift-adds
-    band_cols = []
-    for b in range(bands):
-        bits: Column = F.lit(b * (1 << rows_per_band))
-        for r in range(rows_per_band):
-            bits = bits + F.shiftleft(F.col(f"b{b * rows_per_band + r}"), r)
-        band_cols.append(bits.cast("long").alias("bucket"))
+    # SRP is a per-row matmul stage with no shuffle: its parallelism IS
+    # the scan's split count. The fixture table is one small parquet
+    # file (one split → one core); a cluster dataset is thousands of
+    # splits. Gate on the os-visible file count — a driver-side listdir,
+    # no Spark analysis cost — and rebalance only the under-split case.
+    import os as _os
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    n_files = (1 if _os.path.isfile(p)
+               else len([f for f in _os.listdir(p) if f.endswith(".parquet")])
+               if _os.path.isdir(p) else 8)
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if n_files < par:
+        emb = emb.repartition(par)
     # persist the tiny (id, bucket) rows: the bucket-size pass, the
     # prune anti-join and the verify groupBy all read them — without a
     # materialisation point each consumer re-runs the SRP python stage
-    # (measured 3 Arrow round-trips; 2.1 s -> ~1.3 s at sf0.1)
-    buckets = scoped_persist(
-        sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")))
+    # (measured 3 Arrow round-trips; 2.1 s -> ~1.3 s at sf0.1). Band
+    # bucket = band id in the high bits, sign bits packed below — a
+    # LONG shuffle key, assembled inside the SRP numpy kernel
+    # (srp_bucket_rows) so the plan carries no per-bit columns.
+    buckets = scoped_persist(srp_bucket_rows(emb, n_bits=n_bits, bands=bands))
     bucket_sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     pruned = buckets.join(
         F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
@@ -650,25 +729,50 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.4
     ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
     member_vecs = pruned.join(unit, "id").select("bucket", "id", "u")
 
-    def score_bucket(pdf):
+    def score_partition(batches):
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
-        sims = U @ U.T  # bucket ≤ max_bucket rows → ≤ 32 MB slab
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
-        r, c = iu[0][keep], iu[1][keep]
-        lo = np.minimum(ids[r], ids[c])
-        hi = np.maximum(ids[r], ids[c])
-        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": sims[r, c]})
+        bk = pdf["bucket"].to_numpy()
+        # bucket-sorted within the partition → contiguous runs; group the
+        # runs by length and score each length class with ONE batched
+        # matmul (nb, s, dim) x (nb, dim, s) — max_bucket bounds s, so a
+        # class slab is ≤ nb * 32 MB/2048-bucket equivalents
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        lens = np.diff(np.r_[starts, len(bk)])
+        out1, out2, outc = [], [], []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            st = starts[lens == s]
+            idx = st[:, None] + np.arange(s)[None, :]   # (nb, s) row indices
+            Ub = U[idx]                                  # (nb, s, dim)
+            sims = np.einsum("bik,bjk->bij", Ub, Ub)     # (nb, s, s)
+            r, c = np.triu_indices(s, k=1)
+            vals = sims[:, r, c]                         # (nb, npairs)
+            gb, gp = np.nonzero(vals >= threshold)
+            if not len(gb):
+                continue
+            ida = ids[idx[gb, r[gp]]]
+            idb = ids[idx[gb, c[gp]]]
+            out1.append(np.minimum(ida, idb))
+            out2.append(np.maximum(ida, idb))
+            outc.append(vals[gb, gp])
+        if out1:
+            yield pd.DataFrame({"id1": np.concatenate(out1),
+                                "id2": np.concatenate(out2),
+                                "cosine": np.concatenate(outc)})
 
     return (
-        member_vecs.groupBy("bucket")
-        .applyInPandas(score_bucket, "id1 long, id2 long, cosine double")
+        member_vecs.repartition("bucket")
+        .sortWithinPartitions("bucket")
+        .mapInPandas(score_partition, "id1 long, id2 long, cosine double")
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
         .distinct()  # a pair sharing k bands was scored k times
         .orderBy("id1", "id2")

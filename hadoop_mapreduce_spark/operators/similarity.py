@@ -222,17 +222,14 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = 5,
     brute-force join at fixture scale.
     """
     from hadoop_mapreduce_spark.functions.vectors import l2_norm
-    from hadoop_mapreduce_spark.operators.dedup import srp_signatures
+    from hadoop_mapreduce_spark.operators.dedup import srp_bucket_rows
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = srp_signatures(emb, n_bits=n_bits)
-    rows_per_band = n_bits // bands
-    band_cols = [
-        F.concat_ws("_", F.lit(b), *[F.col(f"b{b * rows_per_band + r}")
-                                     for r in range(rows_per_band)]).alias("bucket")
-        for b in range(bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    # long band-bucket keys assembled inside the SRP numpy kernel — same
+    # vector→bucket partitioning as the former per-bit-column + concat_ws
+    # string keys, minus the 65-field schema and ~100-node projection in
+    # every plan build (see srp_bucket_rows)
+    buckets = srp_bucket_rows(emb, n_bits=n_bits, bands=bands)
     bucket_sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     pruned = buckets.join(
         F.broadcast(bucket_sizes.where(F.col("bsz") > max_bucket).select("bucket")),
