@@ -361,32 +361,70 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str,
     )
 
 
-def _bloom_probes(gram_col, n_hashes: int, m_bits: int):
-    """k engine-portable Bloom probes for one n-gram: hash i is the
-    first 15 hex chars of md5('b<i>|' || gram) (< 2^60, positive) mod
-    m_bits. Returns a list of (word_index, bit_mask) Column pairs —
-    word = h / 63, mask = 1L << (h % 63). 63 bits per word, not 64:
-    DuckDB raises Out of Range on ``1 << 63`` (signed overflow), so the
-    sign bit is never used — costs 1.6% bitmap space for an oracle that
-    runs on both engines. md5-derived so the DuckDB oracle rebuilds the
-    identical bitmap (registry convention: never engine-native
+def _bloom_h12(md5_col, m_bits: int):
+    """(h1, h2) Kirsch–Mitzenmacher base hashes from ONE precomputed
+    md5 hex column: h1 = first 15 hex chars, h2 = next 15 (disjoint
+    substrings of the same digest, both < 2^60 so positive longs).
+    Engine-portable: the DuckDB oracle derives the identical pair with
+    substr + ::UBIGINT (registry convention: never engine-native
     hashes)."""
-    probes = []
+    h1 = F.conv(F.substring(md5_col, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = F.conv(F.substring(md5_col, 16, 15), 16, 10).cast("long") % m_bits
+    return h1, h2
+
+
+def _bloom_word_mask(h):
+    """(word_index, bit_mask) for one probe value: word = h / 63,
+    mask = 1L << (h % 63). 63 bits per word, not 64: DuckDB raises Out
+    of Range on ``1 << 63`` (signed overflow), so the sign bit is never
+    used — costs 1.6% bitmap space for an oracle that runs on both
+    engines."""
+    word = (h / 63).cast("long")
+    # F.shiftleft's numBits arg only takes a Python int literal;
+    # call_function routes the column-valued shift through SQL
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (h % 63).cast("int"))
+    return word, mask
+
+
+def _bloom_h12_struct(md5_col, m_bits: int):
+    """struct<h1,h2> of the KM base pair — the per-gram value to
+    precompute (via transform) before a lambda-side membership test, so
+    the interpreted lambda never re-derives the conv's."""
+    h1, h2 = _bloom_h12(md5_col, m_bits)
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def _bloom_hit(h12, bm_col, n_hashes: int, m_bits: int):
+    """All-k-probes-set verdict for one gram given its (h1, h2) struct
+    and the broadcast map<word,bits> bitmap column — arithmetic and
+    map lookups only (safe inside an interpreted exists())."""
+    conds = []
     for i in range(n_hashes):
-        h = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"b{i}|"), gram_col)), 1, 15),
-                16, 10)
-            .cast("long") % m_bits
-        )
-        word = (h / 63).cast("long")
-        # F.shiftleft's numBits arg only takes a Python int literal;
-        # call_function routes the column-valued shift through SQL
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (h % 63).cast("int"))
-        probes.append((word, mask))
-    return probes
+        word, mask = _bloom_word_mask((h12["h1"] + i * h12["h2"]) % m_bits)
+        bits = F.element_at(bm_col, word)
+        # element_at -> NULL for never-set words; a missing word is
+        # a miss, so coalesce the verdict to false
+        conds.append(F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _bloom_probes(gram_col, n_hashes: int, m_bits: int):
+    """k engine-portable Bloom probes for one n-gram, by double hashing
+    (Kirsch & Mitzenmacher, "Less Hashing, Same Performance"): probe i
+    is h_i = (h1 + i*h2) mod m_bits with (h1, h2) both carved from ONE
+    md5 digest of the gram — 1 md5 per gram instead of k (the digest is
+    the dominant per-gram cost on both engines; KM preserves the
+    asymptotic false-positive rate, and the superset/FPR properties are
+    asserted against the exact operator in tests/test_datamix.py).
+    Returns a list of (word_index, bit_mask) Column pairs."""
+    h1, h2 = _bloom_h12(F.md5(gram_col), m_bits)
+    return [
+        _bloom_word_mask((h1 + i * h2) % m_bits) for i in range(n_hashes)
+    ]
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
@@ -409,17 +447,19 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
     bound are asserted in tests/test_datamix.py against the exact
     operator).
 
-    Plan: benchmark grams -> k probes each -> groupBy(word) bit_or(mask)
-    = the bitmap (<= m_bits/63 rows, ~8 KiB), collapsed to a ONE-ROW
-    map<long,long> column and broadcast. Training side: the whole
-    membership test is a higher-order ``exists`` over each document's
-    gram array — per gram, k md5 probes against ``element_at(bitmap,
-    word) & mask`` — so the corpus side is a pure projection: zero
-    probe-side shuffle, zero join, one per-source rollup of one row per
-    document at the end. (The first cut exploded grams and
-    grouped-by-(doc, gram) to combine probe verdicts — shuffling full
-    gram strings; the map-lookup form measured 1.8× faster at sf0.1
-    with bit-identical output.) The wide exchange of the exact
+    Plan: benchmark grams -> ONE md5 each -> k KM probes exploded ->
+    groupBy(word) bit_or(mask) = the bitmap (<= m_bits/63 rows, ~8 KiB),
+    collapsed to a ONE-ROW map<long,long> column and broadcast.
+    Training side: the whole membership test is a higher-order
+    ``exists`` over each document's gram array — 1 md5 per gram, k
+    arithmetic probes against ``element_at(bitmap, word) & mask`` — so
+    the corpus side is a pure projection: zero probe-side shuffle, zero
+    join, one per-source rollup of one row per document at the end.
+    (The first cut exploded grams and grouped-by-(doc, gram) to combine
+    probe verdicts — shuffling full gram strings; the map-lookup form
+    measured 1.8× faster at sf0.1 with bit-identical output, and the
+    KM double-hash form cuts the per-gram digest count from k to 1 on
+    both engines.) The wide exchange of the exact
     variant's DISTINCT over benchmark grams shrinks to a m_bits/63-row
     bit_or aggregate (map-side combinable: bit_or is associative and
     each partition emits at most m_bits/63 rows).
@@ -435,16 +475,22 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
             ngrams_from_tokens(F.col("__t"), n))).alias("g"),
     )
     is_bench = F.col("doc_id") % bench_mod == 0
-    probes = _bloom_probes(F.col("g"), n_hashes, m_bits)
 
-    # build: one bit_or aggregate over probe words — O(m_bits/63) rows out
-    bench_bits = None
-    for word, mask in probes:
-        part = (grams.where(is_bench)
-                .select(word.alias("word"), mask.alias("mask")))
-        bench_bits = part if bench_bits is None else bench_bits.unionAll(part)
-    bitmap = bench_bits.groupBy("word").agg(
-        F.bit_or("mask").alias("bits"))
+    # build: ONE scan of the bench grams (1 md5 each), the k KM probe
+    # values exploded from an array — the former per-probe unionAll
+    # re-scanned the gram set k times and md5'd each gram k times —
+    # then one bit_or aggregate over probe words (O(m_bits/63) rows out)
+    h1, h2 = _bloom_h12(F.col("fh"), m_bits)
+    bitmap = (
+        grams.where(is_bench)
+        .select(F.md5("g").alias("fh"))
+        .select(F.explode(F.array(
+            *[(h1 + i * h2) % m_bits for i in range(n_hashes)])).alias("h"))
+        .select((F.col("h") / 63).cast("long").alias("word"),
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                (F.col("h") % 63).cast("int")).alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    )
 
     # collapse the bitmap to one map<word, bits> row for lookup-by-key
     # inside the probe lambda (collect_list here aggregates ~1k rows of
@@ -453,31 +499,27 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
         F.map_from_entries(F.collect_list(F.struct("word", "bits")))
         .alias("bm"))
 
-    def gram_hit(g):
-        conds = []
-        for word, mask in _bloom_probes(g, n_hashes, m_bits):
-            bits = F.element_at(F.col("bm"), word)
-            # element_at -> NULL for never-set words; a missing word is
-            # a miss, so coalesce the verdict to false
-            conds.append(
-                F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
-
     # probe: the whole doc-level test is one exists() over the gram
     # array — a projection; docs shorter than n tokens have an empty
     # gram array and exists() is false, so they count clean without a
-    # separate anchor join
+    # separate anchor join. Higher-order lambdas are CodegenFallback
+    # (interpreted per element, no common-subexpression elimination),
+    # so the md5 and the two conv's are each forced to run ONCE per
+    # gram by CHAINING transforms — gram → md5 hex → (h1, h2) struct —
+    # before the exists() does its k arithmetic-only bitmap lookups.
     per_doc = (
         toks.where(~is_bench)
         .crossJoin(F.broadcast(bm1))
         .select(
             "doc_id", "source",
             F.exists(
-                F.array_distinct(ngrams_from_tokens(F.col("__t"), n)),
-                gram_hit,
+                F.transform(
+                    F.transform(
+                        F.array_distinct(
+                            ngrams_from_tokens(F.col("__t"), n)),
+                        F.md5),
+                    lambda fh: _bloom_h12_struct(fh, m_bits)),
+                lambda s: _bloom_hit(s, F.col("bm"), n_hashes, m_bits),
             ).cast("long").alias("flagged"))
     )
     return (

@@ -877,8 +877,9 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
                      F.greatest("id1", "id2").alias("a"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
-    )  # (a, b) = (child, parent-candidate), b < a always
+        .localCheckpoint(eager=False)
+    )  # (a, b) = (child, parent-candidate), b < a always; lazy — round
+    # 1's stop-test job materialises it together with round 1's edges
     for _ in range(max_iter):
         # Both passes are expressed as a window-min + projection — one
         # shuffle each, no self-joins (a join formulation recomputes the
@@ -913,11 +914,16 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
             )
             .where(F.col("a") != F.col("b"))
         )
-        # One dedup shuffle per round, checkpointed (round cost IS this
-        # algorithm's cost model: one shuffle + one tiny stop-test job
-        # on the materialised frame — the former distinct + old∪new
-        # set-diff shape carried two shuffles and a full extra round).
-        e = raw.distinct().localCheckpoint()
+        # One dedup shuffle per round, checkpointed LAZILY (eager=False):
+        # the stop-test count below is the round's first action, so ONE
+        # job both materialises the checkpoint and computes the test —
+        # an eager checkpoint ran a separate materialisation job per
+        # round, pure per-round scheduling floor on a driver that
+        # launches O(log n) rounds. Both sides of the stop-test self-join
+        # reference the same checkpointed RDD, so the round computes
+        # once. (The former distinct + old∪new set-diff shape carried
+        # two shuffles and a full extra round on top of that.)
+        e = raw.distinct().localCheckpoint(eager=False)
         # Stop test: e is a STAR FOREST (no parent appears as a child)
         # ⟺ the next round would map e to itself — checking the new
         # edge set directly saves the former protocol's whole final

@@ -226,7 +226,11 @@ def pipeline_pretrain_scale(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
-    from hadoop_mapreduce_spark.operators.datamix import _bloom_probes
+    from hadoop_mapreduce_spark.operators.datamix import (
+        _bloom_h12,
+        _bloom_h12_struct,
+        _bloom_hit,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -282,30 +286,27 @@ def pipeline_pretrain_scale(spark: SparkSession, sf_dir: str,
     )
 
     # ---- stage C: Bloom decontamination on the REBUILT text ----
+    # ONE scan of the bench grams, 1 md5 each, KM probes exploded (see
+    # datamix._bloom_probes for the double-hashing rationale)
     bench_grams = toks.where(is_bench).select(
         F.explode(F.array_distinct(
             ngrams_from_tokens(F.col("t"), n))).alias("g"))
-    bench_bits = None
-    for word, mask in _bloom_probes(F.col("g"), n_hashes, m_bits):
-        part = bench_grams.select(word.alias("word"), mask.alias("mask"))
-        bench_bits = part if bench_bits is None else bench_bits.unionAll(part)
+    bh1, bh2 = _bloom_h12(F.col("fh"), m_bits)
     bm1 = (
-        bench_bits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+        bench_grams.select(F.md5("g").alias("fh"))
+        .select(F.explode(F.array(
+            *[(bh1 + i * bh2) % m_bits for i in range(n_hashes)])).alias("h"))
+        .select((F.col("h") / 63).cast("long").alias("word"),
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                (F.col("h") % 63).cast("int")).alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("bits"))
         .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits")))
              .alias("bm"))
     )
 
-    def gram_hit(g):
-        conds = []
-        for word, mask in _bloom_probes(g, n_hashes, m_bits):
-            bits = F.element_at(F.col("bm"), word)
-            conds.append(
-                F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
-
+    # probe: chained transforms pin md5 and the conv pair to once per
+    # gram (interpreted lambdas have no CSE — datamix.bloom_decontaminate
+    # documents the shape)
     final = (
         rebuilt
         .select("doc_id", "source", "n_kept",
@@ -313,8 +314,13 @@ def pipeline_pretrain_scale(spark: SparkSession, sf_dir: str,
         .crossJoin(F.broadcast(bm1))
         .withColumn(
             "contaminated",
-            F.exists(F.array_distinct(ngrams_from_tokens(F.col("rt"), n)),
-                     gram_hit))
+            F.exists(
+                F.transform(
+                    F.transform(
+                        F.array_distinct(ngrams_from_tokens(F.col("rt"), n)),
+                        F.md5),
+                    lambda fh: _bloom_h12_struct(fh, m_bits)),
+                lambda s: _bloom_hit(s, F.col("bm"), n_hashes, m_bits)))
     )
 
     # ---- ledger ----

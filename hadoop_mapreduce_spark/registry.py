@@ -1634,11 +1634,15 @@ grams AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
 ),
-probes AS (
+h12 AS (
   SELECT doc_id, g,
-    ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT
-      % 65536 AS h
-  FROM grams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+    ('0x' || substr(fh, 1, 15))::UBIGINT::BIGINT % 65536 AS h1,
+    ('0x' || substr(fh, 16, 15))::UBIGINT::BIGINT % 65536 AS h2
+  FROM (SELECT doc_id, g, md5(g) AS fh FROM grams)
+),
+probes AS (
+  SELECT doc_id, g, (h1 + k * h2) % 65536 AS h
+  FROM h12, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
 ),
 bitmap AS (
   SELECT h // 63 AS word, bit_or(1::BIGINT << (h % 63)::INT) AS bits
@@ -1846,9 +1850,14 @@ bgrams AS (
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) x
   WHERE doc_id % 20 = 0
 ),
+bh12 AS (
+  SELECT ('0x' || substr(fh, 1, 15))::UBIGINT::BIGINT % 65536 AS h1,
+    ('0x' || substr(fh, 16, 15))::UBIGINT::BIGINT % 65536 AS h2
+  FROM (SELECT md5(g) AS fh FROM bgrams)
+),
 bprobes AS (
-  SELECT ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT % 65536 AS h
-  FROM bgrams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+  SELECT (h1 + k * h2) % 65536 AS h
+  FROM bh12, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
 ),
 bitmap AS (SELECT h // 63 AS word, bit_or(1::BIGINT << (h % 63)::INT) AS bits FROM bprobes GROUP BY 1),
 rt AS (SELECT doc_id, source, n_kept, string_split(rebuilt, ' ') AS rt FROM rebuilt),
@@ -1856,10 +1865,15 @@ rgrams AS (
   SELECT DISTINCT doc_id, array_to_string(rt[i:i+3], ' ') AS g
   FROM rt, LATERAL (SELECT unnest(generate_series(1, len(rt)-3)) AS i) x
 ),
-rprobes AS (
+rh12 AS (
   SELECT doc_id, g,
-    ('0x' || substr(md5('b' || k || '|' || g), 1, 15))::UBIGINT::BIGINT % 65536 AS h
-  FROM rgrams, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
+    ('0x' || substr(fh, 1, 15))::UBIGINT::BIGINT % 65536 AS h1,
+    ('0x' || substr(fh, 16, 15))::UBIGINT::BIGINT % 65536 AS h2
+  FROM (SELECT doc_id, g, md5(g) AS fh FROM rgrams)
+),
+rprobes AS (
+  SELECT doc_id, g, (h1 + k * h2) % 65536 AS h
+  FROM rh12, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk
 ),
 pg AS (
   SELECT p.doc_id, p.g,

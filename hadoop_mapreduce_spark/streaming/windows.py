@@ -295,18 +295,10 @@ def stream_decontaminate(doc_stream: DataFrame, bitmap_map: DataFrame,
         normalize_text,
         tokenize,
     )
-    from hadoop_mapreduce_spark.operators.datamix import _bloom_probes
-
-    def gram_hit(g):
-        conds = []
-        for word, mask in _bloom_probes(g, n_hashes, m_bits):
-            bits = F.element_at(F.col("bm"), word)
-            conds.append(
-                F.coalesce(bits.bitwiseAND(mask) != 0, F.lit(False)))
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
+    from hadoop_mapreduce_spark.operators.datamix import (
+        _bloom_h12_struct,
+        _bloom_hit,
+    )
 
     toks = doc_stream.withColumn(
         "__t", tokenize(normalize_text(F.col("text"))))
@@ -315,7 +307,12 @@ def stream_decontaminate(doc_stream: DataFrame, bitmap_map: DataFrame,
         .select(
             "doc_id", "source", "text",
             F.exists(
-                F.array_distinct(ngrams_from_tokens(F.col("__t"), n)),
-                gram_hit,
+                F.transform(
+                    F.transform(
+                        F.array_distinct(
+                            ngrams_from_tokens(F.col("__t"), n)),
+                        F.md5),
+                    lambda fh: _bloom_h12_struct(fh, m_bits)),
+                lambda s: _bloom_hit(s, F.col("bm"), n_hashes, m_bits),
             ).alias("contaminated"))
     )
