@@ -898,6 +898,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     li = _t(spark, sf_dir, "lineitem")
+    # Push the part predicate BELOW the aggregate: the per-part min is
+    # computed within each partkey, so dropping non-qualifying parts
+    # before the groupBy is semantics-preserving and shrinks the agg
+    # input by the part filter's selectivity (~5% here, same at any SF).
+    # A broadcast LEFT SEMI join runs inside the scan stage — no extra
+    # shuffle — versus hash-aggregating every (partkey, suppkey) pair in
+    # the fact table only to discard 95% of the groups afterwards.
+    li = li.join(part.select("p_partkey"),
+                 li.l_partkey == F.col("p_partkey"), "left_semi")
     unit = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
