@@ -292,7 +292,7 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
     pairs.count()  # materialize: referenced by CC rounds AND the audit
     # star CC, not label propagation: O(log n) rounds vs O(diameter) —
     # both produce min-reachable component ids (property-tested equal)
-    comp = connected_components_star(docs, pairs)  # (doc_id, comp)
+    comp = connected_components_star(docs, pairs, edges_canonical=True)  # (doc_id, comp)
 
     def bucket(col):
         return (
@@ -300,7 +300,12 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
             .cast("long") % 10
         )
 
-    assigned = comp.select(
+    # Persisted: the audit references the assignment THREE times (both
+    # endpoints of every pair + the doc-level counts agg) and comp's
+    # backing join would otherwise re-execute per reference — at scale
+    # that is three passes over the corpus-sized assignment, for a
+    # cache of one (doc_id, 2 splits, comp) row per doc.
+    assigned = scoped_persist(comp.select(
         "doc_id",
         F.when(bucket(F.col("doc_id")) < 8, "train")
         .when(bucket(F.col("doc_id")) < 9, "val")
@@ -309,7 +314,7 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
         .when(bucket(F.col("comp")) < 9, "val")
         .otherwise("test").alias("grouped_split"),
         "comp",
-    )
+    ))
     a1 = assigned.select(F.col("doc_id").alias("id1"),
                          F.col("naive_split").alias("n1"),
                          F.col("grouped_split").alias("g1"))

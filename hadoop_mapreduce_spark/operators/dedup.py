@@ -116,8 +116,30 @@ def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     exact-Jaccard verify pass: tokenising + shingling + hashing is the
     dominant scan cost, so computing it once (and persisting it at the
     call site) halves the corpus passes of the LSH pipeline."""
-    sh = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
-    return sh.select("id", F.xxhash64("s").alias("h0"))
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        tokenize(normalize_text(F.col(text_col))).alias("__t"),
+    ).where(F.size("__t") >= shingle_k)
+    # Hash the k tokens DIRECTLY (multi-arg xxhash64) instead of
+    # materialising the joined shingle string: slice() + concat_ws()
+    # allocate an array and a string per shingle row, and the string
+    # exists only to be hashed. Hashing token tuples is the same
+    # 64-bit shingle identity (injective w.h.p.) at ~half the
+    # per-row cost — measured 0.52 -> 0.38 s for this stage at sf0.1.
+    # The Generate (explode) stays as the projection barrier that keeps
+    # the tokenizer out of the per-position expression (see
+    # shingle_rows' docstring for the CollapseProject trap).
+    return toks.select(
+        "id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.size("__t") - F.lit(shingle_k - 1))).alias("i"),
+    ).select(
+        "id",
+        F.xxhash64(*[F.element_at("__t", F.col("i") + F.lit(j))
+                     for j in range(shingle_k)]).alias("h0"),
+    )
 
 
 def minhash_signatures(
@@ -241,7 +263,12 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
     else:
         cand_docs = docs.join(F.broadcast(ids), docs[id_col] == ids.cid, "left_semi")
         hashed = hashed_shingle_rows(cand_docs, id_col, text_col, shingle_k)
-    sh = (
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    # Persisted: BOTH sides of the pair join below read this relation —
+    # without the materialisation point the candidate semi-join +
+    # collect_set aggregation execute twice (once per join side).
+    sh = scoped_persist(
         hashed.withColumnRenamed("h0", "hs")
         .groupBy("id")
         .agg(F.collect_set("hs").alias("sh"))
@@ -307,8 +334,17 @@ def minhash_pairs_unsorted(spark: SparkSession, sf_dir: str,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """Near-duplicate pairs with verified Jaccard >= threshold, globally
     sorted for presentation (see minhash_pairs_unsorted for the
-    pipeline and its scale analysis)."""
-    return minhash_pairs_unsorted(spark, sf_dir, threshold) \
+    pipeline and its scale analysis).
+
+    The verified pairs are persisted before the global sort: orderBy's
+    range-partitioning SAMPLING pass otherwise re-executes the whole
+    verify plan a second time just to pick boundaries (measured ~0.3 s
+    of pure re-execution at sf0.1; at scale it is a second pass over
+    the candidate joins). The pair set is the pipeline's smallest
+    artifact, so the cache is bytes where the re-execution is joins."""
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    return scoped_persist(minhash_pairs_unsorted(spark, sf_dir, threshold)) \
         .orderBy("id1", "id2")
 
 
@@ -844,7 +880,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
 
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
-                              max_iter: int = 25) -> DataFrame:
+                              max_iter: int = 25,
+                              edges_canonical: bool = False) -> DataFrame:
     """Alternating large-star / small-star connected components —
     the O(log n)-round algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14), vs O(component diameter) rounds
@@ -872,13 +909,18 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
     """
     from pyspark.sql import Window
 
-    e = (
-        edges.select(F.least("id1", "id2").alias("b"),
-                     F.greatest("id1", "id2").alias("a"))
+    # ``edges_canonical=True`` (caller guarantees unique pairs with
+    # id1 < id2 — true for every verified-LSH edge source in this repo)
+    # skips the defensive dedup shuffle on the input; the general
+    # contract still accepts arbitrary (possibly mirrored, duplicated)
+    # edge lists.
+    e = edges.select(F.least("id1", "id2").alias("b"),
+                     F.greatest("id1", "id2").alias("a")) \
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )  # (a, b) = (child, parent-candidate), b < a always; lazy — round
+    if not edges_canonical:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    # (a, b) = (child, parent-candidate), b < a always; lazy — round
     # 1's stop-test job materialises it together with round 1's edges
     for _ in range(max_iter):
         # Both passes are expressed as a window-min + projection — one
@@ -933,9 +975,10 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         # one star rooted at its minimum — converged AND correct; a
         # non-star state always changes next round, so max_iter still
         # bounds pathological inputs.
+        # left_semi is set-semantic on the build side — no distinct
+        # needed on the child-id list (one shuffle less per round).
         violations = (
-            e.join(e.select(F.col("a").alias("b")).distinct(),
-                   "b", "left_semi")
+            e.join(e.select(F.col("a").alias("b")), "b", "left_semi")
             .count()
         )
         if violations == 0:
@@ -945,8 +988,17 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
             f"connected_components_star did not converge in {max_iter} "
             f"rounds — pathological edge set (rounds needed is O(log n), "
             f"so this indicates a bug, not a deep graph)")
-    return nodes.join(e.select(F.col("a").alias("doc_id"),
-                               F.col("b").alias("root")), "doc_id", "left") \
+    # The star forest has one row per non-root duplicate — orders of
+    # magnitude smaller than the corpus for any real dup rate. The
+    # checkpointed RDD hides its size from the planner (leaf default
+    # sizeInBytes = "huge"), which would force a sort-merge join that
+    # SHUFFLES THE WHOLE CORPUS on doc_id; since convergence already
+    # materialised e, one cheap count decides broadcastability the way
+    # AQE would if the stats were visible.
+    forest = e.select(F.col("a").alias("doc_id"), F.col("b").alias("root"))
+    if e.count() <= 4_000_000:
+        forest = F.broadcast(forest)
+    return nodes.join(forest, "doc_id", "left") \
         .select("doc_id", F.coalesce("root", "doc_id").alias("comp"))
 
 
@@ -964,7 +1016,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str,
     inverted-index edge source as the oracle twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select("id1", "id2")
-    out = connected_components_star(docs, pairs)
+    out = connected_components_star(docs, pairs, edges_canonical=True)
     return (
         out.select("doc_id", F.col("comp").cast("long").alias("component"))
         .orderBy("doc_id")

@@ -24,11 +24,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_mapreduce_spark.sources.tables import load_table
+from hadoop_mapreduce_spark.sources.tables import load_table, sql_view
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _sql(spark: SparkSession, sf_dir: str, template: str, *tables: str) -> DataFrame:
+    """Build a query as ONE spark.sql() round trip over sf-scoped views.
+
+    The TPC-H-shaped headliners are semantically SQL; building them as a
+    py4j method chain costs 25-40 driver round trips (measured 0.1-0.2 s
+    per BUILD, re-paid on every execution), where the parser produces
+    the identical Catalyst plan in one call. Plan-shape decisions
+    (broadcast dims, filter placement below joins/aggs) stay explicit as
+    hints and query structure — see sources.tables.sql_view."""
+    views = {t: sql_view(spark, sf_dir, t) for t in tables}
+    return spark.sql(template.format(**views))
 
 
 # --------------------------------------------------------------------------
@@ -42,22 +55,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapses 600k (or 6B) rows to ~8 groups map-side,
     so shuffle volume is O(#groups x #tasks) regardless of data size.
     """
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-09-02"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                    AS sum_qty,
+               round(sum(l_extendedprice), 2)                               AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                    AS avg_qty,
+               round(avg(l_extendedprice), 4)                               AS avg_price,
+               round(avg(l_discount), 4)                                    AS avg_disc,
+               count(1)                                                     AS count_order
+        FROM {lineitem}
+        WHERE l_shipdate <= '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """, "lineitem")
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,23 +79,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     join chain shuffles on o_custkey then o_orderkey, and the top-10 is
     TakeOrderedAndProject — no global sort materialisation.
     """
-    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "FURNITURE")
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01"))
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01"))
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select(
-            F.col("o_orderkey"),
-            F.col("revenue"),
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            F.col("o_orderpriority"),
-        )
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .limit(10)
-    )
+    return _sql(spark, sf_dir, """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS STRING)                       AS o_orderdate,
+               o_orderpriority
+        FROM {customer}
+        JOIN {orders}   ON c_custkey = o_custkey
+        JOIN {lineitem} ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'FURNITURE'
+          AND o_orderdate < '1998-06-01'
+          AND l_shipdate  > '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 10
+    """, "customer", "orders", "lineitem")
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,24 +103,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-orders-lineitem shuffle. Join order: filter region first so
     the nation broadcast is already region-pruned.
     """
-    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(supplier, (li.l_suppkey == supplier.s_suppkey) & (cust.c_nationkey == supplier.s_nationkey))
-        .join(nation, supplier.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
-    )
+    return _sql(spark, sf_dir, """
+        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+               n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM {customer} c
+        JOIN {orders}   o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+        JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+        JOIN {nation}   n ON s.s_nationkey = n.n_nationkey
+        JOIN {region}   r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+          AND r.r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """, "customer", "orders", "lineitem", "supplier", "nation", "region")
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,28 +138,23 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate used as a semi-join filter."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 150)
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
-            F.col("c_name"),
-            F.col("c_custkey"),
-            F.col("o_orderkey"),
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
-            F.col("o_totalprice"),
-            F.round(F.col("total_qty"), 2).alias("total_qty"),
+    return _sql(spark, sf_dir, """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM {lineitem}
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
         )
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(100)
-    )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS STRING) AS o_orderdate,
+               o_totalprice,
+               round(total_qty, 2)         AS total_qty
+        FROM {orders}
+        JOIN big        ON o_orderkey = big.l_orderkey
+        JOIN {customer} ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """, "lineitem", "orders", "customer")
 
 
 # --------------------------------------------------------------------------
@@ -891,46 +894,47 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners. Both aggregates are partial-agg friendly; part/supplier/
     nation are broadcast so the only shuffle is the lineitem groupBy.
     """
-    part = F.broadcast(
-        _t(spark, sf_dir, "part").where(
-            (F.col("p_size").between(1, 15)) & (F.col("p_type") == "STANDARD"))
-    )
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    li = _t(spark, sf_dir, "lineitem")
-    # Push the part predicate BELOW the aggregate: the per-part min is
-    # computed within each partkey, so dropping non-qualifying parts
-    # before the groupBy is semantics-preserving and shrinks the agg
-    # input by the part filter's selectivity (~5% here, same at any SF).
-    # A broadcast LEFT SEMI join runs inside the scan stage — no extra
-    # shuffle — versus hash-aggregating every (partkey, suppkey) pair in
-    # the fact table only to discard 95% of the groups afterwards.
-    li = li.join(part.select("p_partkey"),
-                 li.l_partkey == F.col("p_partkey"), "left_semi")
-    unit = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
-    # per-part minimum via a window over the aggregate, not a second
-    # aggregate + self-join: one computation of `unit` instead of two
-    # branches (exchange reuse is best-effort; the window is guaranteed),
-    # and the (p,s)->(p) shuffle carries one row per part-supplier pair
-    best = unit.withColumn(
-        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
-    return (
-        best.where(F.col("unit_cost") == F.col("best_cost"))
-        .join(part, F.col("l_partkey") == part.p_partkey)
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .select("p_partkey", "p_name", "s_name", "n_name",
-                # floor(x*1e4+0.5)/1e4 instead of round(): price/qty lands
-                # exactly on .xxxx5 half-boundaries (4-decimal price / 2),
-                # where engine round() directions disagree; floor on the
-                # binary double is engine-identical
-                (F.floor(F.col("unit_cost") * 10000 + F.lit(0.5)) / 10000).alias("unit_cost"))
-        .orderBy("unit_cost", "p_partkey", "s_name")
-        .limit(100)
-    )
+    # Plan shape (kept explicit in the SQL):
+    #   * the part predicate is pushed BELOW the aggregate via a
+    #     broadcast LEFT SEMI join — the per-part min is computed within
+    #     each partkey, so dropping non-qualifying parts first is
+    #     semantics-preserving and shrinks the agg input by the filter's
+    #     selectivity (~5%), instead of hash-aggregating every
+    #     (partkey, suppkey) pair only to discard 95% of the groups;
+    #   * per-part minimum via a window over the aggregate, not a second
+    #     aggregate + self-join (one computation of `unit`);
+    #   * floor(x*1e4+0.5)/1e4 instead of round(): price/qty lands
+    #     exactly on .xxxx5 half-boundaries (4-decimal price / 2), where
+    #     engine round() directions disagree; floor on the binary double
+    #     is engine-identical.
+    return _sql(spark, sf_dir, """
+        WITH unit AS (
+            SELECT /*+ BROADCAST(pk) */ l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM {lineitem}
+            LEFT SEMI JOIN (
+                SELECT p_partkey FROM {part}
+                WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD'
+            ) pk ON l_partkey = pk.p_partkey
+            GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, unit_cost,
+                   min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+            FROM unit
+        )
+        SELECT /*+ BROADCAST(p), BROADCAST(s), BROADCAST(n) */
+               p_partkey, p_name, s_name, n_name,
+               floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
+        FROM best
+        JOIN {part}     p ON l_partkey = p.p_partkey
+        JOIN {supplier} s ON l_suppkey = s.s_suppkey
+        JOIN {nation}   n ON s.s_nationkey = n.n_nationkey
+        WHERE unit_cost = best_cost
+          AND p.p_size BETWEEN 1 AND 15 AND p.p_type = 'STANDARD'
+        ORDER BY unit_cost, p_partkey, s_name
+        LIMIT 100
+    """, "lineitem", "part", "supplier", "nation")
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,32 +1141,29 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, which is the right trade at 100 TB (late = shipped > 60 days
     after order date; the fixture has no receipt/commit dates).
     """
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late_flag = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast("long")
-    per_supp = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late_flag).alias("late"))
-    )
-    per_order = (
-        per_supp.groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("late").alias("n_late"),
-            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    return _sql(spark, sf_dir, """
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CAST(l_shipdate > date_add(o_orderdate, 60) AS LONG)) AS late
+            FROM {lineitem}
+            JOIN {orders} ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+            FROM per_supp
+            GROUP BY l_orderkey
+            HAVING count(1) > 1 AND sum(late) = 1
         )
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-    )
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
-    return (
-        per_order.join(supp, per_order.late_supp == supp.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(100)
-    )
+        SELECT /*+ BROADCAST(s) */ s_name, count(1) AS numwait
+        FROM per_order
+        JOIN {supplier} s ON late_supp = s.s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """, "lineitem", "orders", "supplier")
 
 
 def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
