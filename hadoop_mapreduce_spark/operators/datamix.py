@@ -107,6 +107,106 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str,
     )
 
 
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8, bench_mod: int = 20) -> DataFrame:
+    """FUZZY benchmark decontamination: training documents that are
+    near-duplicates (shingle Jaccard >= threshold) of a held-out
+    benchmark doc — the MinHash complement of ``decontaminate_ngram``'s
+    exact n-gram hit test. Exact overlap misses paraphrased/perturbed
+    benchmark leakage (reordered sentences, small edits); the published
+    fix (e.g. Llama/FLAN decontamination reports) is near-dup matching
+    between train and eval at a Jaccard threshold. Benchmark set =
+    doc_id % bench_mod == 0, the same 5% carve as decontaminate_ngram.
+
+    Output: one row per contaminated (train_id, bench_id) pair with its
+    exact verified Jaccard — downstream either drops train_id or audits
+    the pair.
+
+    Scale shape (the reason this is NOT dedup_minhash_lsh on the union):
+    the benchmark side is O(10^3..10^5) docs while train is the 100 TB
+    corpus, so ``lsh_cross_candidates`` BROADCASTS the benchmark band
+    keys and the train side never shuffles — one streaming scan computes
+    signatures and probes the broadcast; only candidates (rare) reach
+    the exact-verify join, whose benchmark shingle-set side is again
+    broadcast-sized. A self-join LSH on the union would shuffle the full
+    train corpus's banded rows for no reason. The same banding
+    parameters as the dedup path (16 bands x 2 rows) give
+    P(miss | j=0.8) ~ 8e-8 per pair; candidates are exact-verified, so
+    output pairs are never false positives, and equivalence to the exact
+    oracle is pinned by tests on the driver fixtures.
+    """
+    from hadoop_mapreduce_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        hashed_shingle_rows,
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    # One tokenise+shingle scan feeds signatures AND the verify pass.
+    hs = scoped_persist(hashed_shingle_rows(docs))
+    sigs = minhash_signatures(docs, hashed_shingles=hs)
+    is_bench = F.col("id") % bench_mod == 0
+    cands = lsh_cross_candidates(
+        sigs.where(~is_bench), sigs.where(is_bench),
+        bands=16, rows_per_band=2,
+    ).select(F.col("big_id").alias("id1"), F.col("small_id").alias("id2"))
+    verified = exact_jaccard_for_pairs(docs, cands, hashed_shingles=hs)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id1").alias("train_id"),
+            F.col("id2").alias("bench_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("train_id", "bench_id")
+    )
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.4, bench_mod: int = 20) -> DataFrame:
+    """SEMANTIC decontamination: training vectors whose embedding cosine
+    against any held-out benchmark vector meets the threshold — catches
+    rephrasings that share no surface n-grams at all (the third rung
+    after exact n-gram and fuzzy Jaccard). Benchmark set =
+    vec_id % bench_mod == 0, mirroring the text-side carve.
+
+    (Production threshold is ~0.9; the fixture embeddings are
+    near-random with max cross cosine ~0.49, so 0.4 exercises the
+    operator with a non-trivial result — same convention as
+    dedup_embedding_cosine.)
+
+    Scale shape: benchmark embeddings are broadcast and the train side
+    is ONE streaming scan scored JVM-side (broadcast nested-loop, no
+    shuffle of the big side, no window — a plain threshold filter), so
+    cost is O(|train| x |bench| x d) flops with zero data movement
+    beyond the scan. For |bench| beyond broadcast range, the IVF/SRP
+    machinery in operators/similarity.py bounds the candidate set the
+    same way it does for kNN join.
+    """
+    from hadoop_mapreduce_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = F.col("vec_id") % bench_mod == 0
+    train = emb.where(~is_bench).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").cast("array<double>").alias("tv"))
+    bench = emb.where(is_bench).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").cast("array<double>").alias("bv"))
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select(
+            "train_id", "bench_id",
+            cosine_similarity(F.col("tv"), F.col("bv")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("train_id", "bench_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("train_id", "bench_id")
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality flags, aggregated per source.
 

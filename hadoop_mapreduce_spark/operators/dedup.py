@@ -177,6 +177,19 @@ def minhash_signatures(
     return base.groupBy("id").agg(F.expr(sig))
 
 
+def _band_keys_expr(bands: int, rows_per_band: int):
+    """array<int> of per-band bucket keys over a ``sig`` column — one
+    Murmur3 hash of (band index, the band's signature rows). Built as a
+    single parsed expression: per-band F.hash() calls would cost a py4j
+    round trip each, re-paid on every plan build."""
+    return F.expr("array(" + ",".join(
+        "hash(" + ",".join(
+            [str(b)] + [f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)]
+        ) + ")"
+        for b in range(bands)
+    ) + ")")
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
                         max_bucket: int = 2048) -> DataFrame:
     """LSH banding: docs agreeing on all rows of ≥1 band become candidates.
@@ -208,12 +221,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
     """
     from hadoop_mapreduce_spark.session import scoped_persist
 
-    buckets = "array(" + ",".join(
-        "hash(" + ",".join([str(b)] + [f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)]) + ")"
-        for b in range(bands)
-    ) + ")"
     banded = scoped_persist(
-        sig_df.select("id", F.posexplode(F.expr(buckets)).alias("band", "bucket")))
+        sig_df.select("id", F.posexplode(
+            _band_keys_expr(bands, rows_per_band)).alias("band", "bucket")))
     hot = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -233,6 +243,33 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
             "y -> struct(x as id1, y as id2))))"
         )).alias("p"))
         .select("p.id1", "p.id2")
+        .dropDuplicates()
+    )
+
+
+def lsh_cross_candidates(big_sigs: DataFrame, small_sigs: DataFrame,
+                         bands: int, rows_per_band: int) -> DataFrame:
+    """Cross-corpus LSH candidates: (big_id, small_id) pairs agreeing on
+    all rows of >= 1 band — the asymmetric variant of
+    ``lsh_candidate_pairs`` for train-vs-benchmark decontamination.
+
+    The small side (a benchmark suite: O(10^3..10^5) docs) has its band
+    keys BROADCAST, so the big side (the 100 TB training corpus) is a
+    single streaming scan — band keys are computed in the projection and
+    probed against the broadcast hash relation with ZERO shuffle of the
+    big side. No hot-bucket cap is needed: candidate fan-out is bounded
+    by |small| per big row by construction, and every candidate is
+    exact-verified downstream.
+    """
+    big = big_sigs.select(
+        F.col("id").alias("big_id"),
+        F.posexplode(_band_keys_expr(bands, rows_per_band)).alias("band", "bucket"))
+    small = small_sigs.select(
+        F.col("id").alias("small_id"),
+        F.posexplode(_band_keys_expr(bands, rows_per_band)).alias("band", "bucket"))
+    return (
+        big.join(F.broadcast(small), ["band", "bucket"])
+        .select("big_id", "small_id")
         .dropDuplicates()
     )
 
@@ -1020,6 +1057,42 @@ def dedup_components_star(spark: SparkSession, sf_dir: str,
     return (
         out.select("doc_id", F.col("comp").cast("long").alias("component"))
         .orderBy("doc_id")
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str,
+                    threshold: float = 0.8) -> DataFrame:
+    """Canonical-representative selection: for every near-dup cluster
+    with >= 2 members, pick the member to KEEP — the longest document
+    (n_chars), doc_id as the deterministic tie-break. This is the step
+    after clustering in every published dedup recipe (keep one member
+    per MinHash cluster — e.g. RefinedWeb/SlimPajama keep-longest);
+    ``dedup_components_star`` answers "which cluster", this answers
+    "which survivor".
+
+    Scale: clusters come from the banded-LSH + star-CC scale path (see
+    dedup_components_star); the selection itself is ONE hash aggregation
+    on the component id — max_by(doc_id, (n_chars, -doc_id)) computes
+    the argmax in partial aggregation, so the shuffle carries one row
+    per component, never the membership. No window sort: a row_number
+    formulation would sort every cluster's members; max_by folds them.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select("id1", "id2")
+    comp = connected_components_star(docs.select("doc_id"), pairs, edges_canonical=True)
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy(F.col("comp").cast("long").alias("component"))
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")),
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("keep_n_chars"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("component")
     )
 
 

@@ -123,6 +123,9 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_merge_orders": cdc.cdc_merge_orders,
     "scd2_customer_history": cdc.scd2_customer_history,
     "decontaminate_ngram": datamix.decontaminate_ngram,
+    "decontaminate_fuzzy": datamix.decontaminate_fuzzy,
+    "decontaminate_semantic": datamix.decontaminate_semantic,
+    "dedup_keep_best": dedup.dedup_keep_best,
     "quality_repetition": datamix.quality_repetition,
     "domain_mixture_sample": datamix.domain_mixture_sample,
     "embedding_quantize": datamix.embedding_quantize,
@@ -1356,6 +1359,66 @@ SELECT t.source, count(*)::BIGINT AS n_train_docs,
   round(count(h.doc_id) * 1.0 / count(*), 4) AS contam_rate
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 GROUP BY t.source ORDER BY t.source
+""",
+    "decontaminate_fuzzy": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS c
+  FROM sh t JOIN sh b ON t.s = b.s
+  WHERE t.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT train_id, bench_id, c * 1.0 / (s1.n + s2.n - c) AS j
+  FROM inter
+  JOIN sizes s1 ON train_id = s1.doc_id
+  JOIN sizes s2 ON bench_id = s2.doc_id
+)
+SELECT train_id, bench_id, round(j, 6) AS jaccard FROM jac
+WHERE j >= 0.8 ORDER BY train_id, bench_id
+""",
+    "decontaminate_semantic": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+t AS (SELECT vec_id AS train_id, e AS tv FROM v WHERE vec_id % 20 <> 0),
+b AS (SELECT vec_id AS bench_id, e AS bv FROM v WHERE vec_id % 20 = 0),
+s AS (
+  SELECT train_id, bench_id,
+    list_dot_product(tv, bv)
+      / (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(bv, bv))) AS c
+  FROM t, b
+)
+SELECT train_id, bench_id, round(c, 6) AS cosine FROM s
+WHERE c >= 0.4 ORDER BY train_id, bench_id
+""",
+    "dedup_keep_best": f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  UNION
+  SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+m AS (
+  SELECT c.component, d.doc_id, d.n_chars,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component::BIGINT AS component, doc_id AS keep_id,
+  n_members::BIGINT AS n_members, n_chars AS keep_n_chars
+FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY component
 """,
     "quality_repetition": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),

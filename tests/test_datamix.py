@@ -169,3 +169,33 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     # per-doc over-flag rate stays far below 5% (deterministic given md5,
     # so this is a fixed property of the fixture, not a flaky bound)
     assert n_fp / n_train < 0.05
+
+
+def test_decontaminate_fuzzy_equals_exact_cross_jaccard(spark):
+    """The LSH-candidate fuzzy path must recover exactly the pairs the
+    exact cross-corpus Jaccard finds on the fixture (banding miss prob
+    ~8e-8 per pair at j=0.8 with 16x2 bands) — same pinning contract as
+    test_minhash_lsh_equals_exact_jaccard."""
+    from hadoop_mapreduce_spark.operators.datamix import decontaminate_fuzzy
+    from hadoop_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    got = {(r.train_id, r.bench_id): r.jaccard
+           for r in decontaminate_fuzzy(spark, SF_DIR).collect()}
+    # exact all-pairs, then keep only train-x-bench pairs (either order)
+    exact = {}
+    for r in dedup_ngram_jaccard(spark, SF_DIR).collect():
+        b1, b2 = r.id1 % 20 == 0, r.id2 % 20 == 0
+        if b1 != b2:
+            t, b = (r.id2, r.id1) if b1 else (r.id1, r.id2)
+            exact[(t, b)] = r.jaccard
+    assert got == exact
+
+
+def test_decontaminate_semantic_threshold_and_carve(spark):
+    from hadoop_mapreduce_spark.operators.datamix import decontaminate_semantic
+
+    rows = decontaminate_semantic(spark, SF_DIR, threshold=0.3).collect()
+    assert rows, "fixture should produce at least one pair at 0.3"
+    for r in rows:
+        assert r.cosine >= 0.3
+        assert r.train_id % 20 != 0 and r.bench_id % 20 == 0

@@ -271,3 +271,29 @@ def test_lsh_hot_bucket_cap_off_recovers_template_pairs(spark):
                                    max_bucket=2048).count()
     assert capped == 0
     assert uncapped == 30 * 29 // 2
+
+
+def test_keep_best_is_longest_member(spark):
+    """Every kept doc must be the longest (tie-break: lowest doc_id) in
+    its own component, and only multi-member components are emitted."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_components_star,
+        dedup_keep_best,
+    )
+
+    kept = {r.component: r for r in dedup_keep_best(spark, SF_DIR).collect()}
+    comp = {r.doc_id: r.component for r in dedup_components_star(spark, SF_DIR).collect()}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    multi = {c: m for c, m in members.items() if len(m) >= 2}
+    assert set(kept) == set(multi)
+    for c, r in kept.items():
+        best = min(multi[c], key=lambda d: (-chars[d], d))
+        assert r.keep_id == best
+        assert r.n_members == len(multi[c])
+        assert r.keep_n_chars == chars[best]
