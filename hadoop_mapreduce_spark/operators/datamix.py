@@ -207,6 +207,87 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str,
     )
 
 
+def dsir_importance_sample(spark: SparkSession, sf_dir: str,
+                           bench_mod: int = 20,
+                           n_buckets: int = 10_000) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every training
+    document by the log-likelihood ratio of a TARGET unigram model
+    (fit on the held-out target carve, doc_id % bench_mod == 0) against
+    the RAW corpus model, over HASHED token features — then select the
+    documents the ratio favours. This is the principled version of
+    "sample more of what looks like the target domain": mixture weights
+    fall out of the data instead of being hand-set per source
+    (complements domain_mixture_sample's explicit per-source rates).
+
+    Features are md5-hashed into ``n_buckets`` buckets exactly as the
+    paper hashes n-grams: the two models and their ratio table are then
+    CONSTANT-SIZE (n_buckets rows) regardless of corpus vocabulary, so
+    the ratio table broadcasts at any scale and scoring is one
+    broadcast-join + one doc_id-keyed aggregation over the token rows —
+    the corpus shuffles once, keyed by doc_id, nothing else. Both
+    models are add-1 smoothed over the bucket space.
+
+    Determinism across engines: per-doc log-weights are rounded to 8 dp
+    BEFORE the select threshold (> 0 ⇔ target model strictly favours
+    the doc) and per-source means to 6 dp — the established convention
+    for float-sum order differences (see unigram_logprob_quality).
+    Output: one row per source with selection counts and mean
+    log-weight; the md5 bucketing matches the DuckDB oracle bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lw = dsir_log_weights(docs, bench_mod=bench_mod, n_buckets=n_buckets)
+    return (
+        lw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum((F.col("lw") > 0).cast("long")).alias("n_selected"),
+            F.round(F.avg("lw"), 6).alias("avg_log_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def dsir_log_weights(docs: DataFrame, bench_mod: int = 20,
+                     n_buckets: int = 10_000) -> DataFrame:
+    """Per-training-doc DSIR log importance weight (doc_id, source, lw)
+    — core of :func:`dsir_importance_sample`, see there for the method
+    and scale analysis."""
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(tokenize(normalize_text(F.col("text")))).alias("w"),
+    ).select("doc_id", "source", _md5_bucket(F.col("w"), n_buckets).alias("f"))
+    is_bench = F.col("doc_id") % bench_mod == 0
+    # model counts: one uniform feature-keyed aggregation each; both
+    # collapse to <= n_buckets rows before any join
+    ct = tok.where(is_bench).groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    cr = tok.where(~is_bench).groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    # totals as 1-row broadcast (crossJoin of scalar aggregates — the
+    # plan-audit-sanctioned tiny-spine pattern)
+    nt = tok.where(is_bench).agg(F.count(F.lit(1)).alias("nt"))
+    nr = tok.where(~is_bench).agg(F.count(F.lit(1)).alias("nr"))
+    ratio = (
+        ct.join(cr, "f", "full_outer")
+        .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+        .select(
+            "f",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                      / (F.col("nt") + F.lit(n_buckets)))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                        / (F.col("nr") + F.lit(n_buckets)))
+            ).alias("llr"),
+        )
+    )
+    cdf = tok.where(~is_bench).groupBy("doc_id", "source", "f").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (
+        cdf.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("c") * F.col("llr")), 8).alias("lw"))
+    )
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality flags, aggregated per source.
 

@@ -1111,6 +1111,96 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     )
 
 
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str,
+                         k: int = 8) -> DataFrame:
+    """Position-exact repeated-substring spans — the sliding-window form
+    of Lee et al.'s suffix-array dedup ("Deduplicating Training Data
+    Makes Language Models Better": remove every duplicated >= 50-token
+    span, keep one occurrence). ``dedup_span_chunks`` trades span
+    ALIGNMENT for fixed non-overlapping chunks; this operator keeps the
+    alignment: every k-token window at every position is tested, so a
+    duplicated passage is found wherever it starts, and overlapping
+    duplicated windows merge into one maximal span.
+
+    Semantics: a window (k consecutive tokens) is DUPLICATED at
+    (doc, pos) unless that occurrence is the corpus-wide first in
+    (doc_id, pos) order — same first-occurrence-wins rule as
+    dedup_span_chunks, now per position. Flagged positions within a doc
+    merge into maximal spans (gaps-and-islands: a new island starts when
+    the previous flagged window can no longer overlap/abut, i.e. the
+    position gap exceeds k). Output is the span table a cleaner would
+    subtract: (doc_id, span_start, span_end, span_tokens), 1-based
+    inclusive token positions.
+
+    Plan and scale: the token projection materialises once; window
+    hashes are multi-arg xxhash64 over k array elements (no window
+    string is ever built — the hash IS the identity, 8 bytes per
+    position instead of ~8 words); ONE exchange keyed by the uniform
+    window hash ranks occurrences (row_number within a hash group —
+    groups are occurrence counts of one distinct window, tiny unless the
+    corpus genuinely repeats it); flagged rows (a small subset) take ONE
+    exchange keyed by doc_id for the island merge. Total shuffled bytes:
+    (N_positions x 20 B) + (N_flagged x 12 B). A suffix array gives the
+    same answer for arbitrary span lengths >= k in O(N log N) total, but
+    needs global order — at 100 TB the two keyed exchanges here win on
+    any cluster that can't materialise a corpus-wide suffix array, and
+    k bounds the minimum span exactly as Lee et al.'s 50-token floor
+    does. Islands never span documents, so the merge window's sort is
+    per-doc and bounded by doc length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_table(docs, k=k)
+
+
+def repeated_span_table(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Core of :func:`dedup_repeated_spans` over an arbitrary
+    (doc_id, text) relation — see that docstring for semantics/plan."""
+    from pyspark.sql import Window
+
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    toks = docs.select(
+        "doc_id", tokenize(normalize_text(F.col("text"))).alias("t"),
+    ).where(F.size("t") >= k)
+    win = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))).alias("p"),
+    ).select(
+        "doc_id", "p",
+        F.xxhash64(*[F.element_at("t", F.col("p") + F.lit(j))
+                     for j in range(k)]).alias("h"),
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "p")
+    flagged = (
+        win.withColumn("rn", F.row_number().over(wh))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "p")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    islands = (
+        flagged.withColumn(
+            "nb",
+            F.when(
+                F.col("p") - F.lag("p").over(wd) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),  # lag NULL (first row) -> new island
+        )
+        .withColumn("island", F.sum("nb").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def dedup_span_chunks(spark: SparkSession, sf_dir: str,
                       chunk_tokens: int = 8) -> DataFrame:
     """Sub-document exact dedup at chunk granularity: remove every

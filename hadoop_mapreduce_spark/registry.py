@@ -126,6 +126,8 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_fuzzy": datamix.decontaminate_fuzzy,
     "decontaminate_semantic": datamix.decontaminate_semantic,
     "dedup_keep_best": dedup.dedup_keep_best,
+    "dedup_repeated_spans": dedup.dedup_repeated_spans,
+    "dsir_importance_sample": datamix.dsir_importance_sample,
     "quality_repetition": datamix.quality_repetition,
     "domain_mixture_sample": datamix.domain_mixture_sample,
     "embedding_quantize": datamix.embedding_quantize,
@@ -1419,6 +1421,64 @@ m AS (
 SELECT component::BIGINT AS component, doc_id AS keep_id,
   n_members::BIGINT AS n_members, n_chars AS keep_n_chars
 FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY component
+""",
+    "dedup_repeated_spans": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (
+  SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g
+),
+r AS (
+  SELECT doc_id, p,
+    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+  FROM w
+),
+f AS (SELECT doc_id, p FROM r WHERE rn > 1),
+b AS (
+  SELECT doc_id, p,
+    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+         THEN 0 ELSE 1 END AS nb
+  FROM f
+),
+isl AS (
+  SELECT doc_id, p,
+    sum(nb) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM b
+)
+SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 7)::BIGINT AS span_end,
+  (max(p) + 7 - min(p) + 1)::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+""",
+    "dsir_importance_sample": f"""
+WITH tok0 AS (SELECT doc_id, source, unnest(t) AS w
+              FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)),
+tok AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT % 10000 AS f
+  FROM tok0
+),
+ct AS (SELECT f, count(*) AS ct FROM tok WHERE doc_id % 20 = 0 GROUP BY f),
+cr AS (SELECT f, count(*) AS cr FROM tok WHERE doc_id % 20 <> 0 GROUP BY f),
+nt AS (SELECT count(*) AS nt FROM tok WHERE doc_id % 20 = 0),
+nr AS (SELECT count(*) AS nr FROM tok WHERE doc_id % 20 <> 0),
+ratio AS (
+  SELECT coalesce(ct.f, cr.f) AS f,
+    ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 10000))
+      - ln((coalesce(cr, 0) + 1) * 1.0 / (nr + 10000)) AS llr
+  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f, nt, nr
+),
+cdf AS (
+  SELECT doc_id, source, f, count(*) AS c FROM tok
+  WHERE doc_id % 20 <> 0 GROUP BY 1, 2, 3
+),
+lw AS (
+  SELECT doc_id, source, round(sum(c * llr), 8) AS lw
+  FROM cdf JOIN ratio USING (f) GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_train_docs,
+  sum(CASE WHEN lw > 0 THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+  round(avg(lw), 6) AS avg_log_weight
+FROM lw GROUP BY source ORDER BY source
 """,
     "quality_repetition": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),

@@ -199,3 +199,20 @@ def test_decontaminate_semantic_threshold_and_carve(spark):
     for r in rows:
         assert r.cosine >= 0.3
         assert r.train_id % 20 != 0 and r.bench_id % 20 == 0
+
+
+def test_dsir_favours_target_domain(spark):
+    """A train doc written in the target carve's vocabulary must get a
+    positive log weight; an off-domain doc a negative one."""
+    from hadoop_mapreduce_spark.operators.datamix import dsir_log_weights
+
+    target = "kernel tensor gradient softmax attention layer"
+    rows = [
+        (0, "t", target), (20, "t", target), (40, "t", target),  # bench carve
+        (1, "on", "kernel tensor gradient softmax attention layer"),
+        (2, "off", "banana apple mango papaya cherry grape"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    lw = {r.doc_id: r.lw for r in dsir_log_weights(docs, bench_mod=20).collect()}
+    assert set(lw) == {1, 2}
+    assert lw[1] > 0 > lw[2]

@@ -297,3 +297,30 @@ def test_keep_best_is_longest_member(spark):
         assert r.keep_id == best
         assert r.n_members == len(multi[c])
         assert r.keep_n_chars == chars[best]
+
+
+def test_repeated_spans_planted_passage(spark):
+    """A 10-token passage planted in two docs must come back as exactly
+    one maximal span in the LATER doc, covering the passage's positions
+    (first-occurrence-wins), with k=8 windows merged across overlap."""
+    from hadoop_mapreduce_spark.operators.dedup import repeated_span_table
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "one two three " + passage + " four five"          # P at pos 4..13
+    d2 = "six seven " + passage + " eight nine ten eleven"  # P at pos 3..12
+    docs = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    got = [(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in repeated_span_table(docs, k=8).collect()]
+    assert got == [(2, 3, 12, 10)]
+
+
+def test_repeated_spans_within_doc_repeat(spark):
+    """A doc repeating its own k-token opening later in the same doc is
+    flagged at the SECOND occurrence only."""
+    from hadoop_mapreduce_spark.operators.dedup import repeated_span_table
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    doc = run + " filler1 filler2 " + run      # repeat at pos 11..18
+    docs = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    got = [(r.doc_id, r.span_start, r.span_end) for r in repeated_span_table(docs, k=8).collect()]
+    assert got == [(7, 11, 18)]
