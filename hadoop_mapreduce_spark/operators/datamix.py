@@ -177,32 +177,30 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str,
     operator with a non-trivial result — same convention as
     dedup_embedding_cosine.)
 
-    Scale shape: benchmark embeddings are broadcast and the train side
-    is ONE streaming scan scored JVM-side (broadcast nested-loop, no
-    shuffle of the big side, no window — a plain threshold filter), so
-    cost is O(|train| x |bench| x d) flops with zero data movement
-    beyond the scan. For |bench| beyond broadcast range, the IVF/SRP
-    machinery in operators/similarity.py bounds the candidate set the
-    same way it does for kNN join.
+    Scale shape: the benchmark side is replicated per block and the
+    train side is hash-blocked and scored with one BLAS matmul per
+    applyInPandas group (``embedding_cosine_cross_pairs`` — each train
+    vector shuffles once, |bench| x n_blocks replica rows are the only
+    duplication). A pure-expression fold (aggregate over zip_with) was
+    measured 10x slower here: higher-order array functions don't enter
+    whole-stage codegen, while the Arrow->BLAS path amortises to one
+    matmul per batch — same trade embedding_cosine_pairs documents. For
+    |bench| beyond replica range, the IVF/SRP machinery in
+    operators/similarity.py bounds the candidate set the same way it
+    does for kNN join.
     """
-    from hadoop_mapreduce_spark.functions.vectors import cosine_similarity
+    from hadoop_mapreduce_spark.operators.dedup import embedding_cosine_cross_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     is_bench = F.col("vec_id") % bench_mod == 0
-    train = emb.where(~is_bench).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").cast("array<double>").alias("tv"))
-    bench = emb.where(is_bench).select(
-        F.col("vec_id").alias("bench_id"),
-        F.col("embedding").cast("array<double>").alias("bv"))
     return (
-        train.crossJoin(F.broadcast(bench))
+        embedding_cosine_cross_pairs(
+            emb.where(~is_bench), emb.where(is_bench), threshold)
         .select(
-            "train_id", "bench_id",
-            cosine_similarity(F.col("tv"), F.col("bv")).alias("cos"),
+            F.col("big_id").alias("train_id"),
+            F.col("small_id").alias("bench_id"),
+            F.round("cosine", 6).alias("cosine"),
         )
-        .where(F.col("cos") >= threshold)
-        .select("train_id", "bench_id", F.round("cos", 6).alias("cosine"))
         .orderBy("train_id", "bench_id")
     )
 

@@ -613,6 +613,69 @@ def embedding_cosine_pairs(vectors: DataFrame, threshold: float,
         score, "id1 long, id2 long, cosine double")
 
 
+def embedding_cosine_cross_pairs(big: DataFrame, small: DataFrame,
+                                 threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 n_blocks: int = 8) -> DataFrame:
+    """Cross-set exact cosine pairs (big_id, small_id, cosine >= t) —
+    the asymmetric sibling of :func:`embedding_cosine_pairs` for
+    train-vs-benchmark shapes where one side is O(10^3..10^5) vectors
+    and the other is the corpus.
+
+    The big side is hash-blocked; the SMALL side is replicated to every
+    block via a broadcast block spine (|small| x n_blocks rows — still
+    tiny), so each applyInPandas group is one bounded BLAS matmul
+    (big_block x small^T) and each big vector is shuffled exactly once.
+    Flops O(|big| x |small| x d) are intrinsic to the exact answer; the
+    sub-linear path is the SRP/IVF machinery in operators/similarity.py.
+    """
+    b = big.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    spark = big.sparkSession
+    spine = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    s = small.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(1).alias("side"),
+    ).crossJoin(F.broadcast(spine))
+    tagged = b.unionByName(s.select("id", "v", "side", "blk"))
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"big_id": [], "small_id": [], "cosine": []})
+        a = pdf[pdf["side"] == 0]
+        q = pdf[pdf["side"] == 1]
+        if not len(a) or not len(q):
+            return empty
+        A = np.vstack(a["v"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Q = np.vstack(q["v"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        a_ids, q_ids = a["id"].to_numpy(), q["id"].to_numpy()
+        chunk = max(1, (16 << 20) // max(len(q_ids), 1) // 8)  # ~16 MB slabs
+        frames = []
+        for st in range(0, len(a_ids), chunk):
+            sl = slice(st, st + chunk)
+            sims = A[sl] @ Q.T
+            hit_r, hit_c = np.nonzero(sims >= threshold)
+            frames.append(pd.DataFrame({
+                "big_id": a_ids[sl][hit_r],
+                "small_id": q_ids[hit_c],
+                "cosine": sims[hit_r, hit_c],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return tagged.groupBy("blk").applyInPandas(
+        score, "big_id long, small_id long, cosine double")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
     """Driver query: exact embedding near-dup pairs at cosine >= 0.4.
 
