@@ -121,7 +121,15 @@ def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("id"),
         tokenize(normalize_text(F.col(text_col))).alias("__t"),
-    ).where(F.size("__t") >= shingle_k)
+    )
+    return hashed_shingle_rows_from_tokens(toks, shingle_k)
+
+
+def hashed_shingle_rows_from_tokens(toks: DataFrame,
+                                    shingle_k: int = 3) -> DataFrame:
+    """:func:`hashed_shingle_rows` over a pre-tokenised (id, __t)
+    relation — shares one tokenisation pass across pipeline stages."""
+    toks = toks.where(F.size("__t") >= shingle_k)
     # Hash the k tokens DIRECTLY (multi-arg xxhash64) instead of
     # materialising the joined shingle string: slice() + concat_ws()
     # allocate an array and a string per shingle row, and the string

@@ -350,3 +350,138 @@ def pipeline_pretrain_scale(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def pipeline_target_select(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.8, bench_mod: int = 20,
+                           n_buckets: int = 10_000) -> DataFrame:
+    """Target-conditioned selection pipeline as ONE declarative plan —
+    the fine-tuning/domain-adaptation complement of pipeline_pretrain:
+
+      1. FUZZY DECONTAMINATION: drop training docs that are verified
+         near-dups (shingle Jaccard >= threshold) of the held-out target
+         set (doc_id % bench_mod == 0) — decontaminate_fuzzy's rule;
+      2. NEAR-DUP DEDUP among survivors: star-CC clusters over verified
+         LSH pairs, keep-longest representative (dedup_keep_best's rule);
+      3. DSIR SELECTION: keep survivors whose hashed-feature unigram LM
+         log-likelihood ratio favours the target (dsir's rule, raw model
+         fit on the full training carve for oracle-stable composition).
+
+    Emits the per-source ledger (docs in, dropped per stage, selected)
+    a selection run records before training.
+
+    Shared work (the composition's point): the corpus is tokenised ONCE
+    into a persisted projection; shingle hashes derive from it and feed
+    both the decontamination candidates (benchmark band keys BROADCAST —
+    the train side never shuffles for stage 1) and the survivor LSH
+    dedup; MinHash signatures are computed once for all docs and
+    filtered per stage (a doc's signature doesn't change when its
+    neighbours are dropped); the DSIR feature counts reuse the same
+    token arrays. Each stage's verify/join runs over candidate-sized
+    relations only — the corpus-sized data is touched by exactly one
+    scan + one signature aggregation + one feature aggregation.
+    """
+    from pyspark import StorageLevel
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        dsir_log_weights_from_tokens,
+    )
+    from hadoop_mapreduce_spark.operators.dedup import (
+        connected_components_star,
+        exact_jaccard_for_pairs,
+        hashed_shingle_rows_from_tokens,
+        lsh_candidate_pairs,
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = scoped_persist(
+        docs.select(
+            "doc_id", "source",
+            tokenize(normalize_text(F.col("text"))).alias("t"),
+            F.col("n_chars"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    train = base.where(~is_bench)
+
+    hs = scoped_persist(
+        hashed_shingle_rows_from_tokens(
+            base.select(F.col("doc_id").alias("id"), F.col("t").alias("__t"))))
+    sigs = scoped_persist(minhash_signatures(docs, hashed_shingles=hs))
+
+    # --- stage 1: fuzzy decontamination (train x bench, bench broadcast)
+    cands = lsh_cross_candidates(
+        sigs.where(F.col("id") % bench_mod != 0),
+        sigs.where(F.col("id") % bench_mod == 0),
+        bands=16, rows_per_band=2,
+    ).select(F.col("big_id").alias("id1"), F.col("small_id").alias("id2"))
+    contaminated = (
+        exact_jaccard_for_pairs(docs, cands, hashed_shingles=hs)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id1").alias("doc_id")).distinct()
+    )
+    surv1 = train.select("doc_id", "source", "n_chars") \
+        .join(contaminated.withColumn("__c", F.lit(1)), "doc_id", "left")
+
+    # --- stage 2: near-dup clusters among stage-1 survivors, keep-longest
+    surv_ids = surv1.where(F.col("__c").isNull()).select("doc_id")
+    pairs = (
+        lsh_candidate_pairs(
+            sigs.join(surv_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"),
+            bands=16, rows_per_band=2)
+    )
+    verified = scoped_persist(
+        exact_jaccard_for_pairs(docs, pairs, hashed_shingles=hs)
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2"))
+    comp = connected_components_star(surv_ids, verified, edges_canonical=True)
+    keep = (
+        comp.join(base.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("comp")
+        .agg(
+            F.max_by("doc_id",
+                     F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("ni"))
+                     ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    dup_dropped = (
+        comp.join(keep, "comp")
+        .where((F.col("n_members") >= 2) & (F.col("doc_id") != F.col("keep_id")))
+        .select("doc_id")
+    )
+
+    # --- stage 3: DSIR selection over remaining survivors
+    lw = dsir_log_weights_from_tokens(
+        base.select("doc_id", "source", "t"),
+        bench_mod=bench_mod, n_buckets=n_buckets,
+    ).select("doc_id", "lw")
+
+    flags = (
+        surv1
+        .join(dup_dropped.withColumn("__d", F.lit(1)), "doc_id", "left")
+        .join(lw, "doc_id", "left")
+        .select(
+            "source",
+            F.col("__c").isNotNull().alias("is_contam"),
+            (F.col("__c").isNull() & F.col("__d").isNotNull()).alias("is_dup"),
+            (
+                F.col("__c").isNull() & F.col("__d").isNull()
+                & (F.coalesce(F.col("lw"), F.lit(-1.0)) > 0)
+            ).alias("is_sel"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.col("is_contam").cast("long")).alias("n_contaminated"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_dropped"),
+            F.sum(F.col("is_sel").cast("long")).alias("n_selected"),
+        )
+        .orderBy("source")
+    )

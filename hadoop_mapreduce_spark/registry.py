@@ -128,6 +128,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": dedup.dedup_keep_best,
     "dedup_repeated_spans": dedup.dedup_repeated_spans,
     "dsir_importance_sample": datamix.dsir_importance_sample,
+    "pipeline_target_select": pipeline.pipeline_target_select,
     "quality_repetition": datamix.quality_repetition,
     "domain_mixture_sample": datamix.domain_mixture_sample,
     "embedding_quantize": datamix.embedding_quantize,
@@ -1421,6 +1422,96 @@ m AS (
 SELECT component::BIGINT AS component, doc_id AS keep_id,
   n_members::BIGINT AS n_members, n_chars AS keep_n_chars
 FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY component
+""",
+    "pipeline_target_select": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS j
+  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+),
+pairs AS (SELECT id1, id2 FROM jac WHERE j >= 0.8),
+contaminated AS (
+  SELECT DISTINCT CASE WHEN id1 % 20 = 0 THEN id2 ELSE id1 END AS doc_id
+  FROM pairs WHERE (id1 % 20 = 0) <> (id2 % 20 = 0)
+),
+surv AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id % 20 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sedge AS (
+  SELECT id1, id2 FROM pairs
+  WHERE id1 IN (SELECT doc_id FROM surv) AND id2 IN (SELECT doc_id FROM surv)
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM sedge
+  UNION
+  SELECT id2, id1 FROM sedge
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+ranked AS (
+  SELECT c.component, s.doc_id,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY s.n_chars DESC, s.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY c.component) AS nm
+  FROM comp c JOIN surv s USING (doc_id)
+),
+dup_dropped AS (SELECT doc_id FROM ranked WHERE nm >= 2 AND rn > 1),
+tok0 AS (SELECT doc_id, unnest(t) AS w FROM toks),
+tokf AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT % 10000 AS f
+  FROM tok0
+),
+ct AS (SELECT f, count(*) AS ct FROM tokf WHERE doc_id % 20 = 0 GROUP BY f),
+cr AS (SELECT f, count(*) AS cr FROM tokf WHERE doc_id % 20 <> 0 GROUP BY f),
+nt AS (SELECT count(*) AS nt FROM tokf WHERE doc_id % 20 = 0),
+nr AS (SELECT count(*) AS nr FROM tokf WHERE doc_id % 20 <> 0),
+ratio AS (
+  SELECT coalesce(ct.f, cr.f) AS f,
+    ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 10000))
+      - ln((coalesce(cr, 0) + 1) * 1.0 / (nr + 10000)) AS llr
+  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f, nt, nr
+),
+cdf AS (
+  SELECT doc_id, f, count(*) AS c FROM tokf
+  WHERE doc_id % 20 <> 0 GROUP BY 1, 2
+),
+lw AS (SELECT doc_id, round(sum(c * llr), 8) AS lw
+       FROM cdf JOIN ratio USING (f) GROUP BY 1),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 0),
+flags AS (
+  SELECT t.source,
+    (c.doc_id IS NOT NULL) AS is_contam,
+    (c.doc_id IS NULL AND d.doc_id IS NOT NULL) AS is_dup,
+    (c.doc_id IS NULL AND d.doc_id IS NULL
+     AND coalesce(l.lw, -1) > 0) AS is_sel
+  FROM train t
+  LEFT JOIN contaminated c USING (doc_id)
+  LEFT JOIN dup_dropped d USING (doc_id)
+  LEFT JOIN lw l USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_train_docs,
+  sum(CASE WHEN is_contam THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_dropped,
+  sum(CASE WHEN is_sel THEN 1 ELSE 0 END)::BIGINT AS n_selected
+FROM flags GROUP BY source ORDER BY source
 """,
     "dedup_repeated_spans": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

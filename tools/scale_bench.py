@@ -31,7 +31,20 @@ from scale_smoke import build_scaled  # noqa: E402 (same tools/ dir)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE as _HEADLINE  # noqa: E402
+
+# Ladder-only additions: the round-6 selection/decontamination family.
+# They stay OUT of bench.py's driver headline (at sf0.1 their cost is
+# pure scheduling floor against a sub-second DuckDB), but the ladder is
+# exactly where their linear-shuffle designs separate from DuckDB's
+# exact cross-joins / per-position windows as K grows.
+HEADLINE = _HEADLINE + [
+    "decontaminate_fuzzy",
+    "decontaminate_semantic",
+    "dedup_repeated_spans",
+    "dedup_keep_best",
+    "dsir_importance_sample",
+]
 
 
 def _shuffle_metrics(sc, after_stage: int) -> tuple[int, dict]:
