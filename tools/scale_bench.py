@@ -86,6 +86,9 @@ def _duck_one(sql: str, scratch: str, q) -> None:
     import duckdb as _d
 
     c = _d.connect()
+    # spill to /tmp, not cwd: a capped/killed child otherwise leaves its
+    # (observed: 41 GB) .tmp/ spill debris inside the repo
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ("region", "nation", "customer", "supplier",
               "part", "orders", "lineitem", "events",
               "documents", "embeddings"):
