@@ -515,3 +515,82 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str,
         )
     )
     return pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str,
+                      lam: float = 0.7, k: int = 50) -> DataFrame:
+    """Interpolated bigram language-model quality filter: score each
+    document by the mean log-probability of its token *transitions*
+    under a bigram LM estimated from the corpus itself, and return the
+    k most surprising (lowest-scoring) documents — the next rung up
+    from unigram_logprob_quality on the CCNet/KenLM perplexity-filter
+    ladder, and the LM companion to the reference's flagship n-gram
+    counts (WordCount.java n=2 output IS this model's sufficient
+    statistic).
+
+    p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/N  — simple
+    interpolation with the unigram model, so unseen-context smoothing
+    never divides by zero (every scored bigram occurs in the corpus by
+    construction; the unigram back-off term keeps rare contexts from
+    dominating). Docs with < 2 tokens have no transitions and are
+    excluded up front on both engines.
+
+    Plan: ONE tokenisation pass; the per-(doc, bigram) occurrence table
+    is the materialisation point (persisted via scoped_persist) and
+    every corpus-level statistic derives from it by re-aggregation —
+    corpus bigram counts c(ab) = sum over docs, context totals
+    c(a ·) = sum over c(ab) (vocabulary-sized, broadcast), unigram
+    counts from the same token arrays (broadcast). The per-bigram log
+    prob is a bigram-vocabulary-sized relation joined back on the
+    bigram key (shuffle join — at 100 TB the bigram vocabulary is far
+    too large to broadcast, and both sides hash-partition on the same
+    key), then one doc-keyed aggregation folds occurrences into the
+    doc score. Output is a TakeOrdered top-k, no global sort.
+
+    Cross-engine determinism: the per-bigram log-prob is a smooth
+    function of exact integer counts (identical doubles to ~1e-15 on
+    both engines); the doc score sums ~1e2 such terms in
+    engine-specific order (error ~1e-13) and is rounded to 6 dp BEFORE
+    the ordering comparison, with doc_id as the tie-break, so the
+    top-k boundary cannot flip on summation order.
+    """
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens("text").alias("t")) \
+        .where(F.size("t") >= 2)
+
+    per_doc = scoped_persist(
+        toks.select("doc_id",
+                    F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cdt")))
+
+    bc = per_doc.groupBy("bg").agg(F.sum("cdt").alias("cab")).select(
+        "bg", "cab",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"))
+    ctx = bc.groupBy("w1").agg(F.sum("cab").alias("cctx"))
+    uni = toks.select(F.explode("t").alias("w2")).groupBy("w2").agg(
+        F.count(F.lit(1)).alias("cw"))
+    totals = toks.agg(F.sum(F.size("t")).alias("n_uni"))
+
+    lp = (
+        bc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("bg", F.log(
+            F.lit(lam) * F.col("cab") / F.col("cctx")
+            + F.lit(1.0 - lam) * F.col("cw") / F.col("n_uni")).alias("lp"))
+    )
+    scored = (
+        per_doc.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("cdt") * F.col("lp")) / F.sum("cdt")).alias("score"),
+             F.sum("cdt").alias("nb"))
+    )
+    return (
+        scored.select("doc_id", F.col("nb").cast("long").alias("n_bigrams"),
+                      F.round("score", 6).alias("bigram_lp"))
+        .orderBy(F.asc("bigram_lp"), F.asc("doc_id")).limit(k)
+    )

@@ -142,6 +142,8 @@ QUERIES: dict[str, QueryFn] = {
     "sample_fixed_per_source": datamix.sample_fixed_per_source,
     "token_zipf_slope": textstats.token_zipf_slope,
     "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
+    "bigram_lm_quality": textstats.bigram_lm_quality,
+    "image_dhash_neardup": multimodal.image_dhash_neardup,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -2372,4 +2374,82 @@ SELECT w1, w2, cab::BIGINT AS n_pair,
            / ((c1.cw * 1.0 / n_uni) * (c2.cw * 1.0 / n_uni))), 6) AS pmi
 FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w, tot
 ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+# Interpolated bigram LM perplexity filter: same tokenizer macro, the
+# per-(doc, bigram) table is the shared base for every statistic, the
+# per-bigram log-prob is a smooth function of exact integer counts, and
+# the doc score is rounded to 6 dp before the top-k ordering (doc_id
+# tie-break) — mirrors operators/textstats.py::bigram_lm_quality.
+ORACLE["bigram_lm_quality"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+),
+pd AS (SELECT doc_id, bg, count(*) AS cdt FROM big GROUP BY doc_id, bg),
+bc AS (SELECT bg, sum(cdt) AS cab,
+              string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       FROM pd GROUP BY bg),
+ctx AS (SELECT w1, sum(cab) AS cctx FROM bc GROUP BY w1),
+uni AS (SELECT w2, count(*) AS cw
+        FROM (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2),
+tot AS (SELECT sum(len(t)) AS n_uni FROM tt),
+lp AS (
+  SELECT bg, ln(0.7 * cab / cctx + 0.3 * cw / n_uni) AS lp
+  FROM bc JOIN ctx USING (w1) JOIN uni USING (w2), tot
+),
+sc AS (
+  SELECT doc_id, sum(cdt * lp) / sum(cdt) AS score, sum(cdt) AS nb
+  FROM pd JOIN lp USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, nb::BIGINT AS n_bigrams, round(score, 6) AS bigram_lp
+FROM sc ORDER BY round(score, 6), doc_id LIMIT 50
+"""
+
+# dHash near-dup: identical stub decode (72 sampled codepoints mod 256),
+# identical bit/band packing (bit n -> grid r = n//8, c = n%8; band =
+# 16-bit little-endian slices), band-bucket candidate join, exact
+# bit_count verify — integer arithmetic end to end, so this reproduces
+# operators/multimodal.py::image_dhash_neardup bit-for-bit.
+ORACLE["image_dhash_neardup"] = """
+WITH g AS (
+  SELECT doc_id, k,
+         unicode(substring(text, ((k * length(text)) // 72) + 1, 1)) % 256 AS v
+  FROM documents, LATERAL (SELECT unnest(generate_series(0, 71)) AS k) s
+  WHERE length(text) >= 1
+),
+bits AS (
+  SELECT a.doc_id, ((a.k // 9) * 8 + (a.k % 9)) AS n, (b.v > a.v)::INT AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+  WHERE a.k % 9 < 8
+),
+h AS (
+  SELECT doc_id,
+    sum(CASE WHEN n < 16 THEN bit << n ELSE 0 END)::BIGINT AS b0,
+    sum(CASE WHEN n BETWEEN 16 AND 31 THEN bit << (n - 16) ELSE 0 END)::BIGINT AS b1,
+    sum(CASE WHEN n BETWEEN 32 AND 47 THEN bit << (n - 32) ELSE 0 END)::BIGINT AS b2,
+    sum(CASE WHEN n >= 48 THEN bit << (n - 48) ELSE 0 END)::BIGINT AS b3
+  FROM bits GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id, b0, b1, b2, b3, band,
+         CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS val
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM c x JOIN c y ON x.band = y.band AND x.val = y.val
+                    AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+  (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+   + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)))::BIGINT AS hamming
+FROM cand
+JOIN h ha ON cand.doc_a = ha.doc_id
+JOIN h hb ON cand.doc_b = hb.doc_id
+WHERE (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+       + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))) <= 3
+ORDER BY doc_a, doc_b
 """

