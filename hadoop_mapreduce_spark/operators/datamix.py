@@ -731,3 +731,71 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, n: int = 4,
         )
         .orderBy("source")
     )
+
+
+def jsd_lang_divergence(spark: SparkSession, sf_dir: str,
+                        langs: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+                        ) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-language unigram
+    token distributions — the corpus-drift / mixture-diagnostic that
+    tells a dataset builder HOW different two slices are before mixing
+    (0 nats = identical distributions, ln 2 = disjoint support; the
+    same measure drives distribution-shift monitors between corpus
+    snapshots). For the pair (a, b): JSD = sum over the token union of
+    0.5*p*ln(p/m) + 0.5*q*ln(q/m) with m = (p+q)/2, zero-count terms
+    dropping out exactly.
+
+    Scale shape: ONE shuffle — per-(token, lang) counts pivoted into a
+    fixed-width per-token count vector (`pivot` with an explicit value
+    list, so no driver-side distinct pass). Language marginals are a
+    1-row broadcast aggregate; all C(L,2) pairwise JSD sums then fold
+    in a single second aggregation over the same token-keyed relation
+    (each token row contributes to every pair — column arithmetic, no
+    pair-keyed explosion), and the final unpivot emits C(L,2) rows.
+    Nothing in the plan depends on corpus size except the token-keyed
+    count aggregation.
+
+    Cross-engine determinism: counts are exact integers; each pair's
+    JSD sums one smooth term per union token in engine order (~1e-14
+    jitter) and is rounded to 6 dp in the output only — row identity
+    comes from the lang pair, so rounding cannot flip rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(
+        tokenize(normalize_text(F.col("text")))).alias("t"))
+    wide = (
+        toks.groupBy("t").pivot("lang", list(langs))
+        .agg(F.count(F.lit(1)))
+        .select("t", *[F.coalesce(F.col(f"`{l}`"), F.lit(0)).alias(f"c_{l}")
+                       for l in langs])
+    )
+    totals = wide.agg(
+        *[F.sum(f"c_{l}").alias(f"n_{l}") for l in langs])
+
+    pairs = [(a, b) for i, a in enumerate(langs) for b in langs[i + 1:]]
+
+    def _kl_half(p, m):
+        return F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+
+    aggs = []
+    for a, b in pairs:
+        p = F.col(f"c_{a}") / F.col(f"n_{a}")
+        q = F.col(f"c_{b}") / F.col(f"n_{b}")
+        m = (p + q) / 2
+        aggs.append(F.sum(_kl_half(p, m) + _kl_half(q, m))
+                    .alias(f"jsd_{a}_{b}"))
+        aggs.append(F.sum(((F.col(f"c_{a}") > 0) | (F.col(f"c_{b}") > 0))
+                          .cast("long")).alias(f"nu_{a}_{b}"))
+    folded = wide.crossJoin(F.broadcast(totals)).agg(*aggs)
+
+    stack = F.expr(
+        "stack({n}, {args}) as (lang_a, lang_b, jsd, n_union)".format(
+            n=len(pairs),
+            args=", ".join(
+                f"'{a}', '{b}', jsd_{a}_{b}, nu_{a}_{b}" for a, b in pairs)))
+    return (
+        folded.select(stack)
+        .select("lang_a", "lang_b", F.round("jsd", 6).alias("jsd"),
+                F.col("n_union").cast("long").alias("n_union"))
+        .orderBy("lang_a", "lang_b")
+    )

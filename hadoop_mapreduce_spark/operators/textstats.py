@@ -594,3 +594,99 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str,
                       F.round("score", 6).alias("bigram_lp"))
         .orderBy(F.asc("bigram_lp"), F.asc("doc_id")).limit(k)
     )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str,
+                terms: tuple[str, ...] = ("spark", "window", "join"),
+                k1: float = 1.2, b: float = 0.75, k: int = 20) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed term set — the
+    relevance-ranked (disjunctive) counterpart of keyword_search's
+    conjunctive TF-IDF: any document containing at least one query term
+    scores, with per-term saturation (k1) and length normalisation (b).
+    idf is the Lucene +1 variant ln(1 + (N - df + .5)/(df + .5)), which
+    is strictly positive so stopword-frequency terms can't flip signs.
+
+    Scale shape: the exploded token stream is filtered to the query
+    terms BEFORE any shuffle (isin predicate rides the scan projection),
+    so tf aggregation touches O(matches) rows. Document length comes
+    from a shuffle-free map-side projection size(tokens); its global
+    (N, avgdl) aggregate is a broadcast 1-row relation, and the
+    per-doc dl join is doc-keyed where the tf side is the tiny
+    matched-docs relation (AQE broadcasts it). Top-k is
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+
+    Cross-engine determinism: tf/df/dl/N are exact integers, the score
+    is a sum of <= len(terms) smooth terms, rounded to 6 dp BEFORE the
+    ordering comparison with doc_id as tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens("text")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+
+    qt = docs.select("doc_id", F.explode(_tokens("text")).alias("term")) \
+        .where(F.col("term").isin(*terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"),
+             F.sum(idf * sat).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.col("n_terms").cast("long").alias("n_terms"),
+                      F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    )
+
+
+def token_entropy_quality(spark: SparkSession, sf_dir: str,
+                          k: int = 50) -> DataFrame:
+    """Per-document token Shannon entropy quality filter: return the k
+    LOWEST-entropy documents — the information-theoretic repetition
+    signal (a doc that keeps reusing the same few tokens carries few
+    bits per token), complementing the n-gram-fraction repetition
+    screens (Gopher-style quality_repetition) and the LM perplexity
+    rungs with a model-free statistic.
+
+    H = ln(n) - (1/n) * sum(c_t * ln c_t) over per-doc token counts —
+    the algebraic form keeps every input an exact integer so both
+    engines evaluate the same smooth function (no per-term p*ln p
+    division whose intermediate rounding could differ). Evenness
+    (Pielou) = H / ln(d) for d distinct tokens normalises out doc
+    length; single-token docs define evenness := 0 on both engines.
+
+    Scale shape: ONE doc-keyed shuffle of (doc, token) occurrences
+    (partial count map-side); the doc-level fold is a second agg on the
+    same doc_id key — Catalyst keeps the partitioning, so no second
+    exchange. Top-k via TakeOrderedAndProject. Ordering compares the
+    6-dp-rounded entropy with doc_id tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("t"))
+        .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    h = F.log("n") - F.col("clnc") / F.col("n")
+    even = F.when(F.col("d") > 1, F.round(h / F.log("d"), 6)).otherwise(0.0)
+    return (
+        per_doc.select(
+            "doc_id", F.col("n").cast("long").alias("n_tokens"),
+            F.col("d").cast("long").alias("n_distinct"),
+            F.round(h, 6).alias("token_entropy"),
+            even.alias("evenness"))
+        .orderBy(F.asc("token_entropy"), F.asc("doc_id")).limit(k)
+    )

@@ -144,6 +144,9 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
     "bigram_lm_quality": textstats.bigram_lm_quality,
     "image_dhash_neardup": multimodal.image_dhash_neardup,
+    "bm25_search": textstats.bm25_search,
+    "token_entropy_quality": textstats.token_entropy_quality,
+    "jsd_lang_divergence": datamix.jsd_lang_divergence,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -2452,4 +2455,84 @@ JOIN h hb ON cand.doc_b = hb.doc_id
 WHERE (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
        + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))) <= 3
 ORDER BY doc_a, doc_b
+"""
+
+# Okapi BM25 (Lucene +1 idf variant): tf/df/dl/N are exact integers,
+# score rounded to 6 dp before the top-k ordering (doc_id tie-break) —
+# mirrors operators/textstats.py::bm25_search (k1=1.2, b=0.75).
+ORACLE["bm25_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ('spark', 'window', 'join')
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, count(*) AS n_terms,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms::BIGINT AS n_terms, round(score, 6) AS bm25
+FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+"""
+
+# Token Shannon entropy H = ln(n) - sum(c ln c)/n over exact integer
+# counts; Pielou evenness H/ln(d), defined 0 for single-token docs —
+# mirrors operators/textstats.py::token_entropy_quality.
+ORACLE["token_entropy_quality"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+cnt AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+),
+pd AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c * ln(c)) AS clnc
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n::BIGINT AS n_tokens, d::BIGINT AS n_distinct,
+       round(ln(n) - clnc / n, 6) AS token_entropy,
+       CASE WHEN d > 1 THEN round((ln(n) - clnc / n) / ln(d), 6)
+            ELSE 0.0 END AS evenness
+FROM pd ORDER BY round(ln(n) - clnc / n, 6), doc_id LIMIT 50
+"""
+
+# Pairwise Jensen-Shannon divergence between language unigram
+# distributions: identical pivoted integer counts, identical smooth
+# fold, rounded 6 dp in the output only (row identity is the lang
+# pair) — mirrors operators/datamix.py::jsd_lang_divergence.
+_JSD_LANGS = ("de", "en", "es", "fr", "zh")
+_JSD_PAIRS = [(a, b) for i, a in enumerate(_JSD_LANGS)
+              for b in _JSD_LANGS[i + 1:]]
+
+
+def _jsd_pair_select(a: str, b: str) -> str:
+    p = f"(c_{a} / n_{a})"
+    q = f"(c_{b} / n_{b})"
+    m = f"(({p} + {q}) / 2)"
+    term = (f"CASE WHEN c_{a} > 0 THEN 0.5 * {p} * ln({p} / {m}) ELSE 0 END"
+            f" + CASE WHEN c_{b} > 0 THEN 0.5 * {q} * ln({q} / {m}) ELSE 0 END")
+    return (f"SELECT '{a}' AS lang_a, '{b}' AS lang_b,"
+            f" round(sum({term}), 6) AS jsd,"
+            f" sum((c_{a} > 0 OR c_{b} > 0)::INT)::BIGINT AS n_union"
+            f" FROM wide, tot")
+
+
+ORACLE["jsd_lang_divergence"] = f"""
+WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents),
+wide AS (
+  SELECT w AS t,
+         {", ".join(f"count(*) FILTER (lang = '{l}') AS c_{l}"
+                    for l in _JSD_LANGS)}
+  FROM (SELECT lang, unnest(t) AS w FROM toks) GROUP BY w
+),
+tot AS (SELECT {", ".join(f"sum(c_{l}) AS n_{l}" for l in _JSD_LANGS)}
+        FROM wide)
+{" UNION ALL ".join(_jsd_pair_select(a, b) for a, b in _JSD_PAIRS)}
+ORDER BY lang_a, lang_b
 """

@@ -100,3 +100,104 @@ def test_bigram_lm_quality_matches_python_model(spark, tmp_path):
     assert min(got, key=got.get) == 4
     # repetitive doc 1 scores above its one-edit sibling doc 2
     assert got[1] > got[2]
+
+
+def _docs_table(tmp_path, texts, langs=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * len(texts), pa.string()),
+        "source": pa.array(["crafted"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    """Score equality to 6 dp against a from-scratch Okapi BM25 with
+    Lucene +1 idf, and the ranking sanity: the short doc dense in a
+    rare term outranks the long doc with the same tf."""
+    import math
+    from collections import Counter
+
+    from hadoop_mapreduce_spark.operators.textstats import bm25_search
+
+    texts = [
+        "spark join window spark",
+        "spark " + "filler " * 40 + "join",
+        "window join window join window",
+        "nothing relevant here at all",
+    ]
+    sf = _docs_table(tmp_path, texts)
+    toks = [t.split() for t in texts]
+    n_docs, avgdl = len(toks), sum(map(len, toks)) / len(toks)
+    terms = ("spark", "window", "join")
+    df = Counter(t for tk in toks for t in set(tk) if t in terms)
+
+    def score(tk):
+        tf = Counter(t for t in tk if t in terms)
+        s = 0.0
+        for t, f in tf.items():
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        return round(s, 6), len(tf)
+
+    want = {i + 1: score(tk) for i, tk in enumerate(toks) if score(tk)[1]}
+    got = {r.doc_id: (r.bm25, r.n_terms)
+           for r in bm25_search(spark, sf).collect()}
+    assert got == want
+    assert 4 not in got  # no query term -> unscored (disjunctive, not scan)
+    # doc 1 (dense, short) beats doc 2 (same spark tf=1? no: tf 2 vs 1)
+    assert got[1][0] > got[2][0]
+
+
+def test_token_entropy_extremes(spark, tmp_path):
+    """Single-token doc: H=0, evenness defined 0; uniform doc:
+    H=ln(d), evenness 1; repetitive doc sorts below diverse doc."""
+    import math
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        token_entropy_quality,
+    )
+
+    texts = [
+        "same same same same same same",        # d=1 -> H=0, evenness 0
+        "alpha beta gamma delta epsilon zeta",  # uniform -> evenness 1
+        "dup dup dup dup dup dup dup one",      # skewed
+    ]
+    sf = _docs_table(tmp_path, texts)
+    rows = {r.doc_id: r for r in
+            token_entropy_quality(spark, sf, k=10).collect()}
+    assert rows[1].token_entropy == 0.0 and rows[1].evenness == 0.0
+    assert rows[2].token_entropy == round(math.log(6), 6)
+    assert rows[2].evenness == 1.0
+    h3 = -(7 / 8 * math.log(7 / 8) + 1 / 8 * math.log(1 / 8))
+    assert rows[3].token_entropy == round(h3, 6)
+    ordered = [r.doc_id for r in sorted(rows.values(),
+                                        key=lambda r: (r.token_entropy,
+                                                       r.doc_id))]
+    assert ordered == [1, 3, 2]
+
+
+def test_jsd_identical_and_disjoint_langs(spark, tmp_path):
+    """Identical unigram distributions -> JSD 0; disjoint vocab ->
+    JSD = ln 2; an intermediate mix sits strictly between."""
+    import math
+
+    from hadoop_mapreduce_spark.operators.datamix import jsd_lang_divergence
+
+    texts = ["tok alpha beta", "tok alpha beta",   # en, es: identical
+             "uno dos tres",                        # fr: disjoint from en
+             "tok alpha uno"]                       # de: overlaps both
+    sf = _docs_table(tmp_path, texts, langs=["en", "es", "fr", "de"])
+    rows = {(r.lang_a, r.lang_b): r.jsd
+            for r in jsd_lang_divergence(
+                spark, sf, langs=("de", "en", "es", "fr")).collect()}
+    assert len(rows) == 6
+    assert rows[("en", "es")] == 0.0
+    assert rows[("en", "fr")] == round(math.log(2), 6)
+    assert 0.0 < rows[("de", "en")] < round(math.log(2), 6)
