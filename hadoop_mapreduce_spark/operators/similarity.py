@@ -625,3 +625,124 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str, n_queries: int = 5,
                 F.col("rank").cast("long").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str,
+                         n_queries: int = 25, k_neg: int = 3) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the k_neg most-similar vectors carrying a
+    DIFFERENT label — the near-misses a contrastive loss learns most
+    from (the random-negative baseline is trivial; the value is in the
+    "hard" = high-cosine wrong-label set).
+
+    Exact scoring, same plan skeleton as sim_search_topk: the query set
+    (vec_id < n_queries) is broadcast, the corpus side never shuffles,
+    the label-mismatch predicate drops same-label pairs BEFORE the
+    window, and the per-query top-k window ranks the scored stream.
+    At corpus-as-queries scale the LSH kNN join (knn_join_lsh) is the
+    scale path — filter its candidate stream on label mismatch the same
+    way; this exact form is the oracle-checkable twin.
+
+    Ranking compares unrounded doubles with nid tie-break (identical
+    left-to-right fold on both engines — the convention every cosine
+    query here shares); only the reported score is rounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.col("label").cast("long").alias("neg_label"),
+            cosine_similarity(F.col("qvec"), F.col("embedding"))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neg)
+        .select("qid", "nid", "neg_label",
+                F.round("score", 6).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def semdedup_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.5,
+                 n_lists: int = 16, n_iter: int = 3) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and greedily
+    dropping, within each cluster, every vector whose cosine to an
+    already-kept lower-id vector exceeds tau — removes *semantic*
+    duplicates (paraphrases, re-renderings) that no lexical hash can
+    see. The published recipe is exactly this: k-means partition, then
+    intra-cluster pairwise screening only.
+
+    Scale shape: the clustering IS the blocking — pairwise cosine is
+    confined to a cluster (the paper's trick for avoiding O(N²)), and
+    each cluster's greedy pass runs as one Arrow batch in
+    applyInPandas over the ivf_assign partitioning (same bounded-group
+    contract as knn_join_lsh's bucket kernel: one BLAS gram matrix per
+    cluster, no row-at-a-time Python). Keep-first-by-id makes the scan
+    order deterministic, so the output is seed-free reproducible.
+
+    Registered rows-only: the k-means assignment is iterative (not
+    SQL-expressible); tests/test_similarity_extra.py re-derives the
+    greedy invariants (kept prefix is pairwise <= tau; every dropped
+    vector has a kept earlier witness > tau) with numpy at fixture
+    scale.
+    """
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assignments = ivf_assign(emb, n_lists=n_lists, n_iter=n_iter)
+    assigned = assignments.select(F.col("vec_id").alias("id"), "list_id")
+    unit = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    members = assigned.join(unit, "id").select("list_id", "id", "u")
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        U = np.vstack(pdf["u"].to_numpy())[order].astype(np.float64)
+        sims = U @ U.T
+        n = len(ids)
+        kept_mask = np.zeros(n, dtype=bool)
+        witness = np.full(n, -1, dtype=np.int64)
+        max_cos = np.full(n, np.nan)
+        for i in range(n):
+            if i == 0:
+                kept_mask[0] = True
+                continue
+            prior = np.flatnonzero(kept_mask[:i])
+            s = sims[i, prior]
+            j = int(np.argmax(s))
+            max_cos[i] = s[j]
+            if s[j] > tau:
+                witness[i] = ids[prior[j]]
+            else:
+                kept_mask[i] = True
+        return pd.DataFrame({
+            "vec_id": ids, "list_id": pdf["list_id"].iloc[0],
+            "kept": kept_mask, "witness_id": witness,
+            "max_cos_kept": np.round(max_cos, 6),
+        })
+
+    return (
+        members.groupBy("list_id")
+        .applyInPandas(greedy, "vec_id long, list_id long, kept boolean, "
+                               "witness_id long, max_cos_kept double")
+        .orderBy("vec_id")
+    )

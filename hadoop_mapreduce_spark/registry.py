@@ -147,6 +147,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": textstats.bm25_search,
     "token_entropy_quality": textstats.token_entropy_quality,
     "jsd_lang_divergence": datamix.jsd_lang_divergence,
+    "hard_negative_mining": similarity.hard_negative_mining,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -157,6 +158,7 @@ QUERIES: dict[str, QueryFn] = {
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
+    "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
     # --- previously driver-recorded (r1-r4 windows) ---
     "ngram_count": _ngram_count,
     "ngram_topk": _ngram_topk,
@@ -2535,4 +2537,25 @@ tot AS (SELECT {", ".join(f"sum(c_{l}) AS n_{l}" for l in _JSD_LANGS)}
         FROM wide)
 {" UNION ALL ".join(_jsd_pair_select(a, b) for a, b in _JSD_PAIRS)}
 ORDER BY lang_a, lang_b
+"""
+
+# Hard-negative mining: exact cosine (identical left-to-right fold),
+# unrounded ranking with nid tie-break, label-mismatch predicate before
+# the window — mirrors operators/similarity.py::hard_negative_mining.
+ORACLE["hard_negative_mining"] = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 25),
+scored AS (
+  SELECT qid, v.vec_id AS nid, v.label::BIGINT AS neg_label,
+    list_dot_product(qe, e)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS score
+  FROM q, v WHERE v.label <> qlabel
+),
+ranked AS (
+  SELECT qid, nid, neg_label, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid)::BIGINT AS rank
+  FROM scored
+)
+SELECT qid, nid, neg_label, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 3 ORDER BY qid, rank
 """

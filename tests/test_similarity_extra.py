@@ -175,3 +175,75 @@ def test_ivfpq_rerank_recall_vs_exact(spark):
     hits = sum(len(exact[qq] & approx.get(qq, set())) for qq in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9
+
+
+def test_semdedup_greedy_invariants(spark):
+    """Re-derive SemDeDup's greedy contract with numpy at fixture
+    scale: within every cluster (a) kept vectors are pairwise <= tau,
+    (b) every dropped vector's recorded witness is a kept, smaller-id
+    cluster-mate with cosine > tau, (c) the partition covers all
+    vectors exactly once."""
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.similarity import semdedup_ivf
+    from tests.conftest import SF_DIR
+
+    tau = 0.2  # fixture embeddings are near-orthogonal; a low bar
+    # guarantees the dropped branch is exercised
+    rows = semdedup_ivf(spark, SF_DIR, tau=tau).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .collect()}
+    assert sorted(r.vec_id for r in rows) == sorted(emb)
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b]
+                     / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.list_id, []).append(r)
+    assert any(not r.kept for r in rows)  # the dropped branch fires
+    for members in by_cluster.values():
+        kept = [r.vec_id for r in members if r.kept]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(a, b) <= tau + 1e-9, (a, b)
+        for r in members:
+            if not r.kept:
+                assert r.witness_id in kept and r.witness_id < r.vec_id
+                assert cos(r.witness_id, r.vec_id) > tau - 1e-9
+
+
+def test_semdedup_tau_monotone(spark):
+    """Raising tau keeps (weakly) more vectors — the dedup gets
+    strictly less aggressive as the similarity bar rises."""
+    from hadoop_mapreduce_spark.operators.similarity import semdedup_ivf
+    from tests.conftest import SF_DIR
+
+    n_low = sum(r.kept for r in semdedup_ivf(spark, SF_DIR, tau=0.15).collect())
+    n_high = sum(r.kept for r in semdedup_ivf(spark, SF_DIR, tau=0.9).collect())
+    assert n_low < n_high
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_rank2(spark):
+    """Every mined negative has a different label from its query, ranks
+    are dense 1..3 per query, and scores are non-increasing in rank."""
+    from hadoop_mapreduce_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = hard_negative_mining(spark, SF_DIR).collect()
+    labels = {r.vec_id: r.label for r in
+              spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+              .select("vec_id", "label").collect()}
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+        assert labels[r.nid] == r.neg_label != labels[r.qid]
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
