@@ -118,7 +118,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunking": curation.doc_chunking,
     "text_scrub": curation.text_scrub,
     "dataset_split": curation.dataset_split,
-    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
     "dq_checks": curation.dq_checks,
     "cdc_merge_orders": cdc.cdc_merge_orders,
     "scd2_customer_history": cdc.scd2_customer_history,
@@ -131,10 +130,21 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_target_select": pipeline.pipeline_target_select,
     "quality_repetition": datamix.quality_repetition,
     "domain_mixture_sample": datamix.domain_mixture_sample,
+    # round-6 second-wave hash-green queries occupy the tail of the
+    # 50-query driver window (never driver-recorded yet); the r1-r5
+    # recorded queries they displace spill past it and stay covered by
+    # CORRECTNESS_full.json.
+    "bigram_lm_quality": textstats.bigram_lm_quality,
+    "image_dhash_neardup": multimodal.image_dhash_neardup,
+    "bm25_search": textstats.bm25_search,
+    "token_entropy_quality": textstats.token_entropy_quality,
+    "jsd_lang_divergence": datamix.jsd_lang_divergence,
+    "hard_negative_mining": similarity.hard_negative_mining,
     "embedding_quantize": datamix.embedding_quantize,
     "global_shuffle_order": datamix.global_shuffle_order,
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
     "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
+    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
     "dedup_components_star": dedup.dedup_components_star,
     "pipeline_pretrain": pipeline.pipeline_pretrain,
     "keyword_search": textstats.keyword_search,
@@ -142,12 +152,6 @@ QUERIES: dict[str, QueryFn] = {
     "sample_fixed_per_source": datamix.sample_fixed_per_source,
     "token_zipf_slope": textstats.token_zipf_slope,
     "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
-    "bigram_lm_quality": textstats.bigram_lm_quality,
-    "image_dhash_neardup": multimodal.image_dhash_neardup,
-    "bm25_search": textstats.bm25_search,
-    "token_entropy_quality": textstats.token_entropy_quality,
-    "jsd_lang_divergence": datamix.jsd_lang_divergence,
-    "hard_negative_mining": similarity.hard_negative_mining,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
