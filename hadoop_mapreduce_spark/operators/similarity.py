@@ -746,3 +746,82 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.5,
                                "witness_id long, max_cos_kept double")
         .orderBy("vec_id")
     )
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str,
+                         n_queries: int = 5, k: int = 10,
+                         pool: int = 20, lam: float = 0.7) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified re-ranking: from each query's exact top-``pool``
+    cosine candidates, greedily pick ``k`` maximising
+    lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s) — the standard
+    redundancy-suppressing re-rank behind search result pages and RAG
+    context assembly (pure top-k returns near-duplicates; MMR trades
+    relevance for coverage).
+
+    Scale shape: stage 1 is sim_search_topk's broadcast-scored exact
+    top-pool (corpus never shuffles; per-query heap). Stage 2 is
+    greedy and sequential BY DESIGN but over pool=20 rows per query —
+    it runs as one Arrow batch per query via applyInPandas (tiny
+    gram matrix; the corpus is long gone by this stage). The expensive
+    part stays declarative; the O(k*pool) loop touches only the
+    shortlist.
+
+    Deterministic: candidate set and relevance from the exact path,
+    greedy ties broken by lowest nid. Registered rows-only — the
+    iterative argmax chain has no tractable SQL twin; the numpy
+    reference test re-derives the greedy sequence exactly.
+    """
+    from hadoop_mapreduce_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = cosine_topk(emb, emb.where(F.col("vec_id") < n_queries),
+                        k=pool).select("qid", "nid", "score")
+    unit = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).select("nid", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    pool_vecs = cands.join(unit, "nid").select("qid", "nid", "score", "u")
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.lexsort((pdf["nid"].to_numpy(),
+                            -pdf["score"].to_numpy()))
+        ids = pdf["nid"].to_numpy()[order]
+        rel = pdf["score"].to_numpy()[order]
+        U = np.vstack(pdf["u"].to_numpy())[order].astype(np.float64)
+        sims = U @ U.T
+        n = len(ids)
+        selected: list[int] = []
+        mmr_score = np.empty(min(k, n))
+        avail = np.ones(n, dtype=bool)
+        for step in range(len(mmr_score)):
+            if step == 0:
+                obj = lam * rel - 0.0
+            else:
+                red = sims[:, selected].max(axis=1)
+                obj = lam * rel - (1 - lam) * red
+            obj_masked = np.where(avail, obj, -np.inf)
+            best = np.flatnonzero(
+                obj_masked == obj_masked.max())  # ties -> lowest nid
+            pick = best[np.argmin(ids[best])]
+            selected.append(pick)
+            avail[pick] = False
+            mmr_score[step] = obj[pick]
+        return pd.DataFrame({
+            "qid": pdf["qid"].iloc[0], "nid": ids[selected],
+            "relevance": rel[selected],
+            "mmr": np.round(mmr_score, 6),
+            "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        })
+
+    return (
+        pool_vecs.groupBy("qid")
+        .applyInPandas(greedy, "qid long, nid long, relevance double, "
+                               "mmr double, rank long")
+        .withColumn("relevance", F.round("relevance", 6))
+        .orderBy("qid", "rank")
+    )

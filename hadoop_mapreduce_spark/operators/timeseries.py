@@ -464,3 +464,49 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str,
         .where(F.col("is_anomaly"))
         .orderBy("event_type", "hour")
     )
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str,
+                       cut: float = 3.5) -> DataFrame:
+    """Robust outlier detection on event values per event_type using
+    the median / MAD (median absolute deviation) scale — the
+    breakdown-resistant twin of events_anomaly_zscore: a z-score's
+    mean/stddev are themselves dragged by the outliers being hunted,
+    while the median/MAD pair tolerates up to 50% contamination. Flag
+    = modified z-score 0.6745*(x - med)/MAD > cut (Iglewicz-Hoaglin).
+
+    Plan: two passes over the (type, value) projection — exact medians
+    via percentile() grouped per type (Spark's exact-percentile sorts
+    WITHIN each tiny type group after a map-side-combinable collect;
+    at 100 TB swap in approx_percentile's mergeable t-digest — same
+    plan shape, documented trade), broadcast the per-type (med, mad)
+    relation (O(types) rows), then a scan-side filter computes scores.
+    The event stream shuffles once (the per-type grouping); the second
+    pass is shuffle-free.
+
+    Cross-engine determinism: percentile(0.5) and DuckDB's median use
+    the same linear interpolation on sorted doubles; scores are
+    rounded to 4 dp and flagged rows ordered by (event_type, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+             F.any_value("med").alias("med"))
+    )
+    score = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_type", "event_id",
+                F.round("value", 2).alias("value"),
+                F.round("med", 4).alias("med"),
+                F.round("mad", 4).alias("mad"),
+                F.round(score, 4).alias("mad_z"))
+        .where(F.abs(F.round(score, 4)) > cut)
+        .orderBy("event_type", "event_id")
+    )

@@ -140,6 +140,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_entropy_quality": textstats.token_entropy_quality,
     "jsd_lang_divergence": datamix.jsd_lang_divergence,
     "hard_negative_mining": similarity.hard_negative_mining,
+    "events_anomaly_mad": timeseries.events_anomaly_mad,
     "embedding_quantize": datamix.embedding_quantize,
     "global_shuffle_order": datamix.global_shuffle_order,
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
@@ -163,6 +164,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
+    "mmr_diversified_topk": similarity.mmr_diversified_topk,  # rows-only (greedy argmax chain)
     # --- previously driver-recorded (r1-r4 windows) ---
     "ngram_count": _ngram_count,
     "ngram_topk": _ngram_topk,
@@ -2562,4 +2564,24 @@ ranked AS (
 )
 SELECT qid, nid, neg_label, round(score, 6) AS score, rank
 FROM ranked WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+# Median/MAD robust outliers (Iglewicz-Hoaglin modified z-score):
+# percentile(0.5) and DuckDB median share linear interpolation on
+# sorted doubles; the flag compares the 4-dp-rounded score — mirrors
+# operators/timeseries.py::events_anomaly_mad.
+ORACLE["events_anomaly_mad"] = """
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
+mad AS (
+  SELECT event_type, any_value(med) AS med,
+         median(abs(value - med)) AS mad
+  FROM ev JOIN med USING (event_type) GROUP BY event_type
+)
+SELECT event_type, event_id, round(value, 2) AS value,
+       round(med, 4) AS med, round(mad, 4) AS mad,
+       round(0.6745 * (value - med) / mad, 4) AS mad_z
+FROM ev JOIN mad USING (event_type)
+WHERE mad > 0 AND abs(round(0.6745 * (value - med) / mad, 4)) > 3.5
+ORDER BY event_type, event_id
 """

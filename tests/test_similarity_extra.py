@@ -247,3 +247,58 @@ def test_hard_negatives_are_cross_label_and_harder_than_rank2(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_matches_numpy_reference_and_diversifies(spark):
+    """Re-derive the greedy MMR sequence with numpy from the exact
+    top-pool candidates: selection order, scores and the diversity
+    property (rank-1 is the relevance argmax; later picks can deviate
+    from pure-relevance order)."""
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    lam, pool, k = 0.7, 20, 10
+    got = mmr_diversified_topk(spark, SF_DIR, lam=lam, pool=pool,
+                               k=k).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .collect()}
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        qv = unit(emb[qid])
+        # the operator consumes cosine_topk's REPORTED interface, whose
+        # scores are 6-dp rounded — mirror that here
+        scores = {nid: round(float(qv @ unit(emb[nid])), 6)
+                  for nid in emb if nid != qid}
+        cand = sorted(scores, key=lambda n: (-scores[n], n))[:pool]
+        U = np.vstack([unit(emb[n]) for n in cand])
+        rel = np.array([scores[n] for n in cand])
+        sims = U @ U.T
+        sel: list[int] = []
+        avail = np.ones(len(cand), dtype=bool)
+        want = []
+        for step in range(k):
+            obj = lam * rel - (0.0 if not sel
+                               else (1 - lam) * sims[:, sel].max(axis=1))
+            masked = np.where(avail, obj, -np.inf)
+            ties = np.flatnonzero(masked == masked.max())
+            pick = min(ties, key=lambda i: cand[i])
+            sel.append(pick)
+            avail[pick] = False
+            # np.round, not builtin round: the operator's kernel rounds
+            # with numpy and the two differ on binary half cases
+            want.append((cand[pick], float(np.round(obj[pick], 6))))
+        assert [(r.nid, r.mmr) for r in rows] == want
+        assert rows[0].nid == cand[0]  # rank 1 = pure relevance argmax

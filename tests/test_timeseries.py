@@ -133,3 +133,34 @@ def test_lttb_invariants(spark):
         assert all(r.event_id in ids for r in rows)
     out2 = events_lttb_downsample(spark, SF_DIR, n_out=24).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_mad_anomaly_robust_to_the_outliers_it_flags(spark, tmp_path):
+    """Crafted series: one wild outlier per type. The MAD score flags
+    exactly it, and (the robustness point) the median/MAD the flag is
+    computed from are unmoved by the outlier's magnitude."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_anomaly_mad,
+    )
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 1000.0]
+    ts = [datetime.datetime(2024, 1, 1, h) for h in range(len(vals))]
+    tbl = pa.table({
+        "event_id": pa.array(range(1, len(vals) + 1), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(["t"] * len(vals), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = events_anomaly_mad(spark, str(tmp_path)).collect()
+    assert [r.event_id for r in rows] == [8]
+    # median of the 8 values: (10.0+10.1)/2; the outlier's size is
+    # invisible to it — the z-score twin's mean/stddev would not be
+    assert rows[0].med == 10.05

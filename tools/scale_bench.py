@@ -44,6 +44,15 @@ HEADLINE = _HEADLINE + [
     "dedup_repeated_spans",
     "dedup_keep_best",
     "dsir_importance_sample",
+    # round-6 second wave: token-heavy (bigram LM, entropy, BM25, JSD)
+    # and embedding-heavy (hard negatives, dHash banding) shapes whose
+    # single-shuffle / broadcast designs should track DuckDB linearly.
+    "bigram_lm_quality",
+    "token_entropy_quality",
+    "bm25_search",
+    "jsd_lang_divergence",
+    "hard_negative_mining",
+    "image_dhash_neardup",
 ]
 
 
