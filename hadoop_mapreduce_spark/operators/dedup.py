@@ -1074,19 +1074,31 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         # once. (The former distinct + old∪new set-diff shape carried
         # two shuffles and a full extra round on top of that.)
         e = raw.distinct().localCheckpoint(eager=False)
-        # Stop test: e is a STAR FOREST (no parent appears as a child)
-        # ⟺ the next round would map e to itself — checking the new
-        # edge set directly saves the former protocol's whole final
-        # confirming round (two window shuffles run only to observe
-        # changed == 0). Soundness: large/small-star never disconnect a
-        # component, so a star-forest state means every component is
-        # one star rooted at its minimum — converged AND correct; a
-        # non-star state always changes next round, so max_iter still
-        # bounds pathological inputs.
-        # left_semi is set-semantic on the build side — no distinct
-        # needed on the child-id list (one shuffle less per round).
+        # Stop test: e is a STAR FOREST ⟺ the next round would map e to
+        # itself — checking the new edge set directly saves the former
+        # protocol's whole final confirming round (two window shuffles
+        # run only to observe changed == 0). A star forest needs BOTH
+        # (1) no parent appears as a child (no chains) AND (2) every
+        # child has exactly ONE parent — condition (2) is not implied by
+        # (1): e.g. {(4,0),(4,2)} has parents {0,2} disjoint from
+        # children {4} yet node 4 bridges two would-be components and
+        # the next small-star round merges them (hypothesis-found
+        # counterexample, tests/test_properties.py). Soundness:
+        # large/small-star never disconnect a component, so a true
+        # star-forest state means every component is one star rooted at
+        # its minimum — converged AND correct; any other state changes
+        # next round, so max_iter still bounds pathological inputs.
+        # Both conditions fold into ONE aggregation over a union of the
+        # child and parent id columns (same single-shuffle cost as the
+        # former — and unsound — semi-join): a node violates if it is a
+        # child twice, or a child and a parent at once.
+        deg = e.select(F.col("a").alias("node"), F.lit(1).alias("c")).union(
+            e.select(F.col("b").alias("node"), F.lit(0).alias("c")))
         violations = (
-            e.join(e.select(F.col("a").alias("b")), "b", "left_semi")
+            deg.groupBy("node")
+            .agg(F.sum("c").alias("cc"), F.count("*").alias("n"))
+            .where((F.col("cc") > 1)
+                   | ((F.col("cc") >= 1) & (F.col("n") > F.col("cc"))))
             .count()
         )
         if violations == 0:

@@ -137,6 +137,24 @@ def test_star_cc_long_path_converges_where_propagation_cannot(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+def test_star_cc_multi_parent_state_is_not_a_fixed_point(spark):
+    """Regression (hypothesis-found): after one round this graph reaches
+    {(3,0),(5,0),(8,2),(4,2),(6,0),(4,0)} — parents {0,2} are never
+    children, yet node 4 has TWO parents, so the state is NOT a star
+    forest and one more round must merge {2,8} into component 0. A stop
+    test that only checks parent∉children stops a round early and
+    returns split components."""
+    from hadoop_mapreduce_spark.operators.dedup import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(4, 8), (0, 3), (6, 5), (3, 0), (0, 0), (0, 5), (8, 2), (4, 6)],
+        ["id1", "id2"])
+    comp = {r.doc_id: r.comp
+            for r in connected_components_star(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 0}
+
+
 def test_star_cc_differential_vs_propagation_random_graph(spark):
     """Both algorithms must agree on every node of a pseudo-random graph
     (deterministic edge set, multiple components, cycles, dup edges,
