@@ -485,8 +485,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str,
     pass is shuffle-free.
 
     Cross-engine determinism: percentile(0.5) and DuckDB's median use
-    the same linear interpolation on sorted doubles; scores are
-    rounded to 4 dp and flagged rows ordered by (event_type, event_id).
+    the same linear interpolation on sorted doubles, but the two
+    engines' medians can still land a few ulps apart — enough to flip
+    a score sitting on a 4-dp rounding half-boundary (found at sf0.1:
+    one row read 3.8522 vs 3.8523). The score is therefore computed
+    from the 4-dp-ROUNDED med/mad: rounding quantizes both engines'
+    near-identical medians to the same double, after which the score
+    arithmetic is bit-identical on both sides. The score's own 4-dp
+    rounding is spelled out as floor(score*1e4 + 0.5)/1e4 rather than
+    round(): a score landing exactly on a half-boundary (sf0.1 has one:
+    0.6745*137.87/24.14 = 3.85225) is broken differently by Spark's
+    exact-decimal HALF_UP and DuckDB's scale-then-nearbyint — the
+    explicit floor form is the same IEEE multiply/add/floor in both
+    engines, so the result is bit-identical by construction. Flagged
+    rows ordered by (event_type, event_id).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
@@ -495,18 +507,18 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str,
     mad = (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
-             F.any_value("med").alias("med"))
+        .agg(F.round(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad"),
+             F.round(F.any_value("med"), 4).alias("med"))
     )
     score = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    mad_z = F.floor(score * 10000.0 + 0.5) / 10000.0
     return (
         ev.join(F.broadcast(mad), "event_type")
         .where(F.col("mad") > 0)
         .select("event_type", "event_id",
                 F.round("value", 2).alias("value"),
-                F.round("med", 4).alias("med"),
-                F.round("mad", 4).alias("mad"),
-                F.round(score, 4).alias("mad_z"))
-        .where(F.abs(F.round(score, 4)) > cut)
+                F.col("med"), F.col("mad"),
+                mad_z.alias("mad_z"))
+        .where(F.abs(mad_z) > cut)
         .orderBy("event_type", "event_id")
     )

@@ -2568,20 +2568,27 @@ FROM ranked WHERE rank <= 3 ORDER BY qid, rank
 
 # Median/MAD robust outliers (Iglewicz-Hoaglin modified z-score):
 # percentile(0.5) and DuckDB median share linear interpolation on
-# sorted doubles; the flag compares the 4-dp-rounded score — mirrors
-# operators/timeseries.py::events_anomaly_mad.
+# sorted doubles, but can land ulps apart — the score is computed from
+# the 4-dp-ROUNDED med/mad so both engines start the score arithmetic
+# from identical doubles, and the score's 4-dp rounding is the explicit
+# floor(x*1e4 + 0.5)/1e4 form — pure IEEE ops, bit-identical across
+# engines even when the score lands exactly on a half-boundary (sf0.1
+# has one; Spark's HALF_UP and DuckDB's round() broke it differently) —
+# mirrors operators/timeseries.py::events_anomaly_mad.
 ORACLE["events_anomaly_mad"] = """
 WITH ev AS (SELECT event_id, event_type, value FROM events),
 med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
 mad AS (
-  SELECT event_type, any_value(med) AS med,
-         median(abs(value - med)) AS mad
+  SELECT event_type, round(any_value(med), 4) AS med,
+         round(median(abs(value - med)), 4) AS mad
   FROM ev JOIN med USING (event_type) GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, event_id, round(value, 2) AS value, med, mad,
+         floor(0.6745 * (value - med) / mad * 10000.0 + 0.5) / 10000.0 AS mad_z
+  FROM ev JOIN mad USING (event_type)
+  WHERE mad > 0
 )
-SELECT event_type, event_id, round(value, 2) AS value,
-       round(med, 4) AS med, round(mad, 4) AS mad,
-       round(0.6745 * (value - med) / mad, 4) AS mad_z
-FROM ev JOIN mad USING (event_type)
-WHERE mad > 0 AND abs(round(0.6745 * (value - med) / mad, 4)) > 3.5
+SELECT * FROM scored WHERE abs(mad_z) > 3.5
 ORDER BY event_type, event_id
 """
