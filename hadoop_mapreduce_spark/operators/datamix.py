@@ -558,6 +558,49 @@ def sample_fixed_per_source(spark: SparkSession, sf_dir: str,
     )
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str,
+                    k: int = 60) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006): each doc
+    draws u ~ U(0,1) and the k largest u^(1/w) win — here w = token
+    count, the standard "sample long documents proportionally to their
+    token mass" mixture step (a uniform doc sample under-represents
+    token volume; every pretraining-mix recipe weights by tokens).
+
+    Determinism and engine portability: u is derived from the doc's own
+    key — u = (md5(doc_id) first-15-hex mod 2^20 + 0.5) / 2^20 — the
+    registry's md5-bucket convention (never engine-native hashes), so
+    any engine re-derives the same draw and adding data never reshuffles
+    existing keys. The selection key is ln(u)/w (monotone in u^(1/w),
+    avoids pow), ROUNDED to 8 dp before ranking with a doc_id tie-break:
+    both engines' ln() agree to ~1 ulp and the rounding collapses that
+    below the comparison, the same convention as dsir_importance_sample.
+
+    Scale shape: key is a pure scan-side projection (no UDF, no
+    shuffle); global top-k plans as TakeOrderedAndProject — per-partition
+    heap of k, O(k) rows to the driver stage, never a full sort. At
+    100 TB this is exactly the reservoir the paper describes, distributed
+    by Spark's partial top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(tokenize(normalize_text(F.col("text")))).cast("double")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % (1 << 20)).cast("double") + 0.5
+    ) / float(1 << 20)
+    key = F.round(F.log(u) / w, 8)
+    return (
+        docs.select(
+            "doc_id", "source",
+            w.cast("long").alias("n_tokens"),
+            key.alias("es_key"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _bloom_h12(md5_col, m_bits: int):
     """(h1, h2) Kirsch–Mitzenmacher base hashes from ONE precomputed
     md5 hex column: h1 = first 15 hex chars, h2 = next 15 (disjoint

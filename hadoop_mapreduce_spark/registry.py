@@ -153,6 +153,10 @@ QUERIES: dict[str, QueryFn] = {
     "sample_fixed_per_source": datamix.sample_fixed_per_source,
     "token_zipf_slope": textstats.token_zipf_slope,
     "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
+    # round-6 third wave (past the driver window; CORRECTNESS_full
+    # witnesses them every round like the rest of the tail)
+    "dedup_incremental": dedup.dedup_incremental,
+    "sample_weighted": datamix.sample_weighted,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -2591,4 +2595,66 @@ scored AS (
 )
 SELECT * FROM scored WHERE abs(mad_z) > 3.5
 ORDER BY event_type, event_id
+"""
+
+# Incremental ingest dedup: exact all-pairs Jaccard oracle for the
+# LSH-candidate + exact-verify path (same probabilistic-equivalence
+# convention as decontaminate_fuzzy: candidates are exact-verified so
+# output pairs are never false positives; P(band miss | j=0.8) ~ 8e-8).
+# New batch = doc_id % 10 = 0; screen 1 drops batch docs matching the
+# index (match = min corpus id), screen 2 clusters the survivors
+# (recursive reachability, component = min reachable survivor id) —
+# mirrors operators/dedup.py::dedup_incremental.
+ORACLE["dedup_incremental"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+newdocs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+idx_hits AS (
+  SELECT CASE WHEN id1 % 10 = 0 THEN id1 ELSE id2 END AS doc_id,
+         min(CASE WHEN id1 % 10 = 0 THEN id2 ELSE id1 END) AS match_id
+  FROM j WHERE (id1 % 10 = 0) <> (id2 % 10 = 0)
+  GROUP BY 1
+),
+surv AS (
+  SELECT doc_id FROM newdocs
+  WHERE doc_id NOT IN (SELECT doc_id FROM idx_hits)
+),
+sedges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  WHERE id1 IN (SELECT doc_id FROM surv) AND id2 IN (SELECT doc_id FROM surv)
+  UNION
+  SELECT id2, id1 FROM j
+  WHERE id1 IN (SELECT doc_id FROM surv) AND id2 IN (SELECT doc_id FROM surv)
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN sedges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src)
+SELECT doc_id, 'dup_of_index' AS verdict, match_id::BIGINT AS match_id
+FROM idx_hits
+UNION ALL
+SELECT doc_id,
+  CASE WHEN comp <> doc_id THEN 'dup_in_batch' ELSE 'kept' END AS verdict,
+  CASE WHEN comp <> doc_id THEN comp ELSE NULL END::BIGINT AS match_id
+FROM comp
+ORDER BY doc_id
+"""
+
+# Efraimidis-Spirakis weighted sampling: u from the md5-bucket
+# convention, selection key ln(u)/n_tokens rounded to 8 dp (both
+# engines' ln agree to ~1 ulp; rounding collapses it below the
+# comparison) — mirrors operators/datamix.py::sample_weighted.
+ORACLE["sample_weighted"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    len({_TOKS})::BIGINT AS n_tokens,
+    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 1048576)
+      + 0.5) / 1048576.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, round(ln(u) / n_tokens, 8) AS es_key
+FROM d WHERE n_tokens > 0
+ORDER BY es_key DESC, doc_id LIMIT 60
 """

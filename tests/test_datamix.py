@@ -216,3 +216,38 @@ def test_dsir_favours_target_domain(spark):
     lw = {r.doc_id: r.lw for r in dsir_log_weights(docs, bench_mod=20).collect()}
     assert set(lw) == {1, 2}
     assert lw[1] > 0 > lw[2]
+
+
+def test_sample_weighted_is_deterministic_topk(spark):
+    """Efraimidis-Spirakis selection: k rows, es_key strictly ordered
+    with doc_id tie-break, repeat run identical, and the winning set
+    equals a driver-side recomputation of the same keyed top-k."""
+    import hashlib
+    import math
+
+    from tests.conftest import SF_DIR
+
+    from hadoop_mapreduce_spark.operators.datamix import sample_weighted
+
+    out = sample_weighted(spark, SF_DIR, k=25).collect()
+    assert len(out) == 25
+    keys = [(r.es_key, r.doc_id) for r in out]
+    assert all(
+        (a[0] > b[0]) or (a[0] == b[0] and a[1] < b[1])
+        for a, b in zip(keys, keys[1:]))
+    again = sample_weighted(spark, SF_DIR, k=25).collect()
+    assert [(r.doc_id, r.es_key) for r in out] == [
+        (r.doc_id, r.es_key) for r in again]
+
+    import re
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ref = []
+    for d in docs:
+        toks = [t for t in re.sub(r"[^a-zA-Z0-9\s]+", "", d.text).lower().split() if t]
+        if not toks:
+            continue
+        b = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:15], 16) % (1 << 20)
+        u = (b + 0.5) / float(1 << 20)
+        ref.append((round(math.log(u) / len(toks), 8), d.doc_id))
+    ref.sort(key=lambda t: (-t[0], t[1]))
+    assert [r.doc_id for r in out] == [doc_id for _, doc_id in ref[:25]]

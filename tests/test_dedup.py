@@ -342,3 +342,29 @@ def test_repeated_spans_within_doc_repeat(spark):
     docs = spark.createDataFrame([(7, doc)], "doc_id long, text string")
     got = [(r.doc_id, r.span_start, r.span_end) for r in repeated_span_table(docs, k=8).collect()]
     assert got == [(7, 11, 18)]
+
+
+def test_dedup_incremental_ledger_invariants(spark):
+    """One ledger row per new-batch doc; dup_of_index matches point at
+    corpus (non-batch) docs, dup_in_batch matches point at a smaller
+    batch doc whose own verdict is kept, kept rows carry NULL."""
+    from hadoop_mapreduce_spark.operators.dedup import dedup_incremental
+
+    rows = dedup_incremental(spark, SF_DIR).collect()
+    n_new = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("doc_id % 10 = 0").count()
+    )
+    assert len(rows) == n_new
+    assert len({r.doc_id for r in rows}) == n_new
+    verdict_of = {r.doc_id: r.verdict for r in rows}
+    for r in rows:
+        assert r.doc_id % 10 == 0
+        if r.verdict == "dup_of_index":
+            assert r.match_id is not None and r.match_id % 10 != 0
+        elif r.verdict == "dup_in_batch":
+            assert r.match_id is not None and r.match_id % 10 == 0
+            assert r.match_id < r.doc_id
+            assert verdict_of[r.match_id] == "kept"
+        else:
+            assert r.verdict == "kept" and r.match_id is None
