@@ -1333,3 +1333,42 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def histogram_equidepth(spark: SparkSession, sf_dir: str,
+                        buckets: int = 10) -> DataFrame:
+    """Equi-depth histogram of order totals: decile edges from exact
+    percentiles, then one scan assigns each row to its bucket — the
+    optimizer-statistics / feature-binning primitive (equi-WIDTH bins
+    mislead on skewed money-like columns; equi-depth puts ~N/k rows in
+    every bucket by construction, which is also why real optimizers
+    store this shape).
+
+    Plan: one percentile aggregation produces the (k-1)-edge array in a
+    single 1-row relation, broadcast back; bucket id = "how many edges
+    is the value above" via size(filter(edges, e -> v > e)) — a pure
+    scan-side array fold over a 9-element constant, no join, no second
+    shuffle beyond the final per-bucket aggregation. Edges are rounded
+    to 4 dp before the comparison so both engines bin against
+    bit-identical boundaries (the events_anomaly_mad convention); the
+    t-digest approx_percentile is the 100 TB swap, same plan shape.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    qs = ", ".join(str(round((i + 1) / buckets, 4))
+                   for i in range(buckets - 1))
+    edges = orders.agg(F.expr(
+        f"transform(percentile(o_totalprice, array({qs})), e -> round(e, 4))"
+    ).alias("edges"))
+    bucket = F.size(F.filter(
+        F.col("edges"), lambda e: F.col("o_totalprice") > e)).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(edges))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -522,3 +522,87 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str,
         .where(F.abs(mad_z) > cut)
         .orderBy("event_type", "event_id")
     )
+
+
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — the TWAP of
+    irregularly-sampled series: each observation is weighted by how long
+    it was "current" (microseconds until the next observation of the
+    same type that day; the day's last observation holds until
+    midnight). The plain mean over-weights bursts; TWAP is the standard
+    correction for unevenly-spaced telemetry/pricing streams, reported
+    here alongside the unweighted mean so the burst bias is visible.
+
+    Plan: one window pass (lead over (event_type, day) ordered by
+    (ts, event_id) — ties broken by id, so the weights are
+    deterministic) feeding one hash aggregation on the same key — a
+    single exchange; both stages share the partitioning. Epochs are
+    exact MICROsecond longs on both engines (unix_micros / epoch_us —
+    the join_self_pairs portability rule: second-floor vs round
+    mismatches engines), so the weights are integer-exact and the only
+    FP is the final weighted mean, rounded to 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    base = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"),
+        "event_id", "value", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    day_end = F.unix_micros(
+        F.col("day") + F.expr("INTERVAL 1 DAY"))
+    dt = F.coalesce(F.lead("us").over(w), day_end) - F.col("us")
+    return (
+        base.withColumn("dt", dt)
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6)
+            .alias("twap"),
+            F.round(F.avg("value"), 6).alias("mean_unweighted"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dt").cast("long").alias("covered_us"),
+        )
+        .select("event_type", F.col("day").cast("string").alias("day"),
+                "twap", "mean_unweighted", "n", "covered_us")
+        .orderBy("event_type", "day")
+    )
+
+
+def events_winsorize_stats(spark: SparkSession, sf_dir: str,
+                           lo_q: float = 0.01, hi_q: float = 0.99) -> DataFrame:
+    """Winsorized per-type statistics: clip values to the [p01, p99]
+    percentile envelope and report the clip counts and the raw-vs-
+    winsorized mean shift — the robust-mean preprocessing step (tail
+    clamping) that precedes z-scoring when outliers would drag the
+    moments (the same motivation as events_anomaly_mad, applied as a
+    transform rather than a detector).
+
+    Plan: one percentile aggregation per type (exact percentile at
+    fixture scale; approx_percentile's mergeable t-digest is the 100 TB
+    swap, same shape), the O(types) envelope broadcast back, then a
+    single scan-side clip + hash aggregation — the event stream
+    shuffles once. Envelope edges are rounded to 4 dp before the
+    comparison so both engines clip against bit-identical bounds
+    (the events_anomaly_mad portability convention).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    env = ev.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {lo_q})"), 4).alias("lo"),
+        F.round(F.expr(f"percentile(value, {hi_q})"), 4).alias("hi"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(env), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .alias("n_clipped_high"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+            F.any_value("lo").alias("lo"),
+            F.any_value("hi").alias("hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -157,6 +157,9 @@ QUERIES: dict[str, QueryFn] = {
     # witnesses them every round like the rest of the tail)
     "dedup_incremental": dedup.dedup_incremental,
     "sample_weighted": datamix.sample_weighted,
+    "events_twap_daily": timeseries.events_twap_daily,
+    "events_winsorize_stats": timeseries.events_winsorize_stats,
+    "histogram_equidepth": relational.histogram_equidepth,
     # rows-only operators sit just past the 50-query driver window: the
     # driver's rows-only check is weaker than the hash check, so window
     # slots go to hash-comparable queries; CORRECTNESS_full.json covers
@@ -2657,4 +2660,66 @@ WITH d AS (
 SELECT doc_id, source, n_tokens, round(ln(u) / n_tokens, 8) AS es_key
 FROM d WHERE n_tokens > 0
 ORDER BY es_key DESC, doc_id LIMIT 60
+"""
+
+# TWAP over irregular samples: exact microsecond epochs (epoch_us, the
+# join_self_pairs portability rule) make the weights integer-exact;
+# only the final weighted mean is FP, rounded to 6 dp — mirrors
+# operators/timeseries.py::events_twap_daily.
+ORACLE["events_twap_daily"] = """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS day, event_id, value,
+         epoch_us(ts) AS us
+  FROM events
+),
+d AS (
+  SELECT event_type, day, value,
+    coalesce(lead(us) OVER (PARTITION BY event_type, day
+                            ORDER BY us, event_id),
+             epoch_us(day + INTERVAL 1 DAY)) - us AS dt
+  FROM base
+)
+SELECT event_type, day::TIMESTAMP::VARCHAR AS day,
+  round(sum(value * dt) / sum(dt), 6) AS twap,
+  round(avg(value), 6) AS mean_unweighted,
+  count(*)::BIGINT AS n, sum(dt)::BIGINT AS covered_us
+FROM d GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+# Winsorized per-type stats: envelope edges rounded to 4 dp before the
+# clip so both engines clamp against identical bounds — mirrors
+# operators/timeseries.py::events_winsorize_stats.
+ORACLE["events_winsorize_stats"] = """
+WITH env AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 4) AS lo,
+         round(quantile_cont(value, 0.99), 4) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_type, count(*)::BIGINT AS n,
+  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+  round(avg(value), 6) AS mean_raw,
+  round(avg(least(greatest(value, lo), hi)), 6) AS mean_winsorized,
+  any_value(lo) AS lo, any_value(hi) AS hi
+FROM events JOIN env USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""
+
+# Equi-depth histogram: decile edges rounded to 4 dp so both engines
+# bin against identical boundaries; bucket = number of edges strictly
+# below the value — mirrors operators/relational.py::histogram_equidepth.
+ORACLE["histogram_equidepth"] = """
+WITH edges AS (
+  SELECT list_transform(
+    quantile_cont(o_totalprice,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+    e -> round(e, 4)) AS ed
+  FROM orders
+)
+SELECT len(list_filter(ed, e -> o_totalprice > e))::BIGINT AS bucket,
+  count(*)::BIGINT AS n,
+  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM orders, edges
+GROUP BY 1 ORDER BY bucket
 """

@@ -115,3 +115,21 @@ def test_sample_stratified_respects_fractions(spark):
     for s in ("F", "O"):
         if s in full:
             assert rows.get(s, 0) < 0.2 * full[s]
+
+
+def test_histogram_equidepth_is_equi_depth(spark):
+    """Buckets partition all rows, per-bucket counts are ~N/k (exact
+    percentile edges), and [lo, hi] ranges are ordered and disjoint."""
+    from tests.conftest import SF_DIR
+
+    from hadoop_mapreduce_spark.operators.relational import histogram_equidepth
+
+    rows = sorted(histogram_equidepth(spark, SF_DIR).collect(),
+                  key=lambda r: r.bucket)
+    total = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n for r in rows) == total
+    assert [r.bucket for r in rows] == list(range(10))
+    for r in rows:
+        assert abs(r.n - total / 10) <= total * 0.02 + 2
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

@@ -164,3 +164,48 @@ def test_mad_anomaly_robust_to_the_outliers_it_flags(spark, tmp_path):
     # median of the 8 values: (10.0+10.1)/2; the outlier's size is
     # invisible to it — the z-score twin's mean/stddev would not be
     assert rows[0].med == 10.05
+
+
+def test_twap_daily_invariants(spark):
+    """covered_us spans first-event→midnight exactly; TWAP is a weighted
+    mean so it stays inside the day's [min, max] value envelope."""
+    from tests.conftest import SF_DIR
+
+    from hadoop_mapreduce_spark.operators.timeseries import events_twap_daily
+    import pyspark.sql.functions as F
+
+    out = {(r.event_type, r.day): r for r in events_twap_daily(spark, SF_DIR).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("string").alias("day"))
+        .agg(F.min("ts").alias("first_ts"), F.min("value").alias("vmin"),
+             F.max("value").alias("vmax"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(ev) == len(out)
+    import datetime
+    for r in ev:
+        o = out[(r.event_type, r.day)]
+        assert o.n == r.n
+        assert r.vmin - 1e-9 <= o.twap <= r.vmax + 1e-9
+        day0 = datetime.datetime.fromisoformat(r.day)
+        delta = (day0 + datetime.timedelta(days=1)) - r.first_ts
+        expected_us = (delta.days * 86_400_000_000
+                       + delta.seconds * 1_000_000 + delta.microseconds)
+        assert o.covered_us == expected_us
+
+
+def test_winsorize_stats_invariants(spark):
+    """Clip counts stay near the 1% tails, winsorized mean lies inside
+    the envelope, and clipping never widens the mean beyond raw extremes."""
+    from tests.conftest import SF_DIR
+
+    from hadoop_mapreduce_spark.operators.timeseries import events_winsorize_stats
+
+    for r in events_winsorize_stats(spark, SF_DIR).collect():
+        assert r.lo <= r.hi
+        assert r.lo - 1e-9 <= r.mean_winsorized <= r.hi + 1e-9
+        # exact percentile: at most ~1% of rows sit strictly outside
+        assert r.n_clipped_low <= r.n * 0.011 + 1
+        assert r.n_clipped_high <= r.n * 0.011 + 1
