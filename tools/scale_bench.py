@@ -53,6 +53,16 @@ HEADLINE = _HEADLINE + [
     "jsd_lang_divergence",
     "hard_negative_mining",
     "image_dhash_neardup",
+    # round-6 third wave: incremental ingest dedup (the one whose cost
+    # must track the INCREMENT, not the corpus — the ladder is the only
+    # place that claim is measurable), weighted sampling (TakeOrdered
+    # top-k — should be flat), TWAP + winsorize + equi-depth histogram
+    # (single-exchange aggregation shapes).
+    "dedup_incremental",
+    "sample_weighted",
+    "events_twap_daily",
+    "events_winsorize_stats",
+    "histogram_equidepth",
 ]
 
 
