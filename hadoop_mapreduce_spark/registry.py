@@ -1824,14 +1824,13 @@ WITH RECURSIVE mon(m) AS (
   WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
 )
 SELECT m::DATE AS month_start, count(o_orderkey)::BIGINT AS n_orders,
-  coalesce(sum(round(o_totalprice, 2)), 0)::DECIMAL(18,2) AS total_price
+  coalesce(sum(round(o_totalprice * 100)::BIGINT), 0) / 100.0 AS total_price
 FROM mon LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
 GROUP BY m ORDER BY m
 """
 
 ORACLE["lateral_topk_orders"] = """
-SELECT c.c_custkey, o.o_orderkey,
-  round(o.o_totalprice, 2)::DECIMAL(18,2) AS o_totalprice
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c,
 LATERAL (SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_custkey = c.c_custkey

@@ -38,6 +38,22 @@ def _key(rows, cols):
     return [tuple(str(v) for _, v in sorted(zip(cols, r))) for r in rows]
 
 
+def _assert_no_decimal(rows, side, name):
+    """DECIMAL values are banned from registered outputs: differential
+    harnesses canonicalise Decimal inconsistently (Decimal('1.50') and
+    float 1.5 stringify differently), and the only two registry entries
+    that ever emitted DECIMAL were exactly the two that flaked at the
+    round-5 driver gate. Exact money math belongs in integer cents or
+    a final bit-stable double, never in a collected Decimal."""
+    from decimal import Decimal
+
+    for r in rows[:50]:
+        for v in r:
+            assert not isinstance(v, Decimal), (
+                f"{name}: {side} emits Decimal {v!r} — use BIGINT cents "
+                "or a bit-stable double instead")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
@@ -48,9 +64,13 @@ def test_query_matches_oracle(spark, duck, name):
         assert df.columns
         assert len(got_rows) >= 0
         return
-    got = _key([tuple(r) for r in got_rows], df.columns)
+    got_tuples = [tuple(r) for r in got_rows]
+    got = _key(got_tuples, df.columns)
     cur = duck.execute(sql)
-    want = _key(cur.fetchall(), [d[0] for d in cur.description])
+    want_rows = cur.fetchall()
+    _assert_no_decimal(got_tuples, "spark", name)
+    _assert_no_decimal(want_rows, "oracle", name)
+    want = _key(want_rows, [d[0] for d in cur.description])
     assert sorted(df.columns) == sorted(d[0] for d in cur.description)
     ordered = "order by" in sql.lower() and name not in _TIED_ORDER
     if ordered:
