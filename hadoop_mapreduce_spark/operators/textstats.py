@@ -690,3 +690,91 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str,
             even.alias("evenness"))
         .orderBy(F.asc("token_entropy"), F.asc("doc_id")).limit(k)
     )
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """One BPE tokenizer-training step, distributed: count adjacent
+    character-pair frequencies across the corpus and rank the merge
+    candidates — the computation Sennrich-style BPE repeats per merge
+    (the reference engine's n-gram counter is the word-level cousin of
+    this symbol-level counter; reference WordCount.java:64-164).
+
+    Scale shape — the classic BPE trick, expressed relationally: pair
+    counts are computed over the DISTINCT WORD TABLE weighted by word
+    frequency, never over the token stream. Shuffle #1 aggregates
+    (word → count) with map-side partial agg (vocabulary-sized output
+    regardless of corpus size); the char-pair expansion then explodes
+    each distinct word's <= len-1 pairs — O(vocab · word_len) rows at
+    100 TB, not O(corpus tokens). Shuffle #2 aggregates pair weights;
+    top-k via TakeOrderedAndProject. All expansion is codegen'd
+    (sequence/transform/substring) — no Python in the pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> concat(substring(w, i, 1), ' ',"
+                   "             substring(w, i + 1, 1)))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair")).limit(k)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def inverted_index_topk(spark: SparkSession, sf_dir: str,
+                        k_terms: int = 100, k_postings: int = 20) -> DataFrame:
+    """Build the retrieval-side inverted index: per term, document
+    frequency, total term frequency, and the top-k postings serialized
+    as a deterministic "doc:tf" string (ordered tf desc, doc_id asc —
+    a total order, so the string is engine-portable; an array<struct>
+    output would compare engine-specifically).
+
+    keyword_search is the query side of this structure; this operator
+    is the index BUILD — what a 100 TB corpus ships to a search tier.
+
+    Scale shape: one (term, doc) keyed shuffle with map-side partial
+    counts; df/tf roll up from the same aggregate without a second
+    exchange (same-key agg chain); the per-term posting cut is a
+    bounded window (rank <= k over term partitions — state is one heap
+    per term, never a global sort); final top-terms via
+    TakeOrderedAndProject. Postings strings are O(k) per term — the
+    full posting lists never leave the shuffle, only the serialized
+    heads do.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    per_term = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("rnk") <= k_postings,
+                           F.struct(F.col("rnk"), F.col("doc_id"),
+                                    F.col("tf"))))),
+                lambda s: F.concat_ws(":", s["doc_id"].cast("string"),
+                                      s["tf"].cast("string")),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        per_term.orderBy(F.desc("df"), F.desc("tf_total"), F.asc("term"))
+        .limit(k_terms)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("tf_total").cast("long").alias("tf_total"), "postings")
+    )

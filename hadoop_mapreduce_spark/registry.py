@@ -115,6 +115,10 @@ QUERIES: dict[str, QueryFn] = {
     "histogram_equidepth": relational.histogram_equidepth,
     # never recorded in r1-r5 windows (pre-existing key):
     "events_hierarchical_rollup": timeseries.events_hierarchical_rollup,
+    # round-6 fourth wave (new):
+    "bpe_merge_step": textstats.bpe_merge_step,
+    "inverted_index_topk": textstats.inverted_index_topk,
+    "memorization_novelty": curation.memorization_novelty,
     # -- previously witnessed (r5 window), filling out the r6 window --
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
@@ -2722,4 +2726,65 @@ SELECT len(list_filter(ed, e -> o_totalprice > e))::BIGINT AS bucket,
   round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
 FROM orders, edges
 GROUP BY 1 ORDER BY bucket
+"""
+
+# --- round-6 fourth wave: tokenizer training / index build / memorization ---
+
+ORACLE["bpe_merge_step"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM toks, LATERAL (SELECT unnest(t) AS w) x
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, i, 1) || ' ' || substring(w, i + 1, 1) AS pair, wc
+  FROM words, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+)
+SELECT pair, sum(wc)::BIGINT AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+ORACLE["inverted_index_topk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM toks, LATERAL (SELECT unnest(t) AS term) x
+  GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+  string_agg(CASE WHEN rnk <= 20
+             THEN doc_id::VARCHAR || ':' || tf::VARCHAR END, ',' ORDER BY rnk)
+    AS postings
+FROM ranked GROUP BY term
+ORDER BY df DESC, tf_total DESC, term LIMIT 100
+"""
+
+ORACLE["memorization_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+              % 100 < 10 THEN 'val'
+         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+              % 100 < 20 THEN 'test'
+         ELSE 'train' END AS split,
+    {_TOKS} AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, split, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) x
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+val_g AS (SELECT doc_id, g FROM grams WHERE split = 'val')
+SELECT v.doc_id, count(*)::BIGINT AS n_grams,
+  sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+  1.0 - sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) / count(*)
+    AS novelty
+FROM val_g v LEFT JOIN train_g tg ON v.g = tg.g
+GROUP BY v.doc_id ORDER BY v.doc_id
 """

@@ -91,3 +91,20 @@ def test_pipeline_pretrain_scale_monotone_ledger(spark):
     # the pipeline must actually do something at each stage somewhere
     assert any(r.n_clean < r.n_dedup for r in rows)  # decon fires
     assert sum(r.final_tokens for r in rows) > 0
+
+
+def test_memorization_novelty_bounds(spark):
+    """Novelty is an exact-int ratio in [0,1], n_seen <= n_grams, only
+    val-split docs appear, and the fixture's shared template phrases
+    guarantee at least one val doc sees some train gram (novelty < 1
+    somewhere) while short docs are absent rather than zero-gram rows."""
+    from hadoop_mapreduce_spark.operators.curation import (
+        memorization_novelty,
+    )
+
+    rows = memorization_novelty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_seen <= r.n_grams and r.n_grams > 0
+        assert abs(r.novelty - (1 - r.n_seen / r.n_grams)) < 1e-12
+    assert any(r.novelty < 1 for r in rows)

