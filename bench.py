@@ -176,26 +176,51 @@ def main() -> None:
     try:
         import duckdb
 
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+        _tables = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+        def _duck_views(c):
+            for t in _tables:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
         # The LSH headline has no SQL oracle (recall < 1 by design);
         # DuckDB's baseline for the same TASK (embedding near-dup pairs)
         # is its exact all-pairs query — time that so both engines are
         # charged for the task, not silently dropped from one total.
         duck_twin = {"dedup_embedding_lsh": "dedup_embedding_cosine"}
+        # COLD = per-query MEDIAN of three runs, each on a FRESH
+        # in-memory connection (fresh database instance → empty buffer
+        # pool every time, so cold is REPEATABLE). The old
+        # first-run-on-a-shared-connection cold was a lottery: measured
+        # totals swung 10.8-16.4 s run-to-run on this box (±25%), more
+        # than any Spark-side change the ratio is supposed to detect.
+        # (Spark's cold can't repeat — first execution is unique — but
+        # it is the stable side: ±4% across round-6 runs.)
         for name in HEADLINE:
             sql = ORACLE.get(duck_twin.get(name, name))
             if sql is None:
                 continue
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            duck_cold[name] = round(time.time() - t0, 3)
-            # warm = min of three steady-state runs (same estimator as
-            # the Spark side, so neither engine's ratio eats a spike)
+            runs = []
+            for _ in range(3):
+                c = duckdb.connect()
+                _duck_views(c)
+                t0 = time.time()
+                c.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+                c.close()
+            duck_cold[name] = round(sorted(runs)[1], 3)
+        # WARM = min of three steady-state runs on one shared, warmed
+        # connection (same estimator as the Spark side, so neither
+        # engine's ratio eats a spike).
+        con = duckdb.connect()
+        _duck_views(con)
+        for name in HEADLINE:
+            sql = ORACLE.get(duck_twin.get(name, name))
+            if sql is None:
+                continue
+            con.execute(sql).fetchall()  # prime buffer pool
             runs = []
             for _ in range(3):
                 t0 = time.time()

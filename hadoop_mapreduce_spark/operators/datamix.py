@@ -29,7 +29,7 @@ Scale conventions shared by all five:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_mapreduce_spark.functions.text import (
@@ -841,4 +841,90 @@ def jsd_lang_divergence(spark: SparkSession, sf_dir: str,
         .select("lang_a", "lang_b", F.round("jsd", 6).alias("jsd"),
                 F.col("n_union").cast("long").alias("n_union"))
         .orderBy("lang_a", "lang_b")
+    )
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str,
+                                alpha: float = 0.7,
+                                budget: int = 1000) -> DataFrame:
+    """Temperature-scaled mixture weights: sampling probability per
+    source proportional to (token share)^alpha — the multilingual /
+    multi-domain rebalancing rule (alpha=1 keeps the natural
+    distribution, alpha→0 approaches uniform; mT5 and friends train at
+    alpha≈0.3-0.7). Emits each source's natural share, its
+    temperature-scaled weight, and the expected docs drawn from a
+    fixed per-epoch budget under that weight.
+
+    Determinism: shares are ratios of exact integer token counts and
+    the alpha power is a smooth function of them, rounded to 6 dp on
+    both engines AFTER the full expression (single rounding site, same
+    note as the JSD/PMI ops).
+
+    Scale shape: one per-source rollup with map-side partial agg (the
+    shuffle moves n_sources rows), one 20-row broadcast-free window to
+    normalise — the corpus is touched exactly once at scan speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per_src = docs.select("source", toks.alias("n")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    scaled = F.pow(share, F.lit(alpha))
+    weight = scaled / F.sum(scaled).over(w)
+    return (
+        per_src.select(
+            "source", F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(share, 6).alias("natural_share"),
+            F.round(weight, 6).alias("weight"),
+            F.round(weight * budget, 2).alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalisation of a quality score: map each
+    document's raw score to its within-source percent rank, so scores
+    from differently-calibrated sources become comparable before a
+    corpus-wide quality cut — the standard fix when one source's
+    classifier is systematically optimistic. Returns per-source
+    calibration evidence: raw-score quartiles next to the count of
+    docs whose NORMALISED score clears a fixed 0.8 cut (by
+    construction ~20% per source, proving the calibration) plus the
+    raw cut value that corresponds to it.
+
+    The raw score here is the exact-int tokens-per-char ratio (a real
+    density signal, deterministic on both engines); percent_rank ties
+    resolve identically because the (score, doc_id) order is total.
+
+    Scale shape: one source-keyed exchange for the window (percent
+    rank within source), then a per-source rollup on the SAME key —
+    Catalyst reuses the partitioning, so the corpus crosses the wire
+    once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id", "source",
+        (toks * 1000 / F.col("n_chars")).alias("raw"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("raw"), F.asc("doc_id"))
+    ranked = base.withColumn("q", F.percent_rank().over(w))
+    return (
+        ranked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("raw"), 6).alias("raw_min"),
+            F.round(F.expr("percentile(raw, 0.5)"), 6).alias("raw_p50"),
+            F.round(F.max("raw"), 6).alias("raw_max"),
+            F.sum((F.col("q") >= 0.8).cast("long")).alias("n_above_cut"),
+            F.round(F.min(F.when(F.col("q") >= 0.8, F.col("raw"))), 6)
+            .alias("raw_cut_equiv"),
+        )
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                "raw_min", "raw_p50", "raw_max",
+                F.col("n_above_cut").cast("long").alias("n_above_cut"),
+                "raw_cut_equiv")
+        .orderBy("source")
     )

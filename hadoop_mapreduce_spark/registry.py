@@ -119,6 +119,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merge_step": textstats.bpe_merge_step,
     "inverted_index_topk": textstats.inverted_index_topk,
     "memorization_novelty": curation.memorization_novelty,
+    "mixture_temperature_weights": datamix.mixture_temperature_weights,
+    "quantile_normalize_quality": datamix.quantile_normalize_quality,
     # -- previously witnessed (r5 window), filling out the r6 window --
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
@@ -2787,4 +2789,47 @@ SELECT v.doc_id, count(*)::BIGINT AS n_grams,
     AS novelty
 FROM val_g v LEFT JOIN train_g tg ON v.g = tg.g
 GROUP BY v.doc_id ORDER BY v.doc_id
+"""
+
+ORACLE["mixture_temperature_weights"] = r"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / sum(n_tokens) OVER () AS share
+  FROM per_src
+),
+sc AS (
+  SELECT *, pow(share, 0.7) AS scaled,
+         sum(pow(share, 0.7)) OVER () AS z
+  FROM sh
+)
+SELECT source, n_docs, n_tokens,
+  round(share, 6) AS natural_share,
+  round(scaled / z, 6) AS weight,
+  round(scaled / z * 1000, 2) AS expected_docs
+FROM sc ORDER BY source
+"""
+
+ORACLE["quantile_normalize_quality"] = r"""
+WITH base AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\s+'))::BIGINT * 1000 / n_chars AS raw
+  FROM documents
+),
+ranked AS (
+  SELECT *, percent_rank() OVER (
+    PARTITION BY source ORDER BY raw, doc_id) AS q
+  FROM base
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  round(min(raw), 6) AS raw_min,
+  round(quantile_cont(raw, 0.5), 6) AS raw_p50,
+  round(max(raw), 6) AS raw_max,
+  sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_above_cut,
+  round(min(CASE WHEN q >= 0.8 THEN raw END), 6) AS raw_cut_equiv
+FROM ranked GROUP BY source ORDER BY source
 """

@@ -251,3 +251,40 @@ def test_sample_weighted_is_deterministic_topk(spark):
         ref.append((round(math.log(u) / len(toks), 8), d.doc_id))
     ref.sort(key=lambda t: (-t[0], t[1]))
     assert [r.doc_id for r in out] == [doc_id for _, doc_id in ref[:25]]
+
+
+def test_mixture_temperature_weights_flattens(spark):
+    """Weights sum to ~1 and alpha<1 compresses the distribution:
+    every source's weight is strictly between min/max natural shares'
+    pull toward uniform — i.e. the largest source's weight drops below
+    its natural share and the smallest rises above it."""
+    from hadoop_mapreduce_spark.operators.datamix import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    hi = max(rows, key=lambda r: r.natural_share)
+    lo = min(rows, key=lambda r: r.natural_share)
+    if hi.natural_share > lo.natural_share:  # non-degenerate fixture
+        assert hi.weight < hi.natural_share
+        assert lo.weight > lo.natural_share
+
+
+def test_quantile_normalize_cut_is_calibrated(spark):
+    """The normalised cut selects ~20% per source regardless of each
+    source's raw-score scale (that's the point of the calibration),
+    and the per-source raw quartile bounds are ordered."""
+    from hadoop_mapreduce_spark.operators.datamix import (
+        quantile_normalize_quality,
+    )
+
+    rows = quantile_normalize_quality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.raw_min <= r.raw_p50 <= r.raw_max
+        frac = r.n_above_cut / r.n_docs
+        assert 0.05 <= frac <= 0.35  # ~20% with small-source wobble
+        assert r.raw_cut_equiv >= r.raw_min
