@@ -16,7 +16,7 @@ Scale conventions:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_mapreduce_spark.sources.tables import load_table
@@ -409,4 +409,85 @@ def memorization_novelty(spark: SparkSession, sf_dir: str, n: int = 5,
             (F.lit(1.0) - F.col("n_seen") / F.col("n_grams")).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+def padding_waste_audit(spark: SparkSession, sf_dir: str,
+                        batch_size: int = 32) -> DataFrame:
+    """Training-efficiency audit: padding waste of fixed-size batches
+    under two batching orders — the portable md5 shuffle order
+    (global_shuffle_order's convention) vs length-sorted order. Every
+    batch pads to its longest member, so waste = sum over batches of
+    (batch_max × batch_rows − batch_tokens); length-sorted batching is
+    the standard fix and this audit quantifies the win on YOUR corpus
+    (the gap funds the seq_packing operator upstream).
+
+    Scale shape: one token-count projection at scan speed, then per
+    strategy one global row_number ordering. The global window is the
+    honest cost of defining "batch i" corpus-wide; at 100 TB you'd
+    range-partition on the same key (Spark's sort does exactly this
+    under the hood) — rows cross the wire once per strategy, and the
+    final rollup moves one row per batch.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id", toks.alias("n"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"))
+
+    def waste(order_cols, strategy):
+        w = Window.orderBy(*order_cols)
+        batched = base.withColumn(
+            "b", F.floor((F.row_number().over(w) - 1) / batch_size)
+            .cast("long"))
+        per_batch = batched.groupBy("b").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n").alias("tok"), F.max("n").alias("mx"))
+        return per_batch.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("rows") - F.col("tok"))
+            .cast("long").alias("padding_tokens"),
+        )
+
+    out = waste([F.asc("shuf"), F.asc("doc_id")], "shuffled").unionAll(
+        waste([F.asc("n"), F.asc("doc_id")], "length_sorted"))
+    return out.select(
+        "strategy", "n_batches", "total_tokens", "padding_tokens",
+        # exact-int division → bit-stable double on both engines
+        (F.col("padding_tokens") /
+         (F.col("padding_tokens") + F.col("total_tokens")))
+        .alias("waste_frac"),
+    ).orderBy("strategy")
+
+
+def inbatch_collision_audit(spark: SparkSession, sf_dir: str,
+                            batch_size: int = 32) -> DataFrame:
+    """Contrastive-training hygiene: with batches formed in the
+    portable md5 shuffle order, how many in-batch pairs share a source
+    (false negatives for in-batch-negative losses)? Emits, per source,
+    the number of same-source in-batch pairs (sum over batches of
+    C(n,2)) and the total doc count — sources with heavy collision
+    mass need stratified batch assignment.
+
+    Scale shape: one global row_number (same honest cost as
+    padding_waste_audit), one (batch, source) count with map-side
+    partial agg, then a source rollup of batch-count rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc(F.md5(F.col("doc_id").cast("string"))),
+                       F.asc("doc_id"))
+    batched = docs.select(
+        "doc_id", "source",
+        F.floor((F.row_number().over(w) - 1) / batch_size)
+        .cast("long").alias("b"))
+    per = batched.groupBy("b", "source").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("source").agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long").alias("same_source_pairs"),
+        )
+        .orderBy("source")
     )

@@ -825,3 +825,45 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str,
         .withColumn("relevance", F.round("relevance", 6))
         .orderBy("qid", "rank")
     )
+
+
+def ann_dim_truncation_audit(spark: SparkSession, sf_dir: str,
+                             n_queries: int = 50, k: int = 10,
+                             keep_dims: int = 32) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: how much of each
+    query's exact top-k survives when embeddings are truncated to the
+    first keep_dims dimensions? Truncated prefixes are the standard
+    cheap first-pass index (MRL-trained models make the prefix
+    meaningful; this audit MEASURES whether yours does) — the output
+    is per query the exact-vs-truncated top-1 ids and the top-k
+    overlap count, integers only, so the comparison is bit-exact.
+
+    Scale shape: two broadcast-query scoring passes over the vector
+    table (cosine_topk never shuffles the big side), then a qid-keyed
+    k-row aggregate — the audit costs two scans regardless of corpus
+    size, and the truncated pass reads keep_dims/d of the vector bytes
+    (with columnar layouts the prefix slice prunes at the scan).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = F.col("vec_id") < n_queries
+    half = emb.select(
+        "vec_id", F.slice("embedding", 1, keep_dims).alias("embedding"))
+    full_top = cosine_topk(emb, emb.where(cut), k=k)
+    half_top = cosine_topk(half, half.where(cut), k=k)
+
+    def _roll(df, tag):
+        return df.groupBy("qid").agg(
+            F.min(F.when(F.col("rank") == 1, F.col("nid")))
+            .alias(f"top1_{tag}"),
+            F.collect_set("nid").alias(f"set_{tag}"),
+        )
+
+    joined = _roll(full_top, "full").join(_roll(half_top, "trunc"), "qid")
+    return (
+        joined.select(
+            "qid", "top1_full", "top1_trunc",
+            F.size(F.array_intersect("set_full", "set_trunc"))
+            .cast("long").alias("overlap_at_k"),
+        )
+        .orderBy("qid")
+    )

@@ -121,6 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     "memorization_novelty": curation.memorization_novelty,
     "mixture_temperature_weights": datamix.mixture_temperature_weights,
     "quantile_normalize_quality": datamix.quantile_normalize_quality,
+    "padding_waste_audit": curation.padding_waste_audit,
+    "inbatch_collision_audit": curation.inbatch_collision_audit,
+    "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
     # -- previously witnessed (r5 window), filling out the r6 window --
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
@@ -2832,4 +2835,82 @@ SELECT source, count(*)::BIGINT AS n_docs,
   sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_above_cut,
   round(min(CASE WHEN q >= 0.8 THEN raw END), 6) AS raw_cut_equiv
 FROM ranked GROUP BY source ORDER BY source
+"""
+
+ORACLE["ann_dim_truncation_audit"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vt AS (SELECT vec_id, e[1:32] AS e FROM v),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 50),
+qt AS (SELECT vec_id AS qid, e AS qe FROM vt WHERE vec_id < 50),
+rf AS (
+  SELECT qid, v.vec_id AS nid, row_number() OVER (PARTITION BY qid ORDER BY
+    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe))
+      * sqrt(list_dot_product(e, e))) DESC, v.vec_id) AS rnk
+  FROM q, v WHERE v.vec_id <> qid
+),
+rt AS (
+  SELECT qid, vt.vec_id AS nid, row_number() OVER (PARTITION BY qid ORDER BY
+    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe))
+      * sqrt(list_dot_product(e, e))) DESC, vt.vec_id) AS rnk
+  FROM qt, vt WHERE vt.vec_id <> qid
+),
+ov AS (
+  SELECT f.qid, count(*)::BIGINT AS overlap_at_k
+  FROM (SELECT qid, nid FROM rf WHERE rnk <= 10) f
+  JOIN (SELECT qid, nid FROM rt WHERE rnk <= 10) t
+    ON f.qid = t.qid AND f.nid = t.nid
+  GROUP BY f.qid
+)
+SELECT f.qid, f.top1_full, t.top1_trunc,
+  coalesce(ov.overlap_at_k, 0)::BIGINT AS overlap_at_k
+FROM (SELECT qid, max(CASE WHEN rnk = 1 THEN nid END) AS top1_full
+      FROM rf GROUP BY qid) f
+JOIN (SELECT qid, max(CASE WHEN rnk = 1 THEN nid END) AS top1_trunc
+      FROM rt GROUP BY qid) t ON f.qid = t.qid
+LEFT JOIN ov ON ov.qid = f.qid
+ORDER BY f.qid
+"""
+
+ORACLE["padding_waste_audit"] = r"""
+WITH base AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+         md5(doc_id::VARCHAR) AS shuf
+  FROM documents
+),
+shuffled AS (
+  SELECT n, floor((row_number() OVER (ORDER BY shuf, doc_id) - 1) / 32)::BIGINT AS b
+  FROM base
+),
+sorted_len AS (
+  SELECT n, floor((row_number() OVER (ORDER BY n, doc_id) - 1) / 32)::BIGINT AS b
+  FROM base
+),
+ws AS (
+  SELECT 'shuffled' AS strategy, count(*)::BIGINT AS n_batches,
+    sum(tok)::BIGINT AS total_tokens,
+    sum(mx * rows - tok)::BIGINT AS padding_tokens
+  FROM (SELECT b, count(*) AS rows, sum(n) AS tok, max(n) AS mx
+        FROM shuffled GROUP BY b)
+  UNION ALL
+  SELECT 'length_sorted', count(*)::BIGINT, sum(tok)::BIGINT,
+    sum(mx * rows - tok)::BIGINT
+  FROM (SELECT b, count(*) AS rows, sum(n) AS tok, max(n) AS mx
+        FROM sorted_len GROUP BY b)
+)
+SELECT strategy, n_batches, total_tokens, padding_tokens,
+  padding_tokens / (padding_tokens + total_tokens) AS waste_frac
+FROM ws ORDER BY strategy
+"""
+
+ORACLE["inbatch_collision_audit"] = """
+WITH batched AS (
+  SELECT source,
+    floor((row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)
+          / 32)::BIGINT AS b
+  FROM documents
+),
+per AS (SELECT b, source, count(*)::BIGINT AS c FROM batched GROUP BY b, source)
+SELECT source, sum(c)::BIGINT AS n_docs,
+  cast(sum(c * (c - 1) / 2) AS BIGINT) AS same_source_pairs
+FROM per GROUP BY source ORDER BY source
 """

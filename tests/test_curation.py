@@ -108,3 +108,38 @@ def test_memorization_novelty_bounds(spark):
         assert 0 <= r.n_seen <= r.n_grams and r.n_grams > 0
         assert abs(r.novelty - (1 - r.n_seen / r.n_grams)) < 1e-12
     assert any(r.novelty < 1 for r in rows)
+
+
+def test_padding_waste_length_sort_wins(spark):
+    """Length-sorted batching must strictly reduce padding versus the
+    shuffled order (that's the operator's thesis), waste_frac is an
+    exact-int ratio in [0,1), and total token mass is identical across
+    strategies (batching reorders, never drops)."""
+    from hadoop_mapreduce_spark.operators.curation import (
+        padding_waste_audit,
+    )
+
+    rows = {r.strategy: r for r in padding_waste_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"shuffled", "length_sorted"}
+    a, b = rows["length_sorted"], rows["shuffled"]
+    assert a.total_tokens == b.total_tokens
+    assert a.n_batches == b.n_batches
+    assert a.padding_tokens < b.padding_tokens
+    for r in rows.values():
+        assert 0 <= r.waste_frac < 1
+
+
+def test_inbatch_collision_counts(spark):
+    """Pair counts are bounded by C(n_docs, 2) per source and doc
+    totals cover the corpus exactly once."""
+    from hadoop_mapreduce_spark.operators.curation import (
+        inbatch_collision_audit,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = inbatch_collision_audit(spark, SF_DIR).collect()
+    assert rows
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.same_source_pairs <= r.n_docs * (r.n_docs - 1) // 2

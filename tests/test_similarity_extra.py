@@ -302,3 +302,19 @@ def test_mmr_matches_numpy_reference_and_diversifies(spark):
             want.append((cand[pick], float(np.round(obj[pick], 6))))
         assert [(r.nid, r.mmr) for r in rows] == want
         assert rows[0].nid == cand[0]  # rank 1 = pure relevance argmax
+
+
+def test_dim_truncation_audit_bounds(spark):
+    """Overlap is in [0, k]; when the truncated top-1 equals the full
+    top-1 the overlap is >= 1; and the audit covers every query id."""
+    from hadoop_mapreduce_spark.operators.similarity import (
+        ann_dim_truncation_audit,
+    )
+
+    rows = ann_dim_truncation_audit(spark, SF_DIR, n_queries=20, k=10,
+                                    keep_dims=32).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.overlap_at_k <= 10
+        if r.top1_full == r.top1_trunc:
+            assert r.overlap_at_k >= 1
