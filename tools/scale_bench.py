@@ -63,6 +63,19 @@ HEADLINE = _HEADLINE + [
     "events_twap_daily",
     "events_winsorize_stats",
     "histogram_equidepth",
+    # round-6 fourth/fifth/sixth waves: BPE pair counting (vocab-bounded
+    # expansion — the claim is pair rows grow with VOCAB, not corpus),
+    # inverted-index build (bounded per-term windows), memorization
+    # novelty (two gram-keyed shuffles), the two mixture/calibration
+    # rollups, and the batching audits (one global-order window each).
+    "bpe_merge_step",
+    "inverted_index_topk",
+    "memorization_novelty",
+    "mixture_temperature_weights",
+    "quantile_normalize_quality",
+    "padding_waste_audit",
+    "inbatch_collision_audit",
+    "ann_dim_truncation_audit",
 ]
 
 
