@@ -558,8 +558,16 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str,
     from hadoop_mapreduce_spark.session import scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens("text").alias("t")) \
-        .where(F.size("t") >= 2)
+    # tokenize ONCE: per_doc, uni and totals all derive from this
+    # persisted projection (the unpersisted form re-ran the regex
+    # tokenizer three times — one full corpus pass each for the bigram
+    # table, the unigram table and the token total; measured ~2× the
+    # whole query's cost at sf0.1). totals additionally derives from
+    # uni rather than the corpus: sum of unigram counts IS the token
+    # count, a vocabulary-sized aggregation instead of a corpus scan.
+    toks = scoped_persist(
+        docs.select("doc_id", _tokens("text").alias("t"))
+        .where(F.size("t") >= 2))
 
     per_doc = scoped_persist(
         toks.select("doc_id",
@@ -573,7 +581,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str,
     ctx = bc.groupBy("w1").agg(F.sum("cab").alias("cctx"))
     uni = toks.select(F.explode("t").alias("w2")).groupBy("w2").agg(
         F.count(F.lit(1)).alias("cw"))
-    totals = toks.agg(F.sum(F.size("t")).alias("n_uni"))
+    totals = uni.agg(F.sum("cw").alias("n_uni"))
 
     lp = (
         bc.join(F.broadcast(ctx), "w1")
