@@ -491,3 +491,39 @@ def inbatch_collision_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def context_window_stats(spark: SparkSession, sf_dir: str,
+                         budgets: tuple[int, ...] = (128, 512, 2048)
+                         ) -> DataFrame:
+    """Capacity planning for context budgets: for each candidate
+    window size, how many documents truncate and what fraction of the
+    corpus's tokens survive? The table that decides between "train at
+    2k" and "chunk first" — run before doc_chunking/seq_packing pick
+    their parameters.
+
+    Scale shape: ONE corpus scan computes per-doc token counts; the
+    per-budget expansion explodes |budgets| rows per doc (a constant),
+    and the rollup partial-aggs to |budgets| rows. All ratios are
+    exact-int divisions (bit-stable doubles on both engines).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per = docs.select(toks.alias("n")).select(
+        "n", F.explode(F.array(*[F.lit(b) for b in budgets])).alias("budget"))
+    return (
+        per.groupBy("budget").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") > F.col("budget")).cast("long"))
+            .alias("n_truncated"),
+            F.sum("n").alias("tokens_total"),
+            F.sum(F.least("n", "budget")).alias("tokens_kept"),
+        )
+        .select(F.col("budget").cast("long").alias("budget"),
+                "n_docs", "n_truncated",
+                F.col("tokens_total").cast("long").alias("tokens_total"),
+                F.col("tokens_kept").cast("long").alias("tokens_kept"),
+                (F.col("tokens_kept") / F.col("tokens_total"))
+                .alias("kept_frac"))
+        .orderBy("budget")
+    )

@@ -928,3 +928,55 @@ def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "raw_cut_equiv")
         .orderBy("source")
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str,
+                          n: int = 8) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct token 8-grams they share — the provenance audit that
+    finds mirror sites, syndicated feeds and wholesale copying BETWEEN
+    corpus slices (document-level dedup reports pairs; this reports
+    which SOURCES systematically overlap, which drives source-level
+    dropping decisions). overlap_frac normalises by the smaller
+    source's gram vocabulary so a tiny mirror of a big source still
+    scores ~1.
+
+    Scale shape: per-source distinct grams (one (source, gram) shuffle
+    with map-side distinct partial agg), then a gram-keyed self-join
+    producing only co-occurring source pairs, rolled up to
+    |sources|² rows max. The gram relation is vocabulary-bounded, not
+    corpus-bounded; nothing is broadcast.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", tokenize(normalize_text(F.col("text"))).alias("__t"))
+    grams = toks.select(
+        "source",
+        F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+        .select("src_a", "src_b", "shared_grams",
+                (F.col("shared_grams") / F.least("na", "nb"))
+                .alias("overlap_frac"))
+        .orderBy("src_a", "src_b")
+    )

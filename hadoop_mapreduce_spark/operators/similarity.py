@@ -867,3 +867,101 @@ def ann_dim_truncation_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("qid")
     )
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str,
+                        n_iter: int = 12) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration — the anisotropy audit (embedding sets whose top
+    PC explains a large variance fraction are 'collapsed' and rank
+    poorly; Mu & Viswanath-style post-processing subtracts this very
+    component). Returns one row per dimension: the mean vector, the
+    unit top-PC loading, and constant columns carrying the eigenvalue
+    (top-PC variance), total variance, and explained fraction.
+
+    Power iteration, Lloyd-style shuffle discipline (no driver-side
+    vector state — the 64-row direction relation is localCheckpoint'ed
+    per round exactly like kmeans_centroids' centroid table):
+
+      v_{t+1} ∝ C v_t,  C v = Σ_i (x_i − μ) ((x_i − μ)·v) / N
+
+    computed per round as: broadcast the 1-row direction array to all
+    vectors, fold the centered dot per vector (codegen zip_with +
+    aggregate — N rows out), posexplode once and partial-agg per
+    dimension (shuffle carries O(d × tasks) rows, never O(N × d)),
+    then normalise via a 1-row norm broadcast. Registered rows-only
+    (iterative fixpoint); tests compare against numpy's exact top PC.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+
+    # mean vector and total variance (one pass each, d-keyed partial agg)
+    mu_rows = (
+        vec.select(F.posexplode("x").alias("pos", "xd"))
+        .groupBy("pos").agg(F.avg("xd").alias("mu"))
+    )
+    mu = mu_rows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
+    ).select(F.transform("pm", lambda s: s["mu"]).alias("mu")).localCheckpoint()
+
+    centered_sq = F.aggregate(
+        F.zip_with("x", F.col("mu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, y: acc + y)
+    tot = vec.crossJoin(F.broadcast(mu)).agg(
+        F.avg(centered_sq).alias("total_var"),
+        F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    # init: normalised all-ones (deterministic, non-orthogonal to any
+    # direction with nonzero mean loading w.h.p.)
+    d_dim = len(mu.first()["mu"])
+    v = spark.createDataFrame(
+        [([1.0 / d_dim ** 0.5] * d_dim,)], "v array<double>").localCheckpoint()
+
+    cdot = F.aggregate(
+        F.zip_with(
+            F.zip_with("x", F.col("mu"), lambda a, b: a - b),
+            F.col("v"), lambda c, w: c * w),
+        F.lit(0.0), lambda acc, y: acc + y)
+    for _ in range(n_iter):
+        scored = (
+            vec.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(v))
+            .select("x", F.col("mu").alias("m"), cdot.alias("dot"))
+        )
+        w_rows = (
+            scored.select(
+                "dot",
+                F.posexplode(F.zip_with(
+                    "x", F.col("m"), lambda a, b: a - b)).alias("pos", "cd"))
+            .groupBy("pos").agg(F.sum(F.col("cd") * F.col("dot")).alias("w"))
+        )
+        w_arr = w_rows.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("pw")
+        ).select(F.transform("pw", lambda s: s["w"]).alias("w"))
+        norm = F.sqrt(F.aggregate(
+            F.zip_with("w", F.col("w"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, y: acc + y))
+        v = w_arr.select(
+            F.transform("w", lambda e: e / norm).alias("v")).localCheckpoint()
+
+    # eigenvalue = v'Cv = avg(dot^2) under the converged direction
+    eig = (
+        vec.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(v))
+        .agg(F.avg(cdot * cdot).alias("eigval")).localCheckpoint()
+    )
+    return (
+        v.crossJoin(mu).crossJoin(eig).crossJoin(tot)
+        .select(
+            F.posexplode(F.zip_with(
+                "v", F.col("mu"),
+                lambda a, b: F.struct(a.alias("loading"), b.alias("mean"))
+            )).alias("dim", "s"),
+            "eigval", "total_var", "n")
+        .select(F.col("dim").cast("long").alias("dim"),
+                F.round(F.col("s.loading"), 8).alias("loading"),
+                F.round(F.col("s.mean"), 8).alias("mean"),
+                F.round("eigval", 8).alias("eigval"),
+                F.round("total_var", 8).alias("total_var"),
+                F.round(F.col("eigval") / F.col("total_var"), 8)
+                .alias("explained_frac"))
+        .orderBy("dim")
+    )

@@ -786,3 +786,31 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str,
         .select("term", F.col("df").cast("long").alias("df"),
                 F.col("tf_total").cast("long").alias("tf_total"), "postings")
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word — the standard multilingual tokenizer-quality
+    metric (fertility far above the corpus norm means a language is
+    being shredded into characters and will train poorly; the fix is
+    vocabulary reallocation). Uses the same two token conventions as
+    token_count, so the audit describes the pipeline's actual units.
+
+    Scale shape: one scan, two codegen'd token counts per row, one
+    language-keyed rollup (partial-agg'd, |langs| output rows).
+    Fertility is a ratio of exact integer sums — bit-stable on both
+    engines, no rounding site needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens("text")).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("long")
+    return (
+        docs.select("lang", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ws").cast("long").alias("ws_tokens"),
+             F.sum("bpe").cast("long").alias("bpe_tokens"))
+        .select("lang", "n_docs", "ws_tokens", "bpe_tokens",
+                (F.col("bpe_tokens") / F.col("ws_tokens")).alias("fertility"))
+        .orderBy("lang")
+    )

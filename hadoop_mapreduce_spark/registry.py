@@ -125,6 +125,10 @@ QUERIES: dict[str, QueryFn] = {
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
     "sql_udf_revenue": sql4.sql_udf_revenue,
+    "context_window_stats": curation.context_window_stats,
+    "tokenizer_fertility": textstats.tokenizer_fertility,
+    "source_overlap_matrix": datamix.source_overlap_matrix,
+    "embedding_pca_power": similarity.embedding_pca_power,  # rows-only (iterative fixpoint)
     # -- previously witnessed (r5 window), filling out the r6 window --
     "bloom_decontaminate": datamix.bloom_decontaminate,
     "dedup_span_chunks": dedup.dedup_span_chunks,
@@ -2923,4 +2927,49 @@ SELECT l_returnflag, count(*)::BIGINT AS n_items,
     AS sum_charge
 FROM lineitem WHERE l_quantity < 25
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE["context_window_stats"] = r"""
+WITH per AS (
+  SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n, b.budget
+  FROM documents, (SELECT unnest([128, 512, 2048]) AS budget) b
+)
+SELECT budget::BIGINT AS budget, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN n > budget THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+  sum(n)::BIGINT AS tokens_total,
+  sum(least(n, budget))::BIGINT AS tokens_kept,
+  sum(least(n, budget)) / sum(n) AS kept_frac
+FROM per GROUP BY budget ORDER BY budget
+"""
+
+ORACLE["tokenizer_fertility"] = f"""
+WITH per AS (
+  SELECT lang, len({_TOKS})::BIGINT AS ws,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+      AS bpe
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(ws)::BIGINT AS ws_tokens,
+  sum(bpe)::BIGINT AS bpe_tokens, sum(bpe) / sum(ws) AS fertility
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["source_overlap_matrix"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) x
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n_grams FROM grams GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_grams
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, shared_grams,
+  shared_grams / least(sa.n_grams, sb.n_grams) AS overlap_frac
+FROM pairs
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
 """

@@ -143,3 +143,21 @@ def test_inbatch_collision_counts(spark):
     assert sum(r.n_docs for r in rows) == n_total
     for r in rows:
         assert 0 <= r.same_source_pairs <= r.n_docs * (r.n_docs - 1) // 2
+
+
+def test_context_window_stats_monotone(spark):
+    """Larger budgets keep strictly more (or equal) tokens and truncate
+    fewer docs; kept_frac is an exact-int ratio ending at <= 1."""
+    from hadoop_mapreduce_spark.operators.curation import (
+        context_window_stats,
+    )
+
+    rows = context_window_stats(spark, SF_DIR).collect()
+    assert [r.budget for r in rows] == sorted(r.budget for r in rows)
+    assert len({r.tokens_total for r in rows}) == 1  # same corpus per row
+    for a, b in zip(rows, rows[1:]):
+        assert b.tokens_kept >= a.tokens_kept
+        assert b.n_truncated <= a.n_truncated
+    for r in rows:
+        assert 0 < r.kept_frac <= 1
+        assert abs(r.kept_frac - r.tokens_kept / r.tokens_total) < 1e-12

@@ -288,3 +288,18 @@ def test_quantile_normalize_cut_is_calibrated(spark):
         frac = r.n_above_cut / r.n_docs
         assert 0.05 <= frac <= 0.35  # ~20% with small-source wobble
         assert r.raw_cut_equiv >= r.raw_min
+
+
+def test_source_overlap_matrix_symmetric_bounds(spark):
+    """Pairs are canonical (src_a < src_b), overlap_frac in (0, 1],
+    and shared counts never exceed either side's gram vocabulary."""
+    from hadoop_mapreduce_spark.operators.datamix import (
+        source_overlap_matrix,
+    )
+
+    rows = source_overlap_matrix(spark, SF_DIR).collect()
+    assert rows  # the synthetic corpus shares template grams
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.overlap_frac <= 1
+        assert r.shared_grams >= 1

@@ -318,3 +318,29 @@ def test_dim_truncation_audit_bounds(spark):
         assert 0 <= r.overlap_at_k <= 10
         if r.top1_full == r.top1_trunc:
             assert r.overlap_at_k >= 1
+
+
+def test_embedding_pca_power_matches_numpy(spark):
+    """The distributed power iteration recovers numpy's exact top
+    principal component: |cosine| > 0.99 between loadings, eigenvalue
+    within 2%, and explained_frac in (0, 1]."""
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = embedding_pca_power(spark, SF_DIR).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    eig = rows[0].eigval
+    assert 0 < rows[0].explained_frac <= 1
+
+    X = np.array(load_table(spark, SF_DIR, "embeddings")
+                 .select("embedding").toPandas()["embedding"].tolist())
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.99
+    assert abs(eig - float(vals[-1])) / float(vals[-1]) < 0.02

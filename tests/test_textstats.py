@@ -237,3 +237,21 @@ def test_inverted_index_postings_wellformed(spark):
         assert tfs == sorted(tfs, reverse=True)
         assert sum(tfs) <= r.tf_total
         assert len({d for d, _ in entries}) == len(entries)  # distinct docs
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Fertility >= 1 (the BPE-ish regex never merges across
+    whitespace, so it can only split words further) and doc counts
+    cover the corpus."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == load_table(
+        spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert abs(r.fertility - r.bpe_tokens / r.ws_tokens) < 1e-12
