@@ -890,7 +890,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str,
     aggregate — N rows out), posexplode once and partial-agg per
     dimension (shuffle carries O(d × tasks) rows, never O(N × d)),
     then normalise via a 1-row norm broadcast. Registered rows-only
-    (iterative fixpoint); tests compare against numpy's exact top PC.
+    (iterative fixpoint); tests assert bit-level agreement with numpy
+    running the identical rounds from the identical start (the fixture
+    cloud is near-isotropic — λ2/λ1 ≈ 0.93 — so asymptotic-eigenvector
+    convergence is a property of the data, not the implementation; the
+    reported explained-variance fraction is the fast-converging
+    Rayleigh quotient either way).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
