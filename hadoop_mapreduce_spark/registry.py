@@ -125,6 +125,7 @@ QUERIES: dict[str, QueryFn] = {
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
     "sql_udf_revenue": sql4.sql_udf_revenue,
+    "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
     "context_window_stats": curation.context_window_stats,
     "tokenizer_fertility": textstats.tokenizer_fertility,
     "source_overlap_matrix": datamix.source_overlap_matrix,
@@ -2973,3 +2974,7 @@ JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
 ORDER BY src_a, src_b
 """
+
+# Prefix-filtered exact Jaccard produces the IDENTICAL qualifying-pair
+# set as the inverted-index exact op - one oracle serves both.
+ORACLE["dedup_jaccard_prefix"] = ORACLE["dedup_ngram_jaccard"]

@@ -368,3 +368,17 @@ def test_dedup_incremental_ledger_invariants(spark):
             assert verdict_of[r.match_id] == "kept"
         else:
             assert r.verdict == "kept" and r.match_id is None
+
+
+def test_jaccard_prefix_equals_inverted_index(spark):
+    """Prefix filtering is EXACT: the PPJoin-style join returns the
+    identical qualifying-pair set (ids and 6-dp scores) as the
+    inverted-index all-pairs oracle twin."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    a = sorted(map(tuple, dedup_jaccard_prefix(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
+    assert a == b and a

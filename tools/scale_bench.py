@@ -76,6 +76,9 @@ HEADLINE = _HEADLINE + [
     "padding_waste_audit",
     "inbatch_collision_audit",
     "ann_dim_truncation_audit",
+    # exact Jaccard via prefix filtering: the ladder is where it must
+    # separate from DuckDB's inverted-index O(postings^2) twin.
+    "dedup_jaccard_prefix",
 ]
 
 
