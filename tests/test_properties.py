@@ -280,3 +280,41 @@ def test_span_chunk_dedup_conserves_and_reconstructs(spark, texts):
         assert r.n_kept == len(kept_model)
         want_fp = hashlib.md5(" ".join(kept_model).encode()).hexdigest()
         assert r.dedup_fp == want_fp
+
+
+@given(
+    data=st.data(),
+    universe=st.integers(min_value=6, max_value=40),
+    t_pct=st.sampled_from([50, 60, 70, 80, 90]),
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_prefix_filter_theorem_never_misses(data, universe, t_pct):
+    """Property behind dedup_jaccard_prefix (PPJoin prefix filtering),
+    checked against the EXACT formula the operator ships, including
+    its FP-epsilon ceil: for any two sets with J(A,B) >= t under any
+    global total order, the length-(n - ceil(t*n - 1e-9) + 1) prefixes
+    must intersect. A miss here means the operator would silently drop
+    a qualifying pair — the one failure mode the exact verify can't
+    repair."""
+    import math
+
+    t = t_pct / 100.0
+    a = data.draw(st.sets(st.integers(0, universe - 1), min_size=1,
+                          max_size=universe))
+    b = data.draw(st.sets(st.integers(0, universe - 1), min_size=1,
+                          max_size=universe))
+    inter = len(a & b)
+    jac = inter / len(a | b)
+    if jac < t:
+        return  # theorem only constrains qualifying pairs
+    # adversarial global order: drawn at random, applied consistently
+    perm = data.draw(st.permutations(range(universe)))
+    order = {tok: r for r, tok in enumerate(perm)}
+
+    def prefix(s):
+        p = len(s) - math.ceil(t * len(s) - 1e-9) + 1
+        return set(sorted(s, key=order.__getitem__)[:p])
+
+    assert prefix(a) & prefix(b), (
+        f"prefix filter missed a qualifying pair: J={jac:.3f} >= t={t}")
