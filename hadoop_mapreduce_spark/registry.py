@@ -126,6 +126,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
     "sql_udf_revenue": sql4.sql_udf_revenue,
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "quality_classifier_train": curation.quality_classifier_train,  # rows-only (iterative GD)
     "context_window_stats": curation.context_window_stats,
     "tokenizer_fertility": textstats.tokenizer_fertility,
     "source_overlap_matrix": datamix.source_overlap_matrix,
