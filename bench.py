@@ -113,7 +113,11 @@ def main() -> None:
     # thresholds for cents while cutting the measured cold subset ~18%.
     warm_dirs = ["/root/testdata/sf0.001",
                  "/root/testdata/sf0.01", "/root/testdata/sf0.01"]
-    warm_dirs = [d if os.path.isdir(d) else sf_dir for d in warm_dirs]
+    # Drop (never substitute) missing fixtures, and never warm on the
+    # timed sf_dir itself: when SPARK_GRAFT_SF_DIR=sf0.01 the old
+    # fallback pre-touched the timed fixture and deflated the cold pass.
+    warm_dirs = [d for d in warm_dirs if os.path.isdir(d) and
+                 os.path.realpath(d) != os.path.realpath(sf_dir)]
     for warm_dir in warm_dirs:
         for name in HEADLINE:
             QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -190,9 +194,13 @@ def main() -> None:
         # is its exact all-pairs query — time that so both engines are
         # charged for the task, not silently dropped from one total.
         duck_twin = {"dedup_embedding_lsh": "dedup_embedding_cosine"}
-        # COLD = per-query MEDIAN of three runs, each on a FRESH
-        # in-memory connection (fresh database instance → empty buffer
-        # pool every time, so cold is REPEATABLE). The old
+        # "COLD" here = FRESH-BUFFER-POOL, not cold-page-cache: each of
+        # the three runs uses a fresh in-memory connection (empty buffer
+        # pool) but the OS page cache stays warm across them, so true
+        # first-touch disk I/O is understated. The bias is AGAINST
+        # Spark's ratio (a cheaper DuckDB denominator), i.e. it is the
+        # conservative direction for the 2x claim. COLD = per-query
+        # MEDIAN of the three fresh-connection runs. The old
         # first-run-on-a-shared-connection cold was a lottery: measured
         # totals swung 10.8-16.4 s run-to-run on this box (±25%), more
         # than any Spark-side change the ratio is supposed to detect.

@@ -26,7 +26,12 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 # BPE-ish token regex: word pieces OR single non-space symbols — a cheap,
 # deterministic stand-in for a real BPE tokenizer's pre-tokenisation.
-BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# Whitespace is an EXPLICIT class, not \s: Java regex (Spark side)
+# includes \x0B (vertical tab) in \s while RE2 (DuckDB oracle side)
+# does not, so a \x0B in document text would tokenize differently per
+# engine and break hash parity. The explicit class pins Java's \s
+# semantics and is mirrored verbatim in the oracle SQL.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def _tokens(text_col: str) -> Column:

@@ -167,14 +167,16 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DuckDB oracle, which applies the same cast) rounds the same
     # single value regardless of shuffle layout.
     #
-    # The derived average is emitted as integer MICRO-units (sv*1e6 DIV n,
-    # truncating integer division) rather than round(double/n, 6): a
-    # decimal->double conversion is correctly rounded in the JVM but goes
-    # through two roundings in engines that store decimals as int128 and
-    # divide by 10^scale, so a quotient sitting within 1 ulp of a rounding
-    # half-boundary can flip between engines/versions. Integer division of
-    # exact integers is bit-identical everywhere; consumers read the
-    # average as avg_value_micros/1e6.
+    # BOTH derived outputs are emitted as exact integers, never as a
+    # rounded decimal->double: the total as CENTS (sv*100 is exact — the
+    # decimal sum has scale 6, so *100 is an integer-exact rescale) and
+    # the average as MICRO-units (sv*1e6 DIV n, truncating integer
+    # division). A round(decimal, 2) -> double path is correctly rounded
+    # in the JVM but decimal ROUND half-modes differ across engines and
+    # versions (a sum on a half-cent boundary flips the last cent on
+    # another engine — observed as a driver-side hash mismatch in r6), so
+    # no rounding site survives in this query. Consumers read
+    # total_value_cents/100 and avg_value_micros/1e6.
     hourly = (
         ev.groupBy(
             F.date_trunc("day", "ts").alias("day"),
@@ -190,7 +192,7 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hour").alias("resolution"),
         F.col("bucket").cast("string").alias("bucket"),
         "event_type", "n",
-        F.round("sv", 2).cast("double").alias("total_value"),
+        F.expr("CAST(sv * 100 AS BIGINT)").alias("total_value_cents"),
         F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
     )
     daily_out = (
@@ -200,7 +202,7 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("day").alias("resolution"),
             F.col("day").cast("string").alias("bucket"),
             "event_type", "n",
-            F.round("sv", 2).cast("double").alias("total_value"),
+            F.expr("CAST(sv * 100 AS BIGINT)").alias("total_value_cents"),
             F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
         )
     )

@@ -730,7 +730,7 @@ FROM t1 ORDER BY doc_id
     "token_count": rf"""
 WITH per_doc AS (
   SELECT source, len({_TOKS})::BIGINT AS ws_tokens,
-    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]'))::BIGINT AS bpe_tokens
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
@@ -1155,11 +1155,11 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2, 3
 )
 SELECT 'hour' AS resolution, bucket::VARCHAR AS bucket, event_type, n,
-  round(sv, 2)::DOUBLE AS total_value,
+  (sv * 100)::BIGINT AS total_value_cents,
   (sv * 1000000)::BIGINT // n AS avg_value_micros
 FROM hourly
 UNION ALL
-SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), round(sum(sv), 2)::DOUBLE,
+SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), (sum(sv) * 100)::BIGINT,
   (sum(sv) * 1000000)::BIGINT // sum(n)
 FROM hourly GROUP BY day, event_type
 ORDER BY resolution, bucket, event_type
@@ -1836,6 +1836,7 @@ FROM r WHERE r <= 500
 ORACLE["recursive_monthly_spine"] = """
 WITH RECURSIVE mon(m) AS (
   SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  WHERE (SELECT min(o_orderdate) FROM orders) IS NOT NULL
   UNION ALL
   SELECT m + INTERVAL 1 MONTH FROM mon
   WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
@@ -2947,7 +2948,7 @@ FROM per GROUP BY budget ORDER BY budget
 ORACLE["tokenizer_fertility"] = f"""
 WITH per AS (
   SELECT lang, len({_TOKS})::BIGINT AS ws,
-    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT
       AS bpe
   FROM documents
 )

@@ -86,14 +86,19 @@ def test_hierarchical_rollup_daily_matches_direct(spark):
 
     out = events_hierarchical_rollup(spark, SF_DIR)
     daily = {
-        (r.bucket, r.event_type): (r.n, r.total_value)
+        (r.bucket, r.event_type): (r.n, r.total_value_cents)
         for r in out.where(F.col("resolution") == "day").collect()
     }
     direct = {
-        (str(r.bucket), r.event_type): (r.n, r.total_value)
+        (str(r.bucket), r.event_type): (r.n, r.total_value_cents)
         for r in load_table(spark, SF_DIR, "events")
         .groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT)").alias(
+                "total_value_cents"
+            ),
+        )
         .collect()
     }
     assert daily == direct
