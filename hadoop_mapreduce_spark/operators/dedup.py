@@ -220,29 +220,29 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows_per_band: int,
     Pair generation is BUCKET-LOCAL (r6): one hash aggregation collects
     each surviving bucket's member ids (bounded at max_bucket·8 B =
     16 KiB per group — the prune runs first, so a hot bucket's rows
-    never enter this shuffle) and the i<j pairs are emitted by an
-    array transform over the sorted membership. The former
-    formulation self-joined the banded rows on (band, bucket): same
-    exchange, but sort-merge sorted both sides and streamed every
-    bucket row against every match — the hash-agg + in-place pair
-    expansion does no per-row sort and shuffles each banded row once.
-    """
-    from hadoop_mapreduce_spark.session import scoped_persist
+    never enter the collect) and the i<j pairs are emitted by an
+    array transform over the sorted membership.
 
-    banded = scoped_persist(
-        sig_df.select("id", F.posexplode(
-            _band_keys_expr(bands, rows_per_band)).alias("band", "bucket")))
-    hot = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .where(F.col("bsz") > max_bucket)
-        .select("band", "bucket")
-    )
-    pruned = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    The cap is applied with a COUNT WINDOW over (band, bucket), not a
+    separate bucket-size aggregation + broadcast anti-join (the r6
+    form): the window's exchange hash-partitions on exactly the keys
+    the members aggregation needs, so Catalyst elides the agg's
+    exchange and the whole candidate stage is ONE shuffle of the
+    banded rows — the old form cost a second pass over a persisted
+    banded relation, a broadcast build, and an anti-join probe (3
+    extra jobs per query, ~25% of the minhash pipeline's local
+    wall-clock; r7). Memory stays capped: WindowExec sort-buffers
+    spill to disk, so a pathological mega-bucket streams through the
+    count-and-drop without ever entering a collect_list buffer.
+    """
+    banded = sig_df.select("id", F.posexplode(
+        _band_keys_expr(bands, rows_per_band)).alias("band", "bucket"))
+    w = Window.partitionBy("band", "bucket")
     members = (
-        pruned.groupBy("band", "bucket")
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
     )
     return (
         members.select(F.explode(F.expr(
@@ -297,11 +297,11 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
     and long-array intersection is several times cheaper than string.
     Pass hashed_shingles (persisted) to reuse the signature pass's
     tokenisation instead of re-scanning the corpus."""
-    ids = (
-        pairs.select(F.col("id1").alias("cid"))
-        .union(pairs.select(F.col("id2").alias("cid")))
-        .distinct()
-    )
+    # No .distinct() on the id set: the semi-join's broadcast build is a
+    # hash SET, so duplicate probe ids cost nothing, while the distinct
+    # was a full exchange of its own (pairs are tiny — 2x tiny is tiny).
+    ids = pairs.select(F.col("id1").alias("cid")).union(
+        pairs.select(F.col("id2").alias("cid")))
     if hashed_shingles is not None:
         hashed = hashed_shingles.join(
             F.broadcast(ids), hashed_shingles["id"] == ids.cid, "left_semi")

@@ -49,11 +49,20 @@ def cosine_topk(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    # Presentation sort = repartition(1) + in-partition sort, not
+    # orderBy: the post-rank output is <= |queries|*k rows by
+    # construction (queries is the broadcast-small side). A range
+    # orderBy pays a boundary-SAMPLING job that re-executes the scoring
+    # plan plus a range exchange — two scheduler round-trips to sort a
+    # handful of rows (~0.2 s of sim_search_topk's 0.44 s at sf0.1).
+    # repartition (one tiny exchange), NOT coalesce(1): coalesce would
+    # propagate up the stage and run the window itself single-task.
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
-        .orderBy("qid", "rank")
+        .repartition(1)
+        .sortWithinPartitions("qid", "rank")
     )
 
 
@@ -190,11 +199,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5,
                 cosine_similarity(F.col("qvec"), F.col("embedding")).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    # Same tiny-output presentation sort as cosine_topk (repartition,
+    # not coalesce — see there).
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
-        .orderBy("qid", "rank")
+        .repartition(1)
+        .sortWithinPartitions("qid", "rank")
     )
 
 
