@@ -1094,14 +1094,20 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         # child twice, or a child and a parent at once.
         deg = e.select(F.col("a").alias("node"), F.lit(1).alias("c")).union(
             e.select(F.col("b").alias("node"), F.lit(0).alias("c")))
-        violations = (
+        viol = ((F.col("cc") > 1)
+                | ((F.col("cc") >= 1) & (F.col("n") > F.col("cc")))).cast("long")
+        # ONE 1-row action returns BOTH the violation count and |e|
+        # (sum(cc) over nodes = number of child rows = edge count), so
+        # the post-loop broadcastability decision below needs no extra
+        # count job over the checkpointed edges.
+        stats = (
             deg.groupBy("node")
             .agg(F.sum("c").alias("cc"), F.count("*").alias("n"))
-            .where((F.col("cc") > 1)
-                   | ((F.col("cc") >= 1) & (F.col("n") > F.col("cc"))))
-            .count()
+            .select(F.sum(viol).alias("viol"), F.sum("cc").alias("ne"))
+            .first()
         )
-        if violations == 0:
+        if (stats.viol or 0) == 0:
+            n_edges = stats.ne or 0
             break
     else:
         raise RuntimeError(
@@ -1112,11 +1118,11 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
     # magnitude smaller than the corpus for any real dup rate. The
     # checkpointed RDD hides its size from the planner (leaf default
     # sizeInBytes = "huge"), which would force a sort-merge join that
-    # SHUFFLES THE WHOLE CORPUS on doc_id; since convergence already
-    # materialised e, one cheap count decides broadcastability the way
+    # SHUFFLES THE WHOLE CORPUS on doc_id; the edge count piggybacked on
+    # the final stop-test aggregation decides broadcastability the way
     # AQE would if the stats were visible.
     forest = e.select(F.col("a").alias("doc_id"), F.col("b").alias("root"))
-    if e.count() <= 4_000_000:
+    if n_edges <= 4_000_000:
         forest = F.broadcast(forest)
     return nodes.join(forest, "doc_id", "left") \
         .select("doc_id", F.coalesce("root", "doc_id").alias("comp"))
