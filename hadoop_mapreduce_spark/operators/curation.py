@@ -531,7 +531,8 @@ def context_window_stats(spark: SparkSession, sf_dir: str,
 
 def logreg_train_hashed(labeled: DataFrame, dim: int = 64,
                         n_iter: int = 15, lr: float = 1.0,
-                        reg: float = 1e-4) -> DataFrame:
+                        reg: float = 1e-4,
+                        distributed_weights: bool | None = None) -> DataFrame:
     """Distributed trainer core: full-batch logistic regression on
     hashed-tf token features over any (doc_id, text, y) relation.
     quality_classifier_train is the registered fixture wrapper; tests
@@ -540,10 +541,36 @@ def logreg_train_hashed(labeled: DataFrame, dim: int = 64,
     vocabulary is deliberately shared across labels/langs/sources, so
     NO linear model can beat the prior there — content-label
     independence is a property of that corpus, not of the trainer).
-    See quality_classifier_train for the full design rationale."""
+    See quality_classifier_train for the full design rationale.
+
+    The bias unit is a literal (doc, b=-1, x=1.0) CELL unioned into the
+    feature table (r7), not a special-cased crossJoin: the margin sum,
+    the gradient aggregation and the weight update then treat the bias
+    like any feature (the L2 term still skips b=-1), which removes two
+    joins and a union from every round on both weight paths.
+
+    Weight placement (VERDICT r6 item 7): ``distributed_weights``
+    selects the parameter topology; None = auto (dim > 1024).
+
+      * driver path (dim <= 1024): weights collect to the driver and
+        re-root as a fresh local DataFrame per round — the
+        parameter-server pattern; O(dim) driver traffic per round, and
+        the fresh root sidesteps the measured broadcast-rebroadcast
+        degradation (see quality_classifier_train).
+      * distributed path (dim > 1024): weights never leave the
+        cluster — the update is a weights ⟕ gradients join,
+        localCheckpoint'ed per round to truncate lineage. Checkpointed
+        frames carry no stats (sizeInBytes = huge), so the planner
+        keeps the weight join SHUFFLE-shaped rather than re-broadcast —
+        exactly the chain shape (shuffle-joined, like star-CC) that the
+        r6 measurements showed does NOT degrade per round, at any dim.
+    """
     spark = labeled.sparkSession
     from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
     from hadoop_mapreduce_spark.session import scoped_persist
+
+    if distributed_weights is None:
+        distributed_weights = dim > 1024
 
     base = labeled.select(
         "doc_id", F.col("y").cast("double").alias("y"),
@@ -555,7 +582,7 @@ def logreg_train_hashed(labeled: DataFrame, dim: int = 64,
     ydocs = scoped_persist(
         tok_counts.groupBy("doc_id").agg(
             F.first("y").alias("y"), F.sum("c").alias("n")))
-    cells = scoped_persist(
+    feat_cells = (
         tok_counts
         .select(
             "doc_id", "c",
@@ -564,42 +591,35 @@ def logreg_train_hashed(labeled: DataFrame, dim: int = 64,
         .groupBy("doc_id", "b").agg(F.sum("c").alias("cb"))
         .join(ydocs.select("doc_id", "n"), "doc_id")
         .select("doc_id", "b", (F.col("cb") / F.col("n")).alias("x")))
+    # bias unit: one (doc, b=-1, x=1) cell per document
+    cells = scoped_persist(feat_cells.unionByName(
+        ydocs.select("doc_id", F.lit(-1).cast("long").alias("b"),
+                     F.lit(1.0).alias("x"))))
     ydocs = ydocs.select("doc_id", "y")
 
-    # weights: dim feature rows + one bias row (b = -1, x implicitly 1),
-    # held as a fresh driver-local DataFrame per round (see the wrapper
-    # docstring for why re-rooting, not localCheckpoint chaining)
     w = spark.createDataFrame(
         [(b, 0.0) for b in range(dim)] + [(-1, 0.0)], "b long, w double")
 
     n_docs = ydocs.count()  # scalar driver value: sizes the GD step
     for _ in range(n_iter):
+        wj = w if distributed_weights else F.broadcast(w)
         margins = (
-            cells.join(F.broadcast(w), "b")
+            cells.join(wj, "b")
             .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("m0"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
         )
-        bias = w.where(F.col("b") == -1).select(
-            F.col("w").alias("bias"))
         resid = (
-            ydocs.join(margins, "doc_id", "left")
-            .crossJoin(F.broadcast(bias))
+            ydocs.join(margins, "doc_id")
             .select(
                 "doc_id",
-                (F.lit(1.0) / (F.lit(1.0)
-                               + F.exp(-(F.coalesce("m0", F.lit(0.0))
-                                         + F.col("bias"))))
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
                  - F.col("y")).alias("r"))
         )
-        grad_feat = (
+        grads = (
             cells.join(resid, "doc_id")
             .groupBy("b")
             .agg((F.sum(F.col("x") * F.col("r")) / n_docs).alias("g"))
         )
-        grad_bias = resid.agg(
-            F.lit(-1).cast("long").alias("b"),
-            (F.sum("r") / n_docs).alias("g"))
-        grads = grad_feat.unionAll(grad_bias)
         new_w = (
             w.join(grads, "b", "left")
             .select(
@@ -608,21 +628,20 @@ def logreg_train_hashed(labeled: DataFrame, dim: int = 64,
                     F.coalesce("g", F.lit(0.0))
                     + F.when(F.col("b") >= 0, reg * F.col("w"))
                     .otherwise(0.0))).alias("w"))
-        ).collect()
-        w = spark.createDataFrame(new_w, "b long, w double")
+        )
+        if distributed_weights:
+            w = new_w.localCheckpoint()
+        else:
+            w = spark.createDataFrame(
+                new_w.collect(), "b long, w double")
 
     # final audit pass: loss + accuracy under the trained weights
+    wj = w if distributed_weights else F.broadcast(w)
     margins = (
-        cells.join(F.broadcast(w), "b")
-        .groupBy("doc_id").agg(F.sum(F.col("x") * F.col("w")).alias("m0"))
+        cells.join(wj, "b")
+        .groupBy("doc_id").agg(F.sum(F.col("x") * F.col("w")).alias("m"))
     )
-    bias = w.where(F.col("b") == -1).select(F.col("w").alias("bias"))
-    scored = (
-        ydocs.join(margins, "doc_id", "left")
-        .crossJoin(F.broadcast(bias))
-        .select("y", (F.coalesce("m0", F.lit(0.0)) + F.col("bias"))
-                .alias("m"))
-    )
+    scored = ydocs.join(margins, "doc_id").select("y", "m")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
     eps = 1e-12
     audit = scored.agg(
@@ -665,12 +684,16 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str,
     Training: full-batch gradient descent, fixed lr, L2 on non-bias
     weights, n_iter rounds. Each round is TWO partial-agg'd shuffles,
     both bounded: (1) margins — the (doc, bucket) cell table joins the
-    broadcast dim-row weight relation and folds per doc; (2) gradient —
-    per-doc residuals join back to cells and fold per bucket (dim rows
-    out). The weight relation is collected to the driver and re-rooted
-    as a fresh local DataFrame every round — the parameter-server pattern
-    (model on driver, gradients distributed; 8 MB/round even at
-    dim=2^20). Re-rooting is ALSO the measured fixpoint-safety fix:
+    dim-row weight relation and folds per doc; (2) gradient — per-doc
+    residuals join back to cells and fold per bucket (dim rows out).
+    At this registered dim (64) the weight relation is collected to the
+    driver and re-rooted as a fresh local DataFrame every round — the
+    parameter-server pattern (model on driver, gradients distributed);
+    past dim=1024 logreg_train_hashed switches to the r7 distributed
+    path (weights-as-DataFrame shuffle-join update, localCheckpoint'ed
+    per round — see its docstring; tools/classifier_scale.py measures
+    the per-round cost flat at dim=16k). Re-rooting is ALSO the
+    measured fixpoint-safety fix:
     chaining localCheckpoint'ed frames that are re-BROADCAST each round
     degraded ~5× per round past round 9 (0.5 s → 0.9 → 3.2 → 12 → 58 s
     with constant job count and constant plan size — JVM-side

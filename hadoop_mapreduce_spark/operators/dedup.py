@@ -1468,8 +1468,14 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
     while the dup-pair set ≪ corpus, keyed shuffle otherwise) + one
     groupBy(dst) sum + a 1-row dangling-mass aggregate crossJoin'd
     back. Lineage localCheckpoint'd per round like every iterative
-    operator here. Registered rows-only (iterative float fixpoint);
-    tests pin conservation, convergence direction, and a hand-computed
+    operator here. Oracle-paired since r7: fixed iteration count makes
+    the fixpoint expressible as a DuckDB recursive CTE, and the rank is
+    emitted as INTEGER 1e-8 units (round(rank*1e8) as BIGINT) so the
+    cross-engine comparison — and the top-k ORDERING ITSELF — happens on
+    integers: ordering on the raw double would let 1e-17 summation-order
+    noise reorder structurally-tied documents (identical near-dup twins
+    have identical true ranks) differently per engine. Tests pin
+    conservation, convergence direction, and a hand-computed
     two-triangle fixture.
     """
     from pyspark.sql import Window
@@ -1513,12 +1519,13 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str,
             )
             .localCheckpoint()
         )
-    w = Window.orderBy(F.desc("rank"), F.asc("doc_id"))
+    scored = ranks.select(
+        "doc_id", F.expr("CAST(round(rank * 1e8) AS BIGINT)").alias("rank_e8"))
+    w = Window.orderBy(F.desc("rank_e8"), F.asc("doc_id"))
     return (
-        ranks.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("doc_id", F.round("rank", 8).alias("rank"),
-                F.col("rk").cast("long").alias("rk"))
+        .select("doc_id", "rank_e8", F.col("rk").cast("long").alias("rk"))
         .orderBy("rk")
     )
 
@@ -1605,6 +1612,29 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     ABOVE the rational value would shorten the prefix and break
     exactness, while the epsilon can only lengthen it (extra
     candidates are filtered by the exact verify).
+
+    Two further PPJoin prunes run INSIDE the self-join predicate (r7 —
+    both evaluated on columns already in the streamed rows, so they
+    cost a comparison, not a shuffle):
+
+      * LENGTH filter: J(A,B) >= t implies |A∩B| <= min and
+        |A∪B| >= max, so min(|A|,|B|) >= t·max(|A|,|B|) — a size-
+        mismatched pair can never qualify and is dropped before the
+        candidate distinct and the verify join.
+      * POSITIONAL filter (Xiao et al.): if the prefix match is at
+        rank i of A and j of B, the intersection is bounded by
+        1 + min(|A|-i, |B|-j); J >= t needs |A∩B| >=
+        ceil(t/(1+t)·(|A|+|B|)), so a match too deep in both prefixes
+        is dropped.
+
+    Both bounds carry the same -1e-9 epsilon as the prefix length (an
+    FP product landing above the rational value would over-prune; the
+    epsilon direction only admits extra candidates, which the exact
+    verify removes). Correctness is pinned by the exact-equality
+    fixture oracle and the hypothesis property test; on corpora that
+    are NOT duplicate-saturated the filters cut the candidate (and
+    verify) volume — the K×-synthetic ladder row was output-quadratic
+    by construction and says nothing about candidate efficiency.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(docs, "doc_id", "text", 3, distinct=True)
@@ -1620,12 +1650,24 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     prefix = ranked.where(
         F.col("rn")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
-    ).select("id", "s")
+    ).select("id", "s", "n", "rn")
 
+    overlap_min = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n")) - 1e-9)
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"),
-              (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: min size >= t * max size
+            & (F.least("a.n", "b.n")
+               >= F.lit(threshold) * F.greatest("a.n", "b.n") - 1e-9)
+            # positional filter: best-possible overlap from here on
+            & (1 + F.least(F.col("a.n") - F.col("a.rn"),
+                           F.col("b.n") - F.col("b.rn")) >= overlap_min),
+        )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )

@@ -780,9 +780,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str,
     shortlist.
 
     Deterministic: candidate set and relevance from the exact path,
-    greedy ties broken by lowest nid. Registered rows-only — the
-    iterative argmax chain has no tractable SQL twin; the numpy
-    reference test re-derives the greedy sequence exactly.
+    greedy ties broken by lowest nid. Oracle-paired since r7: the
+    greedy chain is a DuckDB recursive CTE carrying the selected-id
+    list per query (the numpy reference test independently re-derives
+    the same sequence). Relevance is rounded to 6 dp BEFORE the greedy
+    on both engines, so the argmax compares identical doubles except
+    for sub-1e-15 redundancy-term noise on near-ties.
     """
     from hadoop_mapreduce_spark.functions.vectors import l2_norm
 

@@ -187,9 +187,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,  # rows-only (IVFADC)
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
-    "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # rows-only (iterative fixpoint)
+    "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
-    "mmr_diversified_topk": similarity.mmr_diversified_topk,  # rows-only (greedy argmax chain)
+    "mmr_diversified_topk": similarity.mmr_diversified_topk,  # hash-paired r7 (recursive greedy twin)
     # --- previously driver-recorded (r1-r4 windows) ---
     "ngram_count": _ngram_count,
     "ngram_topk": _ngram_topk,
@@ -2980,3 +2980,141 @@ ORDER BY src_a, src_b
 # Prefix-filtered exact Jaccard produces the IDENTICAL qualifying-pair
 # set as the inverted-index exact op - one oracle serves both.
 ORACLE["dedup_jaccard_prefix"] = ORACLE["dedup_ngram_jaccard"]
+
+# r7: pagerank_dedup_graph converts from rows-only to hash-paired — the
+# fixed iteration count (10) makes the damped fixpoint a recursive CTE,
+# and the operator emits integer 1e-8 rank units so the cross-engine
+# compare never touches raw double ordering. In the recursive term the
+# working table (previous iteration's one-row-per-doc rank relation) is
+# referenced twice: once joined to edges for the inflow sum, once in a
+# scalar subquery for the dangling mass — DuckDB evaluates both against
+# the same working table, which is exactly the operator's semantics.
+ORACLE["pagerank_dedup_graph"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (SELECT id1 AS src, id2 AS dst FROM j UNION ALL SELECT id2, id1 FROM j),
+degree AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+pr(it, doc_id, rank) AS (
+  SELECT 0, doc_id, 1.0/(SELECT n FROM nd) FROM documents
+  UNION ALL
+  SELECT p.it + 1, d.doc_id,
+    (1-0.85)/(SELECT n FROM nd)
+    + 0.85 * (COALESCE(i.inflow, 0)
+              + (SELECT COALESCE(sum(r2.rank), 0) FROM pr r2
+                 LEFT JOIN degree dg2 ON r2.doc_id = dg2.src
+                 WHERE dg2.src IS NULL) / (SELECT n FROM nd))
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT it FROM pr) p
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.rank / dg.deg) AS inflow
+    FROM pr r JOIN degree dg ON r.doc_id = dg.src
+              JOIN edges e ON r.doc_id = e.src
+    GROUP BY e.dst
+  ) i ON d.doc_id = i.doc_id
+  WHERE p.it < 10
+)
+SELECT doc_id, round(rank*1e8)::BIGINT AS rank_e8,
+  row_number() OVER (ORDER BY round(rank*1e8)::BIGINT DESC, doc_id) AS rk
+FROM pr WHERE it = 10
+ORDER BY rk LIMIT 50
+"""
+
+# r7: mmr_diversified_topk converts from rows-only to hash-paired — the
+# greedy argmax chain IS expressible: each recursion step carries the
+# per-query selected-id list and picks the argmax of
+# lam*rel - (1-lam)*max_selected(sim) via a windowed rank over the
+# remaining pool (ties -> lowest nid, same as the operator's numpy
+# tie-break). Pool, relevance rounding (6 dp BEFORE the greedy) and the
+# unit-vector similarity all mirror the operator's arithmetic.
+ORACLE["mmr_diversified_topk"] = """
+WITH RECURSIVE
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+    round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+      / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))), 6) AS rel
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+pool AS (
+  SELECT qid, nid, rel FROM (
+    SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+    FROM scored) WHERE rn <= 20
+),
+unit AS (
+  SELECT vec_id AS nid,
+    list_transform(embedding::DOUBLE[],
+      x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+  FROM embeddings
+),
+sims AS (
+  SELECT a.qid, a.nid AS n1, b.nid AS n2, list_dot_product(ua.u, ub.u) AS s
+  FROM pool a JOIN pool b USING (qid)
+  JOIN unit ua ON ua.nid = a.nid JOIN unit ub ON ub.nid = b.nid
+),
+sel(qid, step, nid, rel, mmr, picked) AS (
+  SELECT qid, 1, nid, rel, 0.7*rel, [nid] FROM (
+    SELECT qid, nid, rel,
+      row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel DESC, nid) AS rn
+    FROM pool) WHERE rn = 1
+  UNION ALL
+  SELECT qid, step, nid, rel, obj, list_append(picked, nid) FROM (
+    SELECT s.qid, s.step + 1 AS step, c.nid, c.rel,
+      0.7*c.rel - 0.3 * (
+        SELECT max(s2.s) FROM sims s2
+        WHERE s2.qid = c.qid AND s2.n1 = c.nid
+          AND list_contains(s.picked, s2.n2)) AS obj,
+      s.picked,
+      row_number() OVER (PARTITION BY s.qid ORDER BY
+        0.7*c.rel - 0.3 * (
+          SELECT max(s2.s) FROM sims s2
+          WHERE s2.qid = c.qid AND s2.n1 = c.nid
+            AND list_contains(s.picked, s2.n2)) DESC, c.nid) AS rn
+    FROM sel s JOIN pool c
+      ON c.qid = s.qid AND NOT list_contains(s.picked, c.nid)
+    WHERE s.step < 10
+  ) WHERE rn = 1
+)
+SELECT qid, nid, round(rel, 6) AS relevance, round(mmr, 6) AS mmr, step::BIGINT AS rank
+FROM sel ORDER BY qid, rank
+"""
+
+# --------------------------------------------------------------------------
+# r7 driver window: the driver records the FIRST 50 registry entries per
+# round. This explicit reorder (applied last so the annotated dict above
+# keeps its grouped comments) puts at the front: (a) the six queries never
+# witnessed in any CORRECTNESS_r*.json window — two of which
+# (pagerank_dedup_graph, mmr_diversified_topk) are newly hash-paired this
+# round; (b) every query whose implementation changed in r7 (the
+# hierarchical-rollup determinism fix, the LSH candidate restructure and
+# its consumers, the PPJoin filters, the bigram-LM exchange fold, the
+# cosine_topk sort change); (c) previously-witnessed entries filling the
+# remaining slots. Pure reordering — no key or implementation changes.
+_WINDOW_R7 = [
+    # (a) never driver-witnessed
+    "pagerank_dedup_graph", "mmr_diversified_topk", "ann_ivfpq_rerank",
+    "hll_union_sources", "events_lttb_downsample", "semdedup_ivf",
+    # (b) r7-changed paths
+    "events_hierarchical_rollup", "dedup_jaccard_prefix",
+    "bigram_lm_quality", "sim_search_topk", "hard_negative_mining",
+    "ann_dim_truncation_audit", "ann_ivf_topk", "dedup_minhash_lsh",
+    "dedup_components_star", "split_leakage_guard", "dedup_keep_best",
+    "dedup_incremental", "decontaminate_fuzzy", "decontaminate_semantic",
+    "pipeline_target_select", "recursive_monthly_spine", "token_count",
+    "tokenizer_fertility", "quality_classifier_train",
+    "embedding_pca_power", "knn_join_lsh",
+    # (c) window fill (previously witnessed, kept under rotation)
+    "lateral_topk_orders", "dedup_repeated_spans", "dsir_importance_sample",
+    "image_dhash_neardup", "bm25_search", "token_entropy_quality",
+    "jsd_lang_divergence", "events_anomaly_mad", "bigram_pmi_collocations",
+    "sample_weighted", "events_twap_daily", "events_winsorize_stats",
+    "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
+    "memorization_novelty", "mixture_temperature_weights",
+    "quantile_normalize_quality", "padding_waste_audit",
+    "inbatch_collision_audit", "sql_udf_revenue", "context_window_stats",
+    "source_overlap_matrix",
+]
+assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
+    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R7)}

@@ -236,14 +236,15 @@ def test_pagerank_conservation_and_hub_ordering(spark):
     from hadoop_mapreduce_spark.operators.dedup import pagerank_dedup_graph
 
     rows = pagerank_dedup_graph(spark, SF_DIR, k=10_000).collect()
-    total = sum(r.rank for r in rows)
+    total = sum(r.rank_e8 for r in rows) / 1e8
     n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == n
-    assert abs(total - 1.0) < 1e-5
+    # integer 1e-8 units: per-doc rounding error <= 0.5e-8 each
+    assert abs(total - 1.0) < 1e-5 + n * 0.5e-8
     floor = (1.0 - 0.85) / n
     # ranked hubs (docs with edges) sit strictly above the teleport
     # floor; the fixture's planted near-dups guarantee some exist
-    assert rows[0].rank > floor * 1.5
+    assert rows[0].rank_e8 / 1e8 > floor * 1.5
     rows2 = pagerank_dedup_graph(spark, SF_DIR, k=10_000).collect()
     assert [tuple(r) for r in rows][:50] == [tuple(r) for r in rows2][:50]
 

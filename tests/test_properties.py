@@ -318,3 +318,53 @@ def test_prefix_filter_theorem_never_misses(data, universe, t_pct):
 
     assert prefix(a) & prefix(b), (
         f"prefix filter missed a qualifying pair: J={jac:.3f} >= t={t}")
+
+
+@given(
+    data=st.data(),
+    universe=st.integers(min_value=6, max_value=40),
+    t_pct=st.sampled_from([50, 60, 70, 80, 90]),
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_ppjoin_length_positional_filters_never_miss(data, universe, t_pct):
+    """Property behind dedup_jaccard_prefix's r7 candidate predicate —
+    the FULL PPJoin prune (prefix intersection AND length filter AND
+    positional filter), with the exact FP-epsilon formulas the operator
+    ships: for any qualifying pair under any global order, at least one
+    shared prefix token must SURVIVE all three conditions. Each filter
+    is individually sound, but the operator applies them conjointly on
+    the same matched row, so the property must too."""
+    import math
+
+    t = t_pct / 100.0
+    a = data.draw(st.sets(st.integers(0, universe - 1), min_size=1,
+                          max_size=universe))
+    b = data.draw(st.sets(st.integers(0, universe - 1), min_size=1,
+                          max_size=universe))
+    inter = len(a & b)
+    jac = inter / len(a | b)
+    if jac < t:
+        return
+    perm = data.draw(st.permutations(range(universe)))
+    order = {tok: r for r, tok in enumerate(perm)}
+    na, nb = len(a), len(b)
+
+    # length filter exactly as shipped (least >= t*greatest - 1e-9)
+    assert min(na, nb) >= t * max(na, nb) - 1e-9, (
+        f"length filter dropped a qualifying pair: J={jac:.3f} >= t={t}")
+
+    def ranked_prefix(s):
+        p = len(s) - math.ceil(t * len(s) - 1e-9) + 1
+        return {tok: rn + 1 for rn, tok in
+                enumerate(sorted(s, key=order.__getitem__)[:p])}
+
+    pa, pb = ranked_prefix(a), ranked_prefix(b)
+    overlap_min = math.ceil(t / (1.0 + t) * (na + nb) - 1e-9)
+    survivors = [
+        tok for tok in (pa.keys() & pb.keys())
+        if 1 + min(na - pa[tok], nb - pb[tok]) >= overlap_min
+    ]
+    assert survivors, (
+        f"positional filter dropped every prefix match of a qualifying "
+        f"pair: J={jac:.3f} >= t={t}, |A|={na}, |B|={nb}")

@@ -144,8 +144,20 @@ def main() -> None:
     ap.add_argument("scratch", nargs="?", default=None)
     ap.add_argument("--phase", choices=["spark", "duck", "both"], default="both")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--docs-dup-pct", type=int, default=None,
+                    help="realistic-dup documents build: only this pct of "
+                    "each extra copy keeps its text verbatim; the rest are "
+                    "marker-rewritten into genuinely distinct docs (see "
+                    "scale_smoke.build_scaled). Default: legacy verbatim "
+                    "copies (dup-saturated, pair output = K^2).")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset to run instead of "
+                    "the full ladder HEADLINE")
     ns = ap.parse_args()
     phase, keep, k = ns.phase, ns.keep, ns.k
+    global HEADLINE
+    if ns.only:
+        HEADLINE = [q.strip() for q in ns.only.split(",") if q.strip()]
     scratch = ns.scratch or tempfile.mkdtemp(prefix="scale_bench_")
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -161,7 +173,8 @@ def main() -> None:
             spark = get_spark("scale-bench", shuffle_partitions=32)
             spark.sparkContext.setLogLevel("ERROR")
             if not have_all:
-                build_scaled(spark, src, scratch, k)
+                build_scaled(spark, src, scratch, k,
+                             docs_dup_pct=ns.docs_dup_pct)
         heap = {}
         shuffle: dict[str, dict] = {}
         if phase in ("spark", "both"):

@@ -50,7 +50,24 @@ ID_COLS = {
 }
 
 
-def build_scaled(spark, src: str, dst: str, k: int) -> None:
+def build_scaled(spark, src: str, dst: str, k: int,
+                 docs_dup_pct: int | None = None) -> None:
+    """Union of k id-shifted copies of every table.
+
+    ``docs_dup_pct`` (0..100, default None = legacy behaviour) controls
+    the DOCUMENTS table's duplicate saturation. The legacy K× build
+    copies text verbatim, so every document has K-1 identical twins and
+    any exact pair join's OUTPUT is K² by construction — that measures
+    output writing, not candidate efficiency. With docs_dup_pct=P, only
+    a deterministic P% of each extra copy keeps its text verbatim
+    (remaining a near-dup of the original); the rest are rewritten by
+    splicing a copy-specific marker token between every pair of words,
+    which makes every token 3-shingle contain the marker — the
+    rewritten copy shares ZERO shingles with the original or with any
+    other copy, i.e. it is a genuinely distinct document at any Jaccard
+    threshold, while within-copy dup structure mirrors the source
+    corpus. n_chars is recomputed so the metadata stays consistent.
+    """
     from pyspark.sql import functions as F
 
     from hadoop_mapreduce_spark.sources.tables import TABLE_NAMES, load_table
@@ -62,9 +79,20 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
             # shift the primary id per copy so dedup/self-join ops see
             # distinct entities, not k-way duplicates of every row
             shift = 10_000_000
-            parts = [df] + [
-                df.withColumn(idc, F.col(idc) + i * shift) for i in range(1, k)
-            ]
+            parts = [df]
+            for i in range(1, k):
+                p = df.withColumn(idc, F.col(idc) + i * shift)
+                if name == "documents" and docs_dup_pct is not None:
+                    keep = (
+                        F.pmod(F.col("doc_id") * 2654435761 + i, 100)
+                        < docs_dup_pct)
+                    rewritten = F.regexp_replace(
+                        "text", " ", f" zqc{i} ")
+                    p = p.withColumn(
+                        "text",
+                        F.when(keep, F.col("text")).otherwise(rewritten),
+                    ).withColumn("n_chars", F.length("text"))
+                parts.append(p)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
