@@ -1636,8 +1636,23 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     verify) volume — the K×-synthetic ladder row was output-quadratic
     by construction and says nothing about candidate efficiency.
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, "doc_id", "text", 3, distinct=True)
+    # Shingles carried as xxhash64 LONGS end to end (r7): the global
+    # prefix order becomes (corpus frequency ASC, hash ASC) — any total
+    # order satisfies the theorem — and every downstream join/sort keys
+    # on 8-byte longs instead of strings. Hash collisions merge two
+    # shingles w.h.p. never (~1e-16 per doc pair — the same contract the
+    # LSH verify already relies on); set sizes, intersections and the
+    # final Jaccard are unchanged. One persisted occurrence pass feeds
+    # the prefix stage AND the verify (exact_jaccard_for_pairs — the
+    # array-intersect verify shared with the LSH pipeline, which touches
+    # candidate pairs' shingle SETS once instead of re-shuffling an
+    # exploded candidate x postings join; 4x-realistic ladder: 106 -> see
+    # BASELINE.md).
+    hs = scoped_persist(hashed_shingle_rows(docs))
+    sh = scoped_persist(hs.select("id", F.col("h0").alias("s")).distinct())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
 
@@ -1671,24 +1686,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    pa = sh.select(F.col("id").alias("id1"), "s")
-    pb = sh.select(F.col("id").alias("id2b"), F.col("s").alias("s2"))
-    inter = (
-        cand.join(pa, "id1")
-        .join(pb, (F.col("id2") == F.col("id2b")) & (F.col("s") == F.col("s2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
-    jac = (
-        inter.join(s1, "id1").join(s2, "id2")
-        .select("id1", "id2",
-                (F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
-                .alias("jaccard"))
-    )
+    cand = scoped_persist(cand)
+    cand.count()  # the verify references the pair set three times
+    verified = exact_jaccard_for_pairs(docs, cand, hashed_shingles=hs)
     return (
-        jac.where(F.col("jaccard") >= threshold)
+        verified.where(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id1", "id2")
     )
