@@ -206,18 +206,26 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str, depth: int = 4,
     overcounts on collision, never undercounts).  The top-k candidates
     come from the distinct-term side joined against the sketch.
 
-    Registered rows-only: estimates are sketch-parameter-dependent (the
-    invariant estimate >= true count is asserted in tests instead).
+    Hash-paired since r7: the row-d cell index is md5-derived
+    (conv(md5("d:term")[0:15]) % width — the repo's engine-portable
+    bucket convention), so the DuckDB oracle rebuilds the IDENTICAL
+    sketch and the estimates — integer counts — hash-match exactly.
+    (The previous xxhash64 cells were JVM-only, which is what kept this
+    rows-only; md5 costs ~2x per occurrence but the sketch aggregation,
+    not the hash, dominates the pass.)
     """
     docs = load_table(spark, sf_dir, "documents")
+
+    def cell(d):
+        return (F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.lit(str(d)), F.col("term"))), 1, 15), 16, 10)
+            .cast("long") % width)
+
     toks = docs.select(F.explode(_tokens("text")).alias("term"))
     cells = toks.select(
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(F.xxhash64(F.lit(d), F.col("term")), F.lit(width)).alias("c"),
-                )
+                F.struct(F.lit(d).alias("d"), cell(d).alias("c"))
                 for d in range(depth)
             ])
         ).alias("cell")
@@ -229,10 +237,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str, depth: int = 4,
         "term",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(F.xxhash64(F.lit(d), F.col("term")), F.lit(width)).alias("c"),
-                )
+                F.struct(F.lit(d).alias("d"), cell(d).alias("c"))
                 for d in range(depth)
             ])
         ).alias("p"),

@@ -271,7 +271,7 @@ QUERIES: dict[str, QueryFn] = {
     "language_id": textstats.language_id,
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,
-    "heavy_hitters_cms": textstats.heavy_hitters_cms,  # rows-only (sketch estimate)
+    "heavy_hitters_cms": textstats.heavy_hitters_cms,  # hash-paired r7 (md5 cells -> identical sketch)
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3118,3 +3118,29 @@ _WINDOW_R7 = [
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
     k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R7)}
+
+# r7: heavy_hitters_cms converts from rows-only to hash-paired — the
+# sketch's cell hash switched from JVM-only xxhash64 to the repo's
+# md5-bucket convention, so DuckDB rebuilds the bit-identical
+# depth x width counter table and the min-over-rows estimates are exact
+# integers on both engines.
+ORACLE["heavy_hitters_cms"] = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sketch AS (
+  SELECT d, ('0x' || substr(md5(d::VARCHAR || ':' || term), 1, 15))::UBIGINT::BIGINT % 256 AS c,
+         count(*) AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+terms AS (SELECT DISTINCT term FROM toks),
+est AS (
+  SELECT t.term, min(s.cnt)::BIGINT AS est
+  FROM terms t CROSS JOIN ds
+  JOIN sketch s ON s.d = ds.d
+   AND s.c = ('0x' || substr(md5(ds.d::VARCHAR || ':' || t.term), 1, 15))::UBIGINT::BIGINT % 256
+  GROUP BY t.term
+)
+SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20
+"""
