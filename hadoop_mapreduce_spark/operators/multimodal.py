@@ -576,3 +576,143 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str,
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Video modality: real ISO-BMFF (MP4) writer + box-walk parser
+# --------------------------------------------------------------------------
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def make_mp4(timescale: int, duration: int, n_tracks: int,
+             width: int, height: int) -> bytes:
+    """A genuinely valid minimal ISO-BMFF file: ftyp + moov(mvhd +
+    n_tracks x trak(tkhd + mdia(mdhd))) + an empty mdat. Box sizes,
+    version-0 field layouts and the 16.16 fixed-point tkhd dimensions
+    are real — an MP4 demuxer would accept the structure (there are no
+    samples, like the WAV writer's silence)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(b"mvhd", struct.pack(
+        ">I II I I", 0, 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000)       # rate 1.0
+        + struct.pack(">h", 0x0100)           # volume 1.0
+        + bytes(10)                            # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)              # unity matrix
+        + bytes(24)                            # pre_defined
+        + struct.pack(">I", n_tracks + 1))     # next_track_ID
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = _box(b"tkhd", struct.pack(
+            ">I II I 4x I 8x hhh 2x", 0x00000007, 0, 0, t + 1, duration,
+            0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", width << 16, height << 16))
+        mdhd = _box(b"mdhd", struct.pack(
+            ">I II I I", 0, 0, 0, timescale, duration)
+            + struct.pack(">Hxx", 0x55C4))     # language 'und'
+        traks += _box(b"trak", tkhd + _box(b"mdia", mdhd))
+    return ftyp + _box(b"moov", mvhd + traks) + _box(b"mdat", b"")
+
+
+def _walk_boxes(blob: bytes, pos: int, end: int):
+    """Yield (tag, payload_start, payload_end) for the box list in
+    blob[pos:end]; stops cleanly on truncation (size 0/short)."""
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", blob, pos)[0]
+        tag = blob[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            return
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def parse_mp4_meta(blob: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL MP4 metadata decode: nested box walk (ftyp check, moov →
+    mvhd for timescale/duration, trak count, first tkhd for the 16.16
+    fixed-point dimensions). Returns (timescale, duration, n_tracks,
+    width, height) or None for non-MP4 payloads."""
+    boxes = list(_walk_boxes(blob, 0, len(blob)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    for tag, s, e in boxes:
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(blob, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                _, _, _, timescale, duration = struct.unpack_from(
+                    ">IIIII", blob, s2)
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, s3, e3 in _walk_boxes(blob, s2, e2):
+                    if t3 == b"tkhd" and width is None and e3 - s3 >= 84:
+                        w_fixed, h_fixed = struct.unpack_from(
+                            ">II", blob, e3 - 8)
+                        width, height = w_fixed >> 16, h_fixed >> 16
+    if timescale is None or not n_tracks or width is None:
+        return None
+    return timescale, duration, n_tracks, width, height
+
+
+def with_video_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob) with a valid MP4 per document: timescale cycles
+    600/1000/90000 by doc_id % 3, duration (in timescale units) =
+    utf-8 byte length * 5, track count = 1 + doc_id % 2, dimensions
+    16*(1 + doc_id % 5) x 16*(1 + doc_id % 4) — all derivable by the
+    SQL oracle without parsing bytes. Same Arrow-batched mapInPandas
+    shape as the image/audio payload generators."""
+    scales = (600, 1000, 90000)
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                make_mp4(scales[doc_id % 3],
+                         len(text.encode("utf-8")) * 5,
+                         1 + doc_id % 2,
+                         16 * (1 + doc_id % 5),
+                         16 * (1 + doc_id % 4))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        generate, "doc_id long, blob binary")
+
+
+def video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: real MP4 blobs → REAL ISO-BMFF box-walk decode →
+    per-document video metadata. The video twin of audio_meta: the
+    oracle computes expected values from the deterministic payload
+    recipe, so any parser bug (box size math, nesting, fixed-point
+    dimension decode, big-endian offsets) breaks the hash.
+    duration_ms is integer-exact ((duration * 1000) DIV timescale) so
+    no float rounding site exists. Plan shape: mapInPandas generate →
+    mapInPandas decode → projection → orderBy; Arrow-batched."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = with_video_payload(docs)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("timescale", "duration", "n_tracks", "width", "height")}
+            for b in pdf["blob"]:
+                parsed = parse_mp4_meta(bytes(b)) or (0, 0, 0, 0, 0)
+                for k, v in zip(cols, parsed):
+                    cols[k].append(v)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+    decoded = blobs.mapInPandas(
+        decode,
+        "doc_id long, timescale long, duration long, n_tracks long, "
+        "width long, height long",
+    )
+    return decoded.select(
+        "doc_id", "timescale", "duration", "n_tracks", "width", "height",
+        F.expr("duration * 1000 DIV timescale").alias("duration_ms"),
+    ).orderBy("doc_id")

@@ -829,15 +829,28 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str,
         return pd.DataFrame({
             "qid": pdf["qid"].iloc[0], "nid": ids[selected],
             "relevance": rel[selected],
-            "mmr": np.round(mmr_score, 6),
+            "mmr": mmr_score,
             "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
         })
 
+    # Scores emitted as integer MICRO-units (round(x*1e6) as BIGINT),
+    # never round(double, 6): rank-1 rows have mmr = lam*rel EXACTLY,
+    # and 0.7 x (6-dp rel with odd last digit) lands ON a 6-dp decimal
+    # half-boundary SYSTEMATICALLY — Spark's exact-decimal HALF_UP and
+    # DuckDB's multiply-based round() disagree on which side the binary
+    # double sits (found by the sf0.001 parity gate, r7). Multiplying
+    # by 1e6 FIRST makes both engines round the same IEEE product, so
+    # the integer is bit-identical — the avg_value_micros convention.
     return (
         pool_vecs.groupBy("qid")
         .applyInPandas(greedy, "qid long, nid long, relevance double, "
                                "mmr double, rank long")
-        .withColumn("relevance", F.round("relevance", 6))
+        .select(
+            "qid", "nid",
+            F.expr("CAST(round(relevance * 1e6) AS BIGINT)")
+            .alias("relevance_e6"),
+            F.expr("CAST(round(mmr * 1e6) AS BIGINT)").alias("mmr_e6"),
+            "rank")
         .orderBy("qid", "rank")
     )
 

@@ -601,8 +601,11 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str,
     # output partitioning, so every downstream consumer would re-exchange
     # on bg; once finalized, the corpus-count aggregation AND the
     # join-back both reuse the repartition(bg) partitioning with zero new
-    # exchanges (verified in the physical plan).
-    per_doc.count()
+    # exchanges (verified in the physical plan). The count doubles as
+    # the broadcastability bound below: the bigram VOCABULARY is <= the
+    # (doc, bigram) row count, so a small count proves the log-prob
+    # relation broadcastable.
+    n_cells = per_doc.count()
 
     bc = per_doc.groupBy("bg").agg(F.sum("cdt").alias("cab")).select(
         "bg", "cab",
@@ -625,6 +628,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str,
             F.lit(lam) * F.col("cab") / F.col("cctx")
             + F.lit(1.0 - lam) * F.col("cw") / F.col("n_uni")).alias("lp"))
     )
+    # Small-vocabulary fast path: when the materialized cell count
+    # bounds the bigram vocabulary under ~5M rows, broadcast the whole
+    # log-prob relation so the join-back is map-side — the shuffle-join
+    # plan (both sides hash(bg)) remains the 100 TB path, where the
+    # bigram vocabulary outgrows any broadcast.
+    if n_cells <= 5_000_000:
+        lp = F.broadcast(lp)
     scored = (
         per_doc.join(lp, "bg")
         .groupBy("doc_id")

@@ -272,6 +272,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": textstats.doc_fingerprint,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "heavy_hitters_cms": textstats.heavy_hitters_cms,  # hash-paired r7 (md5 cells -> identical sketch)
+    # r7: the video-modality twin of audio_meta (ISO-BMFF box walk)
+    "video_meta": multimodal.video_meta,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3076,7 +3078,8 @@ sel(qid, step, nid, rel, mmr, picked) AS (
     WHERE s.step < 10
   ) WHERE rn = 1
 )
-SELECT qid, nid, round(rel, 6) AS relevance, round(mmr, 6) AS mmr, step::BIGINT AS rank
+SELECT qid, nid, round(rel * 1e6)::BIGINT AS relevance_e6,
+  round(mmr * 1e6)::BIGINT AS mmr_e6, step::BIGINT AS rank
 FROM sel ORDER BY qid, rank
 """
 
@@ -3113,7 +3116,7 @@ _WINDOW_R7 = [
     "memorization_novelty", "mixture_temperature_weights",
     "quantile_normalize_quality", "padding_waste_audit",
     "inbatch_collision_audit", "sql_udf_revenue", "context_window_stats",
-    "source_overlap_matrix",
+    "video_meta",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -3143,4 +3146,22 @@ est AS (
   GROUP BY t.term
 )
 SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20
+"""
+
+# r7: video_meta — the oracle replays the deterministic MP4 payload
+# recipe (same convention as audio_meta's RIFF recipe-replay).
+ORACLE["video_meta"] = """
+WITH b AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END)::BIGINT
+      AS timescale,
+    (octet_length(encode(text)) * 5)::BIGINT AS duration,
+    (1 + doc_id % 2)::BIGINT AS n_tracks,
+    (16 * (1 + doc_id % 5))::BIGINT AS width,
+    (16 * (1 + doc_id % 4))::BIGINT AS height
+  FROM documents
+)
+SELECT doc_id, timescale, duration, n_tracks, width, height,
+  duration * 1000 // timescale AS duration_ms
+FROM b ORDER BY doc_id
 """

@@ -271,3 +271,44 @@ def test_dhash_rejects_unbandable_threshold(spark):
 
     with _pytest.raises(ValueError):
         image_dhash_neardup(spark, "/root/testdata/sf0.001", max_hamming=4)
+
+
+def test_mp4_roundtrip_and_box_walk():
+    """parse_mp4_meta must really walk boxes: roundtrip through
+    make_mp4, survive an unknown box injected before moov (wild files
+    carry free/skip boxes), detect multi-track counts, decode the
+    16.16 fixed-point tkhd dimensions, and reject non-MP4 / truncated
+    payloads instead of raising."""
+    import struct
+
+    from hadoop_mapreduce_spark.operators.multimodal import (
+        make_mp4,
+        parse_mp4_meta,
+    )
+
+    assert parse_mp4_meta(make_mp4(600, 12345, 1, 64, 48)) == \
+        (600, 12345, 1, 64, 48)
+    assert parse_mp4_meta(make_mp4(90000, 7, 2, 16, 80)) == \
+        (90000, 7, 2, 16, 80)
+    # unknown 'free' box between ftyp and moov: the walker skips it
+    base = make_mp4(1000, 42, 1, 32, 32)
+    ftyp_size = struct.unpack_from(">I", base, 0)[0]
+    free = struct.pack(">I", 8 + 3) + b"free" + b"xyz"
+    wild = base[:ftyp_size] + free + base[ftyp_size:]
+    assert parse_mp4_meta(wild) == (1000, 42, 1, 32, 32)
+    # non-MP4, empty, and truncated-mid-box payloads return None
+    assert parse_mp4_meta(b"RIFF....WAVE") is None
+    assert parse_mp4_meta(b"") is None
+    assert parse_mp4_meta(base[: ftyp_size + 10]) is None
+
+
+def test_video_meta_counts(spark):
+    from hadoop_mapreduce_spark.operators.multimodal import video_meta
+
+    rows = video_meta(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r.timescale in (600, 1000, 90000)
+        assert r.n_tracks in (1, 2)
+        assert r.width % 16 == 0 and r.height % 16 == 0
+        assert r.duration_ms == r.duration * 1000 // r.timescale

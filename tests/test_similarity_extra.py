@@ -297,10 +297,15 @@ def test_mmr_matches_numpy_reference_and_diversifies(spark):
             pick = min(ties, key=lambda i: cand[i])
             sel.append(pick)
             avail[pick] = False
-            # np.round, not builtin round: the operator's kernel rounds
-            # with numpy and the two differ on binary half cases
-            want.append((cand[pick], float(np.round(obj[pick], 6))))
-        assert [(r.nid, r.mmr) for r in rows] == want
+            # mirror the operator's integer micro-unit emission: the
+            # raw objective times 1e6, rounded half-away-from-zero on
+            # the IEEE product (Spark's round(double) semantics)
+            import math
+            y = obj[pick] * 1e6
+            e6 = int(math.floor(y + 0.5)) if y >= 0 else -int(
+                math.floor(-y + 0.5))
+            want.append((cand[pick], e6))
+        assert [(r.nid, r.mmr_e6) for r in rows] == want
         assert rows[0].nid == cand[0]  # rank 1 = pure relevance argmax
 
 
