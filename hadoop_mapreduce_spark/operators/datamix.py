@@ -980,3 +980,84 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str,
                 .alias("overlap_frac"))
         .orderBy("src_a", "src_b")
     )
+
+
+def gopher_dup_ngrams(spark: SparkSession, sf_dir: str, n: int = 5,
+                      flag_frac: float = 0.20) -> DataFrame:
+    """The other half of the Gopher repetition gate (Rae et al. 2021,
+    Table A1): the fraction of a document covered by n-grams that occur
+    MORE THAN ONCE within that document. quality_repetition implements
+    the top-token / distinct-token rules; this implements the
+    dup-n-gram family (the published screens use n = 5..10 on character
+    coverage — here coverage is counted in TOKENS, the deterministic
+    unit the rest of this repo's token pipeline shares, and the
+    fraction is emitted in exact integer micro-units so no float
+    rounding site exists).
+
+    Relational shape (no UDFs):
+      1. one tokenisation pass → n-gram rows with their token POSITION;
+      2. duplicated grams via a count window over (doc, gram) — the
+         exchange is keyed on the gram occurrence, partial-agg'd;
+      3. coverage = DISTINCT covered token indices: each duplicated
+         occurrence explodes to its n indices and a (doc, idx) distinct
+         count measures the interval union exactly (overlaps counted
+         once) — bounded by n x token-stream rows, the same order as
+         the gram exchange itself (dedup_repeated_spans holds the
+         gaps-and-islands alternative for when spans are long);
+      4. per-source rollup: docs, flagged docs (coverage > 20%), and
+         the summed micro-unit fractions (exact integers — consumers
+         divide by n_docs, so no cross-engine avg rounding).
+
+    At 100 TB: two keyed exchanges over the gram stream plus a
+    doc-keyed fold — the same scale envelope as quality_repetition.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("__t"),
+    ).where(F.size("__t") >= n)
+    nt = toks.select("doc_id", "source", F.size("__t").alias("n_tokens"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_from_tokens(F.col("__t"), n)).alias("pos", "g"),
+    )
+    w = Window.partitionBy("doc_id", "g")
+    dup_pos = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    covered = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+            .alias("idx"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("idx").alias("cov"))
+    )
+    # truncating INTEGER division on both engines (Spark DIV / DuckDB //)
+    # — a double divide + cast would round differently per engine
+    per_doc = (
+        nt.join(covered, "doc_id", "left")
+        .select(
+            "source",
+            F.expr("CAST(coalesce(cov, 0) * 1000000 AS BIGINT) DIV n_tokens")
+            .alias("frac_e6"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("frac_e6") > int(flag_frac * 1_000_000))
+                  .cast("long")).alias("n_flagged"),
+            F.sum("frac_e6").alias("sum_dup_frac_e6"),
+        )
+        .orderBy("source")
+    )

@@ -274,6 +274,8 @@ QUERIES: dict[str, QueryFn] = {
     "heavy_hitters_cms": textstats.heavy_hitters_cms,  # hash-paired r7 (md5 cells -> identical sketch)
     # r7: the video-modality twin of audio_meta (ISO-BMFF box walk)
     "video_meta": multimodal.video_meta,
+    # r7: the dup-n-gram half of the Gopher repetition gate
+    "gopher_dup_ngrams": datamix.gopher_dup_ngrams,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3115,8 +3117,8 @@ _WINDOW_R7 = [
     "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "mixture_temperature_weights",
     "quantile_normalize_quality", "padding_waste_audit",
-    "inbatch_collision_audit", "sql_udf_revenue", "context_window_stats",
-    "video_meta",
+    "inbatch_collision_audit", "sql_udf_revenue", "video_meta",
+    "gopher_dup_ngrams",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -3164,4 +3166,36 @@ WITH b AS (
 SELECT doc_id, timescale, duration, n_tracks, width, height,
   duration * 1000 // timescale AS duration_ms
 FROM b ORDER BY doc_id
+"""
+
+# r7: gopher_dup_ngrams — the within-doc duplicated-5-gram coverage
+# fraction (token-unit, integer micro-units, truncating int division).
+ORACLE["gopher_dup_ngrams"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+),
+tt AS (SELECT doc_id, source, t FROM toks WHERE len(t) >= 5),
+nt AS (SELECT doc_id, source, len(t)::BIGINT AS n_tokens FROM tt),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS g
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t)-4)) AS i) x
+),
+dup_pos AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, g) AS cnt
+    FROM grams) WHERE cnt >= 2
+),
+covered AS (
+  SELECT doc_id, count(DISTINCT idx) AS cov
+  FROM dup_pos, LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS idx) x
+  GROUP BY doc_id
+),
+per_doc AS (
+  SELECT source, (coalesce(cov, 0) * 1000000) // n_tokens AS frac_e6
+  FROM nt LEFT JOIN covered USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum((frac_e6 > 200000)::BIGINT)::BIGINT AS n_flagged,
+  sum(frac_e6)::BIGINT AS sum_dup_frac_e6
+FROM per_doc GROUP BY source ORDER BY source
 """
