@@ -858,3 +858,81 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("bpe_tokens") / F.col("ws_tokens")).alias("fertility"))
         .orderBy("lang")
     )
+
+
+def kneser_ney_quality(spark: SparkSession, sf_dir: str,
+                       discount: float = 0.75, k: int = 50) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality filter — the standard
+    smoothing for n-gram LMs (Kneser & Ney 1995; Chen & Goodman 1999)
+    and the published rung above bigram_lm_quality's simple
+    interpolation: scores each document by the mean log-probability of
+    its transitions under
+
+        p_KN(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                      + D * N1+(w1 .)/c(w1 .) * p_cont(w2)
+        p_cont(w2)  = N1+(. w2) / N1+(. .)
+
+    with fixed discount D = 0.75. Every observed bigram has c >= 1 > D,
+    so the discounted term is positive and no backoff zero-guard is
+    needed. All inputs are exact integer counts; the score is emitted
+    in integer MICRO-units (round(score * 1e6) as BIGINT — both engines
+    round the same IEEE product; see mmr_diversified_topk for the
+    half-boundary hazard this convention removes).
+
+    Plan: the same single-exchange chain as bigram_lm_quality — the
+    (doc, bigram) base hash-partitioned on the bigram key alone and
+    materialized, the corpus bigram table derived on that partitioning
+    with no new exchange, and the three KN statistics (continuation
+    counts per w2, context totals + distinct-successor counts per w1,
+    the global distinct-bigram total) all vocabulary-bounded broadcast
+    relations. The per-bigram log-prob joins back on bg inside the one
+    exchange; one doc-keyed fold; TakeOrdered top-k.
+    """
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select("doc_id", _tokens("text").alias("t"))
+        .where(F.size("t") >= 2))
+    per_doc = scoped_persist(
+        toks.select("doc_id",
+                    F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("bg"))
+        .repartition(F.col("bg"))
+        .groupBy("bg", "doc_id").agg(F.count(F.lit(1)).alias("cdt")))
+    n_cells = per_doc.count()
+
+    bc = per_doc.groupBy("bg").agg(F.sum("cdt").alias("cab")).select(
+        "bg", "cab",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cab").alias("cctx"),
+        F.count(F.lit(1)).alias("n1p_fwd"))     # N1+(w1 .)
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_bwd"))     # N1+(. w2)
+    totals = bc.agg(F.count(F.lit(1)).alias("n1p_all"))  # N1+(. .)
+
+    lp = (
+        bc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("bg", F.log(
+            (F.col("cab") - F.lit(discount)) / F.col("cctx")
+            + F.lit(discount) * F.col("n1p_fwd") / F.col("cctx")
+            * (F.col("n1p_bwd") / F.col("n1p_all"))).alias("lp"))
+    )
+    if n_cells <= 5_000_000:
+        lp = F.broadcast(lp)
+    scored = (
+        per_doc.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("cdt") * F.col("lp")) / F.sum("cdt")).alias("score"),
+             F.sum("cdt").alias("nb"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.col("nb").cast("long").alias("n_bigrams"),
+            F.expr("CAST(round(score * 1e6) AS BIGINT)").alias("kn_lp_e6"))
+        .orderBy(F.asc("kn_lp_e6"), F.asc("doc_id")).limit(k)
+    )

@@ -276,6 +276,8 @@ QUERIES: dict[str, QueryFn] = {
     "video_meta": multimodal.video_meta,
     # r7: the dup-n-gram half of the Gopher repetition gate
     "gopher_dup_ngrams": datamix.gopher_dup_ngrams,
+    # r7: Kneser-Ney smoothing — the standard rung above bigram_lm_quality
+    "kneser_ney_quality": textstats.kneser_ney_quality,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3117,8 +3119,8 @@ _WINDOW_R7 = [
     "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "mixture_temperature_weights",
     "quantile_normalize_quality", "padding_waste_audit",
-    "inbatch_collision_audit", "sql_udf_revenue", "video_meta",
-    "gopher_dup_ngrams",
+    "inbatch_collision_audit", "video_meta", "gopher_dup_ngrams",
+    "kneser_ney_quality",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -3198,4 +3200,39 @@ SELECT source, count(*)::BIGINT AS n_docs,
   sum((frac_e6 > 200000)::BIGINT)::BIGINT AS n_flagged,
   sum(frac_e6)::BIGINT AS sum_dup_frac_e6
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+# r7: kneser_ney_quality — interpolated KN bigram LM, discount 0.75.
+# The arithmetic mirrors the Spark expression operand-for-operand so
+# both engines build identical per-bigram doubles from identical
+# integer counts; the doc score is emitted in integer micro-units.
+ORACLE["kneser_ney_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+per_doc AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, count(*) AS cdt
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) x
+  GROUP BY doc_id, bg
+),
+bc AS (
+  SELECT bg, sum(cdt) AS cab,
+    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM per_doc GROUP BY bg
+),
+ctx AS (SELECT w1, sum(cab) AS cctx, count(*) AS n1p_fwd FROM bc GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1p_bwd FROM bc GROUP BY w2),
+totals AS (SELECT count(*) AS n1p_all FROM bc),
+lp AS (
+  SELECT bg, ln((cab - 0.75) / cctx
+                + 0.75 * n1p_fwd / cctx * (n1p_bwd * 1.0 / n1p_all)) AS lp
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, sum(cdt * lp) / sum(cdt) AS score, sum(cdt)::BIGINT AS nb
+  FROM per_doc JOIN lp USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, nb AS n_bigrams, round(score * 1e6)::BIGINT AS kn_lp_e6
+FROM scored ORDER BY kn_lp_e6, doc_id LIMIT 50
 """

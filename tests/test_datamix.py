@@ -303,3 +303,54 @@ def test_source_overlap_matrix_symmetric_bounds(spark):
         assert r.src_a < r.src_b
         assert 0 < r.overlap_frac <= 1
         assert r.shared_grams >= 1
+
+
+def test_gopher_dup_ngrams_planted_repetition(spark):
+    """A synthetic corpus with a fully-repetitive doc (one 5-gram looped),
+    a clean doc (all-distinct tokens), and a half-covered doc: coverage
+    fractions must hit 1.0, 0.0 and the exact planted fraction."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.datamix import gopher_dup_ngrams
+    import hadoop_mapreduce_spark.operators.datamix as dm
+
+    loop = " ".join(["a b c d e"] * 4)            # every 5-gram repeats
+    clean = " ".join(f"t{i}" for i in range(20))   # all distinct
+    # half doc: 10 repeated-looped tokens + 10 unique ones
+    half = " ".join(["p q r s t"] * 2) + " " + " ".join(
+        f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, loop, "s0"), (1, clean, "s1"), (2, half, "s2")],
+        "doc_id long, text string, source string")
+
+    orig = dm.load_table
+    dm.load_table = lambda sp, d, n: df
+    try:
+        rows = {r.source: r for r in
+                gopher_dup_ngrams(spark, "ignored").collect()}
+    finally:
+        dm.load_table = orig
+    assert rows["s0"].sum_dup_frac_e6 == 1_000_000   # fully covered
+    assert rows["s0"].n_flagged == 1
+    assert rows["s1"].sum_dup_frac_e6 == 0
+    assert rows["s1"].n_flagged == 0
+    # half doc: dup 5-grams are the loop's 6 positions covering tokens
+    # 0..9 -> 10 covered of 20 -> exactly 500000 micro-units
+    assert rows["s2"].sum_dup_frac_e6 == 500_000
+
+
+def test_kneser_ney_scores_are_valid_logprobs(spark):
+    """KN probabilities are in (0, 1] so every per-doc mean log-prob is
+    <= 0; the discounted+continuation mass never yields p > 1, and the
+    most-surprising ranking is deterministic (ties by doc_id)."""
+    from hadoop_mapreduce_spark.operators.textstats import kneser_ney_quality
+    from tests.conftest import SF_DIR
+
+    rows = kneser_ney_quality(spark, SF_DIR, k=50).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.kn_lp_e6 <= 0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+    keys = [(r.kn_lp_e6, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    rows2 = kneser_ney_quality(spark, SF_DIR, k=50).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
