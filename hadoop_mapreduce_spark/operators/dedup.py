@@ -1694,3 +1694,40 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id1", "id2")
     )
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str,
+                                 threshold: float = 0.8) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters have
+    exactly k members — the first diagnostic a curator reads off a
+    dedup run (a long tail of giant clusters means template/boilerplate
+    contamination; all-size-2 means organic near-dups), and the input
+    to dedup-rate capacity planning (docs removed by keep-one-per-
+    cluster = sum over k of (k-1) * clusters_k).
+
+    Scale shape: everything downstream of the CC assignment is two
+    vocabulary-of-sizes-bounded hash aggregations (comp -> size,
+    size -> count), partial-agg'd; the singleton count (docs in no
+    pair) arrives from the same assignment relation, so the histogram
+    costs one pass over the corpus-sized comp table. Edges and CC
+    reuse the banded-LSH + star-CC scale path (see
+    dedup_components_star; same exact-equality-w.h.p. contract, same
+    recursive-CTE oracle family).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold).select(
+        "id1", "id2")
+    comp = connected_components_star(docs, pairs, edges_canonical=True)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        sizes.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("k").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("k") - 1) * F.col("n_clusters")).cast("long")
+            .alias("docs_removed_if_keep_one"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -278,6 +278,8 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_dup_ngrams": datamix.gopher_dup_ngrams,
     # r7: Kneser-Ney smoothing — the standard rung above bigram_lm_quality
     "kneser_ney_quality": textstats.kneser_ney_quality,
+    # r7: cluster-size histogram over the near-dup CC assignment
+    "dedup_cluster_size_histogram": dedup.dedup_cluster_size_histogram,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3119,8 +3121,8 @@ _WINDOW_R7 = [
     "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "mixture_temperature_weights",
     "quantile_normalize_quality", "padding_waste_audit",
-    "inbatch_collision_audit", "video_meta", "gopher_dup_ngrams",
-    "kneser_ney_quality",
+    "video_meta", "gopher_dup_ngrams", "kneser_ney_quality",
+    "dedup_cluster_size_histogram",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -3235,4 +3237,29 @@ scored AS (
 )
 SELECT doc_id, nb AS n_bigrams, round(score * 1e6)::BIGINT AS kn_lp_e6
 FROM scored ORDER BY kn_lp_e6, doc_id LIMIT 50
+"""
+
+# r7: dedup_cluster_size_histogram — the same recursive-CTE component
+# oracle as dedup_components_star, rolled up to a size histogram.
+ORACLE["dedup_cluster_size_histogram"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  UNION
+  SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (
+  SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src
+),
+sizes AS (SELECT comp, count(*) AS k FROM comp GROUP BY comp)
+SELECT k::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters,
+  (k * count(*))::BIGINT AS n_docs,
+  ((k - 1) * count(*))::BIGINT AS docs_removed_if_keep_one
+FROM sizes GROUP BY k ORDER BY cluster_size
 """
