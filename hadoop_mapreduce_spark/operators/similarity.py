@@ -998,3 +998,45 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str,
                 .alias("explained_frac"))
         .orderBy("dim")
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus audit of the embedding column: mean, min,
+    max and zero counts for every coordinate — the pre-ANN sanity check
+    that catches dead dimensions (all-zero: wasted index width),
+    scale-skewed dimensions (one coordinate dominating every distance)
+    and clipped outliers before they poison a quantizer's codebook.
+
+    Cross-engine exactness without rounding tricks: the inputs are
+    float32, so each value carries a 24-bit mantissa; summing N <= ~2^28
+    of them in float64 keeps every partial sum EXACT (24 + log2(N) < 53
+    bits), which makes the double sum ORDER-INDEPENDENT — both engines
+    produce identical bits whatever their aggregation order, and the
+    mean is emitted in integer micro-units of that exact sum. min/max
+    comparisons are exact by nature. (A variance column would break
+    this — squares need 48 + log2(N) bits — so the spread signal here
+    is min/max, and embedding_pca_power holds the second-moment
+    analysis.)
+
+    Scale shape: posexplode -> one hash aggregation keyed by dimension
+    index — map-side partials reduce the N x d exploded rows to
+    d x tasks before the shuffle; output is d rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"))
+    return (
+        cells.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(round(sum(x) * 1e6 / count(1)) AS BIGINT)")
+            .alias("mean_e6"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "n", "mean_e6",
+                "min_x", "max_x", "n_zero")
+        .orderBy("dim")
+    )

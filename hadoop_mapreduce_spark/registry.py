@@ -280,6 +280,8 @@ QUERIES: dict[str, QueryFn] = {
     "kneser_ney_quality": textstats.kneser_ney_quality,
     # r7: cluster-size histogram over the near-dup CC assignment
     "dedup_cluster_size_histogram": dedup.dedup_cluster_size_histogram,
+    # r7: per-dimension embedding audit (dead/skewed dims before ANN)
+    "embedding_dim_stats": similarity.embedding_dim_stats,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3120,9 +3122,10 @@ _WINDOW_R7 = [
     "sample_weighted", "events_twap_daily", "events_winsorize_stats",
     "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "mixture_temperature_weights",
-    "quantile_normalize_quality", "padding_waste_audit",
-    "video_meta", "gopher_dup_ngrams", "kneser_ney_quality",
-    "dedup_cluster_size_histogram",
+    # r7-new operators, all hash-paired:
+    "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
+    "kneser_ney_quality", "dedup_cluster_size_histogram",
+    "embedding_dim_stats",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -3262,4 +3265,21 @@ SELECT k::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters,
   (k * count(*))::BIGINT AS n_docs,
   ((k - 1) * count(*))::BIGINT AS docs_removed_if_keep_one
 FROM sizes GROUP BY k ORDER BY cluster_size
+"""
+
+# r7: embedding_dim_stats — float32 inputs make the float64 sum exact
+# (24-bit mantissas, 24 + log2(N) < 53), so sum/mean are
+# order-independent and bit-identical across engines; the mean uses the
+# same multiply-first integer emission as the rest of the fleet.
+ORACLE["embedding_dim_stats"] = """
+WITH cells AS (
+  SELECT g.i - 1 AS dim, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) g
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+  round(sum(x) * 1e6 / count(*))::BIGINT AS mean_e6,
+  min(x) AS min_x, max(x) AS max_x,
+  sum((x = 0.0)::BIGINT)::BIGINT AS n_zero
+FROM cells GROUP BY dim ORDER BY dim
 """
