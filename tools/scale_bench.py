@@ -79,6 +79,16 @@ HEADLINE = _HEADLINE + [
     # exact Jaccard via prefix filtering: the ladder is where it must
     # separate from DuckDB's inverted-index O(postings^2) twin.
     "dedup_jaccard_prefix",
+    # round-7 additions: KN LM + dup-n-gram coverage (token-heavy,
+    # single-exchange chains), cluster-size rollup (CC consumer),
+    # portable count-min sketch, per-dimension embedding audit, and the
+    # video-modality box-walk (Arrow-batched mapInPandas pair).
+    "kneser_ney_quality",
+    "gopher_dup_ngrams",
+    "dedup_cluster_size_histogram",
+    "heavy_hitters_cms",
+    "embedding_dim_stats",
+    "video_meta",
 ]
 
 
