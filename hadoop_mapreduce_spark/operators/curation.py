@@ -127,7 +127,7 @@ def seq_packing(spark: SparkSession, sf_dir: str,
     windows, first-fit in deterministic doc_id order within each
     (source, hash-bucket) group.
 
-    The pack key is source x pmod(xxhash64(doc_id), n_buckets), NOT
+    The pack key is source x (md5 doc_id bucket mod n_buckets), NOT
     source alone: one hot source would otherwise become a single
     unbounded pandas group (the first-fit scan is inherently sequential
     per group, so a group must fit a worker). Bucketing bounds every
@@ -137,10 +137,17 @@ def seq_packing(spark: SparkSession, sf_dir: str,
     source without a renumbering shuffle. At 100 TB, raise n_buckets so
     source_size / n_buckets fits an Arrow group (~1e6 docs).
 
-    Registered rows-only (first-fit is procedural, not SQL-expressible);
-    tests/test_curation.py asserts the packing invariants instead:
-    every pack <= max_tokens, every doc assigned exactly once, and
-    deterministic output across runs.
+    Hash-paired since r7 (previously registered rows-only as
+    "procedural, not SQL-expressible"): first-fit IS expressible — a
+    recursive CTE steps every (source, bucket) group in lockstep, one
+    document per iteration in doc_id order, carrying the open bins'
+    remaining capacities as a list and picking the first index that
+    fits; iterations = the LARGEST group's size, so the bucketing that
+    bounds the Arrow groups also bounds the oracle's recursion depth.
+    The bucket hash switched from JVM-only xxhash64 to the repo's md5
+    convention to make the grouping engine-portable. Invariant tests
+    (every pack <= max_tokens, each doc assigned once, deterministic
+    output) remain in tests/test_curation.py.
     """
     import pandas as pd
 
@@ -148,7 +155,8 @@ def seq_packing(spark: SparkSession, sf_dir: str,
     sized = docs.select(
         "source",
         "doc_id",
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % n_buckets).cast("int").alias("bucket"),
         F.least(
             F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
             F.lit(max_tokens),

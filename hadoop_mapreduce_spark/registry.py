@@ -171,7 +171,7 @@ QUERIES: dict[str, QueryFn] = {
     "global_shuffle_order": datamix.global_shuffle_order,
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
     "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
-    "seq_packing": curation.seq_packing,  # rows-only (procedural first-fit)
+    "seq_packing": curation.seq_packing,  # hash-paired r7 (lockstep recursive first-fit twin)
     "dedup_components_star": dedup.dedup_components_star,
     "pipeline_pretrain": pipeline.pipeline_pretrain,
     "keyword_search": textstats.keyword_search,
@@ -3282,4 +3282,41 @@ SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
   min(x) AS min_x, max(x) AS max_x,
   sum((x = 0.0)::BIGINT)::BIGINT AS n_zero
 FROM cells GROUP BY dim ORDER BY dim
+"""
+
+# r7: seq_packing converts from rows-only to hash-paired — first-fit
+# runs as a lockstep recursive CTE (one doc per (source, bucket) group
+# per iteration, bins' remaining capacities carried as a list, first
+# fitting index via list_position; recursion depth = largest group).
+ORACLE["seq_packing"] = """
+WITH RECURSIVE
+sized AS (
+  SELECT source, doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 8)::INT
+      AS bucket,
+    least(len(string_split_regex(trim(text), '\\s+')), 512)::BIGINT AS t
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id)
+    AS rn
+  FROM sized
+),
+ff(source, bucket, rn, doc_id, t, pack_idx, bins) AS (
+  SELECT source, bucket, rn, doc_id, t, 0, [512 - t]::BIGINT[]
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.source, r.bucket, r.rn, r.doc_id, r.t,
+    CASE WHEN fit IS NULL THEN len(f.bins) ELSE fit - 1 END,
+    CASE WHEN fit IS NULL THEN list_append(f.bins, 512 - r.t)
+         ELSE f.bins[1:fit-1] || [f.bins[fit] - r.t] || f.bins[fit+1:] END
+  FROM ff f
+  JOIN ranked r
+    ON r.source = f.source AND r.bucket = f.bucket AND r.rn = f.rn + 1,
+  LATERAL (SELECT list_position(list_transform(f.bins, x -> x >= r.t), true)
+           AS fit) z
+)
+SELECT source, (pack_idx * 8 + bucket)::BIGINT AS pack_id,
+  count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS pack_tokens
+FROM ff GROUP BY source, pack_id ORDER BY source, pack_id
 """
