@@ -608,3 +608,66 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_type")
     )
+
+
+def asof_join_nearest(spark: SparkSession, sf_dir: str,
+                      tolerance_days: int = 7) -> DataFrame:
+    """As-of join, NEAREST variant with tolerance: for each event, the
+    closest order of that customer in EITHER direction, but only within
+    +/- tolerance_days — pandas' merge_asof(direction='nearest',
+    tolerance=...) semantics, the variant backtesting and feature
+    pipelines reach for when the fact can legitimately lag or lead its
+    dimension. Ties (equidistant before/after) resolve to the earlier
+    (backward) order, matching merge_asof.
+
+    Scalable formulation — same union-carry pattern as
+    asof_join_events_orders, ONE shuffle on the customer key: both
+    streams sort once per key, the backward candidate arrives from a
+    last(ignorenulls) over the preceding frame, the forward candidate
+    from a first(ignorenulls) over the following frame; both window
+    specs share the partitioning AND ordering, so Spark computes them
+    in one WindowExec over one exchange (verified in the plan). The
+    nearest-of-two pick and the tolerance gate are pure projections.
+    Distances compare in exact integer MICROSECONDS (unix_micros /
+    epoch_us — identical integers on both engines; no float time math).
+    """
+    tol_us = tolerance_days * 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts"), F.lit(1).alias("side"),
+        "event_id", F.lit(None).cast("timestamp").alias("odate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    base = Window.partitionBy("k").orderBy("ts", "side")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    picked = (
+        ev.unionByName(orders)
+        .withColumn("back", F.last("odate", ignorenulls=True).over(w_back))
+        .withColumn("fwd", F.first("odate", ignorenulls=True).over(w_fwd))
+        .where(F.col("side") == 1)
+    )
+    # events.ts reads as TIMESTAMP_NTZ from the fixture parquet;
+    # unix_micros needs TIMESTAMP — the session zone is pinned UTC, so
+    # the cast is value-preserving on both engines
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    d_back = um("ts") - um("back")
+    d_fwd = um("fwd") - um("ts")
+    vb = F.col("back").isNotNull() & (d_back <= tol_us)
+    vf = F.col("fwd").isNotNull() & (d_fwd <= tol_us)
+    use_back = vb & (~vf | (d_back <= d_fwd))
+    return (
+        picked.select(
+            "event_id", F.col("k").alias("user_id"),
+            F.when(use_back, F.col("back").cast("string"))
+            .when(vf, F.col("fwd").cast("string"))
+            .alias("nearest_order_date"),
+            F.when(use_back, F.lit("back")).when(vf, F.lit("fwd"))
+            .alias("direction"),
+            F.when(use_back, d_back).when(vf, d_fwd).alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -282,6 +282,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_size_histogram": dedup.dedup_cluster_size_histogram,
     # r7: per-dimension embedding audit (dead/skewed dims before ANN)
     "embedding_dim_stats": similarity.embedding_dim_stats,
+    # r7: nearest-direction as-of join with tolerance (merge_asof twin)
+    "asof_join_nearest": timeseries.asof_join_nearest,
     "multimodal_decode": multimodal.multimodal_decode,
     "frame_sample": multimodal.frame_sample,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -3121,7 +3123,7 @@ _WINDOW_R7 = [
     "jsd_lang_divergence", "events_anomaly_mad", "bigram_pmi_collocations",
     "sample_weighted", "events_twap_daily", "events_winsorize_stats",
     "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
-    "memorization_novelty", "mixture_temperature_weights",
+    "memorization_novelty", "asof_join_nearest",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
@@ -3319,4 +3321,25 @@ ff(source, bucket, rn, doc_id, t, pack_idx, bins) AS (
 SELECT source, (pack_idx * 8 + bucket)::BIGINT AS pack_id,
   count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS pack_tokens
 FROM ff GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+# r7: asof_join_nearest — pandas merge_asof(direction='nearest',
+# tolerance=7d) semantics; distances in exact integer microseconds,
+# equidistant ties to the backward order ('back' < 'fwd' sorts first).
+ORACLE["asof_join_nearest"] = """
+SELECT e.event_id, e.user_id,
+  o.o_orderdate::TIMESTAMP::VARCHAR AS nearest_order_date,
+  o.direction, o.dist_us
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderdate,
+    CASE WHEN epoch_us(o_orderdate::TIMESTAMP) <= epoch_us(e.ts)
+         THEN 'back' ELSE 'fwd' END AS direction,
+    abs(epoch_us(e.ts) - epoch_us(o_orderdate::TIMESTAMP))::BIGINT AS dist_us
+  FROM orders
+  WHERE o_custkey = e.user_id
+    AND abs(epoch_us(e.ts) - epoch_us(o_orderdate::TIMESTAMP))
+        <= 604800000000
+  ORDER BY dist_us, direction LIMIT 1
+) o ON true
+ORDER BY event_id
 """
