@@ -3308,9 +3308,10 @@ ff(source, bucket, rn, doc_id, t, pack_idx, bins) AS (
   SELECT source, bucket, rn, doc_id, t, 0, [512 - t]::BIGINT[]
   FROM ranked WHERE rn = 1
   UNION ALL
+  -- not-found: DuckDB's list_position returns 0 (some builds NULL)
   SELECT r.source, r.bucket, r.rn, r.doc_id, r.t,
-    CASE WHEN fit IS NULL THEN len(f.bins) ELSE fit - 1 END,
-    CASE WHEN fit IS NULL THEN list_append(f.bins, 512 - r.t)
+    CASE WHEN fit IS NULL OR fit = 0 THEN len(f.bins) ELSE fit - 1 END,
+    CASE WHEN fit IS NULL OR fit = 0 THEN list_append(f.bins, 512 - r.t)
          ELSE f.bins[1:fit-1] || [f.bins[fit] - r.t] || f.bins[fit+1:] END
   FROM ff f
   JOIN ranked r
