@@ -936,3 +936,217 @@ def kneser_ney_quality(spark: SparkSession, sf_dir: str,
             F.expr("CAST(round(score * 1e6) AS BIGINT)").alias("kn_lp_e6"))
         .orderBy(F.asc("kn_lp_e6"), F.asc("doc_id")).limit(k)
     )
+
+
+# HLL constants shared by hll_portable_union and its DuckDB oracle.
+# The estimator is evaluated from EXACT integers (register sums scaled
+# by 2^49) so the only floating-point steps are one division, one ln,
+# and the final half-up rounding — identical in any IEEE-754 engine.
+# ALPHA_SCALED = alpha_m * m^2 * 2^49 for m=4096, precomputed ONCE in
+# Python and embedded as the same literal on both engines so no engine
+# re-derives it with its own operation order.
+HLL_P = 12
+HLL_M = 1 << HLL_P                    # 4096 buckets
+HLL_POW49 = 1 << 49                   # 2^49 — the register scale
+HLL_ALPHA_SCALED = 6.810691763087074e+21  # 0.7213/(1+1.079/m) * m^2 * 2^49
+
+
+def hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog: distinct-token estimates per source
+    plus a '__all__' row whose sketch is the UNION (bucket-wise register
+    max) of the per-source sketches — the merge happens on the tiny
+    register table, never re-touching the token stream. This is the
+    hash-paired twin of ``hll_union_sources`` (which uses Spark's
+    DataSketches surface and is rows-only by nature): every step here is
+    md5-derived integer arithmetic, so the DuckDB oracle rebuilds the
+    bit-identical registers and the estimates match exactly.
+
+    Register construction: h = 60-bit md5 prefix; bucket = h mod 2^12;
+    rho = leading-zero count of the remaining 48 bits + 1 (via
+    length(bin(v)), identical in Spark and DuckDB); register = max rho.
+    Estimation avoids order-dependent float sums: sum(2^-r) is computed
+    as the EXACT BIGINT sum(2^(49-r)) (max 4096*2^49 = 2^61, no
+    overflow), and linear counting applies below 2.5m when empty
+    buckets exist — both branches are single float ops over exact ints.
+
+    100 TB shape: one token-keyed exchange produces (source, bucket,
+    max rho) — 4096 rows per source regardless of data size; the union
+    and both estimates are register-table re-aggregations. This is the
+    sketch-algebra contract (partials merge at bytes cost) with none of
+    the implementation lock-in of a serialized sketch format.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tk"))
+    hv = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
+    rb = tok.select("source", hv.alias("hv")).select(
+        "source",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"CASE WHEN hv div {HLL_M} = 0 THEN 49 "
+               f"ELSE 49 - length(bin(hv div {HLL_M})) END").alias("rho"),
+    )
+    regs = rb.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    uregs = (regs.groupBy("bucket").agg(F.max("r").alias("r"))
+             .select(F.lit("__all__").alias("source"), "bucket", "r"))
+    allregs = regs.unionByName(uregs)
+    est = allregs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))"))
+        .alias("s_part"),
+    )
+    s_scaled = (F.col("s_part")
+                + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(HLL_POW49))
+    raw = F.lit(HLL_ALPHA_SCALED) / s_scaled.cast("double")
+    v_empty = F.lit(HLL_M) - F.col("n_hit")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double"))
+    est_val = F.when((v_empty > 0) & (raw <= F.lit(2.5 * HLL_M)), lc).otherwise(raw)
+    return (
+        est.select(
+            "source",
+            F.col("n_hit").cast("long").alias("n_buckets_hit"),
+            F.floor(est_val + F.lit(0.5)).cast("long").alias("est_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# Winnowing packing constants (shared with the oracle): positions pack
+# into the low 24 bits (docs up to 16M chars — far above the corpus
+# bound, asserted in tests), the k-gram hash keeps its high 36 bits.
+WINNOW_POS = 1 << 24
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
+                          kgram: int = 8, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    whitespace-compacted normalised text, slide a w-window over the
+    hash sequence, and keep each window's minimum hash (rightmost on
+    ties). The selected set is the document's fingerprint: any shared
+    substring of length >= w+k-1 between two documents is GUARANTEED to
+    share a fingerprint — the local-sampling guarantee global-min
+    (``doc_fingerprint``) can't give.
+
+    The rightmost-min-tie-break is folded into ONE window min by key
+    packing: key = (h >> 24)*2^24 + (2^24-1-i) — minimising key
+    minimises the 36-bit hash and, among equal hashes, maximises
+    position i. Integer packing, not a struct min, because both engines
+    compare BIGINTs identically while struct comparison is not part of
+    the oracle's SQL surface.
+
+    Output per doc: n_kgrams, n_fp (distinct fingerprints), min
+    fingerprint hash, and bit_xor of the packed fingerprint set (an
+    order-independent digest, so hash parity covers the whole set).
+
+    100 TB shape: one explode + one per-doc window pass (partitioned by
+    doc_id — no global sort), then a distinct + re-aggregation on rows
+    already keyed by doc. Fingerprint density is ~2/(w+1) of positions,
+    the paper's bound, so downstream joins see ~1/4 of the k-gram
+    stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
+    c = docs.select("doc_id", compact.alias("compact"))
+    kg = c.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.length("compact") - F.lit(kgram - 1), F.lit(1)),
+        )).alias("i"),
+        F.col("compact"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring(
+            F.md5(F.substring("compact", F.col("i"), F.lit(kgram))), 1, 15),
+            16, 10).cast("long").alias("h"),
+    )
+    key = (F.expr(f"h div {WINNOW_POS}") * F.lit(WINNOW_POS)
+           + (F.lit(WINNOW_POS - 1) - F.col("i")))
+    w_frame = (Window.partitionBy("doc_id").orderBy("i")
+               .rowsBetween(Window.currentRow, window - 1))
+    w_doc = Window.partitionBy("doc_id")
+    sel = (
+        kg.select("doc_id", "i", key.alias("key"))
+        .select(
+            "doc_id", "i",
+            F.min("key").over(w_frame).alias("sel"),
+            F.count(F.lit(1)).over(w_doc).alias("n_kgrams"),
+        )
+        .where(F.col("i") <= F.greatest(
+            F.col("n_kgrams") - F.lit(window - 1), F.lit(1)))
+        .select("doc_id", "n_kgrams", "sel")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n_kgrams").cast("long").alias("n_kgrams"),
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.min(F.expr(f"sel div {WINNOW_POS}")).alias("fp_min_hash"),
+            F.expr("bit_xor(sel)").alias("fp_xor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per language,
+    rank documents by LM score and split into head / middle / tail
+    terciles — the standard coarse quality gate before expensive
+    filtering. The LM here is the repo's unigram corpus LM (the
+    ``unigram_logprob_quality`` score); a KN bigram LM
+    (``kneser_ney_quality``) plugs into the same ranking unchanged.
+
+    Determinism contract: the per-doc score is rounded to 8 dp, scaled
+    to an exact BIGINT (micro-micro units via floor(x*1e8 + 0.5) — the
+    score is non-negative), and the ntile(3) ranking orders by
+    (score_e8 DESC, doc_id) so ties are integer-resolved identically in
+    any engine; per-bucket averages divide one exact integer sum by
+    another. head = highest mean log-probability (most "in-domain").
+
+    100 TB shape: one (doc, token) exchange builds both the vocabulary
+    (broadcast back) and the per-doc score; the ntile is per-language
+    (bounded partitions), and the output is 3 rows per language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens("text")).alias("tk"))
+    per_tok = tok.groupBy("doc_id", "lang", "tk").agg(
+        F.count(F.lit(1)).alias("cdt"))
+    vocab = per_tok.groupBy("tk").agg(F.sum("cdt").alias("c"))
+    per_doc = (
+        per_tok.join(F.broadcast(vocab), "tk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("cdt") * F.log("c")) / F.sum("cdt"), 8)
+            .alias("ar"),
+            F.sum("cdt").alias("len"),
+        )
+        .select(
+            "doc_id", "lang", "len",
+            F.floor(F.col("ar") * F.lit(1e8) + F.lit(0.5))
+            .cast("long").alias("ar_e8"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ar_e8"), F.asc("doc_id"))
+    bucketed = per_doc.select(
+        "lang", "len", "ar_e8", F.ntile(3).over(w).alias("b"))
+    bucket_name = (F.when(F.col("b") == 1, "head")
+                   .when(F.col("b") == 2, "middle").otherwise("tail"))
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_tokens"),
+            F.round(F.sum("ar_e8") / (F.count(F.lit(1)) * F.lit(1e8)), 4)
+            .alias("avg_logprob"),
+        )
+        .select(
+            "lang", bucket_name.alias("bucket"), "n_docs", "total_tokens",
+            "avg_logprob",
+        )
+        # 'head' < 'middle' < 'tail' alphabetically == tercile order, so
+        # the output ordering is expressible on output columns alone
+        # (the oracle orders identically).
+        .orderBy("lang", "bucket")
+    )

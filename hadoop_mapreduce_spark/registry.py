@@ -186,6 +186,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq_rerank": similarity.ann_pq_rerank,  # rows-only (ADC shortlist)
     "ann_ivfpq_rerank": similarity.ann_ivfpq_rerank,  # rows-only (IVFADC)
     "hll_union_sources": textstats.hll_union_sources,  # rows-only (DataSketches HLL)
+    "hll_portable_union": textstats.hll_portable_union,  # hash-paired r7b (md5 registers)
+    "winnowing_fingerprint": textstats.winnowing_fingerprint,  # hash-paired r7b
+    "ccnet_perplexity_buckets": textstats.ccnet_perplexity_buckets,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3343,4 +3346,112 @@ FROM events e LEFT JOIN LATERAL (
   ORDER BY dist_us, direction LIMIT 1
 ) o ON true
 ORDER BY event_id
+"""
+
+# r7b: hll_portable_union — the hash-paired HLL twin. The oracle
+# rebuilds the identical md5-derived registers (bucket = h mod 2^12,
+# rho via length(bin(...))), sums 2^(49-r) as exact integers, and
+# applies the same single-division estimator with the SAME embedded
+# alpha*m^2*2^49 literal (never re-derived per engine). DuckDB's
+# sum(BIGINT) widens to HUGEINT; the cast to DOUBLE rounds the same
+# exact integer to the same nearest double as Spark's BIGINT cast.
+ORACLE["hll_portable_union"] = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+h AS (SELECT source,
+        ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM toks),
+rb AS (
+  SELECT source, hv % 4096 AS bucket,
+    CASE WHEN hv // 4096 = 0 THEN 49
+         ELSE 49 - length(bin(hv // 4096)) END AS rho
+  FROM h
+),
+regs AS (SELECT source, bucket, max(rho) AS r FROM rb GROUP BY 1, 2),
+uregs AS (SELECT '__all__' AS source, bucket, max(r) AS r
+          FROM regs GROUP BY 2),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs),
+est AS (
+  SELECT source, count(*) AS n_hit,
+    sum(1::BIGINT << (49 - r)) AS s_part
+  FROM allregs GROUP BY source
+),
+fin AS (
+  SELECT source, n_hit,
+    (s_part + (4096 - n_hit) * 562949953421312)::DOUBLE AS s_scaled,
+    (4096 - n_hit) AS v_empty
+  FROM est
+)
+SELECT source, n_hit::BIGINT AS n_buckets_hit,
+  floor(CASE WHEN v_empty > 0
+              AND 6.810691763087074e+21 / s_scaled <= 10240.0
+        THEN 4096.0 * ln(4096.0 / v_empty)
+        ELSE 6.810691763087074e+21 / s_scaled END + 0.5)::BIGINT
+    AS est_distinct
+FROM fin ORDER BY source
+"""
+
+# r7b: winnowing_fingerprint — Schleimer et al. winnowing with the
+# rightmost-min tie-break packed into one BIGINT key
+# ((h>>24)*2^24 + (2^24-1-i)); the oracle replays the identical window
+# min over the identical md5 k-gram hashes.
+ORACLE["winnowing_fingerprint"] = r"""
+WITH c AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g') AS compact
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5(substr(compact, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(length(compact) - 7, 1))) AS i) g
+),
+keyed AS (
+  SELECT doc_id, i,
+    (h // 16777216) * 16777216 + (16777215 - i) AS key
+  FROM kg
+),
+win AS (
+  SELECT doc_id, i,
+    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+    count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+  FROM keyed
+),
+fps AS (
+  SELECT DISTINCT doc_id, n_kgrams, sel
+  FROM win WHERE i <= greatest(n_kgrams - 7, 1)
+)
+SELECT doc_id, max(n_kgrams)::BIGINT AS n_kgrams,
+  count(*)::BIGINT AS n_fp,
+  min(sel // 16777216)::BIGINT AS fp_min_hash,
+  bit_xor(sel)::BIGINT AS fp_xor
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+# r7b: ccnet_perplexity_buckets — per-language LM-score terciles. The
+# per-doc score follows unigram_logprob_quality's proven 8-dp round,
+# then scales to an exact BIGINT (floor(x*1e8+0.5), score >= 0) so the
+# ntile ordering and the per-bucket averages are integer-deterministic.
+ORACLE["ccnet_perplexity_buckets"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS tk FROM documents
+),
+vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+per_doc AS (
+  SELECT doc_id, lang,
+    floor(round(avg(ln(c * 1.0)), 8) * 1e8 + 0.5)::BIGINT AS ar_e8,
+    count(*) AS len
+  FROM tok JOIN vocab USING (tk)
+  GROUP BY doc_id, lang
+),
+bucketed AS (
+  SELECT lang, len, ar_e8,
+    ntile(3) OVER (PARTITION BY lang ORDER BY ar_e8 DESC, doc_id) AS b
+  FROM per_doc
+)
+SELECT lang,
+  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+  count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS total_tokens,
+  round(sum(ar_e8) / (count(*) * 100000000.0), 4) AS avg_logprob
+FROM bucketed GROUP BY lang, b ORDER BY lang, bucket
 """

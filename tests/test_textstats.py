@@ -255,3 +255,92 @@ def test_tokenizer_fertility_bounds(spark):
     for r in rows:
         assert r.fertility >= 1.0
         assert abs(r.fertility - r.bpe_tokens / r.ws_tokens) < 1e-12
+
+
+def test_hll_portable_within_5pct_and_union_consistent(spark):
+    """The portable-register HLL lands within 5% of exact distinct per
+    source AND for the unioned __all__ row; the union estimate is also
+    >= the max per-source estimate (register max can only grow)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        _tokens,
+        hll_portable_union,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tk"))
+    exact = {
+        r.source: r.d
+        for r in tok.groupBy("source")
+        .agg(F.countDistinct("tk").alias("d")).collect()
+    }
+    exact["__all__"] = tok.select("tk").distinct().count()
+    rows = hll_portable_union(spark, SF_DIR).collect()
+    assert {r.source for r in rows} == set(exact)
+    est = {r.source: r.est_distinct for r in rows}
+    for src, e in est.items():
+        assert abs(e - exact[src]) / exact[src] < 0.05, (src, e, exact[src])
+    assert est["__all__"] >= max(v for k, v in est.items() if k != "__all__")
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al.): every doc yields at
+    least one fingerprint, n_fp <= valid window starts, and — the
+    algorithm's point — two docs sharing a long substring share a
+    fingerprint hash (checked on planted near-dup pairs: identical
+    normalised text => identical fingerprint sets => equal fp_xor)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.functions.text import normalize_text
+    from hadoop_mapreduce_spark.operators.textstats import (
+        winnowing_fingerprint,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    out = winnowing_fingerprint(spark, SF_DIR)
+    rows = out.collect()
+    docs_n = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert r.n_fp >= 1
+        assert r.n_fp <= max(r.n_kgrams - 7, 1)
+        assert r.fp_min_hash >= 0
+
+    # identical compact text -> identical fingerprint set
+    docs = load_table(spark, SF_DIR, "documents")
+    compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
+    dup_groups = (
+        docs.select("doc_id", compact.alias("c"))
+        .groupBy("c").agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2).limit(5).collect()
+    )
+    fp = {r.doc_id: (r.n_fp, r.fp_min_hash, r.fp_xor) for r in rows}
+    for g in dup_groups:
+        sigs = {fp[d] for d in g.ids}
+        assert len(sigs) == 1, g.ids
+
+
+def test_ccnet_buckets_partition_the_corpus(spark):
+    """Per language: bucket doc counts differ by at most 1 (ntile),
+    every doc lands in exactly one bucket, and head's mean logprob >=
+    middle's >= tail's (the ordering the ranking is supposed to
+    produce)."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        ccnet_perplexity_buckets,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = ccnet_perplexity_buckets(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, bs in by_lang.items():
+        counts = [b.n_docs for b in bs.values()]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+        if {"head", "middle", "tail"} <= set(bs):
+            assert bs["head"].avg_logprob >= bs["middle"].avg_logprob
+            assert bs["middle"].avg_logprob >= bs["tail"].avg_logprob
