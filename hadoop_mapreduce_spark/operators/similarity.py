@@ -1040,3 +1040,68 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_x", "max_x", "n_zero")
         .orderBy("dim")
     )
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid audit: each label's centroid cosine
+    against the GLOBAL centroid plus its own norm — the domain-drift /
+    cluster-collapse diagnostic (a label whose centroid points away from
+    the corpus is a distribution shift; one whose norm collapses toward
+    0 has internally-cancelling members, i.e. it isn't a cluster).
+
+    Exactness chain (hash-paired, no FP-order hazards): float32 inputs
+    sum EXACTLY in float64 (24-bit mantissas, embedding_dim_stats'
+    argument), each per-(label,dim) sum is scaled once to an exact
+    BIGINT (round(s*1e6)); the global centroid is the BIGINT sum of the
+    label sums; dot products and squared norms accumulate
+    BIGINT*BIGINT products in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB
+    oracle) — exact in both, and both cast the same exact integer to
+    the same nearest double before the one sqrt/divide each output
+    takes. The 1/n and 1e6 scale factors CANCEL in cosine, so no
+    division happens until the final projection.
+
+    Scale shape: one posexplode -> (label, dim) hash aggregation (d
+    rows per label), a broadcast join on dim against the d-row global
+    centroid, and a per-label re-aggregation. Nothing downstream of the
+    first exchange exceeds labels x d rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"),
+    )
+    per = cells.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(round(sum(x) * 1e6) AS BIGINT)").alias("s_e6"),
+    )
+    glob = per.groupBy("dim").agg(F.sum("s_e6").alias("g_e6"))
+    gnorm = glob.agg(
+        F.sum(F.col("g_e6").cast("decimal(38,0)") * F.col("g_e6"))
+        .alias("g_ssq"))
+    joined = per.join(F.broadcast(glob), "dim")
+    stats = (
+        joined.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("s_e6").cast("decimal(38,0)") * F.col("g_e6"))
+            .alias("dot_lg"),
+            F.sum(F.col("s_e6").cast("decimal(38,0)") * F.col("s_e6"))
+            .alias("l_ssq"),
+        )
+        .crossJoin(F.broadcast(gnorm))
+    )
+    cos = (F.col("dot_lg").cast("double")
+           / (F.sqrt(F.col("l_ssq").cast("double"))
+              * F.sqrt(F.col("g_ssq").cast("double"))))
+    norm = (F.sqrt(F.col("l_ssq").cast("double"))
+            / (F.col("n_vecs") * F.lit(1e6)))
+    return (
+        stats.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(cos, 6).alias("cos_to_global"),
+            F.round(norm, 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1150,3 +1150,48 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the oracle orders identically).
         .orderBy("lang", "bucket")
     )
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str,
+                         ks: tuple[int, ...] = (1000, 8000, 32000)) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of corpus token
+    OCCURRENCES the top-k most frequent types cover, for the candidate
+    vocab sizes a tokenizer design sweeps (Zipf's law makes this curve
+    the whole sizing argument — token_zipf_slope fits the law, this op
+    reads the budget off it).
+
+    Ranking is (count DESC, token ASC) — fully deterministic; coverage
+    is a ratio of two exact BIGINTs. One token exchange builds the
+    vocabulary; the rank is a row_number over the VOCABULARY relation
+    (types, not occurrences — bounded at any corpus size, though still
+    a single-partition window: at a billion-type corpus the two-phase
+    rank (range-partition by count, offset by partition totals) swaps
+    in; the plan-audit rule tolerates vocabulary-sized windows).
+
+    Output: one row per k — n_types kept, occurrences covered, total
+    occurrences, coverage fraction (6 dp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens("text")).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tk"))
+    ranked = vocab.select("c", F.row_number().over(w).alias("rnk"))
+    aggs = [F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("total_occ")]
+    for k in ks:
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("rnk") <= k, F.col("c"))), F.lit(0))
+            .alias(f"cov_{k}"))
+    one = ranked.agg(*aggs)
+    stacked = one.select(
+        "n_types", "total_occ",
+        F.expr("stack({n}, {args}) AS (vocab_k, covered_occ)".format(
+            n=len(ks),
+            args=", ".join(f"CAST({k} AS BIGINT), cov_{k}" for k in ks))),
+    )
+    return stacked.select(
+        "vocab_k",
+        F.least("vocab_k", "n_types").alias("n_types_kept"),
+        "covered_occ",
+        "total_occ",
+        F.round(F.col("covered_occ") / F.col("total_occ"), 6).alias("coverage"),
+    ).orderBy("vocab_k")

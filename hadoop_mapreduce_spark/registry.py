@@ -189,6 +189,8 @@ QUERIES: dict[str, QueryFn] = {
     "hll_portable_union": textstats.hll_portable_union,  # hash-paired r7b (md5 registers)
     "winnowing_fingerprint": textstats.winnowing_fingerprint,  # hash-paired r7b
     "ccnet_perplexity_buckets": textstats.ccnet_perplexity_buckets,  # hash-paired r7b
+    "vocab_coverage_curve": textstats.vocab_coverage_curve,  # hash-paired r7b
+    "embedding_centroid_drift": similarity.embedding_centroid_drift,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3454,4 +3456,55 @@ SELECT lang,
   count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS total_tokens,
   round(sum(ar_e8) / (count(*) * 100000000.0), 4) AS avg_logprob
 FROM bucketed GROUP BY lang, b ORDER BY lang, bucket
+"""
+
+# r7b: vocab_coverage_curve — deterministic (count DESC, token ASC)
+# rank, coverage = exact-BIGINT ratio.
+ORACLE["vocab_coverage_curve"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tk FROM documents),
+vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS rnk FROM vocab
+),
+tot AS (SELECT count(*)::BIGINT AS n_types, sum(c)::BIGINT AS total_occ
+        FROM vocab),
+ks AS (SELECT unnest([1000, 8000, 32000])::BIGINT AS vocab_k),
+cov AS (
+  SELECT k.vocab_k, coalesce(sum(r.c), 0)::BIGINT AS covered_occ
+  FROM ks k LEFT JOIN ranked r ON r.rnk <= k.vocab_k
+  GROUP BY k.vocab_k
+)
+SELECT c.vocab_k, least(c.vocab_k, t.n_types)::BIGINT AS n_types_kept,
+  c.covered_occ, t.total_occ,
+  round(c.covered_occ / t.total_occ, 6) AS coverage
+FROM cov c, tot t ORDER BY c.vocab_k
+"""
+
+# r7b: embedding_centroid_drift — float32 sums are exact in float64,
+# scaled once to BIGINT; dot/norm accumulate in HUGEINT (the oracle's
+# twin of Spark's DECIMAL(38,0)); the 1/n and 1e6 scales cancel in
+# cosine so the only float steps are the final sqrt/divide/round.
+ORACLE["embedding_centroid_drift"] = """
+WITH cells AS (
+  SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings,
+    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+per AS (
+  SELECT label, dim, count(*) AS n, round(sum(x) * 1e6)::BIGINT AS s_e6
+  FROM cells GROUP BY 1, 2
+),
+gctr AS (SELECT dim, sum(s_e6)::BIGINT AS g_e6 FROM per GROUP BY dim),
+gn AS (SELECT sum(g_e6::HUGEINT * g_e6) AS g_ssq FROM gctr),
+stats AS (
+  SELECT label, max(n) AS n_vecs,
+    sum(s_e6::HUGEINT * g_e6) AS dot_lg,
+    sum(s_e6::HUGEINT * s_e6) AS l_ssq
+  FROM per JOIN gctr USING (dim) GROUP BY label
+)
+SELECT label::BIGINT AS label, n_vecs::BIGINT AS n_vecs,
+  round(dot_lg::DOUBLE / (sqrt(l_ssq::DOUBLE) * sqrt(g_ssq::DOUBLE)), 6)
+    AS cos_to_global,
+  round(sqrt(l_ssq::DOUBLE) / (n_vecs * 1e6), 6) AS centroid_norm
+FROM stats, gn ORDER BY label
 """

@@ -363,3 +363,32 @@ def test_embedding_pca_power_matches_numpy(spark):
     # and the estimate must sit inside the true spectrum's top band
     vals = np.linalg.eigvalsh(cov)
     assert vals[-5] - 1e-12 <= eig <= vals[-1] + 1e-9
+
+
+def test_embedding_centroid_drift_matches_numpy(spark):
+    """Independent numpy reference: per-label centroid cosine to the
+    global centroid and centroid norms agree within rounding noise;
+    cosines are bounded and n_vecs covers the table."""
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = embedding_centroid_drift(spark, SF_DIR).collect()
+    pdf = load_table(spark, SF_DIR, "embeddings").toPandas()
+    mats = {
+        lab: np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+        for lab, g in pdf.groupby("label")
+    }
+    g_cent = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64).sum(0)
+    assert sum(r.n_vecs for r in rows) == len(pdf)
+    for r in rows:
+        m = mats[r.label]
+        assert r.n_vecs == len(m)
+        cent = m.sum(0)
+        cos = float(cent @ g_cent / (np.linalg.norm(cent) * np.linalg.norm(g_cent)))
+        assert -1.0 <= r.cos_to_global <= 1.0
+        assert abs(r.cos_to_global - cos) < 1e-4, (r.label, cos)
+        assert abs(r.centroid_norm - np.linalg.norm(cent) / len(m)) < 1e-4

@@ -344,3 +344,34 @@ def test_ccnet_buckets_partition_the_corpus(spark):
         if {"head", "middle", "tail"} <= set(bs):
             assert bs["head"].avg_logprob >= bs["middle"].avg_logprob
             assert bs["middle"].avg_logprob >= bs["tail"].avg_logprob
+
+
+def test_vocab_coverage_curve_monotone_and_exact(spark):
+    """Coverage is monotone in k, bounded by 1, and the totals equal
+    the exploded token stream's exact counts."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        _tokens,
+        vocab_coverage_curve,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = sorted(vocab_coverage_curve(spark, SF_DIR).collect(),
+                  key=lambda r: r.vocab_k)
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select(F.explode(_tokens("text")).alias("tk"))
+    total = tok.count()
+    n_types = tok.distinct().count()
+    assert [r.vocab_k for r in rows] == [1000, 8000, 32000]
+    for r in rows:
+        assert r.total_occ == total
+        assert r.n_types_kept == min(r.vocab_k, n_types)
+        assert 0 < r.covered_occ <= r.total_occ
+        assert 0 < r.coverage <= 1
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    # if the whole vocabulary fits under k, coverage must be exactly 1
+    for r in rows:
+        if r.vocab_k >= n_types:
+            assert r.coverage == 1.0
