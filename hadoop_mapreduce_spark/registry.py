@@ -3122,12 +3122,15 @@ _WINDOW_R7 = [
     "pipeline_target_select", "recursive_monthly_spine", "token_count",
     "tokenizer_fertility", "quality_classifier_train",
     "embedding_pca_power", "knn_join_lsh",
-    # (c) window fill (previously witnessed, kept under rotation)
-    "lateral_topk_orders", "dedup_repeated_spans", "dsir_importance_sample",
-    "image_dhash_neardup", "bm25_search", "token_entropy_quality",
+    # (c) r7b-new operators, all hash-paired and never yet witnessed
+    "hll_portable_union", "winnowing_fingerprint",
+    "ccnet_perplexity_buckets", "vocab_coverage_curve",
+    "embedding_centroid_drift",
+    # (d) window fill (previously witnessed, kept under rotation)
+    "dedup_repeated_spans", "image_dhash_neardup", "token_entropy_quality",
     "jsd_lang_divergence", "events_anomaly_mad", "bigram_pmi_collocations",
-    "sample_weighted", "events_twap_daily", "events_winsorize_stats",
-    "histogram_equidepth", "bpe_merge_step", "inverted_index_topk",
+    "sample_weighted", "events_winsorize_stats",
+    "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "asof_join_nearest",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
