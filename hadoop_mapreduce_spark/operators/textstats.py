@@ -1195,3 +1195,83 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str,
         "total_occ",
         F.round(F.col("covered_occ") / F.col("total_occ"), 6).alias("coverage"),
     ).orderBy("vocab_k")
+
+
+def char_trigram_langid(spark: SparkSession, sf_dir: str,
+                        profile_n: int = 64) -> DataFrame:
+    """Profile-based language ID (the CLD / textcat family): build a
+    top-N character-trigram frequency profile per language from the
+    labelled corpus, score every document against every profile by
+    projection length (dot / ||profile|| — the doc-norm factor is
+    constant across languages so it cannot change the argmax), and
+    report the confusion matrix against the label column. The trained
+    upgrade of ``language_id``'s stopword heuristic — and unlike it,
+    script-aware: trigrams come from the RAW lowercased text (the
+    reference normalizer's delete-semantics would erase non-Latin
+    scripts entirely, so zh would have no signal).
+
+    Determinism: profile membership ranks by (count DESC, trigram ASC);
+    dot and ||profile||^2 accumulate exact integer counts in
+    DECIMAL(38,0) (HUGEINT in the oracle), so the float score is one
+    division of one sqrt of exact integers — bit-identical cross-engine
+    — and the per-doc argmax is a row_number ordered by (score DESC,
+    lang ASC). Docs sharing no trigram with any profile predict 'und'.
+
+    100 TB shape: one (doc, trigram) exchange; the profile relation is
+    langs x N rows — broadcast; scoring touches only doc-trigrams that
+    hit a profile (inner join), then one per-doc argmax window over
+    <= |langs| rows per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # explicit whitespace class, not \s — Java's \s includes \x0B,
+    # RE2's (oracle side) does not; the explicit class pins both
+    # engines to the same compaction (same rationale as BPE_RE).
+    compact = F.regexp_replace(F.lower(F.col("text")),
+                               "[\\t\\n\\x0B\\f\\r ]+", " ")
+    base = docs.select("doc_id", "lang", compact.alias("c"))
+    tri = base.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("c") - F.lit(2), F.lit(1)),
+        )).alias("i"),
+        F.col("c"),
+    ).select(
+        "doc_id", "lang",
+        F.substring("c", F.col("i"), F.lit(3)).alias("tri"),
+    )
+    doc_tri = tri.groupBy("doc_id", "lang", "tri").agg(
+        F.count(F.lit(1)).alias("cd"))
+    lang_tri = doc_tri.groupBy("lang", "tri").agg(F.sum("cd").alias("cl"))
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cl"), F.asc("tri"))
+    profile = (lang_tri
+               .select("lang", "tri", "cl",
+                       F.row_number().over(w_prof).alias("rnk"))
+               .where(F.col("rnk") <= profile_n)
+               .select(F.col("lang").alias("plang"), "tri", "cl"))
+    pnorm = profile.groupBy("plang").agg(
+        F.sum(F.col("cl").cast("decimal(38,0)") * F.col("cl")).alias("ssq"))
+    scored = (
+        doc_tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("cd").cast("decimal(38,0)") * F.col("cl"))
+             .alias("dot"))
+        .join(F.broadcast(pnorm), "plang")
+        .select("doc_id", "plang",
+                (F.col("dot").cast("double")
+                 / F.sqrt(F.col("ssq").cast("double"))).alias("score"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("plang"))
+    pred = (scored
+            .select("doc_id", "plang", F.row_number().over(w_pick).alias("r"))
+            .where(F.col("r") == 1)
+            .select("doc_id", F.col("plang").alias("pred_lang")))
+    labelled = (base.select("doc_id", "lang")
+                .join(pred, "doc_id", "left")
+                .select("lang", F.coalesce("pred_lang", F.lit("und"))
+                        .alias("pred_lang")))
+    return (
+        labelled.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

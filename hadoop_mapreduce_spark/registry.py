@@ -191,6 +191,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_perplexity_buckets": textstats.ccnet_perplexity_buckets,  # hash-paired r7b
     "vocab_coverage_curve": textstats.vocab_coverage_curve,  # hash-paired r7b
     "embedding_centroid_drift": similarity.embedding_centroid_drift,  # hash-paired r7b
+    "char_trigram_langid": textstats.char_trigram_langid,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3510,4 +3511,56 @@ SELECT label::BIGINT AS label, n_vecs::BIGINT AS n_vecs,
     AS cos_to_global,
   round(sqrt(l_ssq::DOUBLE) / (n_vecs * 1e6), 6) AS centroid_norm
 FROM stats, gn ORDER BY label
+"""
+
+# r7b: char_trigram_langid — profile-based language ID. The oracle
+# rebuilds the identical top-64 trigram profiles (count DESC, trigram
+# ASC rank), accumulates dot/||profile||^2 in HUGEINT (Spark:
+# DECIMAL(38,0)), and resolves the per-doc argmax with the same
+# (score DESC, lang ASC) row_number.
+ORACLE["char_trigram_langid"] = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+    regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g') AS c
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, lang, substr(c, i, 3) AS tri
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(c) - 2, 1))) AS i) g
+),
+doc_tri AS (
+  SELECT doc_id, lang, tri, count(*) AS cd FROM tri GROUP BY 1, 2, 3
+),
+lang_tri AS (
+  SELECT lang, tri, sum(cd)::BIGINT AS cl FROM doc_tri GROUP BY 1, 2
+),
+profile AS (
+  SELECT lang AS plang, tri, cl FROM (
+    SELECT lang, tri, cl,
+      row_number() OVER (PARTITION BY lang ORDER BY cl DESC, tri) AS rnk
+    FROM lang_tri)
+  WHERE rnk <= 64
+),
+pnorm AS (
+  SELECT plang, sum(cl::HUGEINT * cl) AS ssq FROM profile GROUP BY plang
+),
+scored AS (
+  SELECT d.doc_id, p.plang,
+    sum(d.cd::HUGEINT * p.cl) AS dot
+  FROM doc_tri d JOIN profile p USING (tri)
+  GROUP BY 1, 2
+),
+pick AS (
+  SELECT doc_id, plang AS pred_lang FROM (
+    SELECT s.doc_id, s.plang,
+      row_number() OVER (PARTITION BY s.doc_id
+        ORDER BY s.dot::DOUBLE / sqrt(n.ssq::DOUBLE) DESC, s.plang) AS r
+    FROM scored s JOIN pnorm n USING (plang))
+  WHERE r = 1
+)
+SELECT b.lang, coalesce(k.pred_lang, 'und') AS pred_lang,
+  count(*)::BIGINT AS n
+FROM base b LEFT JOIN pick k USING (doc_id)
+GROUP BY 1, 2 ORDER BY lang, pred_lang
 """

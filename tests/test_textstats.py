@@ -375,3 +375,45 @@ def test_vocab_coverage_curve_monotone_and_exact(spark):
     for r in rows:
         if r.vocab_k >= n_types:
             assert r.coverage == 1.0
+
+
+def test_char_trigram_langid_covers_corpus_and_learns_scripts(tmp_path, spark):
+    """On the shipped fixture lang labels are random relative to the
+    text (every lang shares one vocabulary), so the meaningful checks
+    are coverage + determinism there — and LEARNABILITY on a planted
+    corpus whose languages genuinely differ in character distribution
+    (incl. a CJK script the stopword heuristic is blind to): profiles
+    fit on it must classify it near-perfectly."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        char_trigram_langid,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = char_trigram_langid(spark, SF_DIR).collect()
+    total = sum(r.n for r in rows)
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    assert rows == char_trigram_langid(spark, SF_DIR).collect()
+
+    words = {
+        "en": "the quick brown fox jumps over lazy dogs while reading",
+        "de": "über während müssen schöne straße größer verfügbar zwölf",
+        "es": "niño mañana corazón según añadir través explicación años",
+        "zh": "数据 处理 系统 分布式 计算 引擎 查询 优化 聚合 窗口",
+    }
+    recs = []
+    i = 0
+    for lang, vocab in words.items():
+        ws = vocab.split()
+        for d in range(12):
+            txt = " ".join(ws[(d + j) % len(ws)] for j in range(30))
+            recs.append((i, txt, lang, "src0", len(txt)))
+            i += 1
+    df = spark.createDataFrame(
+        recs, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = char_trigram_langid(spark, sf).collect()
+    n = sum(r.n for r in out)
+    diag = sum(r.n for r in out if r.lang == r.pred_lang)
+    assert n == 48
+    assert diag / n >= 0.95, [(r.lang, r.pred_lang, r.n) for r in out]

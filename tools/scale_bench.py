@@ -89,6 +89,17 @@ HEADLINE = _HEADLINE + [
     "heavy_hitters_cms",
     "embedding_dim_stats",
     "video_meta",
+    # round-7b additions: portable HLL (register tables are
+    # 4096-rows-per-source regardless of K — the flat-cost claim),
+    # winnowing (explode + per-doc frame window — linear), CCNet
+    # terciles + vocab coverage (token-exchange + bounded windows),
+    # and the centroid-drift audit (labels x dims rows after the first
+    # exchange, flat in K).
+    "hll_portable_union",
+    "winnowing_fingerprint",
+    "ccnet_perplexity_buckets",
+    "vocab_coverage_curve",
+    "embedding_centroid_drift",
 ]
 
 
