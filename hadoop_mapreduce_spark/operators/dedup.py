@@ -1731,3 +1731,109 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str,
         )
         .orderBy("cluster_size")
     )
+
+
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
+                           num_hashes: int = 16, shingle_k: int = 3,
+                           ) -> DataFrame:
+    """Sketch-accuracy audit: for every pair of documents whose MinHash
+    signatures collide on >= 1 component, compare the SIGNATURE-estimated
+    Jaccard (matching components / num_hashes) against the EXACT shingle
+    Jaccard, and roll the error up into deciles with the
+    operating-point confusion counts at t=0.8 (est-positive vs
+    exact-positive per decile). This is the "is the sketch lying"
+    read before trusting an LSH run's band/row choice — the measured
+    twin of the S-curve maths.
+
+    Portable by construction (unlike the production LSH path's
+    xxhash64 signatures, which only need run-to-run determinism): the
+    hash family is h_i = md5_60(i ':' shingle_hash), so the DuckDB
+    oracle rebuilds identical signatures and identical pairs. The
+    threshold comparisons are pure-integer (eq*5 >= 64 for est >= 0.8;
+    inter*5 >= uni*4 for exact >= 0.8), and the decile index is one
+    float op over exact integers.
+
+    Scale shape: one (doc, shingle) distinct exchange feeds both the
+    16-way min aggregation AND the per-doc shingle-set arrays (shared
+    scan); candidates come from (component, value) groups — the
+    1-rows-per-band LSH limit, high recall by design for an audit;
+    the exact verify joins candidate pairs to the bounded per-doc
+    arrays. Output is <= 10 rows.
+    """
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        tokenize(normalize_text(F.col("text"))).alias("__t"),
+    ).where(F.size("__t") >= shingle_k)
+    sh = toks.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(shingle_k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__t", i, shingle_k)),
+        )).alias("s"),
+    ).select("id", _h60(F.col("s")).alias("hs")).distinct()
+    mins = [F.min(_h60(F.col("hs").cast("string"), seed=i)).alias(f"m{i}")
+            for i in range(num_hashes)]
+    sigs = scoped_persist(
+        sh.groupBy("id").agg(
+            *mins,
+            F.sort_array(F.collect_set("hs")).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("id", "arr", "n",
+                F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+                .alias("sig"))
+    )
+    minima = sigs.select(
+        "id", F.posexplode("sig").alias("i", "m"))
+    cands = (
+        minima.alias("a").join(
+            minima.alias("b"),
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    paired = (
+        cands
+        .join(sigs.select(F.col("id").alias("id1"),
+                          F.col("sig").alias("sig1"),
+                          F.col("arr").alias("arr1"),
+                          F.col("n").alias("n1")), "id1")
+        .join(sigs.select(F.col("id").alias("id2"),
+                          F.col("sig").alias("sig2"),
+                          F.col("arr").alias("arr2"),
+                          F.col("n").alias("n2")), "id2")
+        .select(
+            F.aggregate(
+                F.zip_with("sig1", "sig2",
+                           lambda x, y: (x == y).cast("long")),
+                F.lit(0).cast("long"), lambda a, x: a + x).alias("eq"),
+            F.size(F.array_intersect("arr1", "arr2"))
+            .cast("long").alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("nsum"),
+        )
+        .select(
+            "eq", "inter", (F.col("nsum") - F.col("inter")).alias("uni"))
+    )
+    nh = float(num_hashes)
+    err = F.abs(F.col("eq") / F.lit(nh) - F.col("inter") / F.col("uni"))
+    return (
+        paired
+        .select("eq", "inter", "uni",
+                F.floor(err * F.lit(10.0)).cast("long").alias("err_decile"))
+        .groupBy("err_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("eq") / (F.lit(nh) * F.count(F.lit(1))), 6)
+            .alias("mean_est"),
+            F.sum((F.col("eq") * 5 >= F.lit(num_hashes * 4))
+                  .cast("long")).alias("n_est_pos"),
+            F.sum((F.col("inter") * 5 >= F.col("uni") * 4)
+                  .cast("long")).alias("n_exact_pos"),
+        )
+        .orderBy("err_decile")
+    )

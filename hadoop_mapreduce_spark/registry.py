@@ -192,6 +192,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage_curve": textstats.vocab_coverage_curve,  # hash-paired r7b
     "embedding_centroid_drift": similarity.embedding_centroid_drift,  # hash-paired r7b
     "char_trigram_langid": textstats.char_trigram_langid,  # hash-paired r7b
+    "minhash_accuracy_audit": dedup.minhash_accuracy_audit,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3563,4 +3564,56 @@ SELECT b.lang, coalesce(k.pred_lang, 'und') AS pred_lang,
   count(*)::BIGINT AS n
 FROM base b LEFT JOIN pick k USING (doc_id)
 GROUP BY 1, 2 ORDER BY lang, pred_lang
+"""
+
+# r7b: minhash_accuracy_audit — portable md5 hash family, so the
+# oracle rebuilds identical signatures/pairs; thresholds compared in
+# pure integers; decile = one float op over exact ints.
+ORACLE["minhash_accuracy_audit"] = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
+tt AS (SELECT id, t FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT DISTINCT id,
+    ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS hs
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+),
+hseq AS (SELECT unnest(generate_series(0, 15)) AS i),
+minima AS (
+  SELECT id, i,
+    min(('0x' || substr(md5(i::VARCHAR || ':' || hs::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS m
+  FROM sh CROSS JOIN hseq GROUP BY 1, 2
+),
+nsz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM minima a JOIN minima b ON a.i = b.i AND a.m = b.m AND a.id < b.id
+),
+eqs AS (
+  SELECT c.id1, c.id2, sum((a.m = b.m)::BIGINT)::BIGINT AS eq
+  FROM cands c
+  JOIN minima a ON a.id = c.id1
+  JOIN minima b ON b.id = c.id2 AND b.i = a.i
+  GROUP BY 1, 2
+),
+inters AS (
+  SELECT c.id1, c.id2, count(*)::BIGINT AS inter
+  FROM cands c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.hs = s1.hs
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT e.eq, coalesce(i.inter, 0) AS inter,
+    n1.n + n2.n - coalesce(i.inter, 0) AS uni
+  FROM eqs e
+  LEFT JOIN inters i ON i.id1 = e.id1 AND i.id2 = e.id2
+  JOIN nsz n1 ON n1.id = e.id1
+  JOIN nsz n2 ON n2.id = e.id2
+)
+SELECT floor(abs(eq / 16.0 - inter * 1.0 / uni) * 10.0)::BIGINT AS err_decile,
+  count(*)::BIGINT AS n_pairs,
+  round(sum(eq) / (16.0 * count(*)), 6) AS mean_est,
+  sum((eq * 5 >= 64)::BIGINT)::BIGINT AS n_est_pos,
+  sum((inter * 5 >= uni * 4)::BIGINT)::BIGINT AS n_exact_pos
+FROM paired GROUP BY 1 ORDER BY err_decile
 """

@@ -383,3 +383,27 @@ def test_jaccard_prefix_equals_inverted_index(spark):
     a = sorted(map(tuple, dedup_jaccard_prefix(spark, SF_DIR).collect()))
     b = sorted(map(tuple, dedup_ngram_jaccard(spark, SF_DIR).collect()))
     assert a == b and a
+
+
+def test_minhash_accuracy_audit_deciles(spark):
+    """Audit invariants: decile indices in [0,9], confusion counts
+    bounded by pair counts, mean_est >= 1/16 (every audited pair
+    collides on >= 1 of 16 components), and the sketch is actually
+    accurate on this corpus — the bulk of pairs sit in the low-error
+    deciles (<= 0.3 error), which is the S-curve promise the audit
+    exists to confirm."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        minhash_accuracy_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = minhash_accuracy_audit(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_pairs for r in rows)
+    for r in rows:
+        assert 0 <= r.err_decile <= 9
+        assert 0 <= r.n_est_pos <= r.n_pairs
+        assert 0 <= r.n_exact_pos <= r.n_pairs
+        assert r.mean_est >= 1 / 16 - 1e-9
+    low = sum(r.n_pairs for r in rows if r.err_decile <= 3)
+    assert low / total >= 0.8, [(r.err_decile, r.n_pairs) for r in rows]
