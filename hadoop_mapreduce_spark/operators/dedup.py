@@ -1733,6 +1733,37 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str,
     )
 
 
+# Fixed Carter-Wegman pairs for the PORTABLE audit hash family
+# h_i(u) = (a_i*u + b_i) mod 2^31-1 over u = shingle_hash mod 2^31-1:
+# a,b < 2^31 and u < 2^31 keep every product under 2^62 (exact BIGINT
+# in Spark and the DuckDB oracle alike). Literals, not derived — both
+# engines must see the same numbers, and a universal family only needs
+# the pairs to be fixed and distinct. (The production MinHash keeps
+# JVM xxhash64 remixing — run-to-run determinism is all it needs; this
+# family exists so the AUDIT is cross-engine exact without paying 16
+# md5 calls per shingle, which measured 35 s at 4x sf0.1 and crashed
+# the DuckDB twin outright.)
+MINHASH_CW: list[tuple[int, int]] = [
+    (188173298, 62257558),
+    (1614569235, 1541888525),
+    (1123302577, 1183693761),
+    (941201756, 612741583),
+    (1915815023, 145743895),
+    (1042332867, 1469431003),
+    (1586907769, 1724705301),
+    (1367643000, 567634413),
+    (1182429425, 1450717929),
+    (1840887320, 92282879),
+    (2033346063, 1574816040),
+    (1426551802, 1173352586),
+    (2087082879, 168846213),
+    (1825997516, 891168106),
+    (124724675, 334069097),
+    (1102350415, 1146895919),
+]
+MINHASH_CW_MOD = 2147483647
+
+
 def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
                            num_hashes: int = 16, shingle_k: int = 3,
                            ) -> DataFrame:
@@ -1747,7 +1778,9 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
 
     Portable by construction (unlike the production LSH path's
     xxhash64 signatures, which only need run-to-run determinism): the
-    hash family is h_i = md5_60(i ':' shingle_hash), so the DuckDB
+    shingle identity hash is one md5 (collision-safe for the EXACT
+    side) and the signature family is Carter-Wegman over its 31-bit
+    reduction (MINHASH_CW — pure integer arithmetic), so the DuckDB
     oracle rebuilds identical signatures and identical pairs. The
     threshold comparisons are pure-integer (eq*5 >= 64 for est >= 0.8;
     inter*5 >= uni*4 for exact >= 0.8), and the decile index is one
@@ -1775,8 +1808,10 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
             lambda i: F.concat_ws(" ", F.slice("__t", i, shingle_k)),
         )).alias("s"),
     ).select("id", _h60(F.col("s")).alias("hs")).distinct()
-    mins = [F.min(_h60(F.col("hs").cast("string"), seed=i)).alias(f"m{i}")
-            for i in range(num_hashes)]
+    P = MINHASH_CW_MOD
+    u = F.col("hs") % F.lit(P)
+    mins = [F.min((F.lit(a) * u + F.lit(b)) % F.lit(P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_CW[:num_hashes])]
     sigs = scoped_persist(
         sh.groupBy("id").agg(
             *mins,

@@ -976,7 +976,15 @@ def hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     the implementation lock-in of a serialized sketch format.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(_tokens("text")).alias("tk"))
+    # distinct (source, token) BEFORE hashing: HLL registers are
+    # max-aggregates over hash values, so duplicate occurrences add
+    # identical (bucket, rho) rows and cannot change any register —
+    # deduping first cuts the md5 count from occurrences (~50x more)
+    # to distinct types at IDENTICAL output (measured 3.2 s -> well
+    # under 1 s at 4x sf0.1). The distinct's partial aggregation also
+    # collapses the token shuffle map-side.
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tk")) \
+        .distinct()
     hv = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
     rb = tok.select("source", hv.alias("hv")).select(
         "source",
@@ -1009,10 +1017,29 @@ def hll_portable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing packing constants (shared with the oracle): positions pack
-# into the low 24 bits (docs up to 16M chars — far above the corpus
-# bound, asserted in tests), the k-gram hash keeps its high 36 bits.
+# Winnowing constants (shared with the oracle): positions pack into
+# the low 24 bits (docs up to 16M chars — far above the corpus bound,
+# asserted in tests); the k-gram hash is a 31-bit Karp-Rabin
+# polynomial — the hash the winnowing paper itself rolls — over
+# Unicode code points, base > 2^21 so single characters never collide,
+# mod 2^31-1. Horner intermediates stay under 2^52, exact BIGINT in
+# both engines (no md5: measured 5.4 -> ~2 s at 4x sf0.1, and the
+# oracle computes the identical integers).
 WINNOW_POS = 1 << 24
+KR_MOD = 2147483647          # 2^31 - 1 (Mersenne prime)
+KR_BASE = 2097169            # prime > 2^21 (max Unicode code point)
+
+
+def _kr_expr(col: str, pos: str, n: int, substr_fn: str = "substring") -> str:
+    """SQL text of the n-char Karp-Rabin Horner fold starting at 1-based
+    position `pos` of `col` — identical string for Spark (substring)
+    and the DuckDB oracle (substr), so both engines run the same exact
+    integer recurrence."""
+    e = f"CAST(ascii({substr_fn}({col}, ({pos}) + 0, 1)) AS BIGINT)"
+    for j in range(1, n):
+        e = (f"(({e}) * {KR_BASE} + "
+             f"ascii({substr_fn}({col}, ({pos}) + {j}, 1))) % {KR_MOD}")
+    return e
 
 
 def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
@@ -1027,11 +1054,11 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
     (``doc_fingerprint``) can't give.
 
     The rightmost-min-tie-break is folded into ONE window min by key
-    packing: key = (h >> 24)*2^24 + (2^24-1-i) — minimising key
-    minimises the 36-bit hash and, among equal hashes, maximises
-    position i. Integer packing, not a struct min, because both engines
-    compare BIGINTs identically while struct comparison is not part of
-    the oracle's SQL surface.
+    packing: key = h*2^24 + (2^24-1-i) — minimising key minimises the
+    31-bit Karp-Rabin hash and, among equal hashes, maximises position
+    i. Integer packing, not a struct min, because both engines compare
+    BIGINTs identically while struct comparison is not part of the
+    oracle's SQL surface.
 
     Output per doc: n_kgrams, n_fp (distinct fingerprints), min
     fingerprint hash, and bit_xor of the packed fingerprint set (an
@@ -1056,11 +1083,9 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
     ).select(
         "doc_id",
         "i",
-        F.conv(F.substring(
-            F.md5(F.substring("compact", F.col("i"), F.lit(kgram))), 1, 15),
-            16, 10).cast("long").alias("h"),
+        F.expr(_kr_expr("compact", "i", kgram)).alias("h"),
     )
-    key = (F.expr(f"h div {WINNOW_POS}") * F.lit(WINNOW_POS)
+    key = (F.col("h") * F.lit(WINNOW_POS)
            + (F.lit(WINNOW_POS - 1) - F.col("i")))
     w_frame = (Window.partitionBy("doc_id").orderBy("i")
                .rowsBetween(Window.currentRow, window - 1))
@@ -1210,7 +1235,8 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str,
     reference normalizer's delete-semantics would erase non-Latin
     scripts entirely, so zh would have no signal).
 
-    Determinism: profile membership ranks by (count DESC, trigram ASC);
+    Determinism: profile membership ranks by (count DESC, packed
+    trigram code ASC — order-isomorphic to the character tuple);
     dot and ||profile||^2 accumulate exact integer counts in
     DECIMAL(38,0) (HUGEINT in the oracle), so the float score is one
     division of one sqrt of exact integers — bit-identical cross-engine
@@ -1229,6 +1255,16 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str,
     compact = F.regexp_replace(F.lower(F.col("text")),
                                "[\\t\\n\\x0B\\f\\r ]+", " ")
     base = docs.select("doc_id", "lang", compact.alias("c"))
+    # Trigrams are packed into one BIGINT of three 21-bit Unicode code
+    # points (every code point < 0x110000 < 2^21; positions past the
+    # string end give ascii('') = 0 in both engines) instead of
+    # shuffling 3-char strings: the (doc, trigram) exchange drops from
+    # string rows to longs (measured 9.1 -> ~3 s at 4x sf0.1) and the
+    # packing is order-isomorphic to the (c1, c2, c3) tuple, so rank
+    # tie-breaks stay deterministic.
+    def _cp(j: int):
+        return F.ascii(F.substring("c", F.col("i") + F.lit(j), F.lit(1)))             .cast("long")
+
     tri = base.select(
         "doc_id", "lang",
         F.explode(F.sequence(
@@ -1237,7 +1273,8 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str,
         F.col("c"),
     ).select(
         "doc_id", "lang",
-        F.substring("c", F.col("i"), F.lit(3)).alias("tri"),
+        (_cp(0) * F.lit(1 << 42) + _cp(1) * F.lit(1 << 21) + _cp(2))
+        .alias("tri"),
     )
     doc_tri = tri.groupBy("doc_id", "lang", "tri").agg(
         F.count(F.lit(1)).alias("cd"))

@@ -3363,7 +3363,8 @@ ORDER BY event_id
 # sum(BIGINT) widens to HUGEINT; the cast to DOUBLE rounds the same
 # exact integer to the same nearest double as Spark's BIGINT cast.
 ORACLE["hll_portable_union"] = f"""
-WITH toks AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+WITH occ AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+toks AS (SELECT DISTINCT source, tk FROM occ),
 h AS (SELECT source,
         ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS hv
       FROM toks),
@@ -3399,8 +3400,9 @@ FROM fin ORDER BY source
 
 # r7b: winnowing_fingerprint — Schleimer et al. winnowing with the
 # rightmost-min tie-break packed into one BIGINT key
-# ((h>>24)*2^24 + (2^24-1-i)); the oracle replays the identical window
-# min over the identical md5 k-gram hashes.
+# (h*2^24 + (2^24-1-i)); the oracle replays the identical window min
+# over the identical 31-bit Karp-Rabin k-gram hashes (the hash the
+# paper rolls; exact-integer Horner shared via textstats._kr_expr).
 ORACLE["winnowing_fingerprint"] = r"""
 WITH c AS (
   SELECT doc_id,
@@ -3409,12 +3411,12 @@ WITH c AS (
 ),
 kg AS (
   SELECT doc_id, i,
-    ('0x' || substr(md5(substr(compact, i, 8)), 1, 15))::UBIGINT::BIGINT AS h
+    ((((((((((((((CAST(ascii(substr(compact, (i) + 0, 1)) AS BIGINT)) * 2097169 + ascii(substr(compact, (i) + 1, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 2, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 3, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 4, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 5, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 6, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 7, 1))) % 2147483647 AS h
   FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(length(compact) - 7, 1))) AS i) g
 ),
 keyed AS (
   SELECT doc_id, i,
-    (h // 16777216) * 16777216 + (16777215 - i) AS key
+    h * 16777216 + (16777215 - i) AS key
   FROM kg
 ),
 win AS (
@@ -3526,7 +3528,10 @@ WITH base AS (
   FROM documents
 ),
 tri AS (
-  SELECT doc_id, lang, substr(c, i, 3) AS tri
+  SELECT doc_id, lang,
+    ascii(substr(c, i, 1))::BIGINT * 4398046511104
+      + ascii(substr(c, i + 1, 1))::BIGINT * 2097152
+      + ascii(substr(c, i + 2, 1))::BIGINT AS tri
   FROM base, LATERAL (
     SELECT unnest(generate_series(1, greatest(length(c) - 2, 1))) AS i) g
 ),
@@ -3566,9 +3571,11 @@ FROM base b LEFT JOIN pick k USING (doc_id)
 GROUP BY 1, 2 ORDER BY lang, pred_lang
 """
 
-# r7b: minhash_accuracy_audit — portable md5 hash family, so the
-# oracle rebuilds identical signatures/pairs; thresholds compared in
-# pure integers; decile = one float op over exact ints.
+# r7b: minhash_accuracy_audit — portable Carter-Wegman hash family
+# (dedup.MINHASH_CW, interpolated below so both engines share the same
+# literals), so the oracle rebuilds identical signatures/pairs;
+# thresholds compared in pure integers; decile = one float op over
+# exact ints.
 ORACLE["minhash_accuracy_audit"] = f"""
 WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
 tt AS (SELECT id, t FROM toks WHERE len(t) >= 3),
@@ -3577,11 +3584,11 @@ sh AS (
     ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS hs
   FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
 ),
-hseq AS (SELECT unnest(generate_series(0, 15)) AS i),
+cw AS (SELECT * FROM (VALUES (0, 188173298, 62257558), (1, 1614569235, 1541888525), (2, 1123302577, 1183693761), (3, 941201756, 612741583), (4, 1915815023, 145743895), (5, 1042332867, 1469431003), (6, 1586907769, 1724705301), (7, 1367643000, 567634413), (8, 1182429425, 1450717929), (9, 1840887320, 92282879), (10, 2033346063, 1574816040), (11, 1426551802, 1173352586), (12, 2087082879, 168846213), (13, 1825997516, 891168106), (14, 124724675, 334069097), (15, 1102350415, 1146895919)) t(i, a, b)),
 minima AS (
   SELECT id, i,
-    min(('0x' || substr(md5(i::VARCHAR || ':' || hs::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS m
-  FROM sh CROSS JOIN hseq GROUP BY 1, 2
+    min((a * (hs % 2147483647) + b) % 2147483647) AS m
+  FROM sh CROSS JOIN cw GROUP BY 1, 2
 ),
 nsz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 cands AS (

@@ -100,6 +100,8 @@ HEADLINE = _HEADLINE + [
     "ccnet_perplexity_buckets",
     "vocab_coverage_curve",
     "embedding_centroid_drift",
+    "char_trigram_langid",
+    "minhash_accuracy_audit",
 ]
 
 
