@@ -1030,15 +1030,23 @@ KR_MOD = 2147483647          # 2^31 - 1 (Mersenne prime)
 KR_BASE = 2097169            # prime > 2^21 (max Unicode code point)
 
 
-def _kr_expr(col: str, pos: str, n: int, substr_fn: str = "substring") -> str:
-    """SQL text of the n-char Karp-Rabin Horner fold starting at 1-based
-    position `pos` of `col` — identical string for Spark (substring)
-    and the DuckDB oracle (substr), so both engines run the same exact
-    integer recurrence."""
-    e = f"CAST(ascii({substr_fn}({col}, ({pos}) + 0, 1)) AS BIGINT)"
+def _kr_expr(arr: str, pos: str, n: int, spark: bool = True) -> str:
+    """SQL text of the n-char Karp-Rabin Horner fold over a code-point
+    ARRAY column starting at 1-based index `pos`. Array indexing, not
+    per-character substring: substring(s, i, 1) re-seeks the UTF-8
+    string from the start (O(i) per char — measured 12 s for the
+    8-char fold at 4x sf0.1 vs ~O(1) element_at). Out-of-range indices
+    (short documents) coalesce to 0, matching ascii('') = 0. The Spark
+    and DuckDB accessors differ syntactically (try_element_at vs [])
+    but both run the same exact integer recurrence."""
+    def at(j: int) -> str:
+        if spark:
+            return f"coalesce(try_element_at({arr}, ({pos}) + {j}), 0)"
+        return f"coalesce({arr}[({pos}) + {j}], 0)"
+
+    e = f"CAST({at(0)} AS BIGINT)"
     for j in range(1, n):
-        e = (f"(({e}) * {KR_BASE} + "
-             f"ascii({substr_fn}({col}, ({pos}) + {j}, 1))) % {KR_MOD}")
+        e = f"(({e}) * {KR_BASE} + {at(j)}) % {KR_MOD}"
     return e
 
 
@@ -1072,18 +1080,20 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
     """
     docs = load_table(spark, sf_dir, "documents")
     compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
-    c = docs.select("doc_id", compact.alias("compact"))
+    codes = F.transform(F.split(compact, ""),
+                        lambda ch: F.ascii(ch).cast("long"))
+    c = docs.select("doc_id", codes.alias("cs"))
     kg = c.select(
         "doc_id",
         F.explode(F.sequence(
             F.lit(1),
-            F.greatest(F.length("compact") - F.lit(kgram - 1), F.lit(1)),
+            F.greatest(F.size("cs") - F.lit(kgram - 1), F.lit(1)),
         )).alias("i"),
-        F.col("compact"),
+        F.col("cs"),
     ).select(
         "doc_id",
         "i",
-        F.expr(_kr_expr("compact", "i", kgram)).alias("h"),
+        F.expr(_kr_expr("cs", "i", kgram)).alias("h"),
     )
     key = (F.col("h") * F.lit(WINNOW_POS)
            + (F.lit(WINNOW_POS - 1) - F.col("i")))
@@ -1254,23 +1264,29 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str,
     # engines to the same compaction (same rationale as BPE_RE).
     compact = F.regexp_replace(F.lower(F.col("text")),
                                "[\\t\\n\\x0B\\f\\r ]+", " ")
-    base = docs.select("doc_id", "lang", compact.alias("c"))
     # Trigrams are packed into one BIGINT of three 21-bit Unicode code
-    # points (every code point < 0x110000 < 2^21; positions past the
-    # string end give ascii('') = 0 in both engines) instead of
-    # shuffling 3-char strings: the (doc, trigram) exchange drops from
-    # string rows to longs (measured 9.1 -> ~3 s at 4x sf0.1) and the
-    # packing is order-isomorphic to the (c1, c2, c3) tuple, so rank
-    # tie-breaks stay deterministic.
+    # points (every code point < 0x110000 < 2^21; indices past the
+    # array end coalesce to 0, matching ascii('') = 0) instead of
+    # shuffling 3-char strings: the (doc, trigram) exchange carries
+    # longs, and the code-point ARRAY is built once per doc because
+    # per-position substring(s, i, 1) re-seeks the UTF-8 string from
+    # its start (O(i) each — the packing gain vanished at 4x until the
+    # array swap; same trick as winnowing's _kr_expr). The packing is
+    # order-isomorphic to the (c1, c2, c3) tuple, so rank tie-breaks
+    # stay deterministic.
+    codes = F.transform(F.split(compact, ""),
+                        lambda ch: F.ascii(ch).cast("long"))
+    base = docs.select("doc_id", "lang", codes.alias("cs"))
+
     def _cp(j: int):
-        return F.ascii(F.substring("c", F.col("i") + F.lit(j), F.lit(1)))             .cast("long")
+        return F.expr(f"coalesce(try_element_at(cs, i + {j}), 0)")
 
     tri = base.select(
         "doc_id", "lang",
         F.explode(F.sequence(
-            F.lit(1), F.greatest(F.length("c") - F.lit(2), F.lit(1)),
+            F.lit(1), F.greatest(F.size("cs") - F.lit(2), F.lit(1)),
         )).alias("i"),
-        F.col("c"),
+        F.col("cs"),
     ).select(
         "doc_id", "lang",
         (_cp(0) * F.lit(1 << 42) + _cp(1) * F.lit(1 << 21) + _cp(2))

@@ -3406,13 +3406,15 @@ FROM fin ORDER BY source
 ORACLE["winnowing_fingerprint"] = r"""
 WITH c AS (
   SELECT doc_id,
-    regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g') AS compact
+    list_transform(string_split(
+      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g'),
+      ''), x -> ascii(x)) AS cs
   FROM documents
 ),
 kg AS (
   SELECT doc_id, i,
-    ((((((((((((((CAST(ascii(substr(compact, (i) + 0, 1)) AS BIGINT)) * 2097169 + ascii(substr(compact, (i) + 1, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 2, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 3, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 4, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 5, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 6, 1))) % 2147483647) * 2097169 + ascii(substr(compact, (i) + 7, 1))) % 2147483647 AS h
-  FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(length(compact) - 7, 1))) AS i) g
+    ((((((((((((((CAST(coalesce(cs[(i) + 0], 0) AS BIGINT)) * 2097169 + coalesce(cs[(i) + 1], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 2], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 3], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 4], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 5], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 6], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 7], 0)) % 2147483647 AS h
+  FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(len(cs) - 7, 1))) AS i) g
 ),
 keyed AS (
   SELECT doc_id, i,
@@ -3524,16 +3526,18 @@ FROM stats, gn ORDER BY label
 ORACLE["char_trigram_langid"] = r"""
 WITH base AS (
   SELECT doc_id, lang,
-    regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g') AS c
+    list_transform(string_split(
+      regexp_replace(lower(text), '[\t\n\x0B\f\r ]+', ' ', 'g'),
+      ''), x -> ascii(x)) AS cs
   FROM documents
 ),
 tri AS (
   SELECT doc_id, lang,
-    ascii(substr(c, i, 1))::BIGINT * 4398046511104
-      + ascii(substr(c, i + 1, 1))::BIGINT * 2097152
-      + ascii(substr(c, i + 2, 1))::BIGINT AS tri
+    coalesce(cs[i], 0)::BIGINT * 4398046511104
+      + coalesce(cs[i + 1], 0)::BIGINT * 2097152
+      + coalesce(cs[i + 2], 0)::BIGINT AS tri
   FROM base, LATERAL (
-    SELECT unnest(generate_series(1, greatest(length(c) - 2, 1))) AS i) g
+    SELECT unnest(generate_series(1, greatest(len(cs) - 2, 1))) AS i) g
 ),
 doc_tri AS (
   SELECT doc_id, lang, tri, count(*) AS cd FROM tri GROUP BY 1, 2, 3
