@@ -1372,3 +1372,85 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str,
         )
         .orderBy("bucket")
     )
+
+
+def quantile_histogram_portable(spark: SparkSession, sf_dir: str,
+                                bins: int = 256) -> DataFrame:
+    """Engine-portable histogram quantiles: p25/median/p75 of order
+    totals per status from a 256-bin equi-width histogram — the
+    hash-paired twin of ``approx_percentile_stats`` (whose t-digest
+    output is implementation-defined), completing the portable-sketch
+    trio (HLL: hll_portable_union; CMS: heavy_hitters_cms; quantiles:
+    here). The histogram is the mergeable quantile sketch a 100 TB
+    groupBy ships: 256 exact BIGINT counts per group, merged by
+    addition, with rank interpolation only at read time.
+
+    Determinism chain: bin edges come from the group's exact min/max
+    doubles; the bin index is one float divide + floor over those; all
+    counts are exact BIGINTs; the estimate is mn + w*(bin + (q*n -
+    cum_prev)/cnt) — float ops over exact inputs, identical in any
+    IEEE engine, rounded at 6 dp. A zero-width group (all values
+    equal) short-circuits to that value.
+
+    Scale shape: one row-level projection against a broadcast 1-row-
+    per-group stats relation, one (group, bin) exchange (map-side
+    combinable), a bins-bounded cumulative window, and a 3-quantile
+    projection per group.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_ = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    binned = (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("o_totalprice") - F.col("mn")) / w_)))
+            .cast("int").alias("b"),
+        )
+    )
+    hist = binned.groupBy("o_orderstatus", "b").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.partitionBy("o_orderstatus").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        "o_orderstatus", "b", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"))
+    # first bin whose cumulative count reaches the target rank
+    target = F.col("q") * F.col("n")
+    picked = (
+        cum.join(F.broadcast(stats), "o_orderstatus")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= target)
+        .groupBy("o_orderstatus", "q")
+        .agg(F.min_by(
+            F.struct("b", "cnt", "cum", "mn", "mx", "n"), F.col("b"))
+            .alias("s"))
+        .select("o_orderstatus", "q", "s.*")
+    )
+    w2 = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    est = F.when(
+        F.col("mx") == F.col("mn"), F.col("mn")
+    ).otherwise(
+        F.col("mn") + w2 * (
+            F.col("b")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")))
+    return (
+        picked.select(
+            "o_orderstatus", "q",
+            F.round(est, 6).alias("est_value"),
+            F.col("b").cast("long").alias("bin_idx"),
+            F.col("cum").cast("long").alias("cum_count"),
+            F.col("n").cast("long").alias("n_total"),
+        )
+        .orderBy("o_orderstatus", "q")
+    )

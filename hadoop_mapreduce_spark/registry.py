@@ -193,6 +193,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroid_drift": similarity.embedding_centroid_drift,  # hash-paired r7b
     "char_trigram_langid": textstats.char_trigram_langid,  # hash-paired r7b
     "minhash_accuracy_audit": dedup.minhash_accuracy_audit,  # hash-paired r7b
+    "quantile_histogram_portable": relational.quantile_histogram_portable,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3627,4 +3628,46 @@ SELECT floor(abs(eq / 16.0 - inter * 1.0 / uni) * 10.0)::BIGINT AS err_decile,
   sum((eq * 5 >= 64)::BIGINT)::BIGINT AS n_est_pos,
   sum((inter * 5 >= uni * 4)::BIGINT)::BIGINT AS n_exact_pos
 FROM paired GROUP BY 1 ORDER BY err_decile
+"""
+
+# r7b: quantile_histogram_portable — the portable quantile sketch
+# (equi-width histogram + rank interpolation). Bin edges from exact
+# group min/max; counts exact BIGINT; the estimate is float ops over
+# exact inputs, identical cross-engine. Quantile literals are cast to
+# DOUBLE (a bare 0.25 list literal is DECIMAL in DuckDB).
+ORACLE["quantile_histogram_portable"] = """
+WITH stats AS (
+  SELECT o_orderstatus, min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+binned AS (
+  SELECT o.o_orderstatus,
+    CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(255, floor((o.o_totalprice - s.mn) / ((s.mx - s.mn) / 256.0)))::INT
+    END AS b
+  FROM orders o JOIN stats s USING (o_orderstatus)
+),
+hist AS (SELECT o_orderstatus, b, count(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderstatus, b, cnt,
+    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q),
+picked AS (
+  SELECT * FROM (
+    SELECT c.o_orderstatus, q.q, c.b, c.cnt, c.cum, s.mn, s.mx, s.n,
+      row_number() OVER (PARTITION BY c.o_orderstatus, q.q ORDER BY c.b) AS r
+    FROM cum c JOIN stats s USING (o_orderstatus) CROSS JOIN qs q
+    WHERE c.cum >= q.q * s.n)
+  WHERE r = 1
+)
+SELECT o_orderstatus, q,
+  round(CASE WHEN mx = mn THEN mn
+        ELSE mn + ((mx - mn) / 256.0) * (b + (q * n - (cum - cnt)) / cnt)
+        END, 6) AS est_value,
+  b::BIGINT AS bin_idx, cum::BIGINT AS cum_count, n::BIGINT AS n_total
+FROM picked ORDER BY o_orderstatus, q
 """

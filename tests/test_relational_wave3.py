@@ -133,3 +133,44 @@ def test_histogram_equidepth_is_equi_depth(spark):
         assert abs(r.n - total / 10) <= total * 0.02 + 2
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_quantile_histogram_portable_brackets_exact(spark):
+    """The histogram estimate must land within one bin width of the
+    EXACT percentile (the equi-width error bound), counts must be
+    consistent, and quantiles must be monotone per group."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        quantile_histogram_portable,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = quantile_histogram_portable(spark, SF_DIR).collect()
+    assert len(rows) == 9  # 3 statuses x 3 quantiles
+    orders = load_table(spark, SF_DIR, "orders")
+    stats = {
+        r.o_orderstatus: r for r in orders.groupBy("o_orderstatus").agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("q25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("q50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("q75"),
+        ).collect()
+    }
+    exact_col = {0.25: "q25", 0.5: "q50", 0.75: "q75"}
+    by_group: dict[str, list] = {}
+    for r in rows:
+        s = stats[r.o_orderstatus]
+        w = (s.mx - s.mn) / 256.0
+        exact = getattr(s, exact_col[r.q])
+        assert abs(r.est_value - exact) <= w + 1e-9, (
+            r.o_orderstatus, r.q, r.est_value, exact, w)
+        assert 0 <= r.bin_idx <= 255
+        assert r.cum_count <= r.n_total
+        by_group.setdefault(r.o_orderstatus, []).append(r)
+    for g, rs in by_group.items():
+        rs = sorted(rs, key=lambda r: r.q)
+        ests = [r.est_value for r in rs]
+        assert ests == sorted(ests), (g, ests)
