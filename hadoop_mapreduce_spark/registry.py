@@ -3128,11 +3128,12 @@ _WINDOW_R7 = [
     # (c) r7b-new operators, all hash-paired and never yet witnessed
     "hll_portable_union", "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
-    "embedding_centroid_drift",
+    "embedding_centroid_drift", "char_trigram_langid",
+    "minhash_accuracy_audit", "quantile_histogram_portable",
     # (d) window fill (previously witnessed, kept under rotation)
-    "dedup_repeated_spans", "image_dhash_neardup", "token_entropy_quality",
+    "token_entropy_quality",
     "jsd_lang_divergence", "events_anomaly_mad", "bigram_pmi_collocations",
-    "sample_weighted", "events_winsorize_stats",
+    "events_winsorize_stats",
     "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty", "asof_join_nearest",
     # r7-new operators, all hash-paired:
