@@ -102,6 +102,7 @@ HEADLINE = _HEADLINE + [
     "embedding_centroid_drift",
     "char_trigram_langid",
     "minhash_accuracy_audit",
+    "quantile_histogram_portable",
 ]
 
 
