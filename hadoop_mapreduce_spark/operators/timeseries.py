@@ -671,3 +671,69 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_id")
     )
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str,
+                      alpha: float = 0.3) -> DataFrame:
+    """Per-type exponentially-weighted moving average over the DAILY
+    mean series (s_t = alpha*v_t + (1-alpha)*s_{t-1}, seeded s_1 = v_1)
+    — the classic smoothing/trend primitive between the gap-fill and
+    anomaly operators in this family.
+
+    EWMA is inherently sequential, but the SEQUENCE here is days —
+    bounded (365/year) at any corpus size — so the scale-correct plan
+    collapses the raw stream to one (type, day) aggregate first (the
+    only data-sized exchange), collects each type's bounded day series
+    into a sorted array, and folds it with ONE higher-order
+    `aggregate` lambda. No window-over-stream, no recursion over the
+    event table.
+
+    Determinism: the daily mean is rounded and scaled to an exact
+    BIGINT (micro-units) before the fold; the fold then runs the same
+    multiply-add sequence over the same exact inputs in the same order
+    on both engines (the DuckDB oracle steps the identical recurrence
+    with a lockstep recursive CTE), so the float EWMA is bit-identical
+    and rounds cleanly at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type",
+                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .cast("string").alias("day"),
+                  "value")
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(round(avg(value) * 1e6) AS BIGINT)")
+             .alias("v_e6"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v_e6"))).alias("xs"))
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    step = (f"CASE WHEN acc.k = 0 THEN CAST(x.v_e6 AS DOUBLE) / 1000000.0 "
+            f"ELSE {a} * (CAST(x.v_e6 AS DOUBLE) / 1000000.0) "
+            f"+ {b} * acc.s END")
+    fold = f"""
+      aggregate(
+        xs,
+        named_struct(
+          'out',
+          CAST(array() AS ARRAY<STRUCT<day STRING, v_e6 BIGINT,
+                                       ewma DOUBLE>>),
+          's', CAST(0.0 AS DOUBLE), 'k', 0),
+        (acc, x) -> named_struct(
+          'out', array_append(acc.out,
+                   named_struct('day', x.day, 'v_e6', x.v_e6,
+                                'ewma', {step})),
+          's', {step},
+          'k', acc.k + 1),
+        acc -> acc.out)
+    """
+    return (
+        arr.select("event_type", F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "event_type", F.col("r.day").alias("day"),
+            (F.col("r.v_e6").cast("double") / F.lit(1e6)).alias("day_avg"),
+            F.round("r.ewma", 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

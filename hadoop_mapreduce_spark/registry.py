@@ -194,6 +194,7 @@ QUERIES: dict[str, QueryFn] = {
     "char_trigram_langid": textstats.char_trigram_langid,  # hash-paired r7b
     "minhash_accuracy_audit": dedup.minhash_accuracy_audit,  # hash-paired r7b
     "quantile_histogram_portable": relational.quantile_histogram_portable,  # hash-paired r7b
+    "events_ewma_daily": timeseries.events_ewma_daily,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3671,4 +3672,30 @@ SELECT o_orderstatus, q,
         END, 6) AS est_value,
   b::BIGINT AS bin_idx, cum::BIGINT AS cum_count, n::BIGINT AS n_total
 FROM picked ORDER BY o_orderstatus, q
+"""
+
+# r7b: events_ewma_daily — the oracle steps the identical EWMA
+# recurrence (0.3*v + 0.7*s over exact micro-unit daily means) with a
+# lockstep recursive CTE; Spark folds the same sequence with one
+# higher-order aggregate, so the float chain is bit-identical.
+ORACLE["events_ewma_daily"] = """
+WITH RECURSIVE idx AS (
+  SELECT event_type, day, v_e6,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM (
+    SELECT event_type, date_trunc('day', ts) AS day,
+      round(avg(value) * 1e6)::BIGINT AS v_e6
+    FROM events GROUP BY 1, 2)
+),
+ew AS (
+  SELECT event_type, day, v_e6, t, v_e6::DOUBLE / 1000000.0 AS s
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.v_e6, i.t,
+    0.3 * (i.v_e6::DOUBLE / 1000000.0) + 0.7 * e.s
+  FROM ew e JOIN idx i ON i.event_type = e.event_type AND i.t = e.t + 1
+)
+SELECT event_type, day::TIMESTAMP::VARCHAR AS day,
+  v_e6 / 1000000.0 AS day_avg, round(s, 6) AS ewma
+FROM ew ORDER BY event_type, day
 """

@@ -214,3 +214,31 @@ def test_winsorize_stats_invariants(spark):
         # exact percentile: at most ~1% of rows sit strictly outside
         assert r.n_clipped_low <= r.n * 0.011 + 1
         assert r.n_clipped_high <= r.n * 0.011 + 1
+
+
+def test_events_ewma_daily_recurrence(spark):
+    """The EWMA column reproduces the exact recurrence over the daily
+    means (checked in Python per type), is seeded by the first day, and
+    lies inside the running [min, max] envelope of the values seen."""
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_ewma_daily,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = events_ewma_daily(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs = sorted(rs, key=lambda r: r.day)
+        s = None
+        lo = hi = None
+        for r in rs:
+            v = r.day_avg
+            s = v if s is None else 0.3 * v + 0.7 * s
+            assert abs(r.ewma - s) < 1e-6, (t, r.day, r.ewma, s)
+            lo = v if lo is None else min(lo, v)
+            hi = v if hi is None else max(hi, v)
+            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+        assert abs(rs[0].ewma - rs[0].day_avg) < 1e-9
