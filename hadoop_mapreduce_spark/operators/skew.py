@@ -114,3 +114,39 @@ def salted_aggregate(
             final_exprs.append(getattr(F, fn)(part_col).alias(out_name))
     partial = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*partial_exprs)
     return partial.groupBy(*group_cols).agg(*final_exprs)
+
+
+def salted_aggregate_events(spark: SparkSession, sf_dir: str,
+                            n_salts: int = 16) -> DataFrame:
+    """The salting pattern as a REGISTERED query: per-event_type event
+    counts, value total (exact integer micro-units), and min/max via
+    :func:`salted_aggregate` — event_type has single-digit cardinality,
+    the canonical hot-key aggregation. The salted plan's output is
+    IDENTICAL to the naive groupBy (the oracle IS the naive GROUP BY),
+    which is the whole point: salting changes the exchange topology
+    (final task input bounded at n_groups x n_salts rows at ANY skew),
+    never the answer. tools/skew_bench.py holds the measured task-
+    spread numbers; this entry makes the pattern itself
+    correctness-witnessed.
+
+    The value total is summed in micro-units: round(value*1e6) is an
+    exact BIGINT per row, integer addition is order-independent, so
+    the salted two-phase sum is bit-equal to any other grouping.
+    """
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v_e6"))
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": "count(*)",
+            "total_value_e6": "sum(v_e6)",
+            "min_value_e6": "min(v_e6)",
+            "max_value_e6": "max(v_e6)",
+        },
+        n_salts=n_salts,
+    )
+    return out.orderBy("event_type")

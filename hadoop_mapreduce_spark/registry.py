@@ -36,6 +36,7 @@ from hadoop_mapreduce_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     sql4,
     textstats,
     timeseries,
@@ -195,6 +196,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_accuracy_audit": dedup.minhash_accuracy_audit,  # hash-paired r7b
     "quantile_histogram_portable": relational.quantile_histogram_portable,  # hash-paired r7b
     "events_ewma_daily": timeseries.events_ewma_daily,  # hash-paired r7b
+    "salted_aggregate_events": skew.salted_aggregate_events,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3131,12 +3133,13 @@ _WINDOW_R7 = [
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
     "embedding_centroid_drift", "char_trigram_langid",
     "minhash_accuracy_audit", "quantile_histogram_portable",
+    "events_ewma_daily", "salted_aggregate_events",
     # (d) window fill (previously witnessed, kept under rotation)
     "token_entropy_quality",
-    "jsd_lang_divergence", "events_anomaly_mad", "bigram_pmi_collocations",
+    "jsd_lang_divergence", "events_anomaly_mad",
     "events_winsorize_stats",
     "bpe_merge_step", "inverted_index_topk",
-    "memorization_novelty", "asof_join_nearest",
+    "memorization_novelty",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
@@ -3698,4 +3701,17 @@ ew AS (
 SELECT event_type, day::TIMESTAMP::VARCHAR AS day,
   v_e6 / 1000000.0 AS day_avg, round(s, 6) AS ewma
 FROM ew ORDER BY event_type, day
+"""
+
+
+# r7b: salted_aggregate_events — the oracle IS the naive GROUP BY: the
+# salted two-phase plan must be answer-identical at any skew (counts
+# and min/max are algebraic; the value total sums exact micro-units).
+ORACLE["salted_aggregate_events"] = """
+SELECT event_type,
+  count(*)::BIGINT AS n_events,
+  sum(round(value * 1e6)::BIGINT)::BIGINT AS total_value_e6,
+  min(round(value * 1e6)::BIGINT)::BIGINT AS min_value_e6,
+  max(round(value * 1e6)::BIGINT)::BIGINT AS max_value_e6
+FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -97,3 +97,33 @@ def test_salted_join_rejects_right_and_full_outer(spark):
             assert False, f"how={bad} should have raised"
         except ValueError as e:
             assert "replicated" in str(e)
+
+
+def test_salted_aggregate_events_equals_naive(spark):
+    """The registered salted aggregation must be answer-identical to
+    the naive groupBy at any n_salts — salting changes the exchange
+    topology, never the result."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.skew import (
+        salted_aggregate_events,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    for n_salts in (1, 16, 64):
+        got = {r.event_type: (r.n_events, r.total_value_e6,
+                              r.min_value_e6, r.max_value_e6)
+               for r in salted_aggregate_events(
+                   spark, SF_DIR, n_salts=n_salts).collect()}
+        naive = {
+            r.event_type: (r.n, r.s, r.mn, r.mx)
+            for r in load_table(spark, SF_DIR, "events")
+            .select("event_type",
+                    F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        }
+        assert got == naive, n_salts

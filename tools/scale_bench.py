@@ -103,6 +103,8 @@ HEADLINE = _HEADLINE + [
     "char_trigram_langid",
     "minhash_accuracy_audit",
     "quantile_histogram_portable",
+    "events_ewma_daily",
+    "salted_aggregate_events",
 ]
 
 
