@@ -368,3 +368,80 @@ def test_ppjoin_length_positional_filters_never_miss(data, universe, t_pct):
     assert survivors, (
         f"positional filter dropped every prefix match of a qualifying "
         f"pair: J={jac:.3f} >= t={t}, |A|={na}, |B|={nb}")
+
+
+@given(texts=st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FFF,
+                               blacklist_categories=("Cs",)),
+        min_size=0, max_size=40),
+    min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_karp_rabin_expr_matches_python_reference(spark, texts):
+    """The _kr_expr SQL Horner fold (winnowing's hash) must equal a
+    direct Python implementation of the same recurrence at every
+    k-gram start position, for arbitrary Unicode text — pinning the
+    ascii()/element_at/coalesce semantics the portability argument
+    rests on."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        KR_BASE, KR_MOD, _kr_expr,
+    )
+
+    def py_kr(codes, i):
+        h = codes[i] if i < len(codes) else 0
+        for j in range(1, 8):
+            c = codes[i + j] if i + j < len(codes) else 0
+            h = (h * KR_BASE + c) % KR_MOD
+        return h
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string")
+    out = df.selectExpr(
+        "id",
+        "transform(split(t, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cs",
+    ).selectExpr(
+        "id",
+        "transform(sequence(1, greatest(size(cs) - 7, 1)),"
+        f" i -> {_kr_expr('cs', 'i', 8)}) AS hs",
+    ).collect()
+    for r in out:
+        codes = [ord(c) for c in texts[r.id]]
+        n = max(len(codes) - 7, 1)
+        expect = [py_kr(codes, i) for i in range(n)]
+        assert r.hs == expect, (texts[r.id], r.hs, expect)
+
+
+@given(tokens=st.lists(
+    st.text(alphabet="abcdefgh0123", min_size=1, max_size=6),
+    min_size=1, max_size=60))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_registers_match_python_md5_reference(spark, tokens):
+    """The portable-HLL register construction (bucket = h mod 2^12,
+    rho = 49 - bitlength of h div 2^12) must match a direct Python md5
+    reference for arbitrary token multisets — duplicates must not
+    change any register."""
+    import hashlib
+
+    from hadoop_mapreduce_spark.operators.textstats import HLL_M
+
+    df = spark.createDataFrame([(t,) for t in tokens], "tk string")
+    got = {
+        (r.bucket, r.r)
+        for r in df.selectExpr(
+            "CAST(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT) AS hv"
+        ).selectExpr(
+            f"hv % {HLL_M} AS bucket",
+            f"CASE WHEN hv div {HLL_M} = 0 THEN 49 "
+            f"ELSE 49 - length(bin(hv div {HLL_M})) END AS rho",
+        ).groupBy("bucket").agg({"rho": "max"})
+        .withColumnRenamed("max(rho)", "r").collect()
+    }
+    regs: dict = {}
+    for t in set(tokens):
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        b, v = hv % HLL_M, hv // HLL_M
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    assert got == set(regs.items())
