@@ -126,3 +126,44 @@ def test_funnel_ordering_constraint_is_enforced(spark):
     assert out.n_viewed == 2
     assert out.n_clicked_after_view == 2
     assert out.n_purchased_after_click == 1  # only user 1
+
+
+def test_r7b_operators_on_empty_fixtures(tmp_path, spark):
+    """Every r7b registered operator must run (not error) on EMPTY
+    tables — degenerate aggregations, empty windows, empty recursions
+    and 0-of-3 ntile partitions all have to degrade to 0..3 rows."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string")
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate date, o_orderpriority string,"
+            " o_clerk string, o_shippriority int, o_comment string")
+    sf = str(tmp_path)
+    for name, df in [("documents", docs), ("embeddings", emb),
+                     ("events", ev), ("orders", orders)]:
+        df.coalesce(1).write.parquet(f"{sf}/{name}.parquet")
+
+    from hadoop_mapreduce_spark.operators import (
+        dedup, relational, similarity, skew, textstats, timeseries,
+    )
+
+    for fn, bound in [
+        (textstats.hll_portable_union, 0),
+        (textstats.winnowing_fingerprint, 0),
+        (textstats.ccnet_perplexity_buckets, 0),
+        (textstats.vocab_coverage_curve, 3),
+        (textstats.char_trigram_langid, 0),
+        (similarity.embedding_centroid_drift, 0),
+        (dedup.minhash_accuracy_audit, 0),
+        (relational.quantile_histogram_portable, 0),
+        (timeseries.events_ewma_daily, 0),
+        (skew.salted_aggregate_events, 0),
+    ]:
+        n = fn(spark, sf).count()
+        assert n >= 0 and (bound == 0 and n == 0 or n <= bound), (
+            fn.__name__, n)
