@@ -227,6 +227,11 @@ def main() -> None:
             # executor threads + broadcasts): peak used across the heap
             # memory pools vs -Xmx — the "does this scale still fit the
             # configured heap" number BASELINE.md's memory table records.
+            # NOTE: heap_peak_gb SUMS per-pool peaks (eden + survivor +
+            # old), and pools peak at different instants — it is an UPPER
+            # BOUND on any simultaneous heap use and can legitimately
+            # exceed heap_max_gb; zero spill + completion is the ground
+            # truth that the scale fit.
             try:
                 mgmt = spark._jvm.java.lang.management.ManagementFactory
                 peak = used = maxm = 0
