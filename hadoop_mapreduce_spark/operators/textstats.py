@@ -1197,11 +1197,14 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str,
 
     Ranking is (count DESC, token ASC) — fully deterministic; coverage
     is a ratio of two exact BIGINTs. One token exchange builds the
-    vocabulary; the rank is a row_number over the VOCABULARY relation
-    (types, not occurrences — bounded at any corpus size, though still
-    a single-partition window: at a billion-type corpus the two-phase
-    rank (range-partition by count, offset by partition totals) swaps
-    in; the plan-audit rule tolerates vocabulary-sized windows).
+    vocabulary; the rank is the TWO-PHASE distributed row_number
+    (range-partition the vocabulary by the rank key, rank within each
+    partition, add broadcast per-partition offsets) — the global-window
+    form went super-linear on the 32x ladder once the synthetic vocab
+    grew with the corpus (2.9x time for 2x data), exactly the
+    single-partition bottleneck this swap removes. Rank values are
+    identical to the global row_number (same total order), so the
+    output and the oracle are unchanged.
 
     Output: one row per k — n_types kept, occurrences covered, total
     occurrences, coverage fraction (6 dp).
@@ -1209,8 +1212,19 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tokens("text")).alias("tk"))
     vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("tk"))
-    ranked = vocab.select("c", F.row_number().over(w).alias("rnk"))
+    parted = (vocab
+              .repartitionByRange(32, F.desc("c"), F.asc("tk"))
+              .select("c", "tk", F.spark_partition_id().alias("pid")))
+    w_in = Window.partitionBy("pid").orderBy(F.desc("c"), F.asc("tk"))
+    in_rank = parted.select(
+        "c", "pid", F.row_number().over(w_in).alias("ir"))
+    sizes = in_rank.groupBy("pid").agg(F.max("ir").alias("sz"))
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("sz").over(w_off), F.lit(0)).alias("off"))
+    ranked = (in_rank.join(F.broadcast(offsets), "pid")
+              .select("c", (F.col("ir") + F.col("off")).alias("rnk")))
     aggs = [F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("total_occ")]
     for k in ks:
         aggs.append(
