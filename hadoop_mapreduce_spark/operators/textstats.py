@@ -1050,6 +1050,47 @@ def _kr_expr(arr: str, pos: str, n: int, spark: bool = True) -> str:
     return e
 
 
+def _winnow_selected(docs: DataFrame, kgram: int = 8,
+                     window: int = 8) -> DataFrame:
+    """(doc_id, n_kgrams, sel) — each document's DISTINCT winnowing
+    selections (packed hash*2^24 + reversed-position keys). Shared by
+    the per-doc digest (winnowing_fingerprint) and the cross-doc pair
+    detector (winnowing_neardup_pairs)."""
+    compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
+    codes = F.transform(F.split(compact, ""),
+                        lambda ch: F.ascii(ch).cast("long"))
+    c = docs.select("doc_id", codes.alias("cs"))
+    kg = c.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.size("cs") - F.lit(kgram - 1), F.lit(1)),
+        )).alias("i"),
+        F.col("cs"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(_kr_expr("cs", "i", kgram)).alias("h"),
+    )
+    key = (F.col("h") * F.lit(WINNOW_POS)
+           + (F.lit(WINNOW_POS - 1) - F.col("i")))
+    w_frame = (Window.partitionBy("doc_id").orderBy("i")
+               .rowsBetween(Window.currentRow, window - 1))
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        kg.select("doc_id", "i", key.alias("key"))
+        .select(
+            "doc_id", "i",
+            F.min("key").over(w_frame).alias("sel"),
+            F.count(F.lit(1)).over(w_doc).alias("n_kgrams"),
+        )
+        .where(F.col("i") <= F.greatest(
+            F.col("n_kgrams") - F.lit(window - 1), F.lit(1)))
+        .select("doc_id", "n_kgrams", "sel")
+        .distinct()
+    )
+
+
 def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
                           kgram: int = 8, window: int = 8) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -1078,40 +1119,8 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str,
     the paper's bound, so downstream joins see ~1/4 of the k-gram
     stream.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
-    codes = F.transform(F.split(compact, ""),
-                        lambda ch: F.ascii(ch).cast("long"))
-    c = docs.select("doc_id", codes.alias("cs"))
-    kg = c.select(
-        "doc_id",
-        F.explode(F.sequence(
-            F.lit(1),
-            F.greatest(F.size("cs") - F.lit(kgram - 1), F.lit(1)),
-        )).alias("i"),
-        F.col("cs"),
-    ).select(
-        "doc_id",
-        "i",
-        F.expr(_kr_expr("cs", "i", kgram)).alias("h"),
-    )
-    key = (F.col("h") * F.lit(WINNOW_POS)
-           + (F.lit(WINNOW_POS - 1) - F.col("i")))
-    w_frame = (Window.partitionBy("doc_id").orderBy("i")
-               .rowsBetween(Window.currentRow, window - 1))
-    w_doc = Window.partitionBy("doc_id")
-    sel = (
-        kg.select("doc_id", "i", key.alias("key"))
-        .select(
-            "doc_id", "i",
-            F.min("key").over(w_frame).alias("sel"),
-            F.count(F.lit(1)).over(w_doc).alias("n_kgrams"),
-        )
-        .where(F.col("i") <= F.greatest(
-            F.col("n_kgrams") - F.lit(window - 1), F.lit(1)))
-        .select("doc_id", "n_kgrams", "sel")
-        .distinct()
-    )
+    sel = _winnow_selected(
+        load_table(spark, sf_dir, "documents"), kgram, window)
     return (
         sel.groupBy("doc_id")
         .agg(
@@ -1341,4 +1350,66 @@ def char_trigram_langid(spark: SparkSession, sf_dir: str,
         labelled.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
+    )
+
+
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str,
+                            kgram: int = 16, window: int = 16,
+                            min_shared: int = 8,
+                            max_df: int = 256) -> DataFrame:
+    """Cross-document near-duplicate detection over winnowing
+    fingerprints — the actual MOSS use of the selections
+    winnowing_fingerprint digests per doc: two documents sharing
+    >= min_shared fingerprint HASHES (position-independent) share that
+    many w+k-1-length substrings and are flagged as a pair, with the
+    containment fraction shared/min(|fp1|, |fp2|) in exact integer
+    micro-units. Detection parameters are STRICTER than the per-doc
+    digest's (k=w=16: a 31-char guarantee, 8 shared prints) — at the
+    digest's k=w=8 every template-built fixture doc shares 15-char
+    substrings with every other and the pair set is ~quadratic noise
+    (measured 51k pairs over 500 docs vs 26 true near-dups at k=16).
+
+    Fingerprints present in more than max_df documents are culled
+    BEFORE pairing — the paper's own treatment of boilerplate
+    (headers, license blocks): a fingerprint every page shares
+    identifies nothing and would otherwise pair quadratically. The
+    cull is the same hot-bucket discipline as the LSH path
+    (dedup.py's max_bucket cap), applied at fingerprint granularity.
+
+    Scale shape: the selection relation (≈ 2/(w+1) of k-gram
+    positions), one df-counting aggregation (fingerprint-keyed,
+    map-side combinable), the capped self-join keyed by fingerprint
+    hash (per-key fanout <= max_df), one pair-keyed count, and a
+    broadcast join back to the tiny per-doc fingerprint counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sel = _winnow_selected(docs, kgram, window)
+    fps = sel.select(
+        "doc_id", F.expr(f"sel div {WINNOW_POS}").alias("fph")).distinct()
+    n_fp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    df_ = fps.groupBy("fph").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(F.broadcast(df_.where(F.col("df") > max_df)),
+                    "fph", "left_anti")
+    pairs = (
+        rare.alias("a").join(
+            rare.alias("b"),
+            (F.col("a.fph") == F.col("b.fph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"),
+                 F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+    return (
+        pairs
+        .join(n_fp.select(F.col("doc_id").alias("id1"),
+                          F.col("nf").alias("nf1")), "id1")
+        .join(n_fp.select(F.col("doc_id").alias("id2"),
+                          F.col("nf").alias("nf2")), "id2")
+        .select(
+            "id1", "id2", F.col("shared_fp").cast("long").alias("shared_fp"),
+            F.expr("CAST(shared_fp * 1000000 div least(nf1, nf2) AS BIGINT)")
+            .alias("containment_e6"),
+        )
+        .orderBy("id1", "id2")
     )

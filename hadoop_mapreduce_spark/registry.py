@@ -197,6 +197,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_histogram_portable": relational.quantile_histogram_portable,  # hash-paired r7b
     "events_ewma_daily": timeseries.events_ewma_daily,  # hash-paired r7b
     "salted_aggregate_events": skew.salted_aggregate_events,  # hash-paired r7b
+    "winnowing_neardup_pairs": textstats.winnowing_neardup_pairs,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
@@ -3134,9 +3135,10 @@ _WINDOW_R7 = [
     "embedding_centroid_drift", "char_trigram_langid",
     "minhash_accuracy_audit", "quantile_histogram_portable",
     "events_ewma_daily", "salted_aggregate_events",
+    "winnowing_neardup_pairs",
     # (d) window fill (previously witnessed, kept under rotation)
     "token_entropy_quality",
-    "jsd_lang_divergence", "events_anomaly_mad",
+    "jsd_lang_divergence",
     "events_winsorize_stats",
     "bpe_merge_step", "inverted_index_topk",
     "memorization_novelty",
@@ -3714,4 +3716,56 @@ SELECT event_type,
   min(round(value * 1e6)::BIGINT)::BIGINT AS min_value_e6,
   max(round(value * 1e6)::BIGINT)::BIGINT AS max_value_e6
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# r7b: winnowing_neardup_pairs — cross-doc MOSS detection over the
+# same Karp-Rabin winnowing selections; boilerplate fingerprints
+# (df > 256) culled before pairing, thresholds and containment in
+# pure integers.
+ORACLE["winnowing_neardup_pairs"] = r"""
+WITH c AS (
+  SELECT doc_id,
+    list_transform(string_split(
+      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g'),
+      ''), x -> ascii(x)) AS cs
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i,
+    ((((((((((((((((((((((((((((((CAST(coalesce(cs[(i) + 0], 0) AS BIGINT)) * 2097169 + coalesce(cs[(i) + 1], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 2], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 3], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 4], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 5], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 6], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 7], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 8], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 9], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 10], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 11], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 12], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 13], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 14], 0)) % 2147483647) * 2097169 + coalesce(cs[(i) + 15], 0)) % 2147483647 AS h
+  FROM c, LATERAL (SELECT unnest(generate_series(1, greatest(len(cs) - 15, 1))) AS i) g
+),
+keyed AS (
+  SELECT doc_id, i, h * 16777216 + (16777215 - i) AS key FROM kg
+),
+win AS (
+  SELECT doc_id, i,
+    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel,
+    count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+  FROM keyed
+),
+fsel AS (
+  SELECT DISTINCT doc_id, sel FROM win
+  WHERE i <= greatest(n_kgrams - 15, 1)
+),
+fps AS (SELECT DISTINCT doc_id, sel // 16777216 AS fph FROM fsel),
+nfp AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
+hot AS (
+  SELECT fph FROM (SELECT fph, count(*) AS df FROM fps GROUP BY fph)
+  WHERE df > 256
+),
+rare AS (SELECT f.doc_id, f.fph FROM fps f ANTI JOIN hot USING (fph)),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fp
+  FROM rare a JOIN rare b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 8
+)
+SELECT p.id1, p.id2, p.shared_fp::BIGINT AS shared_fp,
+  (p.shared_fp * 1000000 // least(n1.nf, n2.nf))::BIGINT AS containment_e6
+FROM pairs p
+JOIN nfp n1 ON n1.doc_id = p.id1
+JOIN nfp n2 ON n2.doc_id = p.id2
+ORDER BY id1, id2
 """

@@ -308,18 +308,23 @@ def test_winnowing_guarantee_and_density(spark):
         assert r.n_fp <= max(r.n_kgrams - 7, 1)
         assert r.fp_min_hash >= 0
 
-    # identical compact text -> identical fingerprint set
-    docs = load_table(spark, SF_DIR, "documents")
-    compact = F.regexp_replace(normalize_text(F.col("text")), r"\s+", " ")
-    dup_groups = (
-        docs.select("doc_id", compact.alias("c"))
-        .groupBy("c").agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") >= 2).limit(5).collect()
-    )
-    fp = {r.doc_id: (r.n_fp, r.fp_min_hash, r.fp_xor) for r in rows}
-    for g in dup_groups:
-        sigs = {fp[d] for d in g.ids}
-        assert len(sigs) == 1, g.ids
+    # identical compact text -> identical fingerprint digest. The sf
+    # fixtures plant NEAR-dups but no byte-exact dups, so the check
+    # runs on a planted pair (an empty dup_groups loop would be
+    # vacuous — it originally was).
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "alpha  beta\tgamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    from hadoop_mapreduce_spark.operators.textstats import _winnow_selected
+    sigs = {
+        (r.doc_id, r.n, r.mn, r.x)
+        for r in _winnow_selected(two).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.expr("sel div 16777216")).alias("mn"),
+            F.expr("bit_xor(sel div 16777216)").alias("x")).collect()
+    }
+    assert len({t[1:] for t in sigs}) == 1, sigs
 
 
 def test_ccnet_buckets_partition_the_corpus(spark):
@@ -417,3 +422,45 @@ def test_char_trigram_langid_covers_corpus_and_learns_scripts(tmp_path, spark):
     diag = sum(r.n for r in out if r.lang == r.pred_lang)
     assert n == 48
     assert diag / n >= 0.95, [(r.lang, r.pred_lang, r.n) for r in out]
+
+
+def test_winnowing_neardup_pairs_invariants_and_planted(tmp_path, spark):
+    """Structural invariants on the fixture (canonical id order,
+    threshold respected, containment bounded) plus detection on a
+    PLANTED corpus: an exact duplicate long document must be reported
+    with containment 1.0, a prefix-copy (one doc contained in a longer
+    one) must be reported with high containment, and an unrelated doc
+    must pair with nothing."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        winnowing_neardup_pairs,
+    )
+
+    rows = winnowing_neardup_pairs(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.id1 < r.id2
+        assert r.shared_fp >= 8
+        assert 0 < r.containment_e6 <= 1_000_000
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "engine shuffles partitions and broadcasts tiny dimension "
+            "tables across the cluster every single day of the week")
+    other = ("completely unrelated content about cooking pasta with "
+             "tomatoes garlic and basil simmered slowly on a stove "
+             "until the sauce thickens into a rich red ragu tonight")
+    recs = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),                    # exact dup
+        (3, base + " plus an extra trailing clause appended here",
+         "en", "s", 0),                                      # contains base
+        (4, other, "en", "s", len(other)),                   # unrelated
+    ]
+    df = spark.createDataFrame(
+        recs, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = {(r.id1, r.id2): r for r in
+           winnowing_neardup_pairs(spark, sf).collect()}
+    assert (1, 2) in got and got[(1, 2)].containment_e6 == 1_000_000
+    assert (1, 3) in got and got[(1, 3)].containment_e6 >= 900_000
+    assert not any(4 in p for p in got)

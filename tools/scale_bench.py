@@ -105,6 +105,7 @@ HEADLINE = _HEADLINE + [
     "quantile_histogram_portable",
     "events_ewma_daily",
     "salted_aggregate_events",
+    "winnowing_neardup_pairs",
 ]
 
 
