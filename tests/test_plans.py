@@ -139,3 +139,73 @@ def test_span_chunks_exactly_two_keyed_exchanges(spark):
 
     text = static_plan_text(dedup_span_chunks(spark, SF_DIR))
     assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+
+
+def test_hll_portable_no_joins_two_aggregation_chains(spark):
+    """Portable HLL is pure aggregation algebra: distinct -> register
+    max -> estimate, with the union row a re-aggregation of the
+    register table. No join of any kind, codegen throughout."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        hll_portable_union,
+    )
+
+    text = static_plan_text(hll_portable_union(spark, SF_DIR))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop"):
+        assert j not in text
+    assert "codegen id" in text
+    assert text.count("HashAggregate") >= 4  # partials + finals
+
+
+def test_winnowing_no_global_sort_window_partitioned_by_doc(spark):
+    """Winnowing's window is PARTITIONED by doc_id — no single-partition
+    window, no global sort before the final presentation orderBy, and
+    no joins."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        winnowing_fingerprint,
+    )
+
+    text = static_plan_text(winnowing_fingerprint(spark, SF_DIR))
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+    assert "Window" in text
+    assert text.count("Exchange SinglePartition") <= 1  # presentation only
+
+
+def test_vocab_coverage_two_phase_rank_no_single_partition_rank(spark):
+    """The two-phase rank: the within-partition row_number windows over
+    spark_partition_id (range-partitioned), so the only
+    SinglePartition exchanges are the tiny offsets/global aggregate
+    sides — the vocabulary itself is never funneled through one
+    partition."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        vocab_coverage_curve,
+    )
+
+    text = static_plan_text(vocab_coverage_curve(spark, SF_DIR))
+    assert "rangepartitioning" in text.lower()
+    assert "SortMergeJoin" not in text
+
+
+def test_centroid_drift_broadcast_only_joins(spark):
+    """Centroid drift joins only the d-row global centroid (broadcast)
+    and the 1-row global norm (broadcast nested loop on a scalar) —
+    no shuffle join anywhere."""
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    text = static_plan_text(embedding_centroid_drift(spark, SF_DIR))
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+
+
+def test_neardup_pairs_join_keyed_on_fingerprint(spark):
+    """The MOSS pair join is an equi-join on the fingerprint hash
+    (never a nested-loop/cartesian), and the boilerplate cull is a
+    broadcast anti join."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        winnowing_neardup_pairs,
+    )
+
+    text = static_plan_text(winnowing_neardup_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in text
+    assert "LeftAnti" in text
