@@ -658,28 +658,36 @@ def bm25_search(spark: SparkSession, sf_dir: str,
     idf is the Lucene +1 variant ln(1 + (N - df + .5)/(df + .5)), which
     is strictly positive so stopword-frequency terms can't flip signs.
 
-    Scale shape: the exploded token stream is filtered to the query
-    terms BEFORE any shuffle (isin predicate rides the scan projection),
-    so tf aggregation touches O(matches) rows. Document length comes
-    from a shuffle-free map-side projection size(tokens); its global
-    (N, avgdl) aggregate is a broadcast 1-row relation, and the
-    per-doc dl join is doc-keyed where the tf side is the tiny
-    matched-docs relation (AQE broadcasts it). Top-k is
-    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    Scale shape: ONE tokenisation pass produces (doc, dl, matched
+    terms) and is persisted — dl-side and tf-side both read it, where
+    the previous two-consumer form re-ran the tokenizer regex per
+    consumer (the dominant scan cost: measured 4.4 -> ~2 s at 4x
+    sf0.1) and paid a doc-keyed dl shuffle join. dl now rides the tf
+    aggregation as a constant-per-group max, so the only exchanges are
+    the tiny matched-rows groupBys; (N, avgdl) is a broadcast 1-row
+    aggregate of the persisted base. Top-k is TakeOrderedAndProject —
+    per-partition heaps, never a global sort.
 
     Cross-engine determinism: tf/df/dl/N are exact integers, the score
     is a sum of <= len(terms) smooth terms, rounded to 6 dp BEFORE the
     ordering comparison with doc_id as tie-break.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(_tokens("text")).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
+    from hadoop_mapreduce_spark.session import scoped_persist
 
-    qt = docs.select("doc_id", F.explode(_tokens("text")).alias("term")) \
-        .where(F.col("term").isin(*terms))
-    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens("text").alias("__toks"))
+    row = scoped_persist(base.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.filter("__toks", lambda t: t.isin(*terms)).alias("m"),
+    ))
+    stats = row.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+
+    qt = row.select("doc_id", "dl", F.explode("m").alias("term"))
+    tf = qt.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
@@ -687,7 +695,6 @@ def bm25_search(spark: SparkSession, sf_dir: str,
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_terms"),
