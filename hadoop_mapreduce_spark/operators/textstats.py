@@ -481,12 +481,15 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str,
     via the existing n-gram assembly (tokens bound below the explode,
     SURVEY §2.A op-4 machinery), unigrams from the same token arrays —
     then two broadcast joins attach the unigram counts to each bigram
-    row (vocabulary-sized builds), a 1-row totals aggregate broadcasts
-    back, and the top-k is a TakeOrdered limit, no global sort. The
-    corpus is scanned twice (unigram pass + bigram pass — same
-    two-pass shape as unigram_logprob_quality); everything downstream
-    of the scans is vocabulary-sized. min_count guards the classic
-    PMI small-count instability (hapax pairs otherwise own the top).
+    row (vocabulary-sized builds), and the top-k is a TakeOrdered
+    limit, no global sort. The corpus is scanned twice (unigram pass +
+    bigram pass — same two-pass shape as unigram_logprob_quality); the
+    totals (n_uni, n_big) are DERIVED from those two frequency tables
+    (sum of counts pre-filter), not re-scanned — the original third
+    tokenise pass was ~1/3 of the op's 4x ladder time. Everything
+    downstream of the scans is vocabulary-sized. min_count guards the
+    classic PMI small-count instability (hapax pairs otherwise own
+    the top).
 
     PMI rounds to 6 dp on both engines — the log-ratio is a smooth
     function of integer counts, so cross-engine FP agreement at 6 dp
@@ -498,17 +501,18 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("cw"))
     from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
 
-    big = (
+    bgc = (
         toks.select(F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("bg"))
         .groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
-        .where(F.col("cab") >= min_count)
+    )
+    big = (
+        bgc.where(F.col("cab") >= min_count)
         .select(F.split("bg", " ").getItem(0).alias("w1"),
                 F.split("bg", " ").getItem(1).alias("w2"),
                 "cab")
     )
-    totals = toks.select(
-        F.sum(F.size("t")).alias("n_uni"),
-        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_big"))
+    totals = (uni.agg(F.sum("cw").alias("n_uni"))
+              .crossJoin(bgc.agg(F.sum("cab").alias("n_big"))))
     pmi = (
         big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
                              .withColumnRenamed("cw", "c1")), "w1")
