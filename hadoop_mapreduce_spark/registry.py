@@ -321,8 +321,13 @@ QUERIES: dict[str, QueryFn] = {
 # DuckDB oracle SQL (keys must match QUERIES; omissions → rows-only check)
 # ---------------------------------------------------------------------------
 
+# ORACLE whitespace rule: Java's \s (the reference normalizer's,
+# and therefore the Spark side's) includes \x0B; RE2's does not —
+# every oracle regex spells the Java class [\t\n\x0B\f\r ]
+# explicitly (found by tests/test_differential_fuzz.py on a \x0B
+# document; the BPE_RE twin had the same fix in r7).
 _TOKS = (
-    r"list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),"
+    r"list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'),"
     r" t -> t <> '')"
 )
 
@@ -691,7 +696,7 @@ FROM reach GROUP BY src ORDER BY doc_id
     "dedup_simhash": r"""
 WITH toks AS (
   SELECT doc_id, list_distinct(list_filter(
-    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),
+    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'),
     t -> t <> '')) AS t
   FROM documents
 ),
@@ -805,7 +810,7 @@ FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
     "doc_fingerprint": r"""
 WITH c AS (
   SELECT doc_id,
-    regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g') AS compact
+    regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+', ' ', 'g') AS compact
   FROM documents
 ),
 kg AS (
@@ -1274,7 +1279,7 @@ GROUP BY term HAVING count(*) >= 3 ORDER BY cnt DESC, term
     "doc_chunking": r"""
 WITH toks AS (
   SELECT doc_id, list_filter(
-    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'),
+    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'),
     t -> t <> '') AS t
   FROM documents
 ),
@@ -1296,7 +1301,7 @@ WITH s AS (
     trim(regexp_replace(regexp_replace(regexp_replace(text,
       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
       'https?://[^\s]+', '<URL>', 'g'),
-      '\s+', ' ', 'g')) AS clean,
+      '[\t\n\x0B\f\r ]+', ' ', 'g')) AS clean,
     len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS ne,
     len(regexp_extract_all(text, 'https?://[^\s]+')) AS nu
   FROM documents
@@ -1309,7 +1314,7 @@ FROM s ORDER BY doc_id
     "dataset_split": r"""
 WITH b AS (
   SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS bucket,
-         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+         len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT AS n_tokens
   FROM documents
 )
 SELECT CASE WHEN bucket < 10 THEN 'val'
@@ -1344,7 +1349,7 @@ FROM c ORDER BY check_name
     "udtf_tokens": """
 WITH d AS (
   SELECT doc_id,
-    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'),
+    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\t\\n\\x0B\\f\\r ]+', '', 'g')), '[\\t\\n\\x0B\\f\\r ]+'),
                 t -> t <> '')[1:10] AS toks
   FROM documents WHERE doc_id < 100
 )
@@ -2829,7 +2834,7 @@ GROUP BY v.doc_id ORDER BY v.doc_id
 ORACLE["mixture_temperature_weights"] = r"""
 WITH per_src AS (
   SELECT source, count(*)::BIGINT AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+         sum(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ),
 sh AS (
@@ -2852,7 +2857,7 @@ FROM sc ORDER BY source
 ORACLE["quantile_normalize_quality"] = r"""
 WITH base AS (
   SELECT doc_id, source,
-    len(string_split_regex(trim(text), '\s+'))::BIGINT * 1000 / n_chars AS raw
+    len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT * 1000 / n_chars AS raw
   FROM documents
 ),
 ranked AS (
@@ -2905,7 +2910,7 @@ ORDER BY f.qid
 
 ORACLE["padding_waste_audit"] = r"""
 WITH base AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n,
+  SELECT doc_id, len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT AS n,
          md5(doc_id::VARCHAR) AS shuf
   FROM documents
 ),
@@ -2958,7 +2963,7 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 ORACLE["context_window_stats"] = r"""
 WITH per AS (
-  SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n, b.budget
+  SELECT len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT AS n, b.budget
   FROM documents, (SELECT unnest([128, 512, 2048]) AS budget) b
 )
 SELECT budget::BIGINT AS budget, count(*)::BIGINT AS n_docs,
@@ -3314,7 +3319,7 @@ sized AS (
   SELECT source, doc_id,
     (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 8)::INT
       AS bucket,
-    least(len(string_split_regex(trim(text), '\\s+')), 512)::BIGINT AS t
+    least(len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')), 512)::BIGINT AS t
   FROM documents
 ),
 ranked AS (
@@ -3415,7 +3420,7 @@ ORACLE["winnowing_fingerprint"] = r"""
 WITH c AS (
   SELECT doc_id,
     list_transform(string_split(
-      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g'),
+      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+', ' ', 'g'),
       ''), x -> ascii(x)) AS cs
   FROM documents
 ),
@@ -3727,7 +3732,7 @@ ORACLE["winnowing_neardup_pairs"] = r"""
 WITH c AS (
   SELECT doc_id,
     list_transform(string_split(
-      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+', ' ', 'g'),
+      regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+', ' ', 'g'),
       ''), x -> ascii(x)) AS cs
   FROM documents
 ),

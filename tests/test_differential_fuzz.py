@@ -1,0 +1,101 @@
+"""Random-fixture differential fuzzing: hypothesis-generated documents
+tables (unicode incl. the Java-vs-RE2 \\x0B hazard, empty docs,
+whitespace-only docs, exact duplicates) written to parquet and run
+through BOTH engines — the Spark operator vs its registered DuckDB
+oracle — with the same canonical comparison tools/oracle_check.py
+uses. The fixed sf fixtures can't cover these corners; the round-7
+\\x0B tokenizer divergence is exactly the class of bug this hunts."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
+
+FUZZ_QUERIES = [
+    "hll_portable_union",
+    "winnowing_fingerprint",
+    "ccnet_perplexity_buckets",
+    "vocab_coverage_curve",
+    "char_trigram_langid",
+    "token_count",
+    "doc_fingerprint",
+]
+
+# Text alphabet chosen to probe the portability hazards: ASCII, the
+# \x0B vertical tab (Java \s vs RE2 \s), other control whitespace,
+# accented latin (lower() mapping), CJK (multi-byte UTF-8 indexing),
+# and characters the reference normalizer deletes.
+_ALPHA = st.sampled_from(
+    list("abcXYZ012 .,!?'\t\n\x0b") + ["é", "ß", "中", "文", "Ω"])
+_TEXT = st.text(alphabet=_ALPHA, min_size=0, max_size=120)
+
+
+def _normalize_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = ["\x1f".join(_normalize_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("fuzz")
+
+
+_COUNTER = iter(range(10**9))
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_text_ops_match_oracle_on_random_corpora(spark, fuzz_dir, texts):
+    # plant a guaranteed exact duplicate so dedup-ish paths see one
+    texts = texts + [texts[0]]
+    langs = ["en", "zh", "de", "es", "fr"]
+    recs = [
+        (i, t, langs[i % len(langs)], f"src{i % 3}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        recs, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    # fresh dir per example: Spark caches file listings per path, so
+    # overwriting a previously-read location poisons later reads
+    sf = str(fuzz_dir / f"c{next(_COUNTER)}")
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    try:
+        for name in FUZZ_QUERIES:
+            sdf = QUERIES[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(ORACLE[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+            assert _canon(srows, scols) == _canon(orows, ocols), (
+                name, texts)
+    finally:
+        con.close()
