@@ -58,21 +58,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    # explicit Java-\s class (not \s): the oracle's RE2 \s lacks \x0B —
+    # the same divergence the differential fuzzer caught in the
+    # tokenizer oracles (a \x0B document counted it as punctuation on
+    # one engine only).
+    n_punct = n_chars - F.length(
+        F.regexp_replace("text", "[^\\w\t\n\x0B\f\r ]", ""))
     stop_hits = F.size(F.array_intersect(toks, F.lit(list(LANG_STOPWORDS["en"]))))
-    avg_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok
+    # Empty-input contract (fuzz-found ANSI divide-by-zero): zero
+    # tokens => avg_word_len/stopword_ratio 0.0; zero chars =>
+    # punct_ratio 0.0 and the punctuation score term passes vacuously.
+    avg_wl = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     score = (
         F.when(n_tok >= 5, 1.0).otherwise(0.0)
         + F.when((avg_wl >= 3) & (avg_wl <= 10), 1.0).otherwise(0.0)
-        + F.when(n_punct / n_chars < 0.2, 1.0).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 1.0).otherwise(0.0)
     ) / 3.0
     return base.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars_m"),
         F.round(avg_wl, 4).alias("avg_word_len"),
-        F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(score, 4).alias("quality"),
     ).orderBy("doc_id")
 

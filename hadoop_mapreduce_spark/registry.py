@@ -737,23 +737,26 @@ GROUP BY label ORDER BY label
 WITH t0 AS (
   SELECT doc_id, text, {_TOKS} AS t,
     length(text) AS nc,
-    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+    length(text) - length(regexp_replace(text, '[^\w\t\n\x0B\f\r ]', '', 'g')) AS np
   FROM documents
 ),
 t1 AS (
   SELECT doc_id, t, nc, np,
     len(t) AS ntok,
-    list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS awl,
+    CASE WHEN len(t) > 0
+         THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+         ELSE 0.0 END AS awl,
+    CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END AS pr,
     len(list_intersect(t, ['the','and','of','to','a','in','is','it','you','that'])) AS sh
   FROM t0
 )
 SELECT doc_id, ntok::BIGINT AS n_tokens, nc::BIGINT AS n_chars_m,
   round(awl, 4) AS avg_word_len,
-  round(sh * 1.0 / ntok, 4) AS stopword_ratio,
-  round(np * 1.0 / nc, 4) AS punct_ratio,
+  round(CASE WHEN ntok > 0 THEN sh * 1.0 / ntok ELSE 0.0 END, 4) AS stopword_ratio,
+  round(pr, 4) AS punct_ratio,
   round((CASE WHEN ntok >= 5 THEN 1.0 ELSE 0.0 END
        + CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END
-       + CASE WHEN np * 1.0 / nc < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+       + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
 FROM t1 ORDER BY doc_id
 """,
     "token_count": rf"""

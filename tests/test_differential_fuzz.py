@@ -25,6 +25,10 @@ FUZZ_QUERIES = [
     "char_trigram_langid",
     "token_count",
     "doc_fingerprint",
+    "dedup_exact",
+    "language_id",
+    "text_quality",
+    "gopher_dup_ngrams",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -97,5 +101,74 @@ def test_text_ops_match_oracle_on_random_corpora(spark, fuzz_dir, texts):
             assert sorted(scols) == sorted(ocols), (name, scols, ocols)
             assert _canon(srows, scols) == _canon(orows, ocols), (
                 name, texts)
+    finally:
+        con.close()
+
+
+EVENT_QUERIES = [
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_dedup_first",
+    "events_daily_ohlc",
+    "events_twap_daily",
+    "events_ewma_daily",
+    "salted_aggregate_events",
+]
+
+
+@given(
+    offsets=st.lists(
+        st.integers(0, 60 * 48),  # minutes across two days
+        min_size=1, max_size=30),
+    dup_first=st.booleans(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_event_ops_match_oracle_on_random_streams(spark, fuzz_dir,
+                                                  offsets, dup_first):
+    """Random event streams with DELIBERATE logic hazards: duplicate
+    timestamps (ordering ties), events exactly on window/day
+    boundaries (offset 0 / multiples of 60), session gaps exactly at
+    the threshold, and single-event days. Values are exact multiples
+    of 1/64 so any mismatch is a LOGIC divergence (tie-break, boundary
+    inclusivity, empty-frame handling), not contract-accepted
+    last-ulp float noise."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    if dup_first and len(offsets) >= 1:
+        offsets = offsets + [offsets[0]]  # guaranteed exact-tie pair
+    recs = []
+    for i, off in enumerate(offsets):
+        recs.append((
+            i,
+            base + timedelta(minutes=off),
+            i % 3,
+            ["view", "click", "purchase"][i % 3],
+            (i % 97) / 64.0,
+            '{"k": %d}' % (i % 5),
+        ))
+    df = spark.createDataFrame(
+        recs, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    sf = str(fuzz_dir / f"e{next(_COUNTER)}")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')")
+    try:
+        for name in EVENT_QUERIES:
+            sdf = QUERIES[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(ORACLE[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+            assert _canon(srows, scols) == _canon(orows, ocols), (
+                name, offsets)
     finally:
         con.close()
