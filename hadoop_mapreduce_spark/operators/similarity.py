@@ -1091,9 +1091,15 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(gnorm))
     )
-    cos = (F.col("dot_lg").cast("double")
-           / (F.sqrt(F.col("l_ssq").cast("double"))
-              * F.sqrt(F.col("g_ssq").cast("double"))))
+    # zero-norm contract (fuzz-found ANSI divide-by-zero): a label of
+    # all-zero vectors — or a fully-cancelling global centroid — has no
+    # direction; its cosine is defined as 0.0.
+    cos = F.when(
+        (F.col("l_ssq") > 0) & (F.col("g_ssq") > 0),
+        F.col("dot_lg").cast("double")
+        / (F.sqrt(F.col("l_ssq").cast("double"))
+           * F.sqrt(F.col("g_ssq").cast("double"))),
+    ).otherwise(F.lit(0.0))
     norm = (F.sqrt(F.col("l_ssq").cast("double"))
             / (F.col("n_vecs") * F.lit(1e6)))
     return (

@@ -3528,8 +3528,9 @@ stats AS (
   FROM per JOIN gctr USING (dim) GROUP BY label
 )
 SELECT label::BIGINT AS label, n_vecs::BIGINT AS n_vecs,
-  round(dot_lg::DOUBLE / (sqrt(l_ssq::DOUBLE) * sqrt(g_ssq::DOUBLE)), 6)
-    AS cos_to_global,
+  round(CASE WHEN l_ssq > 0 AND g_ssq > 0
+        THEN dot_lg::DOUBLE / (sqrt(l_ssq::DOUBLE) * sqrt(g_ssq::DOUBLE))
+        ELSE 0.0 END, 6) AS cos_to_global,
   round(sqrt(l_ssq::DOUBLE) / (n_vecs * 1e6), 6) AS centroid_norm
 FROM stats, gn ORDER BY label
 """

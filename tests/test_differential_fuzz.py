@@ -172,3 +172,49 @@ def test_event_ops_match_oracle_on_random_streams(spark, fuzz_dir,
                 name, offsets)
     finally:
         con.close()
+
+
+EMB_QUERIES = [
+    "embedding_centroid_drift",
+    "embedding_dim_stats",
+    "embedding_stats",
+    "embedding_quantize",
+]
+
+# float32-exact values, including 0.0 (zero vectors -> zero norms) and
+# negatives (cancelling centroids) — the exact-float32-sum discipline's
+# edge cases.
+_VAL = st.sampled_from(
+    [0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -3.5, 0.125, 7.0, -0.0625])
+
+
+@given(vecs=st.lists(
+    st.lists(_VAL, min_size=8, max_size=8), min_size=1, max_size=16))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_embedding_ops_match_oracle_on_random_vectors(spark, fuzz_dir,
+                                                      vecs):
+    vecs = vecs + [vecs[0], [0.0] * 8]  # planted duplicate + zero vector
+    recs = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        recs, "vec_id long, embedding array<float>, label int")
+    sf = str(fuzz_dir / f"v{next(_COUNTER)}")
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')")
+    try:
+        for name in EMB_QUERIES:
+            sdf = QUERIES[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(ORACLE[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+            assert _canon(srows, scols) == _canon(orows, ocols), (
+                name, vecs)
+    finally:
+        con.close()
