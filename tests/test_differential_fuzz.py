@@ -218,3 +218,73 @@ def test_embedding_ops_match_oracle_on_random_vectors(spark, fuzz_dir,
                 name, vecs)
     finally:
         con.close()
+
+
+ORD_QUERIES = [
+    "quantile_histogram_portable",
+    "percentile_stats",
+    "histogram_equidepth",
+    "recursive_monthly_spine",
+    "bool_count_aggs",
+    "bitwise_aggs",
+    "date_functions",
+]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 96),      # price in 64ths -> o_totalprice
+            st.integers(0, 700),     # day offset (~2 years; bounds the
+                                     # monthly-spine recursion depth)
+            st.integers(0, 2),       # status index
+        ),
+        min_size=1, max_size=25),
+    flat_price=st.booleans(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_orders_ops_match_oracle_on_random_orders(spark, fuzz_dir, rows,
+                                                  flat_price):
+    """Random orders tables probing: all-equal prices (the quantile
+    histogram's zero-width-bin guard), single-row groups, duplicate
+    dates, and short/long date spans (the monthly spine's doubling
+    recursion). Prices are exact multiples of 1/64 so percentile
+    interpolation is exact on both engines."""
+    from datetime import date, timedelta
+
+    base = date(2023, 1, 1)
+    recs = []
+    for i, (p64, doff, si) in enumerate(rows):
+        price = 42.0 if flat_price else p64 / 64.0
+        recs.append((
+            i, i % 7, ["F", "O", "P"][si], price,
+            base + timedelta(days=doff),
+            f"{1 + i % 5}-PRIO", f"Clerk#{i % 4}", i % 2,
+            "c" * (i % 3),
+        ))
+    df = spark.createDataFrame(
+        recs, "o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate date,"
+              " o_orderpriority string, o_clerk string,"
+              " o_shippriority int, o_comment string")
+    sf = str(fuzz_dir / f"o{next(_COUNTER)}")
+    df.coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')")
+    try:
+        for name in ORD_QUERIES:
+            sdf = QUERIES[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(ORACLE[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+            assert _canon(srows, scols) == _canon(orows, ocols), (
+                name, rows, flat_price)
+    finally:
+        con.close()
