@@ -249,22 +249,29 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str,
     INPUT to LTTB at scale is a pre-aggregate (per-minute OHLC/avg, a
     bounded row count), not raw events.
 
-    Registered rows-only: triangle-area argmaxes over float arithmetic
-    aren't robustly SQL-portable (ties + FP associativity), so the
-    invariants are tested instead: first/last point kept verbatim,
-    exactly min(n_out, n) rows per series, output is a subsequence of
-    the input in time order.
+    Hash-paired since r7c (was rows-only): every quantity is an exact
+    integer — x is epoch MICROseconds, y is the repo's round(value·1e6)
+    convention, triangle areas use the centroid-cleared form
+        |(xa·k − Σx)(y − ya) − (xa − x)(Σy − k·ya)|
+    (the true area × 2k, a positive rescale that never reorders the
+    argmax), and bucket bounds are integer floor divisions
+    bnd(j) = 1 + ⌊j(n−2)/(n_out−2)⌋ rather than np.linspace's float
+    grid. Arithmetic runs in arbitrary-precision Python ints here and
+    HUGEINT in the DuckDB oracle (the products reach ~1e27, past
+    int64), ties break to the earliest point — bit-identical engines.
     """
-    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
     series = ev.select(
         "event_type",
-        F.unix_timestamp("ts").cast("double").alias("x"),
-        F.col("value").cast("double").alias("y"),
+        # ts reads as TIMESTAMP_NTZ; session zone is pinned UTC so the
+        # cast preserves the instant (same pattern as asof_join_nearest)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        F.expr("cast(round(value * 1000000.0, 0) as bigint)").alias("y"),
         F.col("event_id").cast("long").alias("event_id"),
     )
+    n_mid = n_out - 2  # interior bucket count
 
     def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
@@ -272,21 +279,29 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str,
         if n <= n_out:
             out = pdf
         else:
-            xs, ys = pdf["x"].to_numpy(), pdf["y"].to_numpy()
-            # bucket boundaries over the interior points (first and
-            # last are always kept)
-            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            # Python ints: the integer cross products overflow int64.
+            xs = [int(v) for v in pdf["x"]]
+            ys = [int(v) for v in pdf["y"]]
+            # integer bucket bounds over the interior points (first
+            # and last are always kept); bnd is strictly increasing
+            # because n - 2 >= n_out - 1 here
+            bnd = [1 + (j * (n - 2)) // n_mid for j in range(n_out - 1)]
             idx = [0]
             a = 0
-            for b in range(n_out - 2):
-                lo, hi = bounds[b], bounds[b + 1]
-                nlo, nhi = bounds[b + 1], (bounds[b + 2]
-                                           if b + 2 < len(bounds) else n)
-                cx, cy = xs[nlo:nhi].mean(), ys[nlo:nhi].mean()
-                area = np.abs(
-                    (xs[a] - cx) * (ys[lo:hi] - ys[a])
-                    - (xs[a] - xs[lo:hi]) * (cy - ys[a]))
-                a = lo + int(area.argmax())
+            for b in range(n_mid):
+                lo, hi = bnd[b], bnd[b + 1]
+                nlo, nhi = bnd[b + 1], (bnd[b + 2]
+                                        if b + 2 < n_out - 1 else n)
+                k = nhi - nlo
+                sx, sy = sum(xs[nlo:nhi]), sum(ys[nlo:nhi])
+                xa, ya = xs[a], ys[a]
+                t1, t2 = xa * k - sx, sy - k * ya
+                best, best_i = -1, lo
+                for i in range(lo, hi):
+                    area = abs(t1 * (ys[i] - ya) - (xa - xs[i]) * t2)
+                    if area > best:
+                        best, best_i = area, i
+                a = best_i
                 idx.append(a)
             idx.append(n - 1)
             out = pdf.iloc[idx]
@@ -297,7 +312,7 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str,
         series.groupBy("event_type")
         .applyInPandas(
             lttb,
-            "event_type string, rank long, x double, y double, event_id long")
+            "event_type string, rank long, x long, y long, event_id long")
         .orderBy("event_type", "rank")
     )
 

@@ -198,7 +198,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_ewma_daily": timeseries.events_ewma_daily,  # hash-paired r7b
     "salted_aggregate_events": skew.salted_aggregate_events,  # hash-paired r7b
     "winnowing_neardup_pairs": textstats.winnowing_neardup_pairs,  # hash-paired r7b
-    "events_lttb_downsample": timeseries.events_lttb_downsample,  # rows-only (procedural LTTB)
+    "events_lttb_downsample": timeseries.events_lttb_downsample,
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
     "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
     "mmr_diversified_topk": similarity.mmr_diversified_topk,  # hash-paired r7 (recursive greedy twin)
@@ -3777,4 +3777,79 @@ FROM pairs p
 JOIN nfp n1 ON n1.doc_id = p.id1
 JOIN nfp n2 ON n2.doc_id = p.id2
 ORDER BY id1, id2
+"""
+
+# r7c: events_lttb_downsample converts from rows-only to hash-paired —
+# the kernel moved to exact integers (x = epoch microseconds, y =
+# round(value*1e6), integer floor-division bucket bounds instead of
+# np.linspace, centroid-cleared area |(xa*k - Σx)(y - ya) -
+# (xa - x)(Σy - k*ya)| which is 2k × the true triangle area, a positive
+# rescale that preserves every argmax). The oracle replays the same
+# sequential anchor recursion as a recursive CTE: one row per
+# (series, bucket) level, candidates scanned once per level, HUGEINT
+# products (they reach ~1e27). Ties break to the earliest point on both
+# engines (ORDER BY area DESC, i ASC ≡ the kernel's strict-greater
+# first-index scan). Bounds: bnd(j) = 1 + (j*(n-2))//22; a point i in
+# [1, n-1) lives in bucket j(i) = (22*i - 1) // (n-2); step b's
+# centroid is bucket b+1 for b<=20 and the bare last point for b=21.
+ORACLE["events_lttb_downsample"] = """
+WITH RECURSIVE
+base AS (
+  SELECT event_type,
+         epoch_us(ts)::BIGINT AS x,
+         round(value * 1e6)::BIGINT AS y,
+         event_id
+  FROM events
+),
+pts AS (
+  SELECT event_type, x, y, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+small AS (
+  SELECT event_type, i + 1 AS rank, x, y, event_id
+  FROM pts WHERE n <= 24
+),
+cbuck AS (
+  SELECT event_type, (22 * i - 1) // (n - 2) AS j,
+         count(*) AS k, sum(x) AS sx, sum(y) AS sy
+  FROM pts WHERE n > 24 AND i >= 1 AND i < n - 1
+  GROUP BY 1, 2
+),
+centro AS (
+  SELECT event_type, j - 1 AS b, k, sx, sy
+  FROM cbuck WHERE j BETWEEN 1 AND 21
+  UNION ALL
+  SELECT event_type, 21 AS b, 1 AS k, x::HUGEINT AS sx, y::HUGEINT AS sy
+  FROM pts WHERE n > 24 AND i = n - 1
+),
+sel AS (
+  SELECT event_type, -1 AS b, i, x AS ax, y AS ay
+  FROM pts WHERE n > 24 AND i = 0
+  UNION ALL
+  SELECT event_type, b, i, x AS ax, y AS ay FROM (
+    SELECT s.event_type, s.b + 1 AS b, c.i, c.x, c.y,
+      row_number() OVER (PARTITION BY c.event_type ORDER BY
+        abs((CAST(s.ax AS HUGEINT) * ct.k - ct.sx) * (c.y - s.ay)
+            - CAST(s.ax - c.x AS HUGEINT)
+              * (ct.sy - CAST(ct.k AS HUGEINT) * s.ay)) DESC,
+        c.i ASC) AS rn
+    FROM sel s
+    JOIN pts c ON c.event_type = s.event_type
+      AND c.i >= 1 + ((s.b + 1) * (c.n - 2)) // 22
+      AND c.i <  1 + ((s.b + 2) * (c.n - 2)) // 22
+    JOIN centro ct ON ct.event_type = s.event_type AND ct.b = s.b + 1
+    WHERE s.b <= 20
+  ) WHERE rn = 1
+)
+SELECT event_type, rank::BIGINT AS rank, x, y, event_id FROM small
+UNION ALL
+SELECT s.event_type, (s.b + 2)::BIGINT AS rank, p.x, p.y, p.event_id
+FROM sel s JOIN pts p ON p.event_type = s.event_type AND p.i = s.i
+UNION ALL
+SELECT event_type, 24::BIGINT AS rank, x, y, event_id
+FROM pts WHERE n > 24 AND i = n - 1
+ORDER BY event_type, rank
 """

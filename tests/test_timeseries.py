@@ -118,7 +118,7 @@ def test_lttb_invariants(spark):
     out = events_lttb_downsample(spark, SF_DIR, n_out=24).collect()
     ev = load_table(spark, SF_DIR, "events").select(
         "event_type",
-        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
         F.col("event_id").cast("long").alias("event_id"),
     ).collect()
     by_series = {}
