@@ -544,6 +544,78 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str,
     return pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
 
 
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str,
+                          window: int = 3, min_count: int = 5,
+                          k: int = 50) -> DataFrame:
+    """Windowed co-occurrence PMI: top-k UNORDERED token pairs that
+    co-occur within ±window positions, scored by pointwise mutual
+    information — the statistic GloVe/word2vec-style embedding
+    pipelines accumulate before training, and the wider-window
+    generalisation of bigram_pmi_collocations (window=1 adjacent pairs
+    only). Pairs are canonicalised (w1 <= w2 lexicographically) so
+    "fast spark" and "spark fast" pool their evidence.
+
+    Plan: the pair expansion is PURE column expressions — for each
+    offset d in 1..window, zip the token array against itself shifted
+    by d (flatten ∘ transform ∘ sequence), so no self-join and no
+    positional explode ever reaches the shuffle; the only exchange is
+    the pair groupBy, map-side partial agg collapsing hot pairs first.
+    Pair rows = n_tokens × window — strictly linear in corpus size —
+    and everything after the aggregation is vocabulary-bounded. The
+    unigram table rides the same token arrays and broadcasts twice
+    (vocabulary-sized builds), and top-k is a TakeOrdered limit, no
+    global sort.
+
+    PMI = ln((c12/N12)/((c1/N)(c2/N))) with N12 = total in-window pair
+    slots, N = total tokens; rounds to 6 dp on both engines — a smooth
+    function of exact integer counts, the same cross-engine-stability
+    argument as bigram_pmi_collocations.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one tokenize pass shared by the pair expansion and the unigram
+    # table (scoped so harness code can release it)
+    toks = scoped_persist(docs.select(_tokens("text").alias("t")))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw"))
+    # all (t[i], t[i+d]) pairs for d = 1..window as 'min max' strings
+    pair_expr = F.expr(
+        f"""flatten(transform(sequence(1, {window}), d ->
+              transform(sequence(1, greatest(size(t) - d, 0)), i ->
+                concat_ws(' ', least(t[i-1], t[i-1+d]),
+                               greatest(t[i-1], t[i-1+d])))))"""
+    )
+    pc = (
+        toks.select(F.explode(pair_expr).alias("pr"))
+        .groupBy("pr").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pairs = (
+        pc.where(F.col("c12") >= min_count)
+        .select(F.split("pr", " ").getItem(0).alias("w1"),
+                F.split("pr", " ").getItem(1).alias("w2"),
+                "c12")
+    )
+    totals = (uni.agg(F.sum("cw").alias("n_uni"))
+              .crossJoin(pc.agg(F.sum("c12").alias("n_pair"))))
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                               .withColumnRenamed("cw", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("cw", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("n_cooc"),
+            F.round(
+                F.log((F.col("c12") / F.col("n_pair"))
+                      / ((F.col("c1") / F.col("n_uni"))
+                         * (F.col("c2") / F.col("n_uni")))), 6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
 def bigram_lm_quality(spark: SparkSession, sf_dir: str,
                       lam: float = 0.7, k: int = 50) -> DataFrame:
     """Interpolated bigram language-model quality filter: score each

@@ -108,6 +108,7 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negative_mining": similarity.hard_negative_mining,
     "events_anomaly_mad": timeseries.events_anomaly_mad,
     "bigram_pmi_collocations": textstats.bigram_pmi_collocations,
+    "skipgram_cooccurrence": textstats.skipgram_cooccurrence,  # hash-paired r7c
     # round-6 third wave:
     "dedup_incremental": dedup.dedup_incremental,
     "sample_weighted": datamix.sample_weighted,
@@ -3852,4 +3853,30 @@ UNION ALL
 SELECT event_type, 24::BIGINT AS rank, x, y, event_id
 FROM pts WHERE n > 24 AND i = n - 1
 ORDER BY event_type, rank
+"""
+
+# r7c: skipgram_cooccurrence — windowed (±3) co-occurrence PMI, the
+# GloVe-style generalisation of bigram_pmi_collocations. The oracle
+# builds the same unordered canonical pairs via a double LATERAL
+# (offset d × start position i); N12 counts ALL in-window pair slots
+# (pre-min_count), matching the Spark side's totals derivation.
+ORACLE["skipgram_cooccurrence"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+pr AS (
+  SELECT least(t[i], t[i+d]) AS w1, greatest(t[i], t[i+d]) AS w2
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g,
+       LATERAL (SELECT unnest([1, 2, 3]) AS d) dd
+  WHERE i + d <= len(t)
+),
+uc AS (SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+tot AS (SELECT (SELECT sum(len(t)) FROM toks) AS n_uni,
+               (SELECT count(*) FROM pr) AS n_pair)
+SELECT w1, w2, c12::BIGINT AS n_cooc,
+  round(ln((c12 * 1.0 / n_pair)
+           / ((c1.cw * 1.0 / n_uni) * (c2.cw * 1.0 / n_uni))), 6) AS pmi
+FROM pc JOIN uc c1 ON pc.w1 = c1.w JOIN uc c2 ON pc.w2 = c2.w, tot
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 50
 """

@@ -464,3 +464,56 @@ def test_winnowing_neardup_pairs_invariants_and_planted(tmp_path, spark):
     assert (1, 2) in got and got[(1, 2)].containment_e6 == 1_000_000
     assert (1, 3) in got and got[(1, 3)].containment_e6 >= 900_000
     assert not any(4 in p for p in got)
+
+
+def test_skipgram_cooccurrence_matches_python_reference(spark, tmp_path):
+    """PMI equality to 6 dp against a from-scratch windowed (±3)
+    co-occurrence model, and the semantic point: a pair that only ever
+    appears together inside the window outranks a frequent-but-
+    independent pair."""
+    import math
+    from collections import Counter
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        skipgram_cooccurrence,
+    )
+
+    texts = [
+        "alpha beta gap gap gap alpha beta noise",
+        "noise alpha beta filler filler alpha beta",
+        "filler gap noise filler gap noise filler gap",
+        "alpha beta alpha beta noise gap filler noise",
+        "gap filler noise gap filler noise gap filler",
+    ]
+    sf = _docs_table(tmp_path, texts)
+
+    window, min_count = 3, 5
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    n_pair = 0
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        for i in range(len(toks)):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    a, b = sorted((toks[i], toks[i + d]))
+                    pairs[(a, b)] += 1
+                    n_pair += 1
+    n_uni = sum(uni.values())
+    expected = {}
+    for (a, b), c12 in pairs.items():
+        if c12 >= min_count:
+            expected[(a, b)] = round(
+                math.log((c12 / n_pair)
+                         / ((uni[a] / n_uni) * (uni[b] / n_uni))), 6)
+
+    got = {(r.w1, r.w2): (r.n_cooc, r.pmi)
+           for r in skipgram_cooccurrence(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for k, pmi in expected.items():
+        assert got[k][0] == pairs[k]
+        assert abs(got[k][1] - pmi) < 1e-9, k
+    # 'alpha beta' always co-occur adjacently; 'gap filler' are frequent
+    # but also appear apart — PMI must rank the bound pair higher
+    assert got[("alpha", "beta")][1] > got[("filler", "gap")][1]
