@@ -739,3 +739,80 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str,
     return logreg_train_hashed(labeled, dim=dim, n_iter=n_iter,
                                lr=lr, reg=reg)
 
+
+
+def rrf_quality_fusion(spark: SparkSession, sf_dir: str,
+                       rrf_k: int = 60, top_per_source: int = 5) -> DataFrame:
+    """Reciprocal-rank fusion of quality signals: combine per-document
+    length, lexical diversity, and bigram diversity rankings into one
+    fused quality ordering — the standard ensemble trick (Cormack et
+    al.'s RRF) for merging incomparably-calibrated quality scores
+    without learning weights, used by curation stacks to pick "best of
+    source" documents when individual filters disagree.
+
+    Signals are EXACT integers so every rank is engine-portable:
+      * n_chars (longer is better at fixture scale),
+      * distinct-token ratio ×1e6 (floor division — lexical diversity),
+      * distinct-bigram ratio ×1e6 (floor division — the Gopher
+        repetition signal inverted).
+    RRF score = Σ_s floor(1e12 / (rrf_k + rank_s)) — integer division
+    keeps the fusion bit-identical across engines (no float sum).
+
+    Ranking is PER SOURCE (partitioned window, one exchange on the
+    source key): a global fused rank at 100 TB would use the same
+    two-phase distributed rank as vocab_coverage_curve; per-source
+    fusion is both the more useful curation unit (pick the best docs
+    of each domain) and shuffle-safe — no single-partition window
+    anywhere. Emits the top_per_source fused winners per source.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokenize(normalize_text(F.col("text")))
+    # one tokenize pass: materialise the token array in a narrow
+    # projection first so the regex runs once per row
+    stats = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        t.alias("__tk"),
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.size("__tk").cast("long").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(__tk) > 0 THEN"
+            " (cast(size(array_distinct(__tk)) as bigint) * 1000000)"
+            " div size(__tk) ELSE 0 END").alias("dtok_e6"),
+        F.expr(
+            "CASE WHEN size(__tk) > 1 THEN"
+            " (cast(size(array_distinct(transform(sequence(1, size(__tk) - 1),"
+            " i -> concat_ws(' ', __tk[i-1], __tk[i])))) as bigint) * 1000000)"
+            " div (size(__tk) - 1) ELSE 0 END").alias("dbig_e6"),
+    )
+    ws = lambda c: Window.partitionBy("source").orderBy(
+        F.desc(c), F.asc("doc_id"))
+    ranked = stats.select(
+        "doc_id", "source",
+        F.row_number().over(ws("n_chars")).alias("r_len"),
+        F.row_number().over(ws("dtok_e6")).alias("r_dtok"),
+        F.row_number().over(ws("dbig_e6")).alias("r_dbig"),
+    )
+    # integer `div`, not float division: bit-exact fusion on any engine
+    rrf = F.expr(
+        f"1000000000000 div ({rrf_k} + r_len)"
+        f" + 1000000000000 div ({rrf_k} + r_dtok)"
+        f" + 1000000000000 div ({rrf_k} + r_dbig)")
+    fused = ranked.withColumn("rrf_e12", rrf).withColumn(
+        "fused_rank",
+        F.row_number().over(Window.partitionBy("source")
+                            .orderBy(F.desc("rrf_e12"), F.asc("doc_id"))))
+    return (
+        fused.where(F.col("fused_rank") <= top_per_source)
+        .select("source", F.col("fused_rank").cast("long").alias("fused_rank"),
+                "doc_id",
+                F.col("r_len").cast("long").alias("r_len"),
+                F.col("r_dtok").cast("long").alias("r_dtok"),
+                F.col("r_dbig").cast("long").alias("r_dbig"),
+                "rrf_e12")
+        .orderBy("source", "fused_rank")
+    )

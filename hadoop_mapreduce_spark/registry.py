@@ -123,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     "memorization_novelty": curation.memorization_novelty,
     "mixture_temperature_weights": datamix.mixture_temperature_weights,
     "quantile_normalize_quality": datamix.quantile_normalize_quality,
+    "rrf_quality_fusion": curation.rrf_quality_fusion,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -3879,4 +3880,47 @@ SELECT w1, w2, c12::BIGINT AS n_cooc,
 FROM pc JOIN uc c1 ON pc.w1 = c1.w JOIN uc c2 ON pc.w2 = c2.w, tot
 WHERE c12 >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+# r7c: rrf_quality_fusion — reciprocal-rank fusion of three exact-int
+# quality signals (length, distinct-token ratio, distinct-bigram
+# ratio), per-source windows, integer-division RRF (1e12 // (60+rank))
+# so the fused score is bit-identical across engines.
+ORACLE["rrf_quality_fusion"] = f"""
+WITH toks AS (SELECT doc_id, source, n_chars, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, source, n_chars,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t) ELSE 0 END AS dtok_e6,
+    CASE WHEN len(t) > 1
+         THEN (len(list_distinct(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1]))) * 1000000) // (len(t) - 1)
+         ELSE 0 END AS dbig_e6
+  FROM toks
+),
+rk AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r_len,
+    row_number() OVER (PARTITION BY source ORDER BY dtok_e6 DESC, doc_id) AS r_dtok,
+    row_number() OVER (PARTITION BY source ORDER BY dbig_e6 DESC, doc_id) AS r_dbig
+  FROM st
+),
+f AS (
+  SELECT source, doc_id, r_len, r_dtok, r_dbig,
+    1000000000000 // (60 + r_len) + 1000000000000 // (60 + r_dtok)
+      + 1000000000000 // (60 + r_dbig) AS rrf_e12
+  FROM rk
+),
+fr AS (
+  SELECT source, doc_id, r_len, r_dtok, r_dbig, rrf_e12,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY rrf_e12 DESC, doc_id) AS fused_rank
+  FROM f
+)
+SELECT source, fused_rank::BIGINT AS fused_rank, doc_id,
+  r_len::BIGINT AS r_len, r_dtok::BIGINT AS r_dtok,
+  r_dbig::BIGINT AS r_dbig, rrf_e12::BIGINT AS rrf_e12
+FROM fr WHERE fused_rank <= 5
+ORDER BY source, fused_rank
 """

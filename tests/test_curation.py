@@ -245,3 +245,63 @@ def test_logreg_trainer_learns_separable_corpus(spark):
     audit = logreg_train_hashed(df, dim=64, n_iter=40, lr=5.0).collect()[0]
     assert audit.train_acc >= 0.95
     assert audit.log_loss < 0.2
+
+
+def test_rrf_quality_fusion_matches_python_reference(spark, tmp_path):
+    """Fused ranking equals a from-scratch RRF over the three integer
+    signals, per source; and the fusion property: a doc that is top-2
+    on every signal beats a doc that is #1 on one signal but deep on
+    the others."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import rrf_quality_fusion
+
+    texts = [
+        # src A: d1 balanced-good, d2 long but repetitive, d3 short diverse
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "spam spam spam spam spam spam spam spam spam spam spam spam",
+        "one two three",
+        # src B
+        "red green blue yellow purple",
+        "dot dot dot dot dot",
+    ]
+    sources = ["A", "A", "A", "B", "B"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def signals(text, n_chars):
+        t = text.split()
+        n = len(t)
+        dtok = len(set(t)) * 1000000 // n if n else 0
+        bigs = [f"{t[i]} {t[i+1]}" for i in range(n - 1)]
+        dbig = len(set(bigs)) * 1000000 // (n - 1) if n > 1 else 0
+        return n_chars, dtok, dbig
+
+    docs = list(zip(range(1, 6), texts, sources))
+    expected = {}
+    for src in ("A", "B"):
+        grp = [(d, *signals(t, len(t))) for d, t, s in docs if s == src]
+        ranks = {}
+        for si in (1, 2, 3):
+            order = sorted(grp, key=lambda r: (-r[si], r[0]))
+            for pos, r in enumerate(order, 1):
+                ranks.setdefault(r[0], []).append(pos)
+        fused = sorted(
+            ((sum(10**12 // (60 + rk) for rk in v), d) for d, v in ranks.items()),
+            key=lambda x: (-x[0], x[1]))
+        for pos, (score, d) in enumerate(fused, 1):
+            expected[(src, pos)] = (d, score)
+
+    got = {(r.source, r.fused_rank): (r.doc_id, r.rrf_e12)
+           for r in rrf_quality_fusion(spark, str(tmp_path)).collect()}
+    assert got == expected
+    # the balanced doc 1 must beat the long-but-repetitive doc 2 in A
+    order_a = [got[("A", i)][0] for i in (1, 2, 3)]
+    assert order_a.index(1) < order_a.index(2)
