@@ -816,3 +816,64 @@ def rrf_quality_fusion(spark: SparkSession, sf_dir: str,
                 "rrf_e12")
         .orderBy("source", "fused_rank")
     )
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: for a grid of cutoffs over the
+    distinct-token-ratio quality signal, report per (threshold, source)
+    how many documents and tokens survive — the table a curation
+    engineer reads to SET the cutoff (choose the knee where token loss
+    accelerates), rather than guessing it. The per-threshold retained
+    fraction is an exact integer (×1e6 floor division), so the sweep is
+    engine-portable.
+
+    Plan: ONE corpus scan computes the per-doc signal; the grid is an
+    8-element literal array exploded per doc (an 8× row multiplier that
+    map-side partial aggregation collapses to |grid|·|sources| rows
+    before the single exchange). No join, no second scan — at 100 TB
+    the sweep costs the same one pass as computing the signal at all.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize,
+    )
+
+    grid = [300000, 350000, 400000, 450000, 500000, 550000, 600000, 700000]
+    docs = _t(spark, sf_dir, "documents")
+    t = tokenize(normalize_text(F.col("text")))
+    stats = docs.select(
+        "source", t.alias("__tk"),
+    ).select(
+        "source",
+        F.size("__tk").cast("long").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(__tk) > 0 THEN"
+            " (cast(size(array_distinct(__tk)) as bigint) * 1000000)"
+            " div size(__tk) ELSE 0 END").alias("dtok_e6"),
+    )
+    swept = stats.select(
+        "source", "n_tok", "dtok_e6",
+        F.explode(F.array(*[F.lit(g) for g in grid])).alias("threshold"),
+    )
+    agg = (
+        swept.groupBy("threshold", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dtok_e6") >= F.col("threshold"), 1)
+                  .otherwise(0)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("dtok_e6") >= F.col("threshold"),
+                         F.col("n_tok")).otherwise(F.lit(0)))
+            .alias("n_tokens_kept"),
+        )
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "source",
+            F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+            F.expr("n_docs_kept * 1000000 div n_docs").alias("doc_frac_e6"),
+            F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+            F.expr("CASE WHEN n_tokens > 0 THEN"
+                   " n_tokens_kept * 1000000 div n_tokens"
+                   " ELSE 0 END").alias("token_frac_e6"),
+        )
+    )
+    return agg.orderBy("threshold", "source")

@@ -124,6 +124,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_temperature_weights": datamix.mixture_temperature_weights,
     "quantile_normalize_quality": datamix.quantile_normalize_quality,
     "rrf_quality_fusion": curation.rrf_quality_fusion,  # hash-paired r7c
+    "quality_threshold_sweep": curation.quality_threshold_sweep,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -3923,4 +3924,39 @@ SELECT source, fused_rank::BIGINT AS fused_rank, doc_id,
   r_dbig::BIGINT AS r_dbig, rrf_e12::BIGINT AS rrf_e12
 FROM fr WHERE fused_rank <= 5
 ORDER BY source, fused_rank
+"""
+
+# r7c: quality_threshold_sweep — cutoff-calibration table for the
+# distinct-token-ratio filter: per (threshold, source) docs/tokens
+# retained, exact-integer fractions. Grid = 8 literal thresholds
+# exploded per doc; one scan, one exchange.
+ORACLE["quality_threshold_sweep"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT source, len(t)::BIGINT AS n_tok,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t) ELSE 0 END AS dtok_e6
+  FROM toks
+),
+sw AS (
+  SELECT source, n_tok, dtok_e6, g.threshold
+  FROM st, LATERAL (SELECT unnest([300000, 350000, 400000, 450000,
+                                   500000, 550000, 600000, 700000])
+                    AS threshold) g
+),
+agg AS (
+  SELECT threshold, source,
+    count(*) AS n_docs,
+    sum(CASE WHEN dtok_e6 >= threshold THEN 1 ELSE 0 END) AS n_docs_kept,
+    sum(n_tok) AS n_tokens,
+    sum(CASE WHEN dtok_e6 >= threshold THEN n_tok ELSE 0 END) AS n_tokens_kept
+  FROM sw GROUP BY threshold, source
+)
+SELECT threshold::BIGINT AS threshold, source,
+  n_docs_kept::BIGINT AS n_docs_kept,
+  (n_docs_kept * 1000000 // n_docs)::BIGINT AS doc_frac_e6,
+  n_tokens_kept::BIGINT AS n_tokens_kept,
+  (CASE WHEN n_tokens > 0 THEN n_tokens_kept * 1000000 // n_tokens
+        ELSE 0 END)::BIGINT AS token_frac_e6
+FROM agg ORDER BY threshold, source
 """

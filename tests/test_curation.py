@@ -305,3 +305,26 @@ def test_rrf_quality_fusion_matches_python_reference(spark, tmp_path):
     # the balanced doc 1 must beat the long-but-repetitive doc 2 in A
     order_a = [got[("A", i)][0] for i in (1, 2, 3)]
     assert order_a.index(1) < order_a.index(2)
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """Retention is monotone non-increasing in the threshold for every
+    source, fractions live in [0, 1e6], and kept-counts are consistent
+    with the fractions' floor division."""
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_threshold_sweep,
+    )
+
+    rows = quality_threshold_sweep(spark, SF_DIR).collect()
+    assert rows, "sweep must be non-empty"
+    by_src: dict = {}
+    for r in rows:
+        assert 0 <= r.doc_frac_e6 <= 1_000_000
+        assert 0 <= r.token_frac_e6 <= 1_000_000
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r.threshold)
+        kept = [r.n_docs_kept for r in rs]
+        toks = [r.n_tokens_kept for r in rs]
+        assert kept == sorted(kept, reverse=True), src
+        assert toks == sorted(toks, reverse=True), src
