@@ -1509,3 +1509,51 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str,
         )
         .orderBy("id1", "id2")
     )
+
+
+def stopword_discovery(spark: SparkSession, sf_dir: str,
+                       k: int = 20) -> DataFrame:
+    """Data-driven stopword-list construction: the top-k terms per
+    language by DOCUMENT frequency (not raw count — a term that
+    saturates every document is structural, one that repeats inside a
+    few documents is content), with the df fraction as an exact
+    integer. This is how CCNet-style per-language filter lists are
+    actually built when a curated list doesn't exist for a language.
+
+    Plan: per-(lang, doc, term) partial counts first (one exchange,
+    map-side combine collapses within-doc repeats), then the
+    per-(lang, term) rollup derives df (docs containing) and tf (total
+    occurrences) from the same base — the two-level aggregation shape
+    every WIMBD-style corpus profile uses. Per-language doc totals are
+    a tiny broadcast. Ranking windows partition by lang — never a
+    single-partition window. Top-k per lang is vocabulary-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("lang", "doc_id", F.explode(_tokens("text")).alias("w"))
+        .groupBy("lang", "doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = (
+        per_doc.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("c").alias("tf"))
+    )
+    lang_docs = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    ranked = (
+        per_term.join(F.broadcast(lang_docs), "lang")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang")
+                .orderBy(F.desc("df"), F.desc("tf"), F.asc("w"))))
+        .where(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        F.col("df").cast("long").alias("df"),
+        F.col("tf").cast("long").alias("tf"),
+        F.expr("df * 1000000 div n_docs").alias("df_frac_e6"),
+    ).orderBy("lang", "rank")

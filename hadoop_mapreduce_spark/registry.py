@@ -125,6 +125,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_normalize_quality": datamix.quantile_normalize_quality,
     "rrf_quality_fusion": curation.rrf_quality_fusion,  # hash-paired r7c
     "quality_threshold_sweep": curation.quality_threshold_sweep,  # hash-paired r7c
+    "stopword_discovery": textstats.stopword_discovery,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -3959,4 +3960,30 @@ SELECT threshold::BIGINT AS threshold, source,
   (CASE WHEN n_tokens > 0 THEN n_tokens_kept * 1000000 // n_tokens
         ELSE 0 END)::BIGINT AS token_frac_e6
 FROM agg ORDER BY threshold, source
+"""
+
+# r7c: stopword_discovery — per-language top-20 terms by document
+# frequency with exact-integer df fraction; the two-level
+# (lang,doc,term) -> (lang,term) aggregation mirrored in SQL.
+ORACLE["stopword_discovery"] = f"""
+WITH toks AS (SELECT lang, doc_id, {_TOKS} AS t FROM documents),
+pd AS (
+  SELECT lang, doc_id, w, count(*) AS c
+  FROM (SELECT lang, doc_id, unnest(t) AS w FROM toks)
+  GROUP BY lang, doc_id, w
+),
+pt AS (
+  SELECT lang, w, count(*) AS df, sum(c) AS tf FROM pd GROUP BY lang, w
+),
+ld AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang),
+rk AS (
+  SELECT pt.lang, w, df, tf, n_docs,
+    row_number() OVER (PARTITION BY pt.lang
+                       ORDER BY df DESC, tf DESC, w ASC) AS rank
+  FROM pt JOIN ld ON pt.lang = ld.lang
+)
+SELECT lang, rank::BIGINT AS rank, w AS term, df::BIGINT AS df,
+  tf::BIGINT AS tf, (df * 1000000 // n_docs)::BIGINT AS df_frac_e6
+FROM rk WHERE rank <= 20
+ORDER BY lang, rank
 """

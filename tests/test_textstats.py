@@ -517,3 +517,26 @@ def test_skipgram_cooccurrence_matches_python_reference(spark, tmp_path):
     # 'alpha beta' always co-occur adjacently; 'gap filler' are frequent
     # but also appear apart — PMI must rank the bound pair higher
     assert got[("alpha", "beta")][1] > got[("filler", "gap")][1]
+
+
+def test_stopword_discovery_df_semantics(spark, tmp_path):
+    """df counts DOCUMENTS, not occurrences: a term repeated many times
+    in one doc ranks below a term spread across all docs; fractions are
+    exact floor divisions of df by the language's doc count."""
+    from hadoop_mapreduce_spark.operators.textstats import stopword_discovery
+
+    texts = [
+        "the cat sat",
+        "the dog ran ran ran ran ran ran",   # 'ran' tf=6 but df=1
+        "the bird flew",
+        "a the b",
+    ]
+    sf = _docs_table(tmp_path, texts)
+    rows = stopword_discovery(spark, sf).collect()
+    by_term = {r.term: r for r in rows}
+    assert by_term["the"].rank == 1
+    assert by_term["the"].df == 4 and by_term["the"].tf == 4
+    assert by_term["the"].df_frac_e6 == 1_000_000
+    assert by_term["ran"].df == 1 and by_term["ran"].tf == 6
+    # df-first ordering: 'ran' (df=1) ranks below any df>=2 term
+    assert by_term["ran"].rank > by_term["the"].rank
