@@ -579,12 +579,17 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str,
     toks = scoped_persist(docs.select(_tokens("text").alias("t")))
     uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw"))
-    # all (t[i], t[i+d]) pairs for d = 1..window as 'min max' strings
+    # all (t[i], t[i+d]) pairs for d = 1..window as 'min max' strings.
+    # Spark's sequence(1, n) counts DOWN when n < 1 (fuzz-found on an
+    # empty document: sequence(1, 0) = [1, 0] → out-of-bounds index),
+    # so each offset guards size(t) > d explicitly.
     pair_expr = F.expr(
         f"""flatten(transform(sequence(1, {window}), d ->
-              transform(sequence(1, greatest(size(t) - d, 0)), i ->
-                concat_ws(' ', least(t[i-1], t[i-1+d]),
-                               greatest(t[i-1], t[i-1+d])))))"""
+              CASE WHEN size(t) > d THEN
+                transform(sequence(1, size(t) - d), i ->
+                  concat_ws(' ', least(t[i-1], t[i-1+d]),
+                                 greatest(t[i-1], t[i-1+d])))
+              ELSE array() END))"""
     )
     pc = (
         toks.select(F.explode(pair_expr).alias("pr"))

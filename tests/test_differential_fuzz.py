@@ -29,6 +29,12 @@ FUZZ_QUERIES = [
     "language_id",
     "text_quality",
     "gopher_dup_ngrams",
+    # r7c ops — the division guards (empty/1-token docs) and the
+    # least/greatest pair canonicalisation are exactly fuzz territory
+    "skipgram_cooccurrence",
+    "stopword_discovery",
+    "rrf_quality_fusion",
+    "quality_threshold_sweep",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -286,5 +292,58 @@ def test_orders_ops_match_oracle_on_random_orders(spark, fuzz_dir, rows,
             assert sorted(scols) == sorted(ocols), (name, scols, ocols)
             assert _canon(srows, scols) == _canon(orows, ocols), (
                 name, rows, flat_price)
+    finally:
+        con.close()
+
+
+@given(
+    n_events=st.integers(20, 90),
+    dup_ts=st.booleans(),
+    flat=st.booleans(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lttb_matches_oracle_on_long_series(spark, fuzz_dir, n_events,
+                                            dup_ts, flat):
+    """LTTB-focused fuzz: series long enough to cross the n > 24
+    recursion path (the generic event fuzz never exceeds ~10 points
+    per series), plus the tie hazards — duplicate timestamps (sort
+    tie-break by event_id) and flat values (every triangle area 0, the
+    argmax must break to the EARLIEST point on both engines)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    recs = []
+    for i in range(n_events):
+        mins = (i // 2) if dup_ts else i * 7
+        recs.append((
+            i,
+            base + timedelta(minutes=mins, seconds=i % 3),
+            i % 2,
+            ["view", "click"][i % 2],
+            1.0 if flat else ((i * 37) % 101) / 64.0,
+            "{}",
+        ))
+    df = spark.createDataFrame(
+        recs, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    sf = str(fuzz_dir / f"l{next(_COUNTER)}")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')")
+    try:
+        name = "events_lttb_downsample"
+        sdf = QUERIES[name](spark, sf)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(ORACLE[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        assert sorted(scols) == sorted(ocols), (scols, ocols)
+        assert _canon(srows, scols) == _canon(orows, ocols), (
+            n_events, dup_ts, flat)
     finally:
         con.close()
