@@ -1061,3 +1061,86 @@ def gopher_dup_ngrams(spark: SparkSession, sf_dir: str, n: int = 5,
         )
         .orderBy("source")
     )
+
+
+def source_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-concentration diagnostics: for each grouping axis
+    (source, lang), report how concentrated the corpus's TOKEN mass is
+    — Herfindahl-Hirschman index, Gini coefficient, and Shannon
+    entropy of the share distribution. The one-line answer to "is this
+    corpus secretly 80% one crawl?", read before setting mixture
+    weights (a high-HHI axis needs temperature flattening; a
+    near-uniform one doesn't).
+
+    Exactness: HHI and Gini are integer arithmetic end to end —
+    HHI_e6 = Σt_s²·1e6 // T², Gini_e6 = (2·Σ(rank·t)·1e6 −
+    (n+1)·T·1e6) // (n·T) over shares ranked ascending — computed in
+    DECIMAL(38,0) (HUGEINT in the oracle) because Σt² overflows int64
+    once per-group token counts pass ~3e9. Entropy is the one float:
+    ln of exact integer ratios, 6 dp (the repo's smooth-function
+    rounding contract).
+
+    Shape: ONE corpus scan produces the (source, lang, tokens) micro
+    table (|sources|×|langs| rows); both axis rollups and their
+    rank windows run on that — everything after the scan is
+    metadata-sized at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "source", "lang",
+            tokenize(normalize_text(F.col("text"))).alias("__t"))
+        .select("source", "lang", F.size("__t").cast("long").alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("t"))
+    )
+
+    def axis(col: str) -> DataFrame:
+        g = base.groupBy(F.col(col).alias("grp")).agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("t").alias("t"))
+        # the windows run over a metadata-sized relation (|groups| rows)
+        w = Window.partitionBy(F.lit(1)).orderBy(F.asc("t"), F.asc("grp"))
+        wa = (Window.partitionBy(F.lit(1))
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        r = g.select(
+            "grp", "n_docs", "t",
+            F.row_number().over(w).alias("rank"),
+            F.sum("t").over(wa).alias("tot"),
+        )
+        ent = F.when(
+            F.col("t") > 0,
+            -(F.col("t") / F.col("tot")) * F.log(F.col("t") / F.col("tot"))
+        ).otherwise(F.lit(0.0))
+        return (
+            r.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("t").alias("total_tokens"),
+                F.sum(F.col("t").cast("decimal(38,0)")
+                      * F.col("t")).alias("sum_t2"),
+                F.sum(F.col("rank").cast("decimal(38,0)")
+                      * F.col("t")).alias("sum_rt"),
+                F.round(F.sum(ent), 6).alias("entropy"),
+            )
+            .select(
+                F.lit(col).alias("axis"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("total_tokens").cast("long").alias("total_tokens"),
+                # `div` = integral division (floor for the non-negative
+                # numerators here), matching DuckDB's `//` exactly —
+                # decimal `/` would ROUND and flip boundary cases
+                F.expr("cast((sum_t2 * 1000000) div"
+                       " (cast(total_tokens as decimal(38,0))"
+                       "  * total_tokens) as bigint)").alias("hhi_e6"),
+                F.expr("cast((2 * sum_rt * 1000000"
+                       "  - cast(n_groups + 1 as decimal(38,0))"
+                       "    * total_tokens * 1000000) div"
+                       " (cast(n_groups as decimal(38,0))"
+                       "  * total_tokens) as bigint)").alias("gini_e6"),
+                "entropy",
+            )
+        )
+
+    return axis("source").unionByName(axis("lang")).orderBy("axis")

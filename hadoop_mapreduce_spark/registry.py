@@ -126,6 +126,7 @@ QUERIES: dict[str, QueryFn] = {
     "rrf_quality_fusion": curation.rrf_quality_fusion,  # hash-paired r7c
     "quality_threshold_sweep": curation.quality_threshold_sweep,  # hash-paired r7c
     "stopword_discovery": textstats.stopword_discovery,  # hash-paired r7c
+    "source_concentration_audit": datamix.source_concentration_audit,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -3986,4 +3987,47 @@ SELECT lang, rank::BIGINT AS rank, w AS term, df::BIGINT AS df,
   tf::BIGINT AS tf, (df * 1000000 // n_docs)::BIGINT AS df_frac_e6
 FROM rk WHERE rank <= 20
 ORDER BY lang, rank
+"""
+
+# r7c: source_concentration_audit — HHI / Gini / entropy of token mass
+# per grouping axis (source, lang). HHI and Gini are HUGEINT floor
+# divisions (Spark side uses decimal(38,0) `div`); entropy is the one
+# 6-dp smooth float.
+ORACLE["source_concentration_audit"] = f"""
+WITH toks AS (SELECT source, lang, len({_TOKS}) AS n_tok FROM documents),
+base AS (SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS t
+         FROM toks GROUP BY source, lang),
+gs AS (SELECT source AS grp, sum(n_docs) AS n_docs, sum(t) AS t
+       FROM base GROUP BY 1),
+gl AS (SELECT lang AS grp, sum(n_docs) AS n_docs, sum(t) AS t
+       FROM base GROUP BY 1),
+rs AS (SELECT grp, n_docs, t,
+         row_number() OVER (ORDER BY t, grp) AS rank,
+         sum(t) OVER () AS tot FROM gs),
+rl AS (SELECT grp, n_docs, t,
+         row_number() OVER (ORDER BY t, grp) AS rank,
+         sum(t) OVER () AS tot FROM gl),
+a_s AS (SELECT 'source' AS axis, count(*) AS n_groups,
+         sum(n_docs) AS n_docs, sum(t) AS total_tokens,
+         sum(t::HUGEINT * t) AS sum_t2, sum(rank::HUGEINT * t) AS sum_rt,
+         round(sum(CASE WHEN t > 0
+                        THEN -(t * 1.0 / tot) * ln(t * 1.0 / tot)
+                        ELSE 0 END), 6) AS entropy
+        FROM rs),
+a_l AS (SELECT 'lang' AS axis, count(*) AS n_groups,
+         sum(n_docs) AS n_docs, sum(t) AS total_tokens,
+         sum(t::HUGEINT * t) AS sum_t2, sum(rank::HUGEINT * t) AS sum_rt,
+         round(sum(CASE WHEN t > 0
+                        THEN -(t * 1.0 / tot) * ln(t * 1.0 / tot)
+                        ELSE 0 END), 6) AS entropy
+        FROM rl)
+SELECT axis, n_groups::BIGINT AS n_groups, n_docs::BIGINT AS n_docs,
+  total_tokens::BIGINT AS total_tokens,
+  ((sum_t2 * 1000000) // (total_tokens::HUGEINT * total_tokens))::BIGINT
+    AS hhi_e6,
+  ((2 * sum_rt * 1000000
+    - (n_groups + 1)::HUGEINT * total_tokens * 1000000)
+   // (n_groups::HUGEINT * total_tokens))::BIGINT AS gini_e6,
+  entropy
+FROM (SELECT * FROM a_s UNION ALL SELECT * FROM a_l) ORDER BY axis
 """

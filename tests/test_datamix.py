@@ -354,3 +354,43 @@ def test_kneser_ney_scores_are_valid_logprobs(spark):
     assert keys == sorted(keys)
     rows2 = kneser_ney_quality(spark, SF_DIR, k=50).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_source_concentration_extremes(spark, tmp_path):
+    """Gini/HHI limits: a corpus where one source owns all tokens maxes
+    both indices; a perfectly uniform corpus drives Gini to 0 and HHI
+    to 1e6/n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        source_concentration_audit,
+    )
+
+    def write(texts, sources, d):
+        tbl = pa.table({
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        (tmp_path / d).mkdir()
+        pq.write_table(tbl, str(tmp_path / d / "documents.parquet"))
+        return str(tmp_path / d)
+
+    # concentrated: source A has 8 tokens, B and C one doc of 0 tokens
+    sf1 = write(["a b c d e f g h", "", ""], ["A", "B", "C"], "conc")
+    row = {r.axis: r for r in
+           source_concentration_audit(spark, sf1).collect()}["source"]
+    assert row.hhi_e6 == 1_000_000       # all mass in one group
+    # Gini with shares (0, 0, 1): ranks asc -> (2*3*8e6 - 4*8e6)//(3*8)
+    assert row.gini_e6 == 666_666
+    assert row.entropy == 0.0
+
+    # uniform: four sources, two tokens each
+    sf2 = write(["x y"] * 4, ["A", "B", "C", "D"], "unif")
+    row = {r.axis: r for r in
+           source_concentration_audit(spark, sf2).collect()}["source"]
+    assert row.hhi_e6 == 250_000
+    assert row.gini_e6 == 0
