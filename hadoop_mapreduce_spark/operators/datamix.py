@@ -1144,3 +1144,70 @@ def source_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return axis("source").unionByName(axis("lang")).orderBy("axis")
+
+
+def token_budget_fill(spark: SparkSession, sf_dir: str,
+                      budget_divisor: int = 5) -> DataFrame:
+    """Budgeted corpus assembly: give every source an equal slice of a
+    global token budget (total_tokens // budget_divisor) and fill each
+    slice in deterministic md5(doc_id) order until the next document
+    would overflow it — the "cap every domain at N tokens" rebalancing
+    step a mixture plan executes after weights are chosen. Equal slices
+    are the uniform-rebalance strategy (the strongest flattening);
+    temperature-weighted slices compose by swapping the budget column.
+
+    Determinism and portability: the fill order is the md5-hex of
+    doc_id (the repo's global_shuffle_order convention — any engine,
+    and the DuckDB oracle, re-derives it), so the taken set is an
+    UNBIASED deterministic sample of each source up to the cap — not
+    "whatever was ingested first". "Taken" is a pure window predicate:
+    a doc is in iff its INCLUSIVE running token sum within the source
+    stays <= the source's budget. First-fit-skip variants (skip the
+    overflowing doc, keep trying later ones) deliberately NOT used:
+    the skip scan is sequential state, while prefix-fill stays one
+    window expression; the cost is at most one under-filled tail doc
+    per source.
+
+    Shape: one scan; one exchange on source for the running-sum window;
+    the per-source budget table is a 1-row aggregate broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(tokenize(normalize_text(F.col("text"))))
+        .cast("long").alias("n_tok"),
+    )
+    total = sized.agg(
+        F.expr(f"sum(n_tok) div {budget_divisor}").alias("global_budget"),
+        F.countDistinct("source").alias("n_sources"),
+    ).select(
+        F.expr("global_budget div n_sources").alias("budget"))
+    w = (Window.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = sized.crossJoin(F.broadcast(total)).select(
+        "source", "n_tok", "budget",
+        F.sum("n_tok").over(w).alias("cum"))
+    return (
+        run.groupBy("source")
+        .agg(
+            F.max("budget").alias("budget"),
+            F.sum(F.when(F.col("cum") <= F.col("budget"), 1).otherwise(0))
+            .cast("long").alias("n_docs_taken"),
+            F.sum(F.when(F.col("cum") <= F.col("budget"), F.col("n_tok"))
+                  .otherwise(F.lit(0))).alias("tokens_taken"),
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+        .select(
+            "source",
+            F.col("budget").cast("long").alias("budget"),
+            "n_docs_taken",
+            F.col("tokens_taken").cast("long").alias("tokens_taken"),
+            F.expr("CASE WHEN budget > 0 THEN tokens_taken * 1000000"
+                   " div budget ELSE 0 END").alias("fill_e6"),
+            F.col("n_docs_total").cast("long").alias("n_docs_total"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )

@@ -127,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_threshold_sweep": curation.quality_threshold_sweep,  # hash-paired r7c
     "stopword_discovery": textstats.stopword_discovery,  # hash-paired r7c
     "source_concentration_audit": datamix.source_concentration_audit,  # hash-paired r7c
+    "token_budget_fill": datamix.token_budget_fill,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4030,4 +4031,33 @@ SELECT axis, n_groups::BIGINT AS n_groups, n_docs::BIGINT AS n_docs,
    // (n_groups::HUGEINT * total_tokens))::BIGINT AS gini_e6,
   entropy
 FROM (SELECT * FROM a_s UNION ALL SELECT * FROM a_l) ORDER BY axis
+"""
+
+# r7c: token_budget_fill — equal per-source slices of a global token
+# budget, prefix-filled in md5(doc_id) order; a doc is taken iff its
+# inclusive running sum stays within the slice. Pure integer math.
+ORACLE["token_budget_fill"] = f"""
+WITH sized AS (
+  SELECT source, doc_id, md5(doc_id::VARCHAR) AS h,
+         len({_TOKS}) AS n_tok
+  FROM documents
+),
+tot AS (SELECT (sum(n_tok) // 5) // count(DISTINCT source) AS budget
+        FROM sized),
+run AS (
+  SELECT source, n_tok, budget,
+    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum
+  FROM sized, tot
+)
+SELECT source, max(budget)::BIGINT AS budget,
+  sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END)::BIGINT AS n_docs_taken,
+  sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END)::BIGINT AS tokens_taken,
+  (CASE WHEN max(budget) > 0
+        THEN sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END) * 1000000
+             // max(budget) ELSE 0 END)::BIGINT AS fill_e6,
+  count(*)::BIGINT AS n_docs_total,
+  sum(n_tok)::BIGINT AS tokens_total
+FROM run GROUP BY source ORDER BY source
 """

@@ -394,3 +394,70 @@ def test_source_concentration_extremes(spark, tmp_path):
            source_concentration_audit(spark, sf2).collect()}["source"]
     assert row.hhi_e6 == 250_000
     assert row.gini_e6 == 0
+
+
+def test_token_budget_fill_invariants(spark):
+    """Every source stays within budget, fill fraction in [0, 1e6],
+    taken counts bounded by totals, and determinism across runs."""
+    from hadoop_mapreduce_spark.operators.datamix import token_budget_fill
+
+    rows = token_budget_fill(spark, SF_DIR).collect()
+    assert rows
+    budgets = {r.budget for r in rows}
+    assert len(budgets) == 1  # equal slices
+    for r in rows:
+        assert r.tokens_taken <= r.budget
+        assert 0 <= r.fill_e6 <= 1_000_000
+        assert r.n_docs_taken <= r.n_docs_total
+        assert r.tokens_taken <= r.tokens_total
+    rows2 = token_budget_fill(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_token_budget_fill_prefix_stability(spark, tmp_path):
+    """The taken set is a pure function of (corpus, budget): identical
+    corpora produce identical taken sets (the md5 order has no hidden
+    engine/session state), and the inclusive-cumsum predicate matches
+    a direct window computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    def write(n, d):
+        texts = [f"tok{i} tok{i} filler word" for i in range(n)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["S"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        (tmp_path / d).mkdir()
+        pq.write_table(tbl, str(tmp_path / d / "documents.parquet"))
+        return str(tmp_path / d)
+
+    def taken(sf, budget):
+        docs = load_table(spark, sf, "documents")
+        sized = docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.size(tokenize(normalize_text(F.col("text"))))
+            .cast("long").alias("n_tok"))
+        w = (Window.orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = sized.select(
+            "doc_id", F.sum("n_tok").over(w).alias("cum"))
+        return {r.doc_id for r in out.where(F.col("cum") <= budget).collect()}
+
+    small = taken(write(6, "s"), budget=12)
+    assert small, "small corpus must take something"
+    # identical corpus at a different path -> identical taken set
+    assert taken(write(6, "s2"), 12) == small
+    # a larger corpus at the same budget still takes a bounded prefix
+    grown = taken(write(10, "g"), budget=12)
+    assert grown and len(grown) <= 10
