@@ -1211,3 +1211,67 @@ def token_budget_fill(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def curriculum_interleave(spark: SparkSession, sf_dir: str,
+                          k: int = 100) -> DataFrame:
+    """Curriculum training order: rank each source's documents by a
+    quality signal (distinct-token ratio, exact-int), then interleave
+    the sources round-robin — position = (quality_rank − 1)·n_sources +
+    source_index — so a training run sees every domain early and the
+    best documents of each domain first. This is the deterministic
+    "quality-descending, domain-balanced" curriculum an ordered
+    pre-training dataloader consumes; emits the first k positions.
+
+    Portability: the quality signal is the floor-divided dtok ratio,
+    ranks are row_numbers with doc_id tie-breaks, and the source index
+    ranks source NAMES (dense, alphabetical) — every position is an
+    exact integer any engine re-derives. Gaps in the position sequence
+    are expected once a source exhausts (its residual slots stay
+    empty); consumers order by position, not by contiguity.
+
+    Shape: one scan; one source-keyed exchange for the per-source
+    quality window; the source-index relation is |sources| rows,
+    broadcast. No global window over documents anywhere — the final
+    top-k is a TakeOrdered over positions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", "source",
+        tokenize(normalize_text(F.col("text"))).alias("__tk"),
+    ).select(
+        "doc_id", "source",
+        F.expr(
+            "CASE WHEN size(__tk) > 0 THEN"
+            " (cast(size(array_distinct(__tk)) as bigint) * 1000000)"
+            " div size(__tk) ELSE 0 END").alias("dtok_e6"),
+    )
+    srcs = (
+        docs.select("source").distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("source")) - 1)
+        .withColumn("n_sources",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy(F.lit(1))
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)))
+    )
+    ranked = stats.withColumn(
+        "q_rank",
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.desc("dtok_e6"), F.asc("doc_id"))))
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .select(
+            ((F.col("q_rank") - 1).cast("long") * F.col("n_sources")
+             + F.col("src_idx")).alias("position"),
+            "source",
+            F.col("q_rank").cast("long").alias("q_rank"),
+            "doc_id", "dtok_e6",
+        )
+        .orderBy("position")
+        .limit(k)
+    )

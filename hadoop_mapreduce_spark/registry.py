@@ -128,6 +128,7 @@ QUERIES: dict[str, QueryFn] = {
     "stopword_discovery": textstats.stopword_discovery,  # hash-paired r7c
     "source_concentration_audit": datamix.source_concentration_audit,  # hash-paired r7c
     "token_budget_fill": datamix.token_budget_fill,  # hash-paired r7c
+    "curriculum_interleave": datamix.curriculum_interleave,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4060,4 +4061,33 @@ SELECT source, max(budget)::BIGINT AS budget,
   count(*)::BIGINT AS n_docs_total,
   sum(n_tok)::BIGINT AS tokens_total
 FROM run GROUP BY source ORDER BY source
+"""
+
+# r7c: curriculum_interleave — quality-descending, round-robin-by-
+# source training order; position = (q_rank-1)*n_sources + src_idx,
+# all exact integers.
+ORACLE["curriculum_interleave"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t) ELSE 0 END AS dtok_e6
+  FROM toks
+),
+srcs AS (
+  SELECT source,
+    row_number() OVER (ORDER BY source) - 1 AS src_idx,
+    count(*) OVER () AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+),
+rk AS (
+  SELECT doc_id, st.source, dtok_e6,
+    row_number() OVER (PARTITION BY st.source
+                       ORDER BY dtok_e6 DESC, doc_id) AS q_rank
+  FROM st
+)
+SELECT ((q_rank - 1) * n_sources + src_idx)::BIGINT AS position,
+  rk.source, q_rank::BIGINT AS q_rank, doc_id, dtok_e6
+FROM rk JOIN srcs ON rk.source = srcs.source
+ORDER BY position LIMIT 100
 """

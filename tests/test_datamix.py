@@ -461,3 +461,26 @@ def test_token_budget_fill_prefix_stability(spark, tmp_path):
     # a larger corpus at the same budget still takes a bounded prefix
     grown = taken(write(10, "g"), budget=12)
     assert grown and len(grown) <= 10
+
+
+def test_curriculum_interleave_round_robin(spark):
+    """Positions are unique and ascending; the first |sources| rows are
+    exactly each source's rank-1 (best) document, in source order; and
+    within a source, quality ranks appear in ascending order."""
+    from hadoop_mapreduce_spark.operators.datamix import (
+        curriculum_interleave,
+    )
+
+    rows = curriculum_interleave(spark, SF_DIR).collect()
+    assert rows
+    pos = [r.position for r in rows]
+    assert pos == sorted(pos) and len(set(pos)) == len(pos)
+    srcs = sorted({r.source for r in rows})
+    head = rows[:len(srcs)]
+    assert [r.source for r in head] == srcs
+    assert all(r.q_rank == 1 for r in head)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.q_rank)
+    for s, ranks in by_src.items():
+        assert ranks == sorted(ranks), s
