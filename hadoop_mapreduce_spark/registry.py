@@ -3141,7 +3141,7 @@ _WINDOW_R7 = [
     "ann_dim_truncation_audit", "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_components_star", "split_leakage_guard", "dedup_keep_best",
     "dedup_incremental", "decontaminate_fuzzy", "decontaminate_semantic",
-    "pipeline_target_select", "recursive_monthly_spine", "token_count",
+    "pipeline_target_select", "recursive_monthly_spine",
     "tokenizer_fertility", "quality_classifier_train",
     "embedding_pca_power", "knn_join_lsh",
     # (c) r7b-new operators, all hash-paired and never yet witnessed
@@ -3151,12 +3151,14 @@ _WINDOW_R7 = [
     "minhash_accuracy_audit", "quantile_histogram_portable",
     "events_ewma_daily", "salted_aggregate_events",
     "winnowing_neardup_pairs",
-    # (d) window fill (previously witnessed, kept under rotation)
-    "token_entropy_quality",
-    "jsd_lang_divergence",
-    "events_winsorize_stats",
-    "bpe_merge_step", "inverted_index_topk",
-    "memorization_novelty",
+    # (d) r7c-new operators (this session), all hash-paired — these
+    # replace the previously-witnessed rotation fills so the driver
+    # record covers every new op (events_lttb_downsample, converted
+    # rows-only -> hash-paired this session, is already in (a))
+    "skipgram_cooccurrence", "stopword_discovery",
+    "rrf_quality_fusion", "quality_threshold_sweep",
+    "source_concentration_audit", "token_budget_fill",
+    "curriculum_interleave",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
