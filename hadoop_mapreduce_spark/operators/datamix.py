@@ -1275,3 +1275,64 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str,
         .orderBy("position")
         .limit(k)
     )
+
+
+def source_novelty_attribution(spark: SparkSession, sf_dir: str,
+                               n: int = 4) -> DataFrame:
+    """Data-value attribution: process sources in a canonical
+    (alphabetical) order and credit every distinct token n-gram to the
+    FIRST source that contributes it — each source's "novel grams" are
+    what it adds GIVEN everything before it. The marginal-value curve a
+    dedup/acquisition plan reads to decide which sources are worth
+    ingesting at all (a mirrored crawl attributes ~0 novel grams).
+
+    Exact integers throughout: novelty_e6 = novel·1e6 // distinct via
+    floor division.
+
+    Shape: one tokenise+explode scan → per-(gram, source) distinct
+    collapse (map-side partial) → per-gram min(source_rank) — two keyed
+    exchanges, both gram-keyed, both linear; the per-source rollup
+    output is |sources| rows. The source-rank relation is |sources|
+    rows, broadcast. No pairwise source×source work anywhere (contrast
+    source_overlap_matrix, which answers the pairwise question).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source").distinct()
+        .withColumn(
+            "src_rank",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("source")))
+    )
+    grams = (
+        docs.select(
+            "source",
+            tokenize(normalize_text(F.col("text"))).alias("__t"))
+        .select(
+            "source",
+            F.explode(F.array_distinct(
+                ngrams_from_tokens(F.col("__t"), n))).alias("g"))
+        .distinct()
+        .join(F.broadcast(srcs), "source")
+    )
+    first = grams.groupBy("g").agg(F.min("src_rank").alias("first_rank"))
+    # equi-join back on the gram key only (same partitioning as the
+    # groupBy that built `first` — no extra exchange of the big side)
+    per_source = (
+        grams.join(first, "g")
+        .groupBy("source", "src_rank")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(F.when(F.col("src_rank") == F.col("first_rank"), 1)
+                  .otherwise(0)).cast("long").alias("novel_grams"),
+        )
+    )
+    return per_source.select(
+        F.col("src_rank").cast("long").alias("src_rank"),
+        "source",
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+        "novel_grams",
+        F.expr("CASE WHEN distinct_grams > 0 THEN"
+               " novel_grams * 1000000 div distinct_grams"
+               " ELSE 0 END").alias("novelty_e6"),
+    ).orderBy("src_rank")

@@ -129,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_concentration_audit": datamix.source_concentration_audit,  # hash-paired r7c
     "token_budget_fill": datamix.token_budget_fill,  # hash-paired r7c
     "curriculum_interleave": datamix.curriculum_interleave,  # hash-paired r7c
+    "source_novelty_attribution": datamix.source_novelty_attribution,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -3142,7 +3143,10 @@ _WINDOW_R7 = [
     "dedup_components_star", "split_leakage_guard", "dedup_keep_best",
     "dedup_incremental", "decontaminate_fuzzy", "decontaminate_semantic",
     "pipeline_target_select", "recursive_monthly_spine",
-    "tokenizer_fertility", "quality_classifier_train",
+    # (quality_classifier_train rotated out: rows-only — the driver's
+    # weaker check — and already witnessed in r6; its slot goes to the
+    # never-witnessed hash-paired source_novelty_attribution)
+    "tokenizer_fertility",
     "embedding_pca_power", "knn_join_lsh",
     # (c) r7b-new operators, all hash-paired and never yet witnessed
     "hll_portable_union", "winnowing_fingerprint",
@@ -3158,7 +3162,7 @@ _WINDOW_R7 = [
     "skipgram_cooccurrence", "stopword_discovery",
     "rrf_quality_fusion", "quality_threshold_sweep",
     "source_concentration_audit", "token_budget_fill",
-    "curriculum_interleave",
+    "curriculum_interleave", "source_novelty_attribution",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
@@ -4092,4 +4096,37 @@ SELECT ((q_rank - 1) * n_sources + src_idx)::BIGINT AS position,
   rk.source, q_rank::BIGINT AS q_rank, doc_id, dtok_e6
 FROM rk JOIN srcs ON rk.source = srcs.source
 ORDER BY position LIMIT 100
+"""
+
+# r7c: source_novelty_attribution — distinct 4-grams credited to the
+# first source (alphabetical rank) that contributes them; per-source
+# novel/distinct gram counts with floor-divided novelty fraction.
+ORACLE["source_novelty_attribution"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+srcs AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS src_rank
+  FROM (SELECT DISTINCT source FROM documents)
+),
+grams AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) x
+),
+gr AS (SELECT g, grams.source, src_rank
+       FROM grams JOIN srcs ON grams.source = srcs.source),
+first AS (SELECT g, min(src_rank) AS first_rank FROM gr GROUP BY g),
+per AS (
+  SELECT gr.source, gr.src_rank,
+    count(*) AS distinct_grams,
+    sum(CASE WHEN gr.src_rank = first.first_rank THEN 1 ELSE 0 END)
+      AS novel_grams
+  FROM gr JOIN first ON gr.g = first.g
+  GROUP BY gr.source, gr.src_rank
+)
+SELECT src_rank::BIGINT AS src_rank, source,
+  distinct_grams::BIGINT AS distinct_grams,
+  novel_grams::BIGINT AS novel_grams,
+  (CASE WHEN distinct_grams > 0
+        THEN novel_grams * 1000000 // distinct_grams
+        ELSE 0 END)::BIGINT AS novelty_e6
+FROM per ORDER BY src_rank
 """

@@ -484,3 +484,37 @@ def test_curriculum_interleave_round_robin(spark):
         by_src.setdefault(r.source, []).append(r.q_rank)
     for s, ranks in by_src.items():
         assert ranks == sorted(ranks), s
+
+
+def test_source_novelty_attribution_credits_first_source(spark, tmp_path):
+    """The alphabetically-first source owns every gram it contains; a
+    mirrored source contributes zero novel grams; a disjoint source is
+    100% novel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        source_novelty_attribution,
+    )
+
+    texts = [
+        "one two three four five six",        # A: all grams novel
+        "one two three four five six",        # B: exact mirror of A
+        "alpha beta gamma delta epsilon zeta",  # C: fully disjoint
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["A", "B", "C"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in
+            source_novelty_attribution(spark, str(tmp_path)).collect()}
+    assert rows["A"].novelty_e6 == 1_000_000
+    assert rows["B"].novel_grams == 0 and rows["B"].novelty_e6 == 0
+    assert rows["C"].novelty_e6 == 1_000_000
+    # 6 tokens -> 3 distinct 4-grams each
+    assert rows["A"].distinct_grams == 3
+    assert rows["B"].distinct_grams == 3

@@ -106,6 +106,23 @@ HEADLINE = _HEADLINE + [
     "events_ewma_daily",
     "salted_aggregate_events",
     "winnowing_neardup_pairs",
+    # round-7c additions: skip-gram pair expansion (pair rows = tokens
+    # x window — the linear-expansion claim), stopword discovery
+    # (two-level keyed rollup), RRF fusion + threshold sweep +
+    # curriculum (source-keyed windows, never global), concentration
+    # audit (metadata-sized after one scan — should be FLAT in K),
+    # budget fill (one cumsum window), and the LTTB recursion (bounded
+    # series after pre-aggregation; here raw — cost tracks series
+    # length linearly inside Arrow groups).
+    "skipgram_cooccurrence",
+    "stopword_discovery",
+    "rrf_quality_fusion",
+    "quality_threshold_sweep",
+    "source_concentration_audit",
+    "token_budget_fill",
+    "curriculum_interleave",
+    "events_lttb_downsample",
+    "source_novelty_attribution",
 ]
 
 
