@@ -877,3 +877,59 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.orderBy("threshold", "source")
+
+
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-redundancy audit: per source, the Pearson and Spearman
+    correlation between document length (n_chars) and lexical
+    diversity (distinct-token ratio) — the check a curation stack runs
+    before ensembling filters ("is my quality classifier just a length
+    detector?"). |r| near 1 means the second signal adds nothing and a
+    fused filter (rrf_quality_fusion) double-counts one axis.
+
+    Spearman here is the DETERMINISTIC-rank variant: ranks are
+    row_numbers with doc_id tie-breaks (the repo's portable-rank
+    convention), not midranks — identical on every engine, and within
+    ~1/n of textbook midrank Spearman on real corpora where exact ties
+    are rare. Both coefficients round at 6 dp: they are smooth
+    functions of exact integer sums (the bigram_pmi cross-engine
+    argument).
+
+    Shape: one scan for the signals; one source-keyed exchange shared
+    by both rank windows; the corr aggregates are per-source rollups.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        tokenize(normalize_text(F.col("text"))).alias("__tk"),
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.expr(
+            "CASE WHEN size(__tk) > 0 THEN"
+            " (cast(size(array_distinct(__tk)) as bigint) * 1000000)"
+            " div size(__tk) ELSE 0 END").alias("dtok_e6"),
+    )
+    rk = lambda c: F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc(c), F.asc("doc_id")))
+    ranked = stats.select(
+        "source", "n_chars", "dtok_e6",
+        rk("n_chars").alias("r_len"), rk("dtok_e6").alias("r_dtok"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.corr(F.col("n_chars").cast("double"),
+                           F.col("dtok_e6").cast("double")), 6)
+            .alias("pearson"),
+            F.round(F.corr(F.col("r_len").cast("double"),
+                           F.col("r_dtok").cast("double")), 6)
+            .alias("spearman"),
+        )
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                "pearson", "spearman")
+        .orderBy("source")
+    )

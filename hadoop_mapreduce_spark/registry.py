@@ -130,6 +130,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_fill": datamix.token_budget_fill,  # hash-paired r7c
     "curriculum_interleave": datamix.curriculum_interleave,  # hash-paired r7c
     "source_novelty_attribution": datamix.source_novelty_attribution,  # hash-paired r7c
+    "quality_signal_correlation": curation.quality_signal_correlation,  # hash-paired r7c
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4129,4 +4130,27 @@ SELECT src_rank::BIGINT AS src_rank, source,
         THEN novel_grams * 1000000 // distinct_grams
         ELSE 0 END)::BIGINT AS novelty_e6
 FROM per ORDER BY src_rank
+"""
+
+# r7c: quality_signal_correlation — per-source Pearson + deterministic-
+# rank Spearman between n_chars and the distinct-token ratio; 6-dp
+# smooth-function rounding, ranks use the portable doc_id tie-break.
+ORACLE["quality_signal_correlation"] = f"""
+WITH toks AS (SELECT doc_id, source, n_chars, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, source, n_chars,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t) ELSE 0 END AS dtok_e6
+  FROM toks
+),
+rk AS (
+  SELECT source, n_chars, dtok_e6,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r_len,
+    row_number() OVER (PARTITION BY source ORDER BY dtok_e6, doc_id) AS r_dtok
+  FROM st
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  round(corr(n_chars::DOUBLE, dtok_e6::DOUBLE), 6) AS pearson,
+  round(corr(r_len::DOUBLE, r_dtok::DOUBLE), 6) AS spearman
+FROM rk GROUP BY source ORDER BY source
 """

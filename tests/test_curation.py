@@ -328,3 +328,44 @@ def test_quality_threshold_sweep_monotone(spark):
         toks = [r.n_tokens_kept for r in rs]
         assert kept == sorted(kept, reverse=True), src
         assert toks == sorted(toks, reverse=True), src
+
+
+def test_quality_signal_correlation_limits(spark, tmp_path):
+    """Perfectly monotone signals give spearman exactly 1; anti-monotone
+    give -1; pearson matches numpy to 6 dp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_signal_correlation,
+    )
+
+    # source M: longer text => strictly higher diversity (monotone up)
+    m_texts = ["a a", "a b b", "a b c d", "a b c d e f"]
+    # source N: longer text => strictly lower diversity (anti-monotone)
+    n_texts = ["x y", "x x q", "x x x x q q", "x x x x x x x x x q"]
+    texts = m_texts + n_texts
+    sources = ["M"] * 4 + ["N"] * 4
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 9), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 8, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in
+           quality_signal_correlation(spark, str(tmp_path)).collect()}
+    assert got["M"].spearman == 1.0
+    assert got["N"].spearman == -1.0
+
+    def dtok(t):
+        w = t.split()
+        return len(set(w)) * 1000000 // len(w)
+
+    for src, ts in (("M", m_texts), ("N", n_texts)):
+        x = np.array([len(t) for t in ts], dtype=float)
+        y = np.array([dtok(t) for t in ts], dtype=float)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(got[src].pearson - round(ref, 6)) < 2e-6, src
