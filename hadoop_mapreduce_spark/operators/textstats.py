@@ -1562,3 +1562,62 @@ def stopword_discovery(spark: SparkSession, sf_dir: str,
         F.col("tf").cast("long").alias("tf"),
         F.expr("df * 1000000 div n_docs").alias("df_frac_e6"),
     ).orderBy("lang", "rank")
+
+
+def ngram_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity audit: per (source, n) for n in 1..3, the
+    total n-gram occurrences, the distinct n-gram count, and their
+    ratio in exact integer micro-units. Distinct-n is the standard
+    text-diversity metric (Li et al. 2016's distinct-1/distinct-2);
+    over a pretraining corpus it surfaces template-heavy or
+    boilerplate-saturated sources long before a pairwise dedup pass —
+    a low distinct-3 ratio at high volume is the signature of
+    machine-generated or mirrored content.
+
+    Plan shape: ONE tokenize scan. The three gram lengths are built
+    from the same materialised token array in a single projection
+    (flatten of three transform() windows tagged with n), so the
+    expensive regex normalisation runs once per document, not three
+    times. One explode, one (source, n, gram) pre-aggregation — the
+    distinct count is a two-level aggregation (partial collapse of
+    within-source repeats at the map side, then count + sum at the
+    (source, n) grain), never a countDistinct over raw occurrence
+    rows. All shuffles are keyed on (source, n, gram); output is
+    |sources| x 3 rows.
+    """
+    from hadoop_mapreduce_spark.functions.text import ngrams_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", _tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    def _tag(n: int) -> Column:
+        # NB: a two-arg transform lambda receives (element, index) —
+        # closing over n in a one-arg lambda keeps the tag literal.
+        return F.transform(
+            ngrams_from_tokens(toks, n),
+            lambda g: F.struct(
+                F.lit(n).cast("long").alias("n"), g.alias("gram")),
+        )
+
+    tagged = base.select(
+        "source",
+        F.explode(F.flatten(F.array(_tag(1), _tag(2), _tag(3)))).alias("g"),
+    ).select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = tagged.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("source", "n")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+        )
+        .select(
+            "source",
+            "n",
+            F.col("total_grams").cast("long").alias("total_grams"),
+            F.col("distinct_grams").cast("long").alias("distinct_grams"),
+            F.expr("distinct_grams * 1000000 div total_grams")
+            .alias("distinct_frac_e6"),
+        )
+        .orderBy("source", "n")
+    )

@@ -131,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_interleave": datamix.curriculum_interleave,  # hash-paired r7c
     "source_novelty_attribution": datamix.source_novelty_attribution,  # hash-paired r7c
     "quality_signal_correlation": curation.quality_signal_correlation,  # hash-paired r7c
+    "ngram_diversity_audit": textstats.ngram_diversity_audit,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4153,4 +4154,25 @@ SELECT source, count(*)::BIGINT AS n_docs,
   round(corr(n_chars::DOUBLE, dtok_e6::DOUBLE), 6) AS pearson,
   round(corr(r_len::DOUBLE, r_dtok::DOUBLE), 6) AS spearman
 FROM rk GROUP BY source ORDER BY source
+"""
+
+# r7d: ngram_diversity_audit — distinct-1/2/3 diversity per source,
+# exact integer micro-unit ratios; the three gram windows replayed via
+# generate_series slices over the same token arrays.
+ORACLE["ngram_diversity_audit"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+tn AS (
+  SELECT source, t, n
+  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+),
+g AS (
+  SELECT source, n, array_to_string(t[i:i+n-1], ' ') AS gram
+  FROM tn,
+  LATERAL (SELECT unnest(generate_series(1, len(t) - n + 1)) AS i) gg
+),
+pg AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT source, n::BIGINT AS n, sum(c)::BIGINT AS total_grams,
+  count(*)::BIGINT AS distinct_grams,
+  (count(*) * 1000000 // sum(c))::BIGINT AS distinct_frac_e6
+FROM pg GROUP BY source, n ORDER BY source, n
 """

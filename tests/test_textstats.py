@@ -540,3 +540,39 @@ def test_stopword_discovery_df_semantics(spark, tmp_path):
     assert by_term["ran"].df == 1 and by_term["ran"].tf == 6
     # df-first ordering: 'ran' (df=1) ranks below any df>=2 term
     assert by_term["ran"].rank > by_term["the"].rank
+
+
+def test_ngram_diversity_audit_exact_counts(spark, tmp_path):
+    """Hand-checked distinct-n: 'a b a b' has 4 unigrams (2 distinct),
+    3 bigrams ('a b','b a','a b' -> 2 distinct), 2 trigrams (both
+    distinct); a fully-repetitive doc drives the ratio down while a
+    unique doc holds it at 1e6."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        ngram_diversity_audit,
+    )
+
+    sf = _docs_table(tmp_path, ["a b a b", "x y z"])
+    rows = {(r.source, r.n): r for r in
+            ngram_diversity_audit(spark, sf).collect()}
+    r1 = rows[("crafted", 1)]
+    assert (r1.total_grams, r1.distinct_grams) == (7, 5)  # a,b + x,y,z
+    r2 = rows[("crafted", 2)]
+    # bigrams: 'a b','b a','a b' + 'x y','y z' -> 5 total, 4 distinct
+    assert (r2.total_grams, r2.distinct_grams) == (5, 4)
+    assert r2.distinct_frac_e6 == 4 * 1_000_000 // 5
+    r3 = rows[("crafted", 3)]
+    # trigrams: 'a b a','b a b' + 'x y z' -> 3 total, 3 distinct
+    assert (r3.total_grams, r3.distinct_grams) == (3, 3)
+    assert r3.distinct_frac_e6 == 1_000_000
+
+
+def test_ngram_diversity_audit_short_docs(spark, tmp_path):
+    """Docs shorter than n contribute nothing at that n — a 1-token
+    corpus yields no bigram/trigram rows at all (no zero-division)."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        ngram_diversity_audit,
+    )
+
+    sf = _docs_table(tmp_path, ["solo"])
+    rows = ngram_diversity_audit(spark, sf).collect()
+    assert [(r.n, r.total_grams) for r in rows] == [(1, 1)]
