@@ -485,3 +485,73 @@ def pipeline_target_select(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-row-per-source datasheet a
+    curation run publishes alongside the corpus (doc/token volumes,
+    language spread, type-token ratio, dominant language) — the
+    "Datasheets for Datasets" accounting table, computed from the data
+    rather than hand-written.
+
+    Plan: one tokenize scan feeds three per-source aggregates — volume
+    stats straight off the doc grain, distinct-term counts via a
+    (source, term) pre-aggregation (map-side collapse of within-source
+    repeats, never countDistinct over raw occurrence rows), and the
+    dominant language via a (source, lang) count + rank-1 window with a
+    deterministic (count desc, lang asc) tie-break. All three relations
+    are |sources| rows, so the final joins are broadcasts; output is
+    |sources| rows regardless of corpus size. Ratios are exact integer
+    micro-units (floor div), the repo's cross-engine convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang",
+        tokenize(normalize_text(F.col("text"))).alias("__toks"))
+    sized = base.select(
+        "source", "lang", F.size("__toks").cast("long").alias("n_tok"),
+        F.col("__toks").alias("toks"))
+
+    vol = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.max("n_tok").alias("max_doc_tokens"),
+    )
+    terms = (
+        sized.select("source", F.explode("toks").alias("term"))
+        .groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("distinct_terms"))
+    )
+    from pyspark.sql import Window
+    top_lang = (
+        sized.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source")
+                .orderBy(F.desc("lc"), F.asc("lang"))))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("lc").alias("top_lang_docs"))
+    )
+    return (
+        vol.join(F.broadcast(terms), "source")
+        .join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.expr("total_tokens * 1000000 div n_docs")
+            .alias("mean_tokens_e6"),
+            F.col("max_doc_tokens").cast("long").alias("max_doc_tokens"),
+            F.col("distinct_terms").cast("long").alias("distinct_terms"),
+            F.expr("distinct_terms * 1000000 div total_tokens")
+            .alias("ttr_e6"),
+            "top_lang",
+            F.col("top_lang_docs").cast("long").alias("top_lang_docs"),
+        )
+        .orderBy("source")
+    )

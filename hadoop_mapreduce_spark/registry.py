@@ -132,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_novelty_attribution": datamix.source_novelty_attribution,  # hash-paired r7c
     "quality_signal_correlation": curation.quality_signal_correlation,  # hash-paired r7c
     "ngram_diversity_audit": textstats.ngram_diversity_audit,  # hash-paired r7d
+    "dataset_card": pipeline.dataset_card,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4175,4 +4176,42 @@ SELECT source, n::BIGINT AS n, sum(c)::BIGINT AS total_grams,
   count(*)::BIGINT AS distinct_grams,
   (count(*) * 1000000 // sum(c))::BIGINT AS distinct_frac_e6
 FROM pg GROUP BY source, n ORDER BY source, n
+"""
+
+# r7d: dataset_card — per-source datasheet (volumes, language spread,
+# TTR, dominant language) with floor-div micro-unit ratios and the
+# (count desc, lang asc) dominant-language tie-break mirrored.
+ORACLE["dataset_card"] = f"""
+WITH toks AS (SELECT source, lang, {_TOKS} AS t FROM documents),
+sized AS (SELECT source, lang, len(t) AS n_tok, t FROM toks),
+vol AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+    sum(n_tok) AS total_tokens, max(n_tok) AS max_doc_tokens
+  FROM sized GROUP BY source
+),
+terms AS (
+  SELECT source, count(*) AS distinct_terms FROM (
+    SELECT source, term, count(*) AS c
+    FROM (SELECT source, unnest(t) AS term FROM sized)
+    GROUP BY source, term)
+  GROUP BY source
+),
+tl AS (
+  SELECT source, lang AS top_lang, lc AS top_lang_docs FROM (
+    SELECT source, lang, count(*) AS lc,
+      row_number() OVER (PARTITION BY source
+                         ORDER BY count(*) DESC, lang ASC) AS rk
+    FROM sized GROUP BY source, lang)
+  WHERE rk = 1
+)
+SELECT vol.source, n_docs::BIGINT AS n_docs, n_langs::BIGINT AS n_langs,
+  total_tokens::BIGINT AS total_tokens,
+  (total_tokens * 1000000 // n_docs)::BIGINT AS mean_tokens_e6,
+  max_doc_tokens::BIGINT AS max_doc_tokens,
+  distinct_terms::BIGINT AS distinct_terms,
+  (distinct_terms * 1000000 // total_tokens)::BIGINT AS ttr_e6,
+  top_lang, top_lang_docs::BIGINT AS top_lang_docs
+FROM vol JOIN terms ON vol.source = terms.source
+JOIN tl ON vol.source = tl.source
+ORDER BY vol.source
 """

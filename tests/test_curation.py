@@ -369,3 +369,37 @@ def test_quality_signal_correlation_limits(spark, tmp_path):
         y = np.array([dtok(t) for t in ts], dtype=float)
         ref = np.corrcoef(x, y)[0, 1]
         assert abs(got[src].pearson - round(ref, 6)) < 2e-6, src
+
+
+def test_dataset_card_hand_checked(spark, tmp_path):
+    """Card fields on a crafted 2-source corpus: volumes, TTR floor
+    division, and the dominant-language (count desc, lang asc)
+    tie-break — 'de' wins an exact tie against 'en' alphabetically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.pipeline import dataset_card
+
+    texts = ["a b c", "a a", "x y", "x z"]
+    langs = ["en", "de", "fr", "fr"]
+    srcs = ["s1", "s1", "s2", "s2"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in
+            dataset_card(spark, str(tmp_path)).collect()}
+    s1 = rows["s1"]
+    assert (s1.n_docs, s1.n_langs, s1.total_tokens) == (2, 2, 5)
+    assert s1.distinct_terms == 3  # a b c
+    assert s1.ttr_e6 == 3 * 1_000_000 // 5
+    assert s1.mean_tokens_e6 == 5 * 1_000_000 // 2
+    # one 'en' doc and one 'de' doc: tie -> lang asc -> 'de'
+    assert (s1.top_lang, s1.top_lang_docs) == ("de", 1)
+    s2 = rows["s2"]
+    assert (s2.top_lang, s2.top_lang_docs) == ("fr", 2)
+    assert s2.distinct_terms == 3  # x y z
