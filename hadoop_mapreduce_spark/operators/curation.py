@@ -933,3 +933,69 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pearson", "spearman")
         .orderBy("source")
     )
+
+
+# Deterministic blocklist for badwords_filter — a stand-in for the
+# C4/RefinedWeb "bad words" list (the real list is a config input; the
+# operator's mechanics are identical for any literal list).
+BADWORDS: tuple[str, ...] = ("slow", "dup", "leak")
+
+
+def badwords_filter(spark: SparkSession, sf_dir: str,
+                    max_frac_e6: int = 30_000) -> DataFrame:
+    """Blocklist filtering audit, C4-style: per source, how many
+    documents contain any blocklisted term, how many exceed the
+    blocked-token-fraction threshold (the actual drop rule — C4 drops
+    on ANY hit, RefinedWeb on a fraction; the threshold form subsumes
+    both), and the corpus-level blocked-token mass.
+
+    The membership test is a literal-array `filter` inside whole-stage
+    codegen — NO join: a blocklist is config-sized (thousands of
+    terms), so shipping it as a literal (or a broadcast variable at the
+    upper end) keeps this a pure scan-speed projection. The only
+    shuffle is the final |sources|-row rollup. At 100 TB this runs at
+    parquet-scan speed and is the cheapest gate in the curation ladder,
+    which is why it goes first.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+
+    bad = F.array(*[F.lit(w) for w in BADWORDS])
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", tokenize(normalize_text(F.col("text"))).alias("__toks"))
+    per_doc = base.select(
+        "source",
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.size(F.filter(F.col("__toks"),
+                        lambda t: F.array_contains(bad, t)))
+        .cast("long").alias("n_bad"),
+    ).select(
+        "source", "n_tok", "n_bad",
+        (F.col("n_bad") > 0).alias("hit"),
+        F.when(F.col("n_tok") > 0,
+               F.expr("n_bad * 1000000 div n_tok") > F.lit(max_frac_e6))
+        .otherwise(F.lit(False)).alias("flagged"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("hit").cast("long")).alias("hit_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("flagged_docs"),
+            F.sum("n_bad").alias("blocked_tokens"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("hit_docs").cast("long").alias("hit_docs"),
+            F.col("flagged_docs").cast("long").alias("flagged_docs"),
+            F.col("blocked_tokens").cast("long").alias("blocked_tokens"),
+            F.expr("blocked_tokens * 1000000 div total_tokens")
+            .alias("blocked_frac_e6"),
+            F.expr("flagged_docs * 1000000 div n_docs")
+            .alias("flagged_frac_e6"),
+        )
+        .orderBy("source")
+    )

@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_signal_correlation": curation.quality_signal_correlation,  # hash-paired r7c
     "ngram_diversity_audit": textstats.ngram_diversity_audit,  # hash-paired r7d
     "dataset_card": pipeline.dataset_card,  # hash-paired r7d
+    "badwords_filter": curation.badwords_filter,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4214,4 +4215,30 @@ SELECT vol.source, n_docs::BIGINT AS n_docs, n_langs::BIGINT AS n_langs,
 FROM vol JOIN terms ON vol.source = terms.source
 JOIN tl ON vol.source = tl.source
 ORDER BY vol.source
+"""
+
+# r7d: badwords_filter — C4-style blocklist audit; literal-list
+# membership on both engines, threshold in integer micro-units.
+ORACLE["badwords_filter"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+pd AS (
+  SELECT source, len(t) AS n_tok,
+    len(list_filter(t, x -> list_contains(['slow', 'dup', 'leak'], x)))
+      AS n_bad
+  FROM toks
+),
+fl AS (
+  SELECT source, n_tok, n_bad, n_bad > 0 AS hit,
+    CASE WHEN n_tok > 0
+         THEN (n_bad * 1000000 // n_tok) > 30000 ELSE FALSE END AS flagged
+  FROM pd
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS hit_docs,
+  sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS flagged_docs,
+  sum(n_bad)::BIGINT AS blocked_tokens,
+  (sum(n_bad) * 1000000 // sum(n_tok))::BIGINT AS blocked_frac_e6,
+  (sum(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+    AS flagged_frac_e6
+FROM fl GROUP BY source ORDER BY source
 """

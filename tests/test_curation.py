@@ -403,3 +403,31 @@ def test_dataset_card_hand_checked(spark, tmp_path):
     s2 = rows["s2"]
     assert (s2.top_lang, s2.top_lang_docs) == ("fr", 2)
     assert s2.distinct_terms == 3  # x y z
+
+
+def test_badwords_filter_threshold_semantics(spark, tmp_path):
+    """hit counts ANY blocklisted token; flagged requires the blocked
+    fraction to EXCEED 3% (floor-div micro-units, strict >): a 34-token
+    doc with one hit sits at 29411e-6 — hit but not flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import badwords_filter
+
+    texts = [
+        "slow " + "ok " * 9,          # 10 tok, 1 bad = 10% -> flagged
+        "dup " + "ok " * 33,          # 34 tok, 1 bad = 2.94% -> hit only
+        "clean text only",            # no hit
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    [r] = badwords_filter(spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.hit_docs, r.flagged_docs) == (3, 2, 1)
+    assert r.blocked_tokens == 2
+    assert r.flagged_frac_e6 == 1_000_000 // 3
