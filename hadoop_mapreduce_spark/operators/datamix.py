@@ -1336,3 +1336,59 @@ def source_novelty_attribution(spark: SparkSession, sf_dir: str,
                " novel_grams * 1000000 div distinct_grams"
                " ELSE 0 END").alias("novelty_e6"),
     ).orderBy("src_rank")
+
+
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the lang x source contingency
+    table: per cell, the observed doc count, the expected count under
+    independence, and the cell's chi-square contribution — the
+    corpus-composition diagnostic that answers "do my sources have
+    materially different language mixes?" before choosing per-source
+    sampling weights. A large total statistic (sum of contrib_e6) means
+    language balance cannot be tuned by source weights alone.
+
+    Exact integer arithmetic end to end: expected = row*col/N and
+    contrib = (O*N - row*col)^2 / (N*row*col) are computed as
+    decimal(38,0) floor divisions in micro-units, never doubles, so
+    both engines agree bit-for-bit (DuckDB runs the same formula in
+    HUGEINT). Absent (lang, source) combinations are REAL cells with
+    O = 0 — the grid is a cross join of the two marginal relations
+    (both metadata-sized, broadcast) left-joined to the counts, so the
+    statistic is the textbook one, not a present-cells-only undercount.
+    At extreme N (~1e12 docs) the decimal(38,0) square would overflow;
+    there the statistic's smooth double form is the right fallback —
+    the exact-integer path is chosen here for cross-engine hash parity.
+
+    Plan: one groupBy(lang, source) over the scan; marginals derive
+    from that tiny aggregate, not from re-scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("row_t"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("col_t"))
+    total = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(total))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang", "source", "row_t", "col_t", "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("observed"),
+        )
+    )
+    # `div` (integral division) on decimal operands floors like the
+    # oracle's HUGEINT `//`; a plain decimal cast would round half-up.
+    return grid.select(
+        "lang", "source", "observed",
+        F.expr("CAST(CAST(row_t AS DECIMAL(38,0)) * col_t * 1000000"
+               " div n AS BIGINT)").alias("expected_e6"),
+        F.expr(
+            "CAST((CAST(observed AS DECIMAL(38,0)) * n"
+            "      - CAST(row_t AS DECIMAL(38,0)) * col_t)"
+            "     * (CAST(observed AS DECIMAL(38,0)) * n"
+            "      - CAST(row_t AS DECIMAL(38,0)) * col_t)"
+            "     * 1000000"
+            " div (CAST(row_t AS DECIMAL(38,0)) * col_t * n) AS BIGINT)"
+        ).alias("contrib_e6"),
+    ).orderBy("lang", "source")

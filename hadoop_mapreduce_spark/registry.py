@@ -134,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_diversity_audit": textstats.ngram_diversity_audit,  # hash-paired r7d
     "dataset_card": pipeline.dataset_card,  # hash-paired r7d
     "badwords_filter": curation.badwords_filter,  # hash-paired r7d
+    "lang_source_chisq": datamix.lang_source_chisq,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4241,4 +4242,27 @@ SELECT source, count(*)::BIGINT AS n_docs,
   (sum(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
     AS flagged_frac_e6
 FROM fl GROUP BY source ORDER BY source
+"""
+
+# r7d: lang_source_chisq — exact-integer chi-square contingency audit;
+# zero cells materialised by the marginal cross join on both engines,
+# HUGEINT floor divisions mirror Spark's decimal(38,0) `div`.
+ORACLE["lang_source_chisq"] = """
+WITH cells AS (
+  SELECT lang, source, count(*)::HUGEINT AS o FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, sum(o) AS row_t FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o) AS col_t FROM cells GROUP BY source),
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.lang, c.source, row_t, col_t, n.n,
+    coalesce(cells.o, 0)::HUGEINT AS observed
+  FROM r CROSS JOIN c CROSS JOIN n
+  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+)
+SELECT lang, source, observed::BIGINT AS observed,
+  (row_t * col_t * 1000000 // n)::BIGINT AS expected_e6,
+  ((observed * n - row_t * col_t) * (observed * n - row_t * col_t)
+   * 1000000 // (row_t * col_t * n))::BIGINT AS contrib_e6
+FROM grid ORDER BY lang, source
 """

@@ -518,3 +518,34 @@ def test_source_novelty_attribution_credits_first_source(spark, tmp_path):
     # 6 tokens -> 3 distinct 4-grams each
     assert rows["A"].distinct_grams == 3
     assert rows["B"].distinct_grams == 3
+
+
+def test_lang_source_chisq_textbook(spark, tmp_path):
+    """2x2 contingency hand-check: independence gives contrib 0
+    everywhere; a fully-dependent table gives contrib = E per cell and
+    the zero cells are REAL rows (grid = marginal cross join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import lang_source_chisq
+
+    # dependent: s1 is all-en (2 docs), s2 all-de (2 docs)
+    langs = ["en", "en", "de", "de"]
+    srcs = ["s1", "s1", "s2", "s2"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {(r.lang, r.source): r for r in
+            lang_source_chisq(spark, str(tmp_path)).collect()}
+    assert len(rows) == 4  # includes the two zero cells
+    # every cell: row_t=2, col_t=2, N=4 -> E = 1, contrib = (O-1)^2/1
+    for (lang, src), r in rows.items():
+        assert r.expected_e6 == 1_000_000
+        on_diag = (lang, src) in {("en", "s1"), ("de", "s2")}
+        assert r.observed == (2 if on_diag else 0)
+        assert r.contrib_e6 == 1_000_000  # (2-1)^2 = (0-1)^2 = 1
