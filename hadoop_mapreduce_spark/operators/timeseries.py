@@ -752,3 +752,54 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_type", "day")
     )
+
+
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per (day-of-week, hour-of-day) cell,
+    the event count, its share of all traffic, the load factor vs a
+    uniform 168-cell week (1e6 = exactly average), and the mean event
+    value — the capacity-planning / anomaly-baseline table every
+    event-stream dashboard renders as a weekly heatmap.
+
+    Day-of-week and hour are derived from epoch SECONDS arithmetic
+    ((days+3) mod 7 with 0 = Monday; 1970-01-01 was a Thursday), not
+    from either engine's dayofweek() — Spark counts 1=Sunday, DuckDB's
+    dow counts 0=Sunday and isodow 1=Monday, so named functions are a
+    cross-engine parity trap; integer epoch math is identical
+    everywhere (session tz pinned UTC). One groupBy over the scan, a
+    1-row total broadcast, <= 168 output rows at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ts reads as TIMESTAMP_NTZ; session zone is pinned UTC so the cast
+    # preserves the instant (same pattern as events_lttb_downsample).
+    # Integer micros floor-divided to seconds: DuckDB's epoch()::BIGINT
+    # ROUNDS fractional seconds (flipping hour-boundary events), so both
+    # engines use epoch_us // 1e6 instead.
+    secs = (F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(1000000)).cast("long")
+    cells = (
+        ev.select(
+            (((secs / 86400).cast("long") + 3) % 7).alias("dow"),
+            ((secs % 86400) / 3600).cast("long").alias("hour"),
+            F.col("value"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long"))
+            .alias("sv_micros"),
+        )
+    )
+    total = cells.agg(F.sum("n_events").alias("tot"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("n_events * 1000000 div tot").alias("share_e6"),
+            F.expr("n_events * 168 * 1000000 div tot").alias("load_e6"),
+            F.expr("sv_micros div n_events").alias("mean_value_micros"),
+        )
+        .orderBy("dow", "hour")
+    )

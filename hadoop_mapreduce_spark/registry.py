@@ -135,6 +135,7 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_card": pipeline.dataset_card,  # hash-paired r7d
     "badwords_filter": curation.badwords_filter,  # hash-paired r7d
     "lang_source_chisq": datamix.lang_source_chisq,  # hash-paired r7d
+    "events_dow_hour_profile": timeseries.events_dow_hour_profile,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4265,4 +4266,24 @@ SELECT lang, source, observed::BIGINT AS observed,
   ((observed * n - row_t * col_t) * (observed * n - row_t * col_t)
    * 1000000 // (row_t * col_t * n))::BIGINT AS contrib_e6
 FROM grid ORDER BY lang, source
+"""
+
+# r7d: events_dow_hour_profile — weekly seasonality heatmap cells;
+# dow/hour from epoch-seconds arithmetic (named dayofweek functions
+# disagree across engines), micro-unit shares and load factors.
+ORACLE["events_dow_hour_profile"] = """
+WITH cells AS (
+  SELECT (((epoch_us(ts) // 1000000) // 86400) + 3) % 7 AS dow,
+    ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour,
+    count(*) AS n_events,
+    sum(round(value * 1e6)::BIGINT) AS sv_micros
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT sum(n_events) AS tot FROM cells)
+SELECT dow::BIGINT AS dow, hour::BIGINT AS hour,
+  n_events::BIGINT AS n_events,
+  (n_events * 1000000 // tot)::BIGINT AS share_e6,
+  (n_events * 168 * 1000000 // tot)::BIGINT AS load_e6,
+  (sv_micros // n_events)::BIGINT AS mean_value_micros
+FROM cells CROSS JOIN t ORDER BY dow, hour
 """

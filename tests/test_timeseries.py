@@ -242,3 +242,39 @@ def test_events_ewma_daily_recurrence(spark):
             hi = v if hi is None else max(hi, v)
             assert lo - 1e-9 <= r.ewma <= hi + 1e-9
         assert abs(rs[0].ewma - rs[0].day_avg) < 1e-9
+
+
+def test_events_dow_hour_profile_epoch_math(spark, tmp_path):
+    """dow 0 must be Monday (epoch day 0 was a Thursday -> dow 3), hour
+    buckets truncate fractional seconds, and the load factor is the
+    168-cell uniform-week ratio in micro-units."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_dow_hour_profile,
+    )
+
+    ts = [
+        datetime(1970, 1, 1, 0, 30),          # Thursday -> dow 3, hour 0
+        datetime(2024, 1, 1, 23, 59, 59),     # Monday -> dow 0, hour 23
+        datetime(2024, 1, 1, 23, 59, 59, 900000),  # still hour 23
+        datetime(2024, 1, 7, 12, 0),          # Sunday -> dow 6, hour 12
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(1, 5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([2.0, 4.0, 6.0, 8.0], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {(r.dow, r.hour): r for r in
+            events_dow_hour_profile(spark, str(tmp_path)).collect()}
+    assert set(rows) == {(3, 0), (0, 23), (6, 12)}
+    assert rows[(0, 23)].n_events == 2  # the .9s event did not round up
+    assert rows[(0, 23)].mean_value_micros == 5_000_000
+    assert rows[(3, 0)].share_e6 == 1_000_000 // 4
+    assert rows[(3, 0)].load_e6 == 168 * 1_000_000 // 4
