@@ -1872,3 +1872,60 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("err_decile")
     )
+
+
+def neardup_label_conflict(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.8) -> DataFrame:
+    """Label-consistency audit over near-duplicate clusters: for every
+    cluster (>= 2 members) from the LSH + star-CC scale path, the
+    member count, how many distinct lang / source labels its members
+    carry, the majority language (count desc, lang asc tie-break), and
+    a conflict flag. Near-identical documents carrying different
+    language labels are label NOISE — exactly what corrupts a
+    langid-stratified sampling plan or a per-language quality model —
+    and clusters spanning sources quantify cross-source mirroring that
+    per-source novelty metrics only see in aggregate.
+
+    Plan: the edge set is the verified MinHash-LSH candidates (banded,
+    capped — O(colliding pairs)); components via the O(log n)
+    alternating-star rounds; the audit itself is one broadcast-sized
+    join of the component map back to the doc labels plus a per-cluster
+    aggregation. Everything downstream of the LSH machinery is
+    |clusters|-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    comp = dedup_components_star(spark, sf_dir, threshold=threshold)
+    members = comp.join(docs, "doc_id")
+    lang_counts = (
+        members.groupBy("component", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component")
+                .orderBy(F.desc("lc"), F.asc("lang"))))
+        .where(F.col("rk") == 1)
+        .select("component", F.col("lang").alias("majority_lang"))
+    )
+    agg = (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        agg.join(lang_counts, "component")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "majority_lang",
+            (F.col("n_langs") > 1).cast("long").alias("lang_conflict"),
+        )
+        .orderBy("component")
+    )

@@ -136,6 +136,7 @@ QUERIES: dict[str, QueryFn] = {
     "badwords_filter": curation.badwords_filter,  # hash-paired r7d
     "lang_source_chisq": datamix.lang_source_chisq,  # hash-paired r7d
     "events_dow_hour_profile": timeseries.events_dow_hour_profile,  # hash-paired r7d
+    "neardup_label_conflict": dedup.neardup_label_conflict,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4286,4 +4287,46 @@ SELECT dow::BIGINT AS dow, hour::BIGINT AS hour,
   (n_events * 168 * 1000000 // tot)::BIGINT AS load_e6,
   (sv_micros // n_events)::BIGINT AS mean_value_micros
 FROM cells CROSS JOIN t ORDER BY dow, hour
+"""
+
+# r7d: neardup_label_conflict — label-noise audit per near-dup cluster;
+# same recursive-CTE component oracle as dedup_components_star, joined
+# back to the doc labels with the (count desc, lang asc) majority rule.
+ORACLE["neardup_label_conflict"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  UNION
+  SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+m AS (
+  SELECT c.component, d.doc_id, d.lang, d.source
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ml AS (
+  SELECT component, lang AS majority_lang FROM (
+    SELECT component, lang,
+      row_number() OVER (PARTITION BY component
+                         ORDER BY count(*) DESC, lang ASC) AS rk
+    FROM m GROUP BY component, lang)
+  WHERE rk = 1
+),
+ag AS (
+  SELECT component, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+    count(DISTINCT source) AS n_sources
+  FROM m GROUP BY component HAVING count(*) >= 2
+)
+SELECT ag.component::BIGINT AS component, n_docs::BIGINT AS n_docs,
+  n_langs::BIGINT AS n_langs, n_sources::BIGINT AS n_sources,
+  majority_lang,
+  (CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)::BIGINT AS lang_conflict
+FROM ag JOIN ml ON ag.component = ml.component
+ORDER BY ag.component
 """

@@ -407,3 +407,33 @@ def test_minhash_accuracy_audit_deciles(spark):
         assert r.mean_est >= 1 / 16 - 1e-9
     low = sum(r.n_pairs for r in rows if r.err_decile <= 3)
     assert low / total >= 0.8, [(r.err_decile, r.n_pairs) for r in rows]
+
+
+def test_neardup_label_conflict_crafted(spark, tmp_path):
+    """Two near-identical docs labelled en/de form one conflicted
+    cluster with the majority tie broken alphabetically ('de'); a
+    singleton and an unrelated doc produce no rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.dedup import (
+        neardup_label_conflict,
+    )
+
+    near = ("spark shuffle partition broadcast join skew salt "
+            "aggregate window frame sort merge bucket")
+    texts = [near, near + " extra", "totally different words here now"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "de", "fr"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = neardup_label_conflict(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.n_docs, r.n_langs, r.n_sources) == (2, 2, 2)
+    assert r.majority_lang == "de"  # 1-1 tie -> lang asc
+    assert r.lang_conflict == 1
