@@ -1793,6 +1793,35 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
     the exact verify joins candidate pairs to the bounded per-doc
     arrays. Output is <= 10 rows.
     """
+    paired = _cw_pair_base(spark, sf_dir, num_hashes, shingle_k)
+    nh = float(num_hashes)
+    err = F.abs(F.col("eq") / F.lit(nh) - F.col("inter") / F.col("uni"))
+    return (
+        paired
+        .select("eq", "inter", "uni",
+                F.floor(err * F.lit(10.0)).cast("long").alias("err_decile"))
+        .groupBy("err_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("eq") / (F.lit(nh) * F.count(F.lit(1))), 6)
+            .alias("mean_est"),
+            F.sum((F.col("eq") * 5 >= F.lit(num_hashes * 4))
+                  .cast("long")).alias("n_est_pos"),
+            F.sum((F.col("inter") * 5 >= F.col("uni") * 4)
+                  .cast("long")).alias("n_exact_pos"),
+        )
+        .orderBy("err_decile")
+    )
+
+
+def _cw_pair_base(spark: SparkSession, sf_dir: str,
+                  num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """Shared measurement base for the sketch-audit family
+    (minhash_accuracy_audit, lsh_band_tuning): every signature-colliding
+    pair with its matching-component count (eq), exact shingle
+    intersection (inter) and union (uni). Engine-portable by the same
+    md5 + Carter-Wegman construction documented on
+    minhash_accuracy_audit."""
     from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
     from hadoop_mapreduce_spark.session import scoped_persist
 
@@ -1854,23 +1883,64 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str,
         .select(
             "eq", "inter", (F.col("nsum") - F.col("inter")).alias("uni"))
     )
-    nh = float(num_hashes)
-    err = F.abs(F.col("eq") / F.lit(nh) - F.col("inter") / F.col("uni"))
+    return paired
+
+
+def lsh_band_tuning(spark: SparkSession, sf_dir: str,
+                    num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """Band/row tuning table: for each candidate LSH configuration
+    (bands x rows_per_band, all with b*r = 128), the S-curve detection
+    probability 1-(1-s^r)^b evaluated against the CORPUS'S OWN measured
+    similarity distribution — colliding pairs bucketed by exact shingle
+    Jaccard into 20 cells. Reading down a config's column answers the
+    question every LSH deployment starts with: "at MY duplicate-
+    similarity profile, which (b, r) catches the 0.8+ pairs without
+    drowning in 0.3 candidates?" — measured, not assumed-uniform.
+
+    Cross-engine determinism without trusting libm: r and b are powers
+    of two, so s^r and (1-s^r)^b are evaluated by REPEATED SQUARING —
+    a fixed tree of IEEE multiplications that is bit-identical on any
+    engine — never pow(), whose exp/log path differs across libms in
+    the last ulps. Bucket midpoints (2k+1)/40 are exact divisions of
+    small integers. The only shuffle beyond the shared pair base is a
+    20-row aggregation; the config grid is a 4-row literal cross join.
+    """
+    pairs = _cw_pair_base(spark, sf_dir, num_hashes, shingle_k)
+    bk = (
+        pairs.select(
+            F.least(F.expr("inter * 20 div uni"), F.lit(19))
+            .cast("long").alias("jbucket"))
+        .groupBy("jbucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cfg = spark.createDataFrame(
+        [(64, 2), (32, 4), (16, 8), (8, 16)],
+        "bands long, rows_per_band long")
     return (
-        paired
-        .select("eq", "inter", "uni",
-                F.floor(err * F.lit(10.0)).cast("long").alias("err_decile"))
-        .groupBy("err_decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("eq") / (F.lit(nh) * F.count(F.lit(1))), 6)
-            .alias("mean_est"),
-            F.sum((F.col("eq") * 5 >= F.lit(num_hashes * 4))
-                  .cast("long")).alias("n_est_pos"),
-            F.sum((F.col("inter") * 5 >= F.col("uni") * 4)
-                  .cast("long")).alias("n_exact_pos"),
+        bk.crossJoin(F.broadcast(cfg))
+        .withColumn("s", (F.lit(2) * F.col("jbucket") + F.lit(1))
+                    / F.lit(40.0))
+        .withColumn("s2", F.col("s") * F.col("s"))
+        .withColumn("s4", F.col("s2") * F.col("s2"))
+        .withColumn("s8", F.col("s4") * F.col("s4"))
+        .withColumn("s16", F.col("s8") * F.col("s8"))
+        .withColumn("q", F.lit(1.0) - F.expr(
+            "CASE rows_per_band WHEN 2 THEN s2 WHEN 4 THEN s4"
+            " WHEN 8 THEN s8 ELSE s16 END"))
+        .withColumn("q2", F.col("q") * F.col("q"))
+        .withColumn("q4", F.col("q2") * F.col("q2"))
+        .withColumn("q8", F.col("q4") * F.col("q4"))
+        .withColumn("q16", F.col("q8") * F.col("q8"))
+        .withColumn("q32", F.col("q16") * F.col("q16"))
+        .withColumn("q64", F.col("q32") * F.col("q32"))
+        .select(
+            "bands", "rows_per_band", "jbucket", "n_pairs",
+            F.round("s", 6).alias("s_mid"),
+            F.round(F.lit(1.0) - F.expr(
+                "CASE bands WHEN 8 THEN q8 WHEN 16 THEN q16"
+                " WHEN 32 THEN q32 ELSE q64 END"), 6).alias("p_detect"),
         )
-        .orderBy("err_decile")
+        .orderBy("bands", "jbucket")
     )
 
 

@@ -137,6 +137,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_source_chisq": datamix.lang_source_chisq,  # hash-paired r7d
     "events_dow_hour_profile": timeseries.events_dow_hour_profile,  # hash-paired r7d
     "neardup_label_conflict": dedup.neardup_label_conflict,  # hash-paired r7d
+    "lsh_band_tuning": dedup.lsh_band_tuning,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4329,4 +4330,75 @@ SELECT ag.component::BIGINT AS component, n_docs::BIGINT AS n_docs,
   (CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)::BIGINT AS lang_conflict
 FROM ag JOIN ml ON ag.component = ml.component
 ORDER BY ag.component
+"""
+
+# r7d: lsh_band_tuning — S-curve detection probabilities per (b, r)
+# config over the measured pair-Jaccard distribution. Same CW pair base
+# as minhash_accuracy_audit; powers evaluated by REPEATED SQUARING so
+# no pow()/libm enters the hash (see the operator docstring).
+ORACLE["lsh_band_tuning"] = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
+tt AS (SELECT id, t FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT DISTINCT id,
+    ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS hs
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+),
+cw AS (SELECT * FROM (VALUES (0, 188173298, 62257558), (1, 1614569235, 1541888525), (2, 1123302577, 1183693761), (3, 941201756, 612741583), (4, 1915815023, 145743895), (5, 1042332867, 1469431003), (6, 1586907769, 1724705301), (7, 1367643000, 567634413), (8, 1182429425, 1450717929), (9, 1840887320, 92282879), (10, 2033346063, 1574816040), (11, 1426551802, 1173352586), (12, 2087082879, 168846213), (13, 1825997516, 891168106), (14, 124724675, 334069097), (15, 1102350415, 1146895919)) t(i, a, b)),
+minima AS (
+  SELECT id, i,
+    min((a * (hs % 2147483647) + b) % 2147483647) AS m
+  FROM sh CROSS JOIN cw GROUP BY 1, 2
+),
+nsz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM minima a JOIN minima b ON a.i = b.i AND a.m = b.m AND a.id < b.id
+),
+inters AS (
+  SELECT c.id1, c.id2, count(*)::BIGINT AS inter
+  FROM cands c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.hs = s1.hs
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT coalesce(i.inter, 0) AS inter,
+    n1.n + n2.n - coalesce(i.inter, 0) AS uni
+  FROM cands c
+  LEFT JOIN inters i ON i.id1 = c.id1 AND i.id2 = c.id2
+  JOIN nsz n1 ON n1.id = c.id1
+  JOIN nsz n2 ON n2.id = c.id2
+),
+bk AS (
+  SELECT least(inter * 20 // uni, 19) AS jbucket, count(*) AS n_pairs
+  FROM paired GROUP BY 1
+),
+cfg(bands, rows_per_band) AS (VALUES (64, 2), (32, 4), (16, 8), (8, 16)),
+x0 AS (
+  SELECT bands, rows_per_band, jbucket, n_pairs,
+    (2 * jbucket + 1) / 40.0 AS s
+  FROM bk CROSS JOIN cfg
+),
+x1 AS (SELECT *, s * s AS s2 FROM x0),
+x2 AS (SELECT *, s2 * s2 AS s4 FROM x1),
+x3 AS (SELECT *, s4 * s4 AS s8 FROM x2),
+x4 AS (SELECT *, s8 * s8 AS s16 FROM x3),
+x5 AS (
+  SELECT *, 1.0 - CASE rows_per_band WHEN 2 THEN s2 WHEN 4 THEN s4
+                  WHEN 8 THEN s8 ELSE s16 END AS q
+  FROM x4
+),
+x6 AS (SELECT *, q * q AS q2 FROM x5),
+x7 AS (SELECT *, q2 * q2 AS q4 FROM x6),
+x8 AS (SELECT *, q4 * q4 AS q8 FROM x7),
+x9 AS (SELECT *, q8 * q8 AS q16 FROM x8),
+x10 AS (SELECT *, q16 * q16 AS q32 FROM x9),
+x11 AS (SELECT *, q32 * q32 AS q64 FROM x10)
+SELECT bands::BIGINT AS bands, rows_per_band::BIGINT AS rows_per_band,
+  jbucket::BIGINT AS jbucket, n_pairs::BIGINT AS n_pairs,
+  round(s, 6) AS s_mid,
+  round(1.0 - CASE bands WHEN 8 THEN q8 WHEN 16 THEN q16
+              WHEN 32 THEN q32 ELSE q64 END, 6) AS p_detect
+FROM x11 ORDER BY bands, jbucket
 """

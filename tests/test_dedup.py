@@ -437,3 +437,37 @@ def test_neardup_label_conflict_crafted(spark, tmp_path):
     assert (r.n_docs, r.n_langs, r.n_sources) == (2, 2, 2)
     assert r.majority_lang == "de"  # 1-1 tie -> lang asc
     assert r.lang_conflict == 1
+
+
+def test_lsh_band_tuning_scurve_properties(spark):
+    """S-curve sanity on real fixtures: p is monotone in s for fixed
+    config, more rows-per-band is stricter at low similarity, and the
+    exact repeated-squaring values match Python floats bit-for-bit."""
+    from hadoop_mapreduce_spark.operators.dedup import lsh_band_tuning
+
+    rows = lsh_band_tuning(spark, SF_DIR).collect()
+    assert rows, "fixture must produce colliding pairs"
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(r)
+    assert set(by_cfg) <= {(64, 2), (32, 4), (16, 8), (8, 16)}
+    for cfg, rs in by_cfg.items():
+        rs.sort(key=lambda r: r.jbucket)
+        ps = [r.p_detect for r in rs]
+        assert ps == sorted(ps)  # monotone in similarity
+        for r in rs:
+            s = (2 * r.jbucket + 1) / 40.0
+            b, rr = cfg
+            expect = round(1.0 - (1.0 - s ** rr) ** b, 6)
+            # repeated squaring == pow for power-of-two exponents
+            assert abs(r.p_detect - expect) < 2e-6
+    # at s_mid=0.0375-ish buckets, r=16 must be (weakly) stricter
+    # than r=2 for the same s
+    low = [r for r in rows if r.jbucket <= 4]
+    for jb in {r.jbucket for r in low}:
+        p2 = [r.p_detect for r in low
+              if r.jbucket == jb and r.rows_per_band == 2]
+        p16 = [r.p_detect for r in low
+               if r.jbucket == jb and r.rows_per_band == 16]
+        if p2 and p16:
+            assert p16[0] <= p2[0]
