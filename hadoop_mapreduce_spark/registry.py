@@ -138,6 +138,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_dow_hour_profile": timeseries.events_dow_hour_profile,  # hash-paired r7d
     "neardup_label_conflict": dedup.neardup_label_conflict,  # hash-paired r7d
     "lsh_band_tuning": dedup.lsh_band_tuning,  # hash-paired r7d
+    "packing_boundary_audit": curation.packing_boundary_audit,  # hash-paired r7d
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4401,4 +4402,51 @@ SELECT bands::BIGINT AS bands, rows_per_band::BIGINT AS rows_per_band,
   round(1.0 - CASE bands WHEN 8 THEN q8 WHEN 16 THEN q16
               WHEN 32 THEN q32 ELSE q64 END, 6) AS p_detect
 FROM x11 ORDER BY bands, jbucket
+"""
+
+# r7d: packing_boundary_audit — cross-document attention mass of the
+# first-fit packing plan; same lockstep recursive-CTE packer as
+# seq_packing, rolled up with the all-integer (S^2 - ssq)/2 identity.
+ORACLE["packing_boundary_audit"] = """
+WITH RECURSIVE
+sized AS (
+  SELECT source, doc_id,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 8)::INT
+      AS bucket,
+    least(len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')), 512)::BIGINT AS t
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id)
+    AS rn
+  FROM sized
+),
+ff(source, bucket, rn, doc_id, t, pack_idx, bins) AS (
+  SELECT source, bucket, rn, doc_id, t, 0, [512 - t]::BIGINT[]
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.source, r.bucket, r.rn, r.doc_id, r.t,
+    CASE WHEN fit IS NULL OR fit = 0 THEN len(f.bins) ELSE fit - 1 END,
+    CASE WHEN fit IS NULL OR fit = 0 THEN list_append(f.bins, 512 - r.t)
+         ELSE f.bins[1:fit-1] || [f.bins[fit] - r.t] || f.bins[fit+1:] END
+  FROM ff f
+  JOIN ranked r
+    ON r.source = f.source AND r.bucket = f.bucket AND r.rn = f.rn + 1,
+  LATERAL (SELECT list_position(list_transform(f.bins, x -> x >= r.t), true)
+           AS fit) z
+),
+per_pack AS (
+  SELECT source, (pack_idx * 8 + bucket)::BIGINT AS pack_id,
+    sum(t) AS s, sum(t * t) AS ssq, count(*) AS nd
+  FROM ff GROUP BY source, pack_id
+)
+SELECT source, count(*)::BIGINT AS n_packs, sum(nd)::BIGINT AS n_docs,
+  sum(s)::BIGINT AS packed_tokens,
+  ((count(*) * 512 - sum(s)) * 1000000 // (count(*) * 512))::BIGINT
+    AS waste_e6,
+  sum((s * s - ssq) // 2)::BIGINT AS crossdoc_pairs,
+  sum(s * (s + 1) // 2)::BIGINT AS total_pairs,
+  (sum((s * s - ssq) // 2) * 1000000 // sum(s * (s + 1) // 2))::BIGINT
+    AS crossdoc_frac_e6
+FROM per_pack GROUP BY source ORDER BY source
 """

@@ -431,3 +431,34 @@ def test_badwords_filter_threshold_semantics(spark, tmp_path):
     assert (r.n_docs, r.hit_docs, r.flagged_docs) == (3, 2, 1)
     assert r.blocked_tokens == 2
     assert r.flagged_frac_e6 == 1_000_000 // 3
+
+
+def test_packing_boundary_audit_identities(spark, tmp_path):
+    """The quadratic identities on a hand-packable corpus: two docs of
+    200+300 tokens pack into one 512-window (cross pairs = 200*300,
+    total = 500*501/2); a 512-token doc fills a pack alone with zero
+    cross pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        packing_boundary_audit,
+    )
+
+    texts = ["w " * 200, "w " * 300, "w " * 512]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    [r] = packing_boundary_audit(spark, str(tmp_path)).collect()
+    assert r.n_docs == 3 and r.packed_tokens == 1012
+    # doc buckets are md5-strided so pack count depends on bucketing,
+    # but the integer identities must hold regardless of layout:
+    assert r.total_pairs >= r.crossdoc_pairs >= 0
+    assert r.crossdoc_frac_e6 == r.crossdoc_pairs * 1_000_000 // r.total_pairs
+    if r.n_packs == 2:  # docs 1+2 share a pack (same bucket)
+        assert r.crossdoc_pairs == 200 * 300
