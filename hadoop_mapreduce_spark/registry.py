@@ -3145,33 +3145,30 @@ _WINDOW_R7 = [
     # (a) never driver-witnessed
     "pagerank_dedup_graph", "mmr_diversified_topk", "ann_ivfpq_rerank",
     "hll_union_sources", "events_lttb_downsample", "semdedup_ivf",
-    # (b) r7-changed paths
+    # (b) r7-changed paths still unwitnessed post-change
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
-    "bigram_lm_quality", "sim_search_topk", "hard_negative_mining",
-    "ann_dim_truncation_audit", "ann_ivf_topk", "dedup_minhash_lsh",
-    "dedup_components_star", "split_leakage_guard", "dedup_keep_best",
-    "dedup_incremental", "decontaminate_fuzzy", "decontaminate_semantic",
-    "pipeline_target_select", "recursive_monthly_spine",
-    # (quality_classifier_train rotated out: rows-only — the driver's
-    # weaker check — and already witnessed in r6; its slot goes to the
-    # never-witnessed hash-paired source_novelty_attribution)
-    "tokenizer_fertility",
-    "embedding_pca_power", "knn_join_lsh",
-    # (c) r7b-new operators, all hash-paired and never yet witnessed
+    "bigram_lm_quality", "sim_search_topk", "dedup_minhash_lsh",
+    "dedup_components_star", "split_leakage_guard",
+    "hard_negative_mining", "ann_ivf_topk", "tokenizer_fertility",
+    # (c) r7b-new operators, hash-paired, never yet witnessed
     "hll_portable_union", "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
     "embedding_centroid_drift", "char_trigram_langid",
     "minhash_accuracy_audit", "quantile_histogram_portable",
     "events_ewma_daily", "salted_aggregate_events",
     "winnowing_neardup_pairs",
-    # (d) r7c-new operators (this session), all hash-paired — these
-    # replace the previously-witnessed rotation fills so the driver
-    # record covers every new op (events_lttb_downsample, converted
-    # rows-only -> hash-paired this session, is already in (a))
+    # (d) r7c-new operators, hash-paired (quality_signal_correlation
+    # landed after the previous window refresh — now included)
     "skipgram_cooccurrence", "stopword_discovery",
     "rrf_quality_fusion", "quality_threshold_sweep",
     "source_concentration_audit", "token_budget_fill",
     "curriculum_interleave", "source_novelty_attribution",
+    "quality_signal_correlation",
+    # (e) r7d-new operators (this session), all hash-paired
+    "ngram_diversity_audit", "dataset_card", "badwords_filter",
+    "lang_source_chisq", "events_dow_hour_profile",
+    "neardup_label_conflict", "lsh_band_tuning",
+    "packing_boundary_audit",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
