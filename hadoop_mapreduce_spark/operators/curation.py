@@ -1085,3 +1085,67 @@ def packing_boundary_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def preference_pair_build(spark: SparkSession, sf_dir: str,
+                          k: int = 3) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-assembly step):
+    within each group (source stands in for the prompt group), pair the
+    i-th best document with the i-th worst by quality score, up to k
+    pairs, keeping only pairs with a strictly positive margin. This is
+    how offline preference datasets are actually built from a scored
+    pool — extreme-rank pairing maximises the expected margin signal
+    per pair rather than sampling adjacent ranks.
+
+    Score = distinct-token ratio in exact micro-units (the repo's
+    lexical-diversity quality signal); ties broken by doc_id both ways
+    so chosen and rejected ranks are total orders. One tokenize scan,
+    two source-partitioned rank windows over the same scored relation,
+    one (source, rank) self-join bounded at k rows per source. The
+    margin > 0 filter drops degenerate pairs (uniform-quality groups)
+    and the chosen != rejected guard handles odd pools where the
+    midpoint doc would pair with itself.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id",
+        tokenize(normalize_text(F.col("text"))).alias("__toks"),
+    ).select(
+        "source", "doc_id",
+        F.when(F.size("__toks") > 0,
+               F.expr("size(array_distinct(__toks)) * 1000000"
+                      " div size(__toks)"))
+        .otherwise(F.lit(0)).cast("long").alias("q_e6"),
+    )
+    best = scored.select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q_e6").alias("chosen_q_e6"),
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.desc("q_e6"), F.asc("doc_id"))).alias("rk"),
+    ).where(F.col("rk") <= k)
+    worst = scored.select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q_e6").alias("rejected_q_e6"),
+        F.row_number().over(
+            Window.partitionBy("source")
+            .orderBy(F.asc("q_e6"), F.desc("doc_id"))).alias("rk"),
+    ).where(F.col("rk") <= k)
+    return (
+        best.join(worst, ["source", "rk"])
+        .where((F.col("chosen_id") != F.col("rejected_id"))
+               & (F.col("chosen_q_e6") > F.col("rejected_q_e6")))
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("pair_rank"),
+            "chosen_id", "rejected_id", "chosen_q_e6", "rejected_q_e6",
+            (F.col("chosen_q_e6") - F.col("rejected_q_e6"))
+            .alias("margin_e6"),
+        )
+        .orderBy("source", "pair_rank")
+    )

@@ -139,6 +139,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_label_conflict": dedup.neardup_label_conflict,  # hash-paired r7d
     "lsh_band_tuning": dedup.lsh_band_tuning,  # hash-paired r7d
     "packing_boundary_audit": curation.packing_boundary_audit,  # hash-paired r7d
+    "preference_pair_build": curation.preference_pair_build,  # hash-paired r7e
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4446,4 +4447,37 @@ SELECT source, count(*)::BIGINT AS n_packs, sum(nd)::BIGINT AS n_docs,
   (sum((s * s - ssq) // 2) * 1000000 // sum(s * (s + 1) // 2))::BIGINT
     AS crossdoc_frac_e6
 FROM per_pack GROUP BY source ORDER BY source
+"""
+
+# r7e: preference_pair_build — extreme-rank DPO pair construction per
+# source; both rank windows and the strict-margin filter mirrored.
+ORACLE["preference_pair_build"] = f"""
+WITH toks AS (SELECT source, doc_id, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT source, doc_id,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t)
+         ELSE 0 END AS q_e6
+  FROM toks
+),
+best AS (
+  SELECT source, doc_id AS chosen_id, q_e6 AS chosen_q_e6,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY q_e6 DESC, doc_id ASC) AS rk
+  FROM scored
+),
+worst AS (
+  SELECT source, doc_id AS rejected_id, q_e6 AS rejected_q_e6,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY q_e6 ASC, doc_id DESC) AS rk
+  FROM scored
+)
+SELECT b.source, b.rk::BIGINT AS pair_rank, chosen_id, rejected_id,
+  chosen_q_e6::BIGINT AS chosen_q_e6,
+  rejected_q_e6::BIGINT AS rejected_q_e6,
+  (chosen_q_e6 - rejected_q_e6)::BIGINT AS margin_e6
+FROM best b JOIN worst w ON b.source = w.source AND b.rk = w.rk
+WHERE b.rk <= 3 AND chosen_id <> rejected_id
+  AND chosen_q_e6 > rejected_q_e6
+ORDER BY b.source, pair_rank
 """

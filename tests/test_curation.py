@@ -462,3 +462,35 @@ def test_packing_boundary_audit_identities(spark, tmp_path):
     assert r.crossdoc_frac_e6 == r.crossdoc_pairs * 1_000_000 // r.total_pairs
     if r.n_packs == 2:  # docs 1+2 share a pack (same bucket)
         assert r.crossdoc_pairs == 200 * 300
+
+
+def test_preference_pair_build_extreme_ranks(spark, tmp_path):
+    """Best pairs with worst: 4 docs with distinct-token ratios 1.0,
+    0.75, 0.5, 0.25 yield pairs (1st,4th),(2nd,3rd); the rank-3 pair
+    would invert the margin and must be dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        preference_pair_build,
+    )
+
+    texts = [
+        "a b c d",          # ratio 1.0
+        "a b c a",          # 0.75
+        "a b a b",          # 0.5
+        "a a a a",          # 0.25
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = preference_pair_build(spark, str(tmp_path)).collect()
+    assert [(r.pair_rank, r.chosen_id, r.rejected_id) for r in rows] == [
+        (1, 1, 4), (2, 2, 3)]
+    assert rows[0].margin_e6 == 750_000
+    assert rows[1].margin_e6 == 250_000

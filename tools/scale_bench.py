@@ -123,6 +123,21 @@ HEADLINE = _HEADLINE + [
     "curriculum_interleave",
     "events_lttb_downsample",
     "source_novelty_attribution",
+    # round-7d additions: distinct-n diversity (one tokenize scan +
+    # gram-keyed exchange — linear), dataset card + badwords (scan-
+    # speed projections, |sources| rollups — near-flat), chi-square
+    # (one groupBy, metadata after — FLAT), dow/hour profile (one
+    # groupBy to <=168 rows — FLAT), packing audit (Arrow groups,
+    # linear in docs), label-conflict (CC consumer — tracks the
+    # cluster count), band tuning (shared CW pair base + 20-row agg).
+    "ngram_diversity_audit",
+    "dataset_card",
+    "badwords_filter",
+    "lang_source_chisq",
+    "events_dow_hour_profile",
+    "packing_boundary_audit",
+    "neardup_label_conflict",
+    "lsh_band_tuning",
 ]
 
 
