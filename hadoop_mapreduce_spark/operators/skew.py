@@ -150,3 +150,55 @@ def salted_aggregate_events(spark: SparkSession, sf_dir: str,
         n_salts=n_salts,
     )
     return out.orderBy("event_type")
+
+
+def join_skew_audit(spark, sf_dir: str, n_parts: int = 32) -> DataFrame:
+    """Pre-join skew audit: for each candidate shuffle key axis of the
+    events fact table (the 5-value event_type — pathologically hot —
+    and user_id — the realistic mild-skew case), how the rows would
+    land across n_parts hash partitions: keys and rows per partition,
+    the load factor vs a uniform spread (1e6 = exactly even), and the
+    largest single key inside the partition. This table IS the
+    salt-or-broadcast decision: a load factor of 8e6 with one dominant
+    key says salt (AQE splits partitions, not keys); many small keys
+    unevenly bucketed says raise partitions and let AQE split.
+
+    Partition assignment uses the repo's portable md5 bucket, so the
+    audit is engine-checkable; a production run would swap in the
+    engine's own hash partitioner — the DISTRIBUTION SHAPE, which is
+    what the decision reads, is hash-invariant for high-entropy keys.
+    Plan: one groupBy per axis over the scan (map-side partials absorb
+    the hot keys — the audit itself cannot skew), then metadata-sized
+    partition rollups; output is <= 2 * n_parts rows.
+    """
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def axis(col: str) -> DataFrame:
+        keys = ev.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("c"))
+        parts = keys.select(
+            (F.conv(F.substring(F.md5("k"), 1, 15), 16, 10).cast("long")
+             % n_parts).alias("partition_id"),
+            "c",
+        ).groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+        )
+        total = parts.agg(F.sum("n_rows").alias("tot"))
+        return parts.crossJoin(F.broadcast(total)).select(
+            F.lit(col).alias("axis"),
+            F.col("partition_id").cast("long").alias("partition_id"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr(f"n_rows * {n_parts} * 1000000 div tot")
+            .alias("load_e6"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        )
+
+    return (
+        axis("event_type").unionByName(axis("user_id"))
+        .orderBy("axis", "partition_id")
+    )

@@ -215,6 +215,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_histogram_portable": relational.quantile_histogram_portable,  # hash-paired r7b
     "events_ewma_daily": timeseries.events_ewma_daily,  # hash-paired r7b
     "salted_aggregate_events": skew.salted_aggregate_events,  # hash-paired r7b
+    "join_skew_audit": skew.join_skew_audit,  # hash-paired r7e
     "winnowing_neardup_pairs": textstats.winnowing_neardup_pairs,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
@@ -4480,4 +4481,28 @@ FROM best b JOIN worst w ON b.source = w.source AND b.rk = w.rk
 WHERE b.rk <= 3 AND chosen_id <> rejected_id
   AND chosen_q_e6 > rejected_q_e6
 ORDER BY b.source, pair_rank
+"""
+
+# r7e: join_skew_audit — hash-partition load table for the two event
+# join-key axes; portable md5 partition assignment mirrored.
+ORACLE["join_skew_audit"] = """
+WITH ax AS (
+  SELECT 'event_type' AS axis, event_type::VARCHAR AS k FROM events
+  UNION ALL
+  SELECT 'user_id', user_id::VARCHAR FROM events
+),
+keys AS (SELECT axis, k, count(*) AS c FROM ax GROUP BY axis, k),
+parts AS (
+  SELECT axis,
+    ('0x' || substr(md5(k), 1, 15))::UBIGINT::BIGINT % 32 AS partition_id,
+    count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_key_rows
+  FROM keys GROUP BY 1, 2
+),
+t AS (SELECT axis, sum(n_rows) AS tot FROM parts GROUP BY axis)
+SELECT p.axis, partition_id::BIGINT AS partition_id,
+  n_keys::BIGINT AS n_keys, n_rows::BIGINT AS n_rows,
+  (n_rows * 32 * 1000000 // tot)::BIGINT AS load_e6,
+  max_key_rows::BIGINT AS max_key_rows
+FROM parts p JOIN t ON p.axis = t.axis
+ORDER BY p.axis, partition_id
 """

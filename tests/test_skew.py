@@ -127,3 +127,31 @@ def test_salted_aggregate_events_equals_naive(spark):
             .collect()
         }
         assert got == naive, n_salts
+
+
+def test_join_skew_audit_load_factors(spark):
+    """Per-axis invariants on real fixtures: load factors average to
+    ~1e6 across occupied partitions weighted by rows, the event_type
+    axis is maximally concentrated (5 keys can occupy at most 5
+    partitions), and every max_key_rows <= its partition's n_rows."""
+    from hadoop_mapreduce_spark.operators.skew import join_skew_audit
+
+    rows = join_skew_audit(spark, SF_DIR).collect()
+    by_axis = {}
+    for r in rows:
+        by_axis.setdefault(r.axis, []).append(r)
+    assert set(by_axis) == {"event_type", "user_id"}
+    et = by_axis["event_type"]
+    assert len(et) <= 5  # 5 distinct event types
+    for r in rows:
+        assert r.max_key_rows <= r.n_rows
+        assert r.n_keys >= 1
+    for axis, rs in by_axis.items():
+        tot = sum(r.n_rows for r in rs)
+        # sum over partitions of rows*32/tot == 32 (up to floor loss)
+        s = sum(r.load_e6 for r in rs)
+        assert 32 * 1_000_000 - len(rs) <= s <= 32 * 1_000_000
+    # the hot axis concentrates: its max load factor must exceed the
+    # user_id axis's max (5 keys in 32 slots vs many keys)
+    assert max(r.load_e6 for r in et) > max(
+        r.load_e6 for r in by_axis["user_id"])
