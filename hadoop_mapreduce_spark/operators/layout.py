@@ -97,3 +97,60 @@ def zorder_layout(spark: SparkSession, sf_dir: str,
                 "n_rows", "min_x", "max_x", "min_y", "max_y")
         .orderBy("file_id")
     )
+
+
+def shard_layout_plan(spark, sf_dir: str, n_shards: int = 4) -> DataFrame:
+    """Output-shard planning: assign sources to n_shards output shards
+    by LPT greedy (longest-processing-time: sources in token-mass
+    descending order, each to the currently least-loaded shard) — the
+    4/3-approximation that turns "write the corpus as N balanced
+    shards" into a deterministic plan. The written layout then gives
+    every downstream consumer near-equal splits without a global
+    repartition of the data itself.
+
+    The greedy is inherently sequential but runs over the per-SOURCE
+    token aggregate — a metadata-sized relation (|sources| rows at any
+    corpus scale), so it executes as one single-group applyInPandas
+    (same bounded-sequential pattern as seq_packing's per-bucket
+    first-fit; the DATA-sized aggregation below it is a normal
+    distributed groupBy). Ties are total: token mass desc, source asc
+    for order; lowest shard id among equal loads.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    masses = (
+        docs.select("source",
+                    F.size(tokenize(normalize_text(F.col("text"))))
+                    .cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+    def lpt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tokens", "source"],
+                              ascending=[False, True])
+        loads = [0] * n_shards
+        out = []
+        for _, row in pdf.iterrows():
+            sid = min(range(n_shards), key=lambda i: (loads[i], i))
+            loads[sid] += int(row["tokens"])
+            out.append((row["source"], int(row["tokens"]),
+                        int(row["n_docs"]), sid, loads[sid]))
+        return pd.DataFrame(
+            out, columns=["source", "tokens", "n_docs", "shard_id",
+                          "shard_load_after"])
+
+    return (
+        masses.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lpt, schema="source string, tokens long,"
+                       " n_docs long, shard_id long, shard_load_after long")
+        .orderBy("source")
+    )

@@ -155,6 +155,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_span_chunks": dedup.dedup_span_chunks,
     "unigram_logprob_quality": textstats.unigram_logprob_quality,
     "zorder_layout": layout.zorder_layout,
+    "shard_layout_plan": layout.shard_layout_plan,  # hash-paired r7e
     "split_leakage_guard": curation.split_leakage_guard,
     "audio_meta": multimodal.audio_meta,
     "pipeline_pretrain_scale": pipeline.pipeline_pretrain_scale,
@@ -4505,4 +4506,34 @@ SELECT p.axis, partition_id::BIGINT AS partition_id,
   max_key_rows::BIGINT AS max_key_rows
 FROM parts p JOIN t ON p.axis = t.axis
 ORDER BY p.axis, partition_id
+"""
+
+# r7e: shard_layout_plan — LPT greedy over the per-source token
+# aggregate, replayed as a lockstep recursive CTE carrying shard loads.
+ORACLE["shard_layout_plan"] = f"""
+WITH RECURSIVE
+toks AS (SELECT source, len({_TOKS}) AS n_tok FROM documents),
+m AS (
+  SELECT source, sum(n_tok) AS tokens, count(*) AS n_docs
+  FROM toks GROUP BY source
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY tokens DESC, source ASC) AS rn
+  FROM m
+),
+ff(rn, source, tokens, n_docs, shard_id, load_after, loads) AS (
+  SELECT rn, source, tokens, n_docs, 0::BIGINT, tokens,
+    [tokens, 0, 0, 0]::BIGINT[]
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.source, r.tokens, r.n_docs,
+    (pos - 1)::BIGINT,
+    f.loads[pos] + r.tokens,
+    f.loads[1:pos-1] || [f.loads[pos] + r.tokens] || f.loads[pos+1:]
+  FROM ff f JOIN r ON r.rn = f.rn + 1,
+  LATERAL (SELECT list_position(f.loads, list_min(f.loads)) AS pos) z
+)
+SELECT source, tokens::BIGINT AS tokens, n_docs::BIGINT AS n_docs,
+  shard_id::BIGINT AS shard_id, load_after::BIGINT AS shard_load_after
+FROM ff ORDER BY source
 """

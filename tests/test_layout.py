@@ -101,3 +101,34 @@ def test_zorder_write_narrows_footer_stats(spark, tmp_path):
     # must be materially narrower in both
     assert avg(zs, 0) < 0.7 * avg(ps, 0)
     assert avg(zs, 1) < 0.7 * avg(ps, 1)
+
+
+def test_shard_layout_plan_lpt(spark, tmp_path):
+    """LPT on masses 10,7,5,3,3 into 2 shards, stepped by hand:
+    10 -> s0, 7 -> s1, 5 -> s1 (7 < 10, load 12), 3 -> s0 (10 < 12,
+    load 13), 3 -> s1 (12 < 13, load 15)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.layout import shard_layout_plan
+
+    sizes = {"a": 10, "b": 7, "c": 5, "d": 3, "e": 3}
+    texts, srcs = [], []
+    for s, n in sizes.items():
+        texts.append("w " * n)
+        srcs.append(s)
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 6), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in
+            shard_layout_plan(spark, str(tmp_path), n_shards=2).collect()}
+    assert rows["a"].shard_id == 0 and rows["a"].shard_load_after == 10
+    assert rows["b"].shard_id == 1 and rows["b"].shard_load_after == 7
+    assert rows["c"].shard_id == 1 and rows["c"].shard_load_after == 12
+    assert rows["d"].shard_id == 0 and rows["d"].shard_load_after == 13
+    assert rows["e"].shard_id == 1 and rows["e"].shard_load_after == 15
