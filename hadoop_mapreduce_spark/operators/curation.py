@@ -1149,3 +1149,96 @@ def preference_pair_build(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source", "pair_rank")
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^60, precomputed once so
+# NO floating-point op happens at query time on either engine: count =
+# #{thresholds <= u60} for a 60-bit md5-uniform u. Tail capped at 6
+# (P[X > 6] ~ 6e-4 folds into the last bucket).
+_POISSON_T = (424136118829305344, 848272237658610688,
+              1060340297073263360, 1131029650211480960,
+              1148701988496035328, 1152236456152946176)
+
+
+def bootstrap_ci_quality(spark: SparkSession, sf_dir: str,
+                         n_boot: int = 32) -> DataFrame:
+    """Bootstrap confidence intervals for each source's mean quality
+    score — the uncertainty read that belongs next to every per-source
+    quality number this engine reports: a source whose CI overlaps the
+    corpus mean does NOT need special mixture treatment, however its
+    point estimate looks. Classic resampling is RNG-bound and
+    irreproducible across engines/retries; this is the POISSON
+    bootstrap (each doc enters replica b with multiplicity ~Poisson(1),
+    here derived from md5(b:doc_id) against precomputed integer CDF
+    thresholds), the form used on MapReduce-scale data since Chamandy
+    et al. (Google, 2012) precisely because it needs no global resample
+    pass — and md5-derived multiplicities make it bit-reproducible.
+
+    Exact integers end to end: per-replica weighted means are floor
+    divisions, the CI bounds are ORDER STATISTICS of the 32 replica
+    means (ranks ceil(0.05 n) / ceil(0.95 n), replica id tie-break),
+    never interpolated percentiles. Explode factor = n_boot; at 100 TB
+    run the same construction over per-partition sufficient statistics
+    instead of doc rows (sum w, sum w*q commute with partial agg — the
+    shape is already algebraic here).
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id",
+        tokenize(normalize_text(F.col("text"))).alias("__toks"),
+    ).select(
+        "source", "doc_id",
+        F.when(F.size("__toks") > 0,
+               F.expr("size(array_distinct(__toks)) * 1000000"
+                      " div size(__toks)"))
+        .otherwise(F.lit(0)).cast("long").alias("q_e6"),
+    )
+    point = scored.groupBy("source").agg(
+        F.expr("sum(q_e6) div count(1)").alias("point_e6"))
+
+    reps = scored.select(
+        "source", "doc_id", "q_e6",
+        F.explode(F.array(*[F.lit(b) for b in range(n_boot)])).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("b"),
+                                             F.col("doc_id"))), 1, 15),
+               16, 10).cast("long"),
+    ).withColumn(
+        "w",
+        sum((F.col("u") >= F.lit(t)).cast("long") for t in _POISSON_T),
+    )
+    means = (
+        reps.groupBy("source", "b")
+        .agg(F.sum("w").alias("sw"),
+             F.sum(F.col("w") * F.col("q_e6")).alias("swq"))
+        .where(F.col("sw") > 0)
+        .select("source", "b", F.expr("swq div sw").alias("m"))
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = means.select(
+        "source", "m",
+        F.row_number().over(wsrc.orderBy(F.asc("m"), F.asc("b")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("nb"),
+    )
+    ci = ranked.groupBy("source").agg(
+        F.max("nb").cast("long").alias("n_replicas"),
+        F.max(F.when(F.expr("rn = (nb * 5 + 99) div 100"), F.col("m")))
+        .alias("boot_lo_e6"),
+        F.max(F.when(F.expr("rn = (nb * 95 + 99) div 100"), F.col("m")))
+        .alias("boot_hi_e6"),
+    )
+    return (
+        point.join(ci, "source")
+        .select(
+            "source", "point_e6", "n_replicas", "boot_lo_e6",
+            "boot_hi_e6",
+            (F.col("boot_hi_e6") - F.col("boot_lo_e6"))
+            .alias("ci_width_e6"),
+        )
+        .orderBy("source")
+    )

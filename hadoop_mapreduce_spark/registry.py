@@ -140,6 +140,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_band_tuning": dedup.lsh_band_tuning,  # hash-paired r7d
     "packing_boundary_audit": curation.packing_boundary_audit,  # hash-paired r7d
     "preference_pair_build": curation.preference_pair_build,  # hash-paired r7e
+    "bootstrap_ci_quality": curation.bootstrap_ci_quality,  # hash-paired r7e
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4536,4 +4537,57 @@ ff(rn, source, tokens, n_docs, shard_id, load_after, loads) AS (
 SELECT source, tokens::BIGINT AS tokens, n_docs::BIGINT AS n_docs,
   shard_id::BIGINT AS shard_id, load_after::BIGINT AS shard_load_after
 FROM ff ORDER BY source
+"""
+
+# r7e: bootstrap_ci_quality — md5-deterministic Poisson bootstrap CI of
+# per-source mean quality; integer CDF thresholds and order-statistic
+# bounds mirrored exactly (see the operator docstring).
+ORACLE["bootstrap_ci_quality"] = f"""
+WITH toks AS (SELECT source, doc_id, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT source, doc_id,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t)
+         ELSE 0 END AS q_e6
+  FROM toks
+),
+pt AS (SELECT source, sum(q_e6) // count(*) AS point_e6
+       FROM scored GROUP BY source),
+reps AS (
+  SELECT source, doc_id, q_e6, b,
+    ('0x' || substr(md5(b::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))
+      ::UBIGINT::BIGINT AS u
+  FROM scored CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+),
+wt AS (
+  SELECT source, b, q_e6,
+    (u >= 424136118829305344)::BIGINT
+    + (u >= 848272237658610688)::BIGINT
+    + (u >= 1060340297073263360)::BIGINT
+    + (u >= 1131029650211480960)::BIGINT
+    + (u >= 1148701988496035328)::BIGINT
+    + (u >= 1152236456152946176)::BIGINT AS w
+  FROM reps
+),
+means AS (
+  SELECT source, b, sum(w * q_e6) // sum(w) AS m
+  FROM wt GROUP BY source, b HAVING sum(w) > 0
+),
+rk AS (
+  SELECT source, m,
+    row_number() OVER (PARTITION BY source ORDER BY m ASC, b ASC) AS rn,
+    count(*) OVER (PARTITION BY source) AS nb
+  FROM means
+),
+ci AS (
+  SELECT source, max(nb)::BIGINT AS n_replicas,
+    max(CASE WHEN rn = (nb * 5 + 99) // 100 THEN m END) AS boot_lo_e6,
+    max(CASE WHEN rn = (nb * 95 + 99) // 100 THEN m END) AS boot_hi_e6
+  FROM rk GROUP BY source
+)
+SELECT pt.source, point_e6::BIGINT AS point_e6, n_replicas,
+  boot_lo_e6::BIGINT AS boot_lo_e6, boot_hi_e6::BIGINT AS boot_hi_e6,
+  (boot_hi_e6 - boot_lo_e6)::BIGINT AS ci_width_e6
+FROM pt JOIN ci ON pt.source = ci.source
+ORDER BY pt.source
 """
