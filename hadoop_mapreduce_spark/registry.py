@@ -3151,9 +3151,8 @@ _WINDOW_R7 = [
     "hll_union_sources", "events_lttb_downsample", "semdedup_ivf",
     # (b) r7-changed paths still unwitnessed post-change
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
-    "bigram_lm_quality", "sim_search_topk", "dedup_minhash_lsh",
+    "bigram_lm_quality", "dedup_minhash_lsh",
     "dedup_components_star", "split_leakage_guard",
-    "hard_negative_mining", "ann_ivf_topk", "tokenizer_fertility",
     # (c) r7b-new operators, hash-paired, never yet witnessed
     "hll_portable_union", "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
@@ -3173,6 +3172,9 @@ _WINDOW_R7 = [
     "lang_source_chisq", "events_dow_hour_profile",
     "neardup_label_conflict", "lsh_band_tuning",
     "packing_boundary_audit",
+    # (f) r7e-new operators (this session), all hash-paired
+    "preference_pair_build", "join_skew_audit", "shard_layout_plan",
+    "bootstrap_ci_quality",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",
