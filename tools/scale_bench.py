@@ -138,6 +138,14 @@ HEADLINE = _HEADLINE + [
     "packing_boundary_audit",
     "neardup_label_conflict",
     "lsh_band_tuning",
+    # round-7e additions: preference pairs (two source windows —
+    # linear), skew audit (metadata after one groupBy — FLAT), shard
+    # plan (|sources|-row sequential step — FLAT), bootstrap CI
+    # (32x explode with algebraic partials — linear, constant factor).
+    "preference_pair_build",
+    "join_skew_audit",
+    "shard_layout_plan",
+    "bootstrap_ci_quality",
 ]
 
 
