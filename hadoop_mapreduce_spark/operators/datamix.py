@@ -1392,3 +1392,71 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(row_t AS DECIMAL(38,0)) * col_t * n) AS BIGINT)"
         ).alias("contrib_e6"),
     ).orderBy("lang", "source")
+
+
+def ks_drift_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift statistic of each source's quality
+    distribution against the rest of the corpus: KS = max |F_src -
+    F_rest| over the pooled support. The distribution-shape sibling of
+    lang_source_chisq's categorical test — it catches a source whose
+    MEAN quality looks normal while its shape (bimodal, truncated,
+    shifted tail) does not, which is the typical signature of a
+    scraper change or a silent filter regression upstream.
+
+    Exactness: quality scores are the repo's integer micro-unit
+    distinct-token ratio, so both CDFs are step functions on integer
+    support and the statistic is computed by CROSS-MULTIPLICATION —
+    |cum_src * n_rest - cum_rest * n_src| * 1e6 div (n_src * n_rest) —
+    never a float division. The evaluation grid is sources x distinct
+    score values: built from two metadata-sized relations AFTER the
+    one (source, score) aggregation over the scan, so the grid (and
+    both cumsum windows, partitioned per source) is bounded by
+    |sources| * |distinct scores| regardless of corpus size.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        tokenize(normalize_text(F.col("text"))).alias("__toks"),
+    ).select(
+        "source",
+        F.when(F.size("__toks") > 0,
+               F.expr("size(array_distinct(__toks)) * 1000000"
+                      " div size(__toks)"))
+        .otherwise(F.lit(0)).cast("long").alias("q_e6"),
+    )
+    counts = scored.groupBy("source", "q_e6").agg(
+        F.count(F.lit(1)).alias("c"))
+    qs = counts.select("q_e6").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("n_src"))
+    total = counts.agg(F.sum("c").alias("n_all"))
+    grid = (
+        srcs.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(total))
+        .join(counts, ["source", "q_e6"], "left")
+        .select("source", "q_e6", "n_src", "n_all",
+                F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    per_q = counts.groupBy("q_e6").agg(F.sum("c").alias("cq"))
+    grid = grid.join(F.broadcast(per_q), "q_e6")
+    w = (Window.partitionBy("source").orderBy("q_e6")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select(
+        "source", "q_e6", "n_src",
+        (F.col("n_all") - F.col("n_src")).alias("n_rest"),
+        F.sum("c").over(w).alias("cum_src"),
+        (F.sum("cq").over(w) - F.sum("c").over(w)).alias("cum_rest"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_src"),
+            F.max("n_rest").cast("long").alias("n_rest"),
+            F.max(F.expr(
+                "abs(cum_src * n_rest - cum_rest * n_src) * 1000000"
+                " div (n_src * n_rest)")).alias("ks_e6"),
+        )
+        .orderBy("source")
+    )

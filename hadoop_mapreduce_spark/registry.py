@@ -141,6 +141,7 @@ QUERIES: dict[str, QueryFn] = {
     "packing_boundary_audit": curation.packing_boundary_audit,  # hash-paired r7d
     "preference_pair_build": curation.preference_pair_build,  # hash-paired r7e
     "bootstrap_ci_quality": curation.bootstrap_ci_quality,  # hash-paired r7e
+    "ks_drift_quality": datamix.ks_drift_quality,  # hash-paired r7f
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4592,4 +4593,44 @@ SELECT pt.source, point_e6::BIGINT AS point_e6, n_replicas,
   (boot_hi_e6 - boot_lo_e6)::BIGINT AS ci_width_e6
 FROM pt JOIN ci ON pt.source = ci.source
 ORDER BY pt.source
+"""
+
+# r7f: ks_drift_quality — exact KS statistic per source vs rest via
+# integer cross-multiplication on the (source x distinct-score) grid.
+ORACLE["ks_drift_quality"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT source,
+    CASE WHEN len(t) > 0
+         THEN (len(list_distinct(t)) * 1000000) // len(t)
+         ELSE 0 END AS q_e6
+  FROM toks
+),
+counts AS (SELECT source, q_e6, count(*) AS c
+           FROM scored GROUP BY source, q_e6),
+qs AS (SELECT DISTINCT q_e6 FROM counts),
+srcs AS (SELECT source, sum(c) AS n_src FROM counts GROUP BY source),
+tot AS (SELECT sum(c) AS n_all FROM counts),
+pq AS (SELECT q_e6, sum(c) AS cq FROM counts GROUP BY q_e6),
+grid AS (
+  SELECT s.source, q.q_e6, s.n_src, t.n_all,
+    coalesce(c.c, 0) AS c, pq.cq
+  FROM srcs s CROSS JOIN qs q CROSS JOIN tot t
+  LEFT JOIN counts c ON c.source = s.source AND c.q_e6 = q.q_e6
+  JOIN pq ON pq.q_e6 = q.q_e6
+),
+cum AS (
+  SELECT source, q_e6, n_src, n_all - n_src AS n_rest,
+    sum(c) OVER (PARTITION BY source ORDER BY q_e6
+                 ROWS UNBOUNDED PRECEDING) AS cum_src,
+    sum(cq) OVER (PARTITION BY source ORDER BY q_e6
+                  ROWS UNBOUNDED PRECEDING)
+      - sum(c) OVER (PARTITION BY source ORDER BY q_e6
+                     ROWS UNBOUNDED PRECEDING) AS cum_rest
+  FROM grid
+)
+SELECT source, max(n_src)::BIGINT AS n_src, max(n_rest)::BIGINT AS n_rest,
+  max(abs(cum_src * n_rest - cum_rest * n_src) * 1000000
+      // (n_src * n_rest))::BIGINT AS ks_e6
+FROM cum GROUP BY source ORDER BY source
 """

@@ -549,3 +549,29 @@ def test_lang_source_chisq_textbook(spark, tmp_path):
         on_diag = (lang, src) in {("en", "s1"), ("de", "s2")}
         assert r.observed == (2 if on_diag else 0)
         assert r.contrib_e6 == 1_000_000  # (2-1)^2 = (0-1)^2 = 1
+
+
+def test_ks_drift_quality_two_point(spark, tmp_path):
+    """Disjoint supports give KS = 1e6 (complete separation); identical
+    distributions give KS = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import ks_drift_quality
+
+    # sep: all docs ratio 0.5; rest: all ratio 1.0 -> KS(sep)=1e6
+    texts = ["a a b b", "c c d d", "x y z w", "p q r s"]
+    srcs = ["sep", "sep", "uni", "uni"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in
+            ks_drift_quality(spark, str(tmp_path)).collect()}
+    assert rows["sep"].ks_e6 == 1_000_000
+    assert rows["uni"].ks_e6 == 1_000_000  # symmetric split
+    assert rows["sep"].n_src == 2 and rows["sep"].n_rest == 2
