@@ -803,3 +803,53 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-timeout calibration: for each candidate
+    inactivity gap (5/15/30/60 minutes), the session count, sessions
+    per user, and mean events per session the corpus would produce —
+    the tuning table that SETS the timeout before events_session runs
+    with it (the session-window twin of quality_threshold_sweep's
+    knee-finding read).
+
+    One lag window per user (ordered by ts then event_id for total
+    order) computes every inter-event gap ONCE in exact integer
+    microseconds; all four thresholds are then conditional sums over
+    the same gap relation — no per-threshold re-scan, no explode.
+    Output is 4 rows at any scale: n_sessions(T) = n_users + #{gaps >
+    T} (each over-gap starts one new session).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.lag(F.unix_micros(F.col("ts").cast("timestamp")), 1)
+         .over(w)).alias("gap_us"),
+    )
+    base = gaps.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[F.sum((F.col("gap_us") > F.lit(t * 60 * 1_000_000))
+                .cast("long")).alias(f"g{t}")
+          for t in (5, 15, 30, 60)],
+    )
+    rows = [
+        base.select(
+            F.lit(t).cast("long").alias("gap_minutes"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("n_users") + F.col(f"g{t}")).cast("long")
+            .alias("n_sessions"),
+            F.expr(f"(n_users + g{t}) * 1000000 div n_users")
+            .alias("sessions_per_user_e6"),
+            F.expr(f"n_events * 1000000 div (n_users + g{t})")
+            .alias("events_per_session_e6"),
+        )
+        for t in (5, 15, 30, 60)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("gap_minutes")

@@ -142,6 +142,7 @@ QUERIES: dict[str, QueryFn] = {
     "preference_pair_build": curation.preference_pair_build,  # hash-paired r7e
     "bootstrap_ci_quality": curation.bootstrap_ci_quality,  # hash-paired r7e
     "ks_drift_quality": datamix.ks_drift_quality,  # hash-paired r7f
+    "session_gap_sweep": timeseries.session_gap_sweep,  # hash-paired r7f
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4633,4 +4634,29 @@ SELECT source, max(n_src)::BIGINT AS n_src, max(n_rest)::BIGINT AS n_rest,
   max(abs(cum_src * n_rest - cum_rest * n_src) * 1000000
       // (n_src * n_rest))::BIGINT AS ks_e6
 FROM cum GROUP BY source ORDER BY source
+"""
+
+# r7f: session_gap_sweep — sessionization-timeout calibration; the gap
+# relation computed once, thresholds as conditional sums.
+ORACLE["session_gap_sweep"] = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+base AS (SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM g),
+th AS (SELECT unnest([5, 15, 30, 60]) AS gap_minutes),
+cnt AS (
+  SELECT t.gap_minutes,
+    sum((g.gap_us > t.gap_minutes::BIGINT * 60000000)::BIGINT) AS ng
+  FROM th t CROSS JOIN g GROUP BY 1
+)
+SELECT gap_minutes::BIGINT AS gap_minutes, n_users::BIGINT AS n_users,
+  n_events::BIGINT AS n_events,
+  (n_users + ng)::BIGINT AS n_sessions,
+  ((n_users + ng) * 1000000 // n_users)::BIGINT AS sessions_per_user_e6,
+  (n_events * 1000000 // (n_users + ng))::BIGINT AS events_per_session_e6
+FROM cnt CROSS JOIN base ORDER BY gap_minutes
 """

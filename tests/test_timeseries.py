@@ -278,3 +278,33 @@ def test_events_dow_hour_profile_epoch_math(spark, tmp_path):
     assert rows[(0, 23)].mean_value_micros == 5_000_000
     assert rows[(3, 0)].share_e6 == 1_000_000 // 4
     assert rows[(3, 0)].load_e6 == 168 * 1_000_000 // 4
+
+
+def test_session_gap_sweep_monotone(spark, tmp_path):
+    """A crafted trace with gaps of 10 and 40 minutes: the 5-min
+    timeout cuts both (3 sessions), 15/30-min cut one (2), 60-min cuts
+    none (1); session counts are monotone non-increasing in timeout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        session_gap_sweep,
+    )
+
+    t0 = datetime(2024, 3, 1, 9, 0)
+    ts = [t0, t0 + timedelta(minutes=10), t0 + timedelta(minutes=50)]
+    tbl = pa.table({
+        "event_id": pa.array(range(1, 4), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7] * 3, pa.int64()),
+        "event_type": pa.array(["view"] * 3, pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {r.gap_minutes: r for r in
+            session_gap_sweep(spark, str(tmp_path)).collect()}
+    assert [rows[t].n_sessions for t in (5, 15, 30, 60)] == [3, 2, 2, 1]
+    assert rows[60].events_per_session_e6 == 3_000_000
+    assert rows[5].sessions_per_user_e6 == 3_000_000
