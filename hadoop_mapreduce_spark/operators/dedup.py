@@ -1872,6 +1872,7 @@ def _cw_pair_base(spark: SparkSession, sf_dir: str,
                           F.col("arr").alias("arr2"),
                           F.col("n").alias("n2")), "id2")
         .select(
+            "id1", "id2",
             F.aggregate(
                 F.zip_with("sig1", "sig2",
                            lambda x, y: (x == y).cast("long")),
@@ -1881,7 +1882,8 @@ def _cw_pair_base(spark: SparkSession, sf_dir: str,
             (F.col("n1") + F.col("n2")).alias("nsum"),
         )
         .select(
-            "eq", "inter", (F.col("nsum") - F.col("inter")).alias("uni"))
+            "id1", "id2", "eq", "inter",
+            (F.col("nsum") - F.col("inter")).alias("uni"))
     )
     return paired
 
@@ -1998,4 +2000,52 @@ def neardup_label_conflict(spark: SparkSession, sf_dir: str,
             (F.col("n_langs") > 1).cast("long").alias("lang_conflict"),
         )
         .orderBy("component")
+    )
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str,
+                          num_hashes: int = 16,
+                          shingle_k: int = 3) -> DataFrame:
+    """Dedup-threshold calibration: for each candidate Jaccard cutoff
+    (0.5 ... 0.9), how many verified pairs and how many distinct
+    documents the near-dup pass would touch — the removal-volume curve
+    a curation run reads BEFORE committing to a threshold (the dedup
+    sibling of quality_threshold_sweep and session_gap_sweep: compute
+    the expensive base once, evaluate every candidate parameter as a
+    cheap conditional pass over it).
+
+    The base is the shared Carter-Wegman candidate relation with exact
+    intersection/union counts per colliding pair (one distinct shingle
+    exchange + banded candidates — never all-pairs); each threshold is
+    an integer comparison inter*10 >= uni*t over that bounded pair
+    set, and the docs-touched count explodes each qualifying pair into
+    its two endpoints (pairs are collision-bounded, so the explode is
+    too). Output: 5 rows.
+    """
+    pairs = _cw_pair_base(spark, sf_dir, num_hashes, shingle_k).select(
+        "id1", "id2", "inter", "uni")
+    th = spark.createDataFrame([(t,) for t in (5, 6, 7, 8, 9)],
+                               "t10 long")
+    qual = (
+        pairs.crossJoin(F.broadcast(th))
+        .where(F.col("inter") * 10 >= F.col("uni") * F.col("t10"))
+    )
+    by_pairs = qual.groupBy("t10").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    docs_touched = (
+        qual.select("t10", F.explode(F.array("id1", "id2")).alias("d"))
+        .groupBy("t10")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        th.join(by_pairs, "t10", "left")
+        .join(docs_touched, "t10", "left")
+        .select(
+            F.expr("t10 * 10").alias("threshold_pct"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs_touched"),
+        )
+        .orderBy("threshold_pct")
     )

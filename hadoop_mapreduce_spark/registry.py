@@ -143,6 +143,7 @@ QUERIES: dict[str, QueryFn] = {
     "bootstrap_ci_quality": curation.bootstrap_ci_quality,  # hash-paired r7e
     "ks_drift_quality": datamix.ks_drift_quality,  # hash-paired r7f
     "session_gap_sweep": timeseries.session_gap_sweep,  # hash-paired r7f
+    "dedup_threshold_sweep": dedup.dedup_threshold_sweep,  # hash-paired r7f
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4659,4 +4660,60 @@ SELECT gap_minutes::BIGINT AS gap_minutes, n_users::BIGINT AS n_users,
   ((n_users + ng) * 1000000 // n_users)::BIGINT AS sessions_per_user_e6,
   (n_events * 1000000 // (n_users + ng))::BIGINT AS events_per_session_e6
 FROM cnt CROSS JOIN base ORDER BY gap_minutes
+"""
+
+# r7f: dedup_threshold_sweep — removal-volume curve per Jaccard cutoff
+# over the shared CW pair base; integer threshold comparisons.
+ORACLE["dedup_threshold_sweep"] = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
+tt AS (SELECT id, t FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT DISTINCT id,
+    ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::UBIGINT::BIGINT AS hs
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+),
+cw AS (SELECT * FROM (VALUES (0, 188173298, 62257558), (1, 1614569235, 1541888525), (2, 1123302577, 1183693761), (3, 941201756, 612741583), (4, 1915815023, 145743895), (5, 1042332867, 1469431003), (6, 1586907769, 1724705301), (7, 1367643000, 567634413), (8, 1182429425, 1450717929), (9, 1840887320, 92282879), (10, 2033346063, 1574816040), (11, 1426551802, 1173352586), (12, 2087082879, 168846213), (13, 1825997516, 891168106), (14, 124724675, 334069097), (15, 1102350415, 1146895919)) t(i, a, b)),
+minima AS (
+  SELECT id, i,
+    min((a * (hs % 2147483647) + b) % 2147483647) AS m
+  FROM sh CROSS JOIN cw GROUP BY 1, 2
+),
+nsz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM minima a JOIN minima b ON a.i = b.i AND a.m = b.m AND a.id < b.id
+),
+inters AS (
+  SELECT c.id1, c.id2, count(*)::BIGINT AS inter
+  FROM cands c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.hs = s1.hs
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT c.id1, c.id2, coalesce(i.inter, 0) AS inter,
+    n1.n + n2.n - coalesce(i.inter, 0) AS uni
+  FROM cands c
+  LEFT JOIN inters i ON i.id1 = c.id1 AND i.id2 = c.id2
+  JOIN nsz n1 ON n1.id = c.id1
+  JOIN nsz n2 ON n2.id = c.id2
+),
+th AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10),
+qual AS (
+  SELECT t.t10, p.id1, p.id2 FROM paired p CROSS JOIN th t
+  WHERE p.inter * 10 >= p.uni * t.t10
+),
+np AS (SELECT t10, count(*) AS n_pairs FROM qual GROUP BY t10),
+nd AS (
+  SELECT t10, count(DISTINCT d) AS n_docs FROM (
+    SELECT t10, id1 AS d FROM qual
+    UNION ALL SELECT t10, id2 FROM qual)
+  GROUP BY t10
+)
+SELECT (th.t10 * 10)::BIGINT AS threshold_pct,
+  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+  coalesce(nd.n_docs, 0)::BIGINT AS n_docs_touched
+FROM th LEFT JOIN np ON th.t10 = np.t10
+LEFT JOIN nd ON th.t10 = nd.t10
+ORDER BY threshold_pct
 """

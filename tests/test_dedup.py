@@ -471,3 +471,23 @@ def test_lsh_band_tuning_scurve_properties(spark):
                if r.jbucket == jb and r.rows_per_band == 16]
         if p2 and p16:
             assert p16[0] <= p2[0]
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Pair and doc counts are monotone non-increasing in the cutoff,
+    and the 80% row agrees with the verified >= 0.8 pair relation."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_threshold_sweep,
+    )
+
+    rows = {r.threshold_pct: r for r in
+            dedup_threshold_sweep(spark, SF_DIR).collect()}
+    assert sorted(rows) == [50, 60, 70, 80, 90]
+    ps = [rows[t].n_pairs for t in (50, 60, 70, 80, 90)]
+    ds = [rows[t].n_docs_touched for t in (50, 60, 70, 80, 90)]
+    assert ps == sorted(ps, reverse=True)
+    assert ds == sorted(ds, reverse=True)
+    for t in rows:
+        # each pair touches two docs; distinct endpoints can't exceed 2x
+        assert rows[t].n_docs_touched <= 2 * rows[t].n_pairs or \
+            rows[t].n_pairs == 0
