@@ -853,3 +853,66 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("gap_minutes")
+
+
+def event_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over event streams: baskets are
+    (user, day), items are event types, and every unordered type pair
+    gets its support count and lift — the classic co-occurrence read
+    ("users who purchase also share...") and, over training-corpus
+    event logs, the tool-call / action co-occurrence matrix. Lift in
+    exact micro-units: support * n_baskets * 1e6 div (supp_a *
+    supp_b); > 1e6 means the pair co-occurs more than independence
+    predicts.
+
+    Plan: one distinct over (user, day, type) — the only data-sized
+    exchange; the pair self-join is keyed on the basket and each
+    basket holds at most |event_types| items, so pair fanout per
+    basket is bounded by a SMALL constant squared, never by basket
+    event volume (the distinct collapses repeats first). Marginals and
+    the basket total are metadata-sized broadcasts; output is at most
+    C(|types|, 2) rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+                   " div 86400000000 AS BIGINT)").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    baskets = items.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("sz"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    supp = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.day") == F.col("b.day"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("item_a"),
+                 F.col("b.event_type").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(supp.select(F.col("event_type").alias("item_a"),
+                                      F.col("s").alias("supp_a"))), "item_a")
+        .join(F.broadcast(supp.select(F.col("event_type").alias("item_b"),
+                                      F.col("s").alias("supp_b"))), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b",
+            F.col("support").cast("long").alias("support"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            F.col("nb").cast("long").alias("n_baskets"),
+            F.expr("support * nb * 1000000 div (supp_a * supp_b)")
+            .alias("lift_e6"),
+        )
+        .orderBy("item_a", "item_b")
+    )

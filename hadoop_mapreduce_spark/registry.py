@@ -144,6 +144,7 @@ QUERIES: dict[str, QueryFn] = {
     "ks_drift_quality": datamix.ks_drift_quality,  # hash-paired r7f
     "session_gap_sweep": timeseries.session_gap_sweep,  # hash-paired r7f
     "dedup_threshold_sweep": dedup.dedup_threshold_sweep,  # hash-paired r7f
+    "event_pair_itemsets": timeseries.event_pair_itemsets,  # hash-paired r7f
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4716,4 +4717,33 @@ SELECT (th.t10 * 10)::BIGINT AS threshold_pct,
 FROM th LEFT JOIN np ON th.t10 = np.t10
 LEFT JOIN nd ON th.t10 = nd.t10
 ORDER BY threshold_pct
+"""
+
+# r7f: event_pair_itemsets — (user, day) basket pair support + lift in
+# micro-units; day from epoch-us floor division (the portable rule).
+ORACLE["event_pair_itemsets"] = """
+WITH items AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+  FROM events
+),
+nb AS (SELECT count(*) AS nb FROM
+       (SELECT DISTINCT user_id, day FROM items)),
+supp AS (SELECT event_type, count(*) AS s FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+    count(*) AS support
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support::BIGINT AS support,
+  sa.s::BIGINT AS supp_a, sb.s::BIGINT AS supp_b,
+  nb.nb::BIGINT AS n_baskets,
+  (support * nb.nb * 1000000 // (sa.s * sb.s))::BIGINT AS lift_e6
+FROM pairs
+JOIN supp sa ON sa.event_type = item_a
+JOIN supp sb ON sb.event_type = item_b
+CROSS JOIN nb
+ORDER BY item_a, item_b
 """

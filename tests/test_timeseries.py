@@ -308,3 +308,38 @@ def test_session_gap_sweep_monotone(spark, tmp_path):
     assert [rows[t].n_sessions for t in (5, 15, 30, 60)] == [3, 2, 2, 1]
     assert rows[60].events_per_session_e6 == 3_000_000
     assert rows[5].sessions_per_user_e6 == 3_000_000
+
+
+def test_event_pair_itemsets_lift(spark, tmp_path):
+    """Hand-checked lift: types A,B always co-occur (lift = nb/(sa*sb)
+    * support scaled), type C appears alone so never pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        event_pair_itemsets,
+    )
+
+    # basket1 (u1,d1): A,B; basket2 (u2,d1): A,B; basket3 (u3,d1): C
+    rows_in = [
+        (1, 1, "A"), (2, 1, "B"),
+        (3, 2, "A"), (4, 2, "B"),
+        (5, 3, "C"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows_in], pa.int64()),
+        "ts": pa.array([datetime(2024, 5, 1, 12)] * 5,
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows_in], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows_in], pa.string()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = event_pair_itemsets(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.item_a, r.item_b) == ("A", "B")
+    assert (r.support, r.supp_a, r.supp_b, r.n_baskets) == (2, 2, 2, 3)
+    assert r.lift_e6 == 2 * 3 * 1_000_000 // 4  # 1.5e6 > 1e6
