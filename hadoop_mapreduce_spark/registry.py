@@ -3153,10 +3153,10 @@ _WINDOW_R7 = [
     # (a) never driver-witnessed
     "pagerank_dedup_graph", "mmr_diversified_topk", "ann_ivfpq_rerank",
     "hll_union_sources", "events_lttb_downsample", "semdedup_ivf",
-    # (b) r7-changed paths still unwitnessed post-change
+    # (b) r7-changed paths still unwitnessed post-change (the other
+    # changed paths are hash-green in both full artifacts; slots go to
+    # never-witnessed new operators)
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
-    "bigram_lm_quality", "dedup_minhash_lsh",
-    "dedup_components_star", "split_leakage_guard",
     # (c) r7b-new operators, hash-paired, never yet witnessed
     "hll_portable_union", "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
@@ -3179,6 +3179,9 @@ _WINDOW_R7 = [
     # (f) r7e-new operators (this session), all hash-paired
     "preference_pair_build", "join_skew_audit", "shard_layout_plan",
     "bootstrap_ci_quality",
+    # (g) r7f-new operators (this session), all hash-paired
+    "ks_drift_quality", "session_gap_sweep", "dedup_threshold_sweep",
+    "event_pair_itemsets",
     # r7-new operators, all hash-paired:
     "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
     "kneser_ney_quality", "dedup_cluster_size_histogram",

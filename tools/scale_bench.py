@@ -146,6 +146,13 @@ HEADLINE = _HEADLINE + [
     "join_skew_audit",
     "shard_layout_plan",
     "bootstrap_ci_quality",
+    # round-7f additions: KS grid (metadata after one agg — FLAT),
+    # session sweep (one lag window — linear), dedup sweep (pair-base
+    # bound), itemsets (distinct exchange + bounded basket join).
+    "ks_drift_quality",
+    "session_gap_sweep",
+    "dedup_threshold_sweep",
+    "event_pair_itemsets",
 ]
 
 
