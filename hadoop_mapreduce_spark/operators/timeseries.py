@@ -916,3 +916,54 @@ def event_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement accounting: per observed day, the daily / weekly /
+    monthly active-user counts and the DAU/MAU stickiness ratio — the
+    product-analytics table every event pipeline serves, and over
+    agent/tool event logs the usage-retention read.
+
+    Exact sliding distinct counts WITHOUT a sliding window over raw
+    events: the (user, day) distinct relation (the only data-sized
+    exchange) is exploded forward into the 7- and 30-day windows each
+    active day contributes to — an exact inversion of the window scan
+    that keeps every aggregation keyed and algebraic (window-distinct
+    via contribution explode, factor <= 30 over the tiny user-day
+    relation, not over events). Days are integer epoch days (the
+    portable rule); only observed days are emitted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+               " div 86400000000 AS BIGINT)").alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def windowed(n: int, name: str) -> DataFrame:
+        return (
+            ud.select(
+                "user_id",
+                F.explode(F.sequence(F.col("day"),
+                                     F.col("day") + F.lit(n - 1)))
+                .alias("day"))
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        days.join(dau, "day")
+        .join(windowed(7, "wau"), "day")
+        .join(windowed(30, "mau"), "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("dau * 1000000 div mau").alias("stickiness_e6"),
+        )
+        .orderBy("day")
+    )

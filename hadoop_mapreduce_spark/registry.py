@@ -145,6 +145,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_gap_sweep": timeseries.session_gap_sweep,  # hash-paired r7f
     "dedup_threshold_sweep": dedup.dedup_threshold_sweep,  # hash-paired r7f
     "event_pair_itemsets": timeseries.event_pair_itemsets,  # hash-paired r7f
+    "active_user_ratios": timeseries.active_user_ratios,  # hash-paired r7g
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4749,4 +4750,34 @@ JOIN supp sa ON sa.event_type = item_a
 JOIN supp sb ON sb.event_type = item_b
 CROSS JOIN nb
 ORDER BY item_a, item_b
+"""
+
+# r7g: active_user_ratios — DAU/WAU/MAU + stickiness per observed day;
+# sliding distincts via the forward contribution explode, mirrored.
+ORACLE["active_user_ratios"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT day, count(*) AS wau FROM (
+    SELECT DISTINCT user_id, u.day + g.i AS day
+    FROM ud u, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)
+  GROUP BY day
+),
+mau AS (
+  SELECT day, count(*) AS mau FROM (
+    SELECT DISTINCT user_id, u.day + g.i AS day
+    FROM ud u, LATERAL (SELECT unnest(generate_series(0, 29)) AS i) g)
+  GROUP BY day
+)
+SELECT d.day::BIGINT AS day, dau::BIGINT AS dau, wau::BIGINT AS wau,
+  mau::BIGINT AS mau,
+  (dau * 1000000 // mau)::BIGINT AS stickiness_e6
+FROM days d
+JOIN dau ON d.day = dau.day
+JOIN wau ON d.day = wau.day
+JOIN mau ON d.day = mau.day
+ORDER BY day
 """

@@ -343,3 +343,36 @@ def test_event_pair_itemsets_lift(spark, tmp_path):
     assert (r.item_a, r.item_b) == ("A", "B")
     assert (r.support, r.supp_a, r.supp_b, r.n_baskets) == (2, 2, 2, 3)
     assert r.lift_e6 == 2 * 3 * 1_000_000 // 4  # 1.5e6 > 1e6
+
+
+def test_active_user_ratios_windows(spark, tmp_path):
+    """u1 active on day 0 only, u2 on days 0 and 8: day 8's DAU is 1
+    but WAU(8) counts only u2 (u1's 7-day window [0..6] misses it)
+    while MAU(8) counts both; stickiness = dau/mau."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        active_user_ratios,
+    )
+
+    d0 = datetime(2024, 1, 1, 10)
+    rows_in = [(1, 1, d0), (2, 2, d0), (3, 2, d0 + timedelta(days=8))]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows_in], pa.int64()),
+        "ts": pa.array([r[2] for r in rows_in], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows_in], pa.int64()),
+        "event_type": pa.array(["view"] * 3, pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.day: r for r in
+           active_user_ratios(spark, str(tmp_path)).collect()}
+    days = sorted(out)
+    assert len(days) == 2 and days[1] - days[0] == 8
+    d_first, d_later = days
+    assert (out[d_first].dau, out[d_first].wau, out[d_first].mau) == (2, 2, 2)
+    assert (out[d_later].dau, out[d_later].wau, out[d_later].mau) == (1, 1, 2)
+    assert out[d_later].stickiness_e6 == 500_000
