@@ -1454,3 +1454,65 @@ def quantile_histogram_portable(spark: SparkSession, sf_dir: str,
         )
         .orderBy("o_orderstatus", "q")
     )
+
+
+def customer_rfm_segments(spark, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM cube: every customer scored
+    1-5 on Recency (last order day), Frequency (order count) and
+    Monetary (lifetime spend), rolled up to segment cells. ntile(5)
+    quintiles with a full (metric, custkey) total order so bucket
+    boundaries are deterministic on both engines; spend is summed in
+    exact cents (DECIMAL) before any scoring. Output <= 125 cells with
+    member counts and mean spend — the activation/churn targeting table.
+
+    Plan: one groupBy(custkey) over orders collapses the data-sized
+    relation first; the three ntile windows then run over one row per
+    customer (orders/|customer| ~ 10x smaller, and the window carries
+    only 4 columns). The global sort is the honest cost here — at a
+    scale where the CUSTOMER dimension itself no longer sorts in one
+    pass, swap the ntiles for the two-phase distributed rank used by
+    vocab_coverage_curve (textstats.py) and derive the bucket from the
+    rank arithmetic; fixture-scale keeps the simpler plan.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                     " div 86400000000 AS BIGINT)")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    ).select(
+        "o_custkey", "last_day", "freq",
+        (F.col("spend") * 100).cast("long").alias("spend_cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey", "spend_cents",
+        F.ntile(5).over(
+            Window.orderBy(F.asc("last_day"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.asc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.asc("spend_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_cents").alias("sc"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.expr("sc div n_customers").alias("mean_spend_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

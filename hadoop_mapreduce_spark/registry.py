@@ -146,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_threshold_sweep": dedup.dedup_threshold_sweep,  # hash-paired r7f
     "event_pair_itemsets": timeseries.event_pair_itemsets,  # hash-paired r7f
     "active_user_ratios": timeseries.active_user_ratios,  # hash-paired r7g
+    "customer_rfm_segments": relational.customer_rfm_segments,  # hash-paired r7g
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4780,4 +4781,27 @@ JOIN dau ON d.day = dau.day
 JOIN wau ON d.day = wau.day
 JOIN mau ON d.day = mau.day
 ORDER BY day
+"""
+
+# r7g: customer_rfm_segments — deterministic ntile(5) RFM cube; both
+# engines share the (metric, custkey) total order and exact cents.
+ORACLE["customer_rfm_segments"] = """
+WITH pc AS (
+  SELECT o_custkey,
+    max(epoch_us(o_orderdate::TIMESTAMP) // 86400000000) AS last_day,
+    count(*) AS freq,
+    (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+sc AS (
+  SELECT o_custkey, spend_cents,
+    ntile(5) OVER (ORDER BY last_day ASC, o_custkey ASC) AS r_score,
+    ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f_score,
+    ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC) AS m_score
+  FROM pc
+)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+  m_score::BIGINT AS m_score, count(*)::BIGINT AS n_customers,
+  (sum(spend_cents) // count(*))::BIGINT AS mean_spend_cents
+FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
 """

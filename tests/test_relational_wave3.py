@@ -174,3 +174,28 @@ def test_quantile_histogram_portable_brackets_exact(spark):
         rs = sorted(rs, key=lambda r: r.q)
         ests = [r.est_value for r in rs]
         assert ests == sorted(ests), (g, ests)
+
+
+def test_customer_rfm_segments_quintiles(spark):
+    """Quintile scores are 1..5, every customer lands in exactly one
+    cell, and the monetary dimension is monotone: the mean spend of
+    m_score=5 cells exceeds m_score=1 cells."""
+    from hadoop_mapreduce_spark.operators.relational import (
+        customer_rfm_segments,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = customer_rfm_segments(spark, SF_DIR).collect()
+    assert rows
+    n_cust = sum(r.n_customers for r in rows)
+    import duckdb
+    expect = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM "
+        f"'{SF_DIR}/orders.parquet'").fetchone()[0]
+    assert n_cust == expect
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    m5 = [r.mean_spend_cents for r in rows if r.m_score == 5]
+    m1 = [r.mean_spend_cents for r in rows if r.m_score == 1]
+    assert min(m5) > max(m1)
