@@ -3184,10 +3184,11 @@ _WINDOW_R7 = [
     # (g) r7f-new operators (this session), all hash-paired
     "ks_drift_quality", "session_gap_sweep", "dedup_threshold_sweep",
     "event_pair_itemsets",
+    # (h) r7g-new operators (this session), all hash-paired
+    "active_user_ratios", "customer_rfm_segments",
     # r7-new operators, all hash-paired:
-    "heavy_hitters_cms", "video_meta", "gopher_dup_ngrams",
-    "kneser_ney_quality", "dedup_cluster_size_histogram",
-    "embedding_dim_stats",
+    "heavy_hitters_cms", "video_meta",
+    "dedup_cluster_size_histogram", "embedding_dim_stats",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
