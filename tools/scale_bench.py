@@ -153,6 +153,11 @@ HEADLINE = _HEADLINE + [
     "session_gap_sweep",
     "dedup_threshold_sweep",
     "event_pair_itemsets",
+    # round-7g additions: DAU/WAU/MAU (user-day relation + bounded
+    # explode — tracks active users, not events), RFM (one orders
+    # groupBy + per-customer windows).
+    "active_user_ratios",
+    "customer_rfm_segments",
 ]
 
 
