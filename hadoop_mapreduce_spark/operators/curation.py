@@ -992,8 +992,9 @@ def badwords_filter(spark: SparkSession, sf_dir: str,
             F.col("hit_docs").cast("long").alias("hit_docs"),
             F.col("flagged_docs").cast("long").alias("flagged_docs"),
             F.col("blocked_tokens").cast("long").alias("blocked_tokens"),
-            F.expr("blocked_tokens * 1000000 div total_tokens")
-            .alias("blocked_frac_e6"),
+            F.expr("CASE WHEN total_tokens > 0 THEN"
+                   " blocked_tokens * 1000000 div total_tokens"
+                   " ELSE 0 END").alias("blocked_frac_e6"),
             F.expr("flagged_docs * 1000000 div n_docs")
             .alias("flagged_frac_e6"),
         )

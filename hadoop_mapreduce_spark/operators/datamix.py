@@ -1461,8 +1461,9 @@ def ks_drift_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_src").cast("long").alias("n_src"),
             F.max("n_rest").cast("long").alias("n_rest"),
             F.max(F.expr(
-                "abs(cum_src * n_rest - cum_rest * n_src) * 1000000"
-                " div (n_src * n_rest)")).alias("ks_e6"),
+                "CASE WHEN n_rest > 0 THEN"
+                " abs(cum_src * n_rest - cum_rest * n_src) * 1000000"
+                " div (n_src * n_rest) ELSE 0 END")).alias("ks_e6"),
         )
         .orderBy("source")
     )

@@ -548,8 +548,9 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_tokens_e6"),
             F.col("max_doc_tokens").cast("long").alias("max_doc_tokens"),
             F.col("distinct_terms").cast("long").alias("distinct_terms"),
-            F.expr("distinct_terms * 1000000 div total_tokens")
-            .alias("ttr_e6"),
+            F.expr("CASE WHEN total_tokens > 0 THEN"
+                   " distinct_terms * 1000000 div total_tokens"
+                   " ELSE 0 END").alias("ttr_e6"),
             "top_lang",
             F.col("top_lang_docs").cast("long").alias("top_lang_docs"),
         )

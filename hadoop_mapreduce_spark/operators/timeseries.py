@@ -748,7 +748,14 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str,
         .select(
             "event_type", F.col("r.day").alias("day"),
             (F.col("r.v_e6").cast("double") / F.lit(1e6)).alias("day_avg"),
-            F.round("r.ewma", 6).alias("ewma"),
+            # floor(x*1e6 + 0.5)/1e6, not round(x, 6): the EWMA chain
+            # over integer-derived micro-units produces DYADIC rationals
+            # that land EXACTLY on 6-dp halves, where Spark's HALF_UP
+            # and DuckDB's half mode disagree (found by
+            # test_differential_fuzz on offsets [0,0,1465,0,0,0]).
+            # floor is mode-free and bit-identical on both engines.
+            (F.floor(F.col("r.ewma") * F.lit(1e6) + F.lit(0.5))
+             / F.lit(1e6)).alias("ewma"),
         )
         .orderBy("event_type", "day")
     )

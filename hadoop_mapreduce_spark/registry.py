@@ -3745,7 +3745,8 @@ ew AS (
   FROM ew e JOIN idx i ON i.event_type = e.event_type AND i.t = e.t + 1
 )
 SELECT event_type, day::TIMESTAMP::VARCHAR AS day,
-  v_e6 / 1000000.0 AS day_avg, round(s, 6) AS ewma
+  v_e6 / 1000000.0 AS day_avg,
+  floor(s * 1e6 + 0.5)::BIGINT / 1e6 AS ewma
 FROM ew ORDER BY event_type, day
 """
 
@@ -4228,7 +4229,9 @@ SELECT vol.source, n_docs::BIGINT AS n_docs, n_langs::BIGINT AS n_langs,
   (total_tokens * 1000000 // n_docs)::BIGINT AS mean_tokens_e6,
   max_doc_tokens::BIGINT AS max_doc_tokens,
   distinct_terms::BIGINT AS distinct_terms,
-  (distinct_terms * 1000000 // total_tokens)::BIGINT AS ttr_e6,
+  (CASE WHEN total_tokens > 0
+        THEN distinct_terms * 1000000 // total_tokens
+        ELSE 0 END)::BIGINT AS ttr_e6,
   top_lang, top_lang_docs::BIGINT AS top_lang_docs
 FROM vol JOIN terms ON vol.source = terms.source
 JOIN tl ON vol.source = tl.source
@@ -4255,7 +4258,9 @@ SELECT source, count(*)::BIGINT AS n_docs,
   sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS hit_docs,
   sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS flagged_docs,
   sum(n_bad)::BIGINT AS blocked_tokens,
-  (sum(n_bad) * 1000000 // sum(n_tok))::BIGINT AS blocked_frac_e6,
+  (CASE WHEN sum(n_tok) > 0
+        THEN sum(n_bad) * 1000000 // sum(n_tok) ELSE 0 END)::BIGINT
+    AS blocked_frac_e6,
   (sum(CASE WHEN flagged THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
     AS flagged_frac_e6
 FROM fl GROUP BY source ORDER BY source
@@ -4639,8 +4644,9 @@ cum AS (
   FROM grid
 )
 SELECT source, max(n_src)::BIGINT AS n_src, max(n_rest)::BIGINT AS n_rest,
-  max(abs(cum_src * n_rest - cum_rest * n_src) * 1000000
-      // (n_src * n_rest))::BIGINT AS ks_e6
+  max(CASE WHEN n_rest > 0
+      THEN abs(cum_src * n_rest - cum_rest * n_src) * 1000000
+           // (n_src * n_rest) ELSE 0 END)::BIGINT AS ks_e6
 FROM cum GROUP BY source ORDER BY source
 """
 

@@ -35,6 +35,17 @@ FUZZ_QUERIES = [
     "stopword_discovery",
     "rrf_quality_fusion",
     "quality_threshold_sweep",
+    # r7d-f ops — floor-division guards, zero-cell grids, recursive
+    # oracle packers and the md5-threshold bootstrap are fuzz territory
+    "ngram_diversity_audit",
+    "dataset_card",
+    "badwords_filter",
+    "lang_source_chisq",
+    "preference_pair_build",
+    "ks_drift_quality",
+    "shard_layout_plan",
+    "packing_boundary_audit",
+    "bootstrap_ci_quality",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -120,6 +131,12 @@ EVENT_QUERIES = [
     "events_twap_daily",
     "events_ewma_daily",
     "salted_aggregate_events",
+    # r7d-g event ops — hour/day boundary truncation and basket
+    # distincts under duplicate timestamps
+    "events_dow_hour_profile",
+    "session_gap_sweep",
+    "event_pair_itemsets",
+    "active_user_ratios",
 ]
 
 
@@ -234,6 +251,8 @@ ORD_QUERIES = [
     "bool_count_aggs",
     "bitwise_aggs",
     "date_functions",
+    # r7g: ntile boundary determinism under heavy ties
+    "customer_rfm_segments",
 ]
 
 
