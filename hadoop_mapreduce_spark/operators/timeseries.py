@@ -974,3 +974,51 @@ def active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark calibration: per event type, how LATE events arrive
+    relative to the max event-time already seen at their arrival point
+    (arrival order = event_id, the ingest sequence) — the read that
+    sets Structured Streaming's withWatermark() delay. A watermark
+    below the observed p95 lateness silently drops 5% of events from
+    windowed aggregates; this table makes that trade explicit before a
+    stream goes live (streaming/windows.py consumes the chosen delay).
+
+    Lateness = running-max(ts) - ts in exact integer microseconds (one
+    cumulative-max window per type in arrival order); p50/p95 are
+    ORDER STATISTICS at ranks ceil(q*n) over a second (lateness,
+    event_id)-ordered window — both engines agree on every rank.
+    Output: one row per event type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    warr = (Window.partitionBy("event_type").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = ev.select(
+        "event_type", "event_id",
+        (F.max(us).over(warr) - us).alias("late_us"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.asc("late_us"), F.asc("event_id"))
+    ranked = late.select(
+        "event_type", "late_us",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+            F.expr("sum(CAST(late_us > 0 AS BIGINT)) * 1000000"
+                   " div max(n)").alias("late_frac_e6"),
+            F.max(F.when(F.expr("rn = (n + 1) div 2"),
+                         F.col("late_us"))).alias("p50_late_us"),
+            F.max(F.when(F.expr("rn = (n * 95 + 99) div 100"),
+                         F.col("late_us"))).alias("p95_late_us"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )

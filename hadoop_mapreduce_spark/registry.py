@@ -147,6 +147,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_pair_itemsets": timeseries.event_pair_itemsets,  # hash-paired r7f
     "active_user_ratios": timeseries.active_user_ratios,  # hash-paired r7g
     "customer_rfm_segments": relational.customer_rfm_segments,  # hash-paired r7g
+    "watermark_lateness_audit": timeseries.watermark_lateness_audit,  # hash-paired r7h
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4811,4 +4812,33 @@ SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
   m_score::BIGINT AS m_score, count(*)::BIGINT AS n_customers,
   (sum(spend_cents) // count(*))::BIGINT AS mean_spend_cents
 FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+"""
+
+# r7h: watermark_lateness_audit — lateness vs running event-time max in
+# arrival (event_id) order; order-statistic percentiles at exact ranks.
+ORACLE["watermark_lateness_audit"] = """
+WITH late AS (
+  SELECT event_type, event_id,
+    max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING)
+      - epoch_us(ts) AS late_us
+  FROM events
+),
+rk AS (
+  SELECT event_type, late_us,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY late_us ASC, event_id ASC) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM late
+)
+SELECT event_type, max(n)::BIGINT AS n_events,
+  sum((late_us > 0)::BIGINT)::BIGINT AS n_late,
+  (sum((late_us > 0)::BIGINT) * 1000000 // max(n))::BIGINT
+    AS late_frac_e6,
+  max(CASE WHEN rn = (n + 1) // 2 THEN late_us END)::BIGINT
+    AS p50_late_us,
+  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN late_us END)::BIGINT
+    AS p95_late_us,
+  max(late_us)::BIGINT AS max_late_us
+FROM rk GROUP BY event_type ORDER BY event_type
 """

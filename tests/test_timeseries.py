@@ -376,3 +376,34 @@ def test_active_user_ratios_windows(spark, tmp_path):
     assert (out[d_first].dau, out[d_first].wau, out[d_first].mau) == (2, 2, 2)
     assert (out[d_later].dau, out[d_later].wau, out[d_later].mau) == (1, 1, 2)
     assert out[d_later].stickiness_e6 == 500_000
+
+
+def test_watermark_lateness_audit_hand_trace(spark, tmp_path):
+    """Arrival order 10:00, 10:05, 10:02, 10:04 (by event_id): events 3
+    and 4 are late by 3 and 1 minutes; p50 over [0,0,60s,180s] ranks
+    to 0, max is 180s."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        watermark_lateness_audit,
+    )
+
+    t = lambda m: datetime(2024, 6, 1, 10, m)
+    ts = [t(0), t(5), t(2), t(4)]
+    tbl = pa.table({
+        "event_id": pa.array(range(1, 5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.0] * 4, pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    [r] = watermark_lateness_audit(spark, str(tmp_path)).collect()
+    assert (r.n_events, r.n_late) == (4, 2)
+    assert r.late_frac_e6 == 500_000
+    assert r.p50_late_us == 0           # rank ceil(4/2)=2 of [0,0,60s,180s]
+    assert r.p95_late_us == 180_000_000  # rank ceil(3.8)=4
+    assert r.max_late_us == 180_000_000
