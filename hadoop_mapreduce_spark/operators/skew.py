@@ -202,3 +202,71 @@ def join_skew_audit(spark, sf_dir: str, n_parts: int = 32) -> DataFrame:
         axis("event_type").unionByName(axis("user_id"))
         .orderBy("axis", "partition_id")
     )
+
+
+def join_cardinality_audit(spark, sf_dir: str) -> DataFrame:
+    """CBO sanity audit: for the schema's three natural joins, the
+    textbook cardinality estimate |A|*|B| / max(ndv_A, ndv_B) next to
+    the EXACT join output size computed from the per-key count
+    histograms (sum over keys of cnt_A * cnt_B — no join is actually
+    executed). The error ratio is the number a cost model needs
+    validated: when actual/estimate drifts far from 1e6 the optimizer
+    is mis-ordering these joins and the table's statistics (or a
+    histogram) need refreshing — this IS the ANALYZE-vs-reality check,
+    as a query.
+
+    Each side collapses to its key histogram first (one groupBy per
+    side, map-side partials), so the audit's own cost is aggregation +
+    a key-histogram join — never the join being estimated. Exact
+    integers throughout.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    def audit(name: str, a: DataFrame, ka: str, b: DataFrame,
+              kb: str) -> DataFrame:
+        ha = a.groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca"))
+        hb = b.groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb"))
+        sa = ha.agg(F.sum("ca").alias("rows_a"),
+                    F.count(F.lit(1)).alias("ndv_a"))
+        sb = hb.agg(F.sum("cb").alias("rows_b"),
+                    F.count(F.lit(1)).alias("ndv_b"))
+        actual = (ha.join(hb, "k")
+                  .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")),
+                                  F.lit(0)).alias("actual_rows")))
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("rows_a").cast("long").alias("rows_a"),
+                F.col("rows_b").cast("long").alias("rows_b"),
+                F.col("ndv_a").cast("long").alias("ndv_a"),
+                F.col("ndv_b").cast("long").alias("ndv_b"),
+                F.expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
+                .alias("est_rows"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+                F.expr("CASE WHEN rows_a * rows_b"
+                       " div greatest(ndv_a, ndv_b) > 0 THEN"
+                       " actual_rows * 1000000 div (rows_a * rows_b"
+                       " div greatest(ndv_a, ndv_b)) ELSE 0 END")
+                .alias("err_ratio_e6"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        audit("customer_orders", customer, "c_custkey",
+              orders, "o_custkey")
+        .unionByName(audit("orders_lineitem", orders, "o_orderkey",
+                           lineitem, "l_orderkey"))
+        .unionByName(audit("events_orders", events, "user_id",
+                           orders, "o_custkey"))
+    )
+    return out.orderBy("join_name")

@@ -148,6 +148,7 @@ QUERIES: dict[str, QueryFn] = {
     "active_user_ratios": timeseries.active_user_ratios,  # hash-paired r7g
     "customer_rfm_segments": relational.customer_rfm_segments,  # hash-paired r7g
     "watermark_lateness_audit": timeseries.watermark_lateness_audit,  # hash-paired r7h
+    "join_cardinality_audit": skew.join_cardinality_audit,  # hash-paired r7h
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4841,4 +4842,43 @@ SELECT event_type, max(n)::BIGINT AS n_events,
     AS p95_late_us,
   max(late_us)::BIGINT AS max_late_us
 FROM rk GROUP BY event_type ORDER BY event_type
+"""
+
+# r7h: join_cardinality_audit — CBO estimate vs exact histogram-derived
+# join size for the three natural joins; same formulas, exact integers.
+ORACLE["join_cardinality_audit"] = """
+WITH j AS (
+  SELECT 'customer_orders' AS join_name, c_custkey::VARCHAR AS k,
+    'a' AS side FROM customer
+  UNION ALL SELECT 'customer_orders', o_custkey::VARCHAR, 'b' FROM orders
+  UNION ALL SELECT 'orders_lineitem', o_orderkey::VARCHAR, 'a' FROM orders
+  UNION ALL SELECT 'orders_lineitem', l_orderkey::VARCHAR, 'b' FROM lineitem
+  UNION ALL SELECT 'events_orders', user_id::VARCHAR, 'a' FROM events
+  UNION ALL SELECT 'events_orders', o_custkey::VARCHAR, 'b' FROM orders
+),
+h AS (SELECT join_name, side, k, count(*) AS c FROM j GROUP BY 1, 2, 3),
+s AS (
+  SELECT join_name,
+    sum(CASE WHEN side = 'a' THEN c END) AS rows_a,
+    sum(CASE WHEN side = 'b' THEN c END) AS rows_b,
+    sum(CASE WHEN side = 'a' THEN 1 END) AS ndv_a,
+    sum(CASE WHEN side = 'b' THEN 1 END) AS ndv_b
+  FROM h GROUP BY join_name
+),
+act AS (
+  SELECT a.join_name, coalesce(sum(a.c * b.c), 0) AS actual_rows
+  FROM h a JOIN h b ON a.join_name = b.join_name AND a.k = b.k
+   AND a.side = 'a' AND b.side = 'b'
+  GROUP BY a.join_name
+)
+SELECT s.join_name, rows_a::BIGINT AS rows_a, rows_b::BIGINT AS rows_b,
+  ndv_a::BIGINT AS ndv_a, ndv_b::BIGINT AS ndv_b,
+  (rows_a * rows_b // greatest(ndv_a, ndv_b))::BIGINT AS est_rows,
+  coalesce(act.actual_rows, 0)::BIGINT AS actual_rows,
+  (CASE WHEN rows_a * rows_b // greatest(ndv_a, ndv_b) > 0 THEN
+    coalesce(act.actual_rows, 0) * 1000000
+      // (rows_a * rows_b // greatest(ndv_a, ndv_b))
+   ELSE 0 END)::BIGINT AS err_ratio_e6
+FROM s LEFT JOIN act ON s.join_name = act.join_name
+ORDER BY s.join_name
 """

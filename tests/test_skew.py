@@ -155,3 +155,26 @@ def test_join_skew_audit_load_factors(spark):
     # user_id axis's max (5 keys in 32 slots vs many keys)
     assert max(r.load_e6 for r in et) > max(
         r.load_e6 for r in by_axis["user_id"])
+
+
+def test_join_cardinality_audit_matches_real_join(spark):
+    """actual_rows must equal the count of the real join it estimates,
+    and the uniform-key estimate for orders x lineitem (FK join) lands
+    within 2x of actual on TPC-H-shaped data."""
+    from hadoop_mapreduce_spark.operators.skew import (
+        join_cardinality_audit,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = {r.join_name: r for r in
+            join_cardinality_audit(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    real = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    r = rows["orders_lineitem"]
+    assert r.actual_rows == real
+    assert r.est_rows > 0
+    assert 500_000 <= r.err_ratio_e6 <= 2_000_000
+    co = rows["customer_orders"]
+    assert co.rows_a == load_table(spark, SF_DIR, "customer").count()
