@@ -1621,3 +1621,67 @@ def ngram_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n")
     )
+
+
+def fightin_words(spark: SparkSession, sf_dir: str,
+                  k: int = 5, a0: float = 1000.0) -> DataFrame:
+    """Distinctive-term extraction per source — Monroe, Colaresi &
+    Quinn's "Fightin' Words" (2008): the log-odds ratio of each term
+    in source-vs-rest, shrunk by an informative Dirichlet prior
+    proportional to corpus frequency, standardised by its estimated
+    variance. Unlike raw tf-idf top terms, the z-score form neither
+    rewards rare flukes (the prior shrinks them) nor common words (the
+    odds cancel them) — it is THE corpus-comparison statistic for
+    "what does this source talk about that others don't".
+
+    z_w = delta_w / sqrt(1/(y_iw+a_w) + 1/(y_jw+a_w)), where delta_w
+    is the difference of prior-smoothed log odds and a_w = a0 * y_w /
+    n. Everything before the two ln() calls is exact-integer-derived
+    doubles (identical cross-engine); ln is within-1-ulp on both libms
+    so ranking uses z ROUNDED to 6dp first (term asc tie-break) —
+    near-equal z values collapse to the same key instead of depending
+    on last-ulp order. Plan: one (source, term) count exchange; the
+    corpus-total relation is vocabulary-sized and broadcast; top-k per
+    source is a bounded rank window. Output = |sources| * k rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("y_iw"))
+    )
+    totals = counts.groupBy("w").agg(F.sum("y_iw").alias("y_w"))
+    n_src = counts.groupBy("source").agg(F.sum("y_iw").alias("n_i"))
+    n_all = counts.agg(F.sum("y_iw").alias("n"))
+    # the full source x vocab grid (zero cells are real: a term absent
+    # from a source still scores, negatively)
+    grid = (
+        n_src.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_all))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source", "w", "n_i", "y_w", "n",
+            F.coalesce(F.col("y_iw"), F.lit(0)).alias("y_iw"),
+        )
+    )
+    aw = F.lit(a0) * F.col("y_w") / F.col("n")
+    yi, yj = F.col("y_iw"), F.col("y_w") - F.col("y_iw")
+    ni, nj = F.col("n_i"), F.col("n") - F.col("n_i")
+    d = (
+        F.log((yi + aw) / (ni + F.lit(a0) - yi - aw))
+        - F.log((yj + aw) / (nj + F.lit(a0) - yj - aw))
+    )
+    var = F.lit(1.0) / (yi + aw) + F.lit(1.0) / (yj + aw)
+    scored = grid.select(
+        "source", "w",
+        F.col("y_iw").cast("long").alias("y_iw"),
+        F.round(d / F.sqrt(var), 6).alias("z"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("long").alias("rank"),
+                F.col("w").alias("term"), "y_iw", "z")
+        .orderBy("source", "rank")
+    )

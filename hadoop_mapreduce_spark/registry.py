@@ -149,6 +149,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_rfm_segments": relational.customer_rfm_segments,  # hash-paired r7g
     "watermark_lateness_audit": timeseries.watermark_lateness_audit,  # hash-paired r7h
     "join_cardinality_audit": skew.join_cardinality_audit,  # hash-paired r7h
+    "fightin_words": textstats.fightin_words,  # hash-paired r7h
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4881,4 +4882,42 @@ SELECT s.join_name, rows_a::BIGINT AS rows_a, rows_b::BIGINT AS rows_b,
    ELSE 0 END)::BIGINT AS err_ratio_e6
 FROM s LEFT JOIN act ON s.join_name = act.join_name
 ORDER BY s.join_name
+"""
+
+# r7h: fightin_words — Monroe et al. prior-smoothed log-odds z per
+# source; rank on the 6-dp-rounded z (term asc ties), formulas mirrored.
+ORACLE["fightin_words"] = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+counts AS (
+  SELECT source, w, count(*) AS y_iw
+  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY source, w
+),
+totals AS (SELECT w, sum(y_iw) AS y_w FROM counts GROUP BY w),
+ns AS (SELECT source, sum(y_iw) AS n_i FROM counts GROUP BY source),
+na AS (SELECT sum(y_iw) AS n FROM counts),
+grid AS (
+  SELECT s.source, t.w, s.n_i, t.y_w, na.n,
+    coalesce(c.y_iw, 0) AS y_iw
+  FROM ns s CROSS JOIN totals t CROSS JOIN na
+  LEFT JOIN counts c ON c.source = s.source AND c.w = t.w
+),
+sc AS (
+  SELECT source, w, y_iw,
+    round(
+      (ln((y_iw + 1000.0 * y_w / n)
+          / (n_i + 1000.0 - y_iw - 1000.0 * y_w / n))
+       - ln((y_w - y_iw + 1000.0 * y_w / n)
+            / (n - n_i + 1000.0 - (y_w - y_iw) - 1000.0 * y_w / n)))
+      / sqrt(1.0 / (y_iw + 1000.0 * y_w / n)
+             + 1.0 / (y_w - y_iw + 1000.0 * y_w / n)), 6) AS z
+  FROM grid
+),
+rk AS (
+  SELECT source, w, y_iw, z,
+    row_number() OVER (PARTITION BY source ORDER BY z DESC, w ASC)
+      AS rank
+  FROM sc
+)
+SELECT source, rank::BIGINT AS rank, w AS term, y_iw::BIGINT AS y_iw, z
+FROM rk WHERE rank <= 5 ORDER BY source, rank
 """

@@ -576,3 +576,41 @@ def test_ngram_diversity_audit_short_docs(spark, tmp_path):
     sf = _docs_table(tmp_path, ["solo"])
     rows = ngram_diversity_audit(spark, sf).collect()
     assert [(r.n, r.total_grams) for r in rows] == [(1, 1)]
+
+
+def test_fightin_words_planted_term(spark, tmp_path):
+    """A term used heavily by one source and never by the other must
+    rank #1 for that source with z > 0, and symmetric planting ranks
+    the other source's term first there; z agrees with a from-scratch
+    numpy implementation of Monroe et al.'s formula to 6 dp."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import fightin_words
+
+    texts = ["alpha alpha alpha common common",
+             "beta beta beta common common"]
+    srcs = ["s1", "s2"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = fightin_words(spark, str(tmp_path)).collect()
+    top = {r.source: r for r in rows if r.rank == 1}
+    assert top["s1"].term == "alpha" and top["s1"].z > 0
+    assert top["s2"].term == "beta" and top["s2"].z > 0
+
+    # replicate z for ("s1", "alpha") exactly
+    y_iw, y_w, n_i, n, a0 = 3, 3, 5, 10, 1000.0
+    aw = a0 * y_w / n
+    yj, nj = y_w - y_iw, n - n_i
+    d = (math.log((y_iw + aw) / (n_i + a0 - y_iw - aw))
+         - math.log((yj + aw) / (nj + a0 - yj - aw)))
+    z = round(d / math.sqrt(1 / (y_iw + aw) + 1 / (yj + aw)), 6)
+    assert abs(top["s1"].z - z) < 2e-6
