@@ -3189,9 +3189,11 @@ _WINDOW_R7 = [
     "event_pair_itemsets",
     # (h) r7g-new operators (this session), all hash-paired
     "active_user_ratios", "customer_rfm_segments",
+    # (i) r7h-new operators (this session), all hash-paired
+    "watermark_lateness_audit", "join_cardinality_audit",
+    "fightin_words",
     # r7-new operators, all hash-paired:
-    "heavy_hitters_cms", "video_meta",
-    "dedup_cluster_size_histogram", "embedding_dim_stats",
+    "heavy_hitters_cms",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
