@@ -158,6 +158,12 @@ HEADLINE = _HEADLINE + [
     # groupBy + per-customer windows).
     "active_user_ratios",
     "customer_rfm_segments",
+    # round-7h additions: lateness (two windows per type — linear),
+    # cardinality audit (histogram aggs — linear, small constants),
+    # fightin words (one term exchange + vocab-bounded grid).
+    "watermark_lateness_audit",
+    "join_cardinality_audit",
+    "fightin_words",
 ]
 
 
