@@ -1022,3 +1022,66 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily count
+    series: S_t = max(0, S_{t-1} + (x_t*n - T)), the one-sided Page
+    cusum of deviations from the series' own mean, flagged when the
+    statistic exceeds h = 2*T — the stream-monitoring primitive that
+    catches a sustained rate shift (a source turning on/off, a scraper
+    going haywire) that per-day z-scores miss because no single day is
+    extreme.
+
+    ALL-INTEGER arithmetic: deviations are scaled by the day count n
+    (x_t*n - T is the exact deviation times n, an integer), so S and
+    the threshold comparison never touch a float — bit-identical
+    cross-engine by construction, no rounding convention needed at
+    all. Sequential like EWMA, and handled the same scale-correct way:
+    the raw stream collapses to the (type, day) aggregate (the only
+    data-sized exchange), each type's bounded day series folds with
+    one higher-order aggregate lambda; the oracle steps the identical
+    recurrence as a lockstep recursive CTE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type",
+                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .cast("string").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs"),
+        F.sum("x").alias("t_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    step = "greatest(CAST(0 AS BIGINT), acc.s + (x.x * n_days - t_total))"
+    fold = f"""
+      aggregate(
+        xs,
+        named_struct(
+          'out',
+          CAST(array() AS ARRAY<STRUCT<day STRING, x BIGINT,
+                                       s BIGINT>>),
+          's', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+          'out', array_append(acc.out,
+                   named_struct('day', x.day, 'x', CAST(x.x AS BIGINT),
+                                's', {step})),
+          's', {step}),
+        acc -> acc.out)
+    """
+    return (
+        arr.select("event_type", "t_total", "n_days",
+                   F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.x").cast("long").alias("daily_count"),
+            F.col("r.s").cast("long").alias("cusum_scaled"),
+            (F.col("r.s") > F.lit(2) * F.col("t_total"))
+            .cast("long").alias("shift_flag"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -150,6 +150,7 @@ QUERIES: dict[str, QueryFn] = {
     "watermark_lateness_audit": timeseries.watermark_lateness_audit,  # hash-paired r7h
     "join_cardinality_audit": skew.join_cardinality_audit,  # hash-paired r7h
     "fightin_words": textstats.fightin_words,  # hash-paired r7h
+    "events_cusum_changepoint": timeseries.events_cusum_changepoint,  # hash-paired r7i
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4922,4 +4923,38 @@ rk AS (
 )
 SELECT source, rank::BIGINT AS rank, w AS term, y_iw::BIGINT AS y_iw, z
 FROM rk WHERE rank <= 5 ORDER BY source, rank
+"""
+
+# r7i: events_cusum_changepoint — all-integer Page CUSUM over daily
+# counts, lockstep recursive-CTE recurrence, no float anywhere.
+ORACLE["events_cusum_changepoint"] = """
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP::VARCHAR AS day,
+    count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+meta AS (
+  SELECT event_type, sum(x) AS t_total, count(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+idx AS (
+  SELECT d.event_type, d.day, d.x, m.t_total, m.n_days,
+    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t
+  FROM daily d JOIN meta m ON d.event_type = m.event_type
+),
+cu AS (
+  SELECT event_type, day, x, t_total, n_days, t,
+    greatest(0, x * n_days - t_total) AS s
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.x, i.t_total, i.n_days, i.t,
+    greatest(0, c.s + (i.x * i.n_days - i.t_total))
+  FROM cu c JOIN idx i
+    ON i.event_type = c.event_type AND i.t = c.t + 1
+)
+SELECT event_type, day, x::BIGINT AS daily_count,
+  s::BIGINT AS cusum_scaled,
+  (s > 2 * t_total)::BIGINT AS shift_flag
+FROM cu ORDER BY event_type, day
 """

@@ -407,3 +407,45 @@ def test_watermark_lateness_audit_hand_trace(spark, tmp_path):
     assert r.p50_late_us == 0           # rank ceil(4/2)=2 of [0,0,60s,180s]
     assert r.p95_late_us == 180_000_000  # rank ceil(3.8)=4
     assert r.max_late_us == 180_000_000
+
+
+def test_events_cusum_changepoint_detects_shift(spark, tmp_path):
+    """A series of 10 quiet days (1 event) then 5 loud days (20 events)
+    must flag during the loud run; a flat series never flags and its
+    cusum stays 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+
+    rows_in = []
+    eid = 0
+    d0 = datetime(2024, 1, 1, 12)
+    for day in range(15):
+        n = 1 if day < 10 else 20
+        for _ in range(n):
+            eid += 1
+            rows_in.append((eid, d0 + timedelta(days=day), "shift"))
+    for day in range(15):
+        eid += 1
+        rows_in.append((eid, d0 + timedelta(days=day), "flat"))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows_in], pa.int64()),
+        "ts": pa.array([r[1] for r in rows_in], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows_in), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows_in], pa.string()),
+        "value": pa.array([1.0] * len(rows_in), pa.float64()),
+        "props": pa.array(["{}"] * len(rows_in), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = events_cusum_changepoint(spark, str(tmp_path)).collect()
+    shift = [r for r in out if r.event_type == "shift"]
+    flat = [r for r in out if r.event_type == "flat"]
+    assert any(r.shift_flag == 1 for r in shift)
+    # flags only appear after the change, never in the quiet prefix
+    first_flag = min(i for i, r in enumerate(shift) if r.shift_flag)
+    assert first_flag >= 10
+    assert all(r.shift_flag == 0 and r.cusum_scaled == 0 for r in flat)
