@@ -1685,3 +1685,48 @@ def fightin_words(spark: SparkSession, sf_dir: str,
                 F.col("w").alias("term"), "y_iw", "z")
         .orderBy("source", "rank")
     )
+
+
+def kwic_concordance(spark: SparkSession, sf_dir: str,
+                     term: str = "spark", width: int = 3,
+                     k: int = 50) -> DataFrame:
+    """Keyword-in-context concordance — the corpus linguist's (and the
+    data auditor's) primary exploration view: every occurrence of a
+    query term with `width` tokens of left and right context, top-k by
+    (doc_id, position) for a stable page. Reading KWIC lines is how a
+    curation engineer actually diagnoses why a filter fired ("what
+    does 'slow' look like in src7?") — aggregate statistics can't show
+    collocation patterns; this does.
+
+    One tokenize scan; occurrence positions come from a posexplode
+    FILTERED to the term before any shuffle (at 100 TB the match
+    relation is term-frequency-sized, not corpus-sized); contexts are
+    array slices of the SAME materialised token array, so the text is
+    never re-tokenized per occurrence. Deterministic page via the
+    (doc_id, pos) sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens("text").alias("__toks"))
+    hits = (
+        base.select(
+            "doc_id", "__toks",
+            F.posexplode("__toks").alias("pos", "tok"))
+        .where(F.col("tok") == term)
+    )
+    left = F.concat_ws(
+        " ", F.slice(F.col("__toks"),
+                     F.greatest(F.lit(1), F.col("pos") + 1 - width),
+                     F.least(F.lit(width), F.col("pos"))))
+    right = F.concat_ws(
+        " ", F.slice(F.col("__toks"), F.col("pos") + 2, width))
+    return (
+        hits.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            left.alias("left_ctx"),
+            F.col("tok").alias("term"),
+            right.alias("right_ctx"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(k)
+    )

@@ -151,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_cardinality_audit": skew.join_cardinality_audit,  # hash-paired r7h
     "fightin_words": textstats.fightin_words,  # hash-paired r7h
     "events_cusum_changepoint": timeseries.events_cusum_changepoint,  # hash-paired r7i
+    "kwic_concordance": textstats.kwic_concordance,  # hash-paired r7i
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4957,4 +4958,21 @@ SELECT event_type, day, x::BIGINT AS daily_count,
   s::BIGINT AS cusum_scaled,
   (s > 2 * t_total)::BIGINT AS shift_flag
 FROM cu ORDER BY event_type, day
+"""
+
+# r7i: kwic_concordance — keyword-in-context page for 'spark', width 3;
+# 1-based DuckDB slices mirrored to Spark's slice() bounds, 0-based pos.
+ORACLE["kwic_concordance"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hits AS (
+  SELECT doc_id, t, p
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) g
+  WHERE t[p] = 'spark'
+)
+SELECT doc_id, (p - 1)::BIGINT AS pos,
+  coalesce(array_to_string(t[greatest(1, p - 3):p - 1], ' '), '')
+    AS left_ctx,
+  t[p] AS term,
+  coalesce(array_to_string(t[p + 1:p + 3], ' '), '') AS right_ctx
+FROM hits ORDER BY doc_id, pos LIMIT 50
 """

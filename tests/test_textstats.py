@@ -614,3 +614,23 @@ def test_fightin_words_planted_term(spark, tmp_path):
          - math.log((yj + aw) / (nj + a0 - yj - aw)))
     z = round(d / math.sqrt(1 / (y_iw + aw) + 1 / (yj + aw)), 6)
     assert abs(top["s1"].z - z) < 2e-6
+
+
+def test_kwic_concordance_edges(spark, tmp_path):
+    """Term at document start has empty left context; mid-doc hits
+    carry exactly `width` tokens each side; repeated hits in one doc
+    emit one row per position."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        kwic_concordance,
+    )
+
+    sf = _docs_table(tmp_path, [
+        "spark a b c spark d e",
+        "x y z w spark",
+    ])
+    rows = kwic_concordance(spark, sf).collect()
+    assert [(r.doc_id, r.pos) for r in rows] == [(1, 0), (1, 4), (2, 4)]
+    r0, r1, r2 = rows
+    assert r0.left_ctx == "" and r0.right_ctx == "a b c"
+    assert r1.left_ctx == "a b c" and r1.right_ctx == "d e"
+    assert r2.left_ctx == "y z w" and r2.right_ctx == ""
