@@ -158,3 +158,66 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+def ivm_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status (count, total
+    cents) materialized aggregate is brought up to date by applying
+    DELTAS derived from the change batch — the base table is touched
+    once for the initial view and never rescanned for the refresh.
+    This is the continuous-aggregate refresh contract (Materialize /
+    TimescaleDB / Delta Live Tables): at 100 TB the delta path costs
+    O(|changes|), a full recompute costs O(|base|), and the two MUST
+    agree because count/sum are self-maintainable under
+    insert/update/delete.
+
+    The differential oracle IS the proof obligation: the SQL side
+    merges the change batch into the snapshot and re-aggregates from
+    scratch (cdc_merge_orders' recipe); this side never materialises
+    the merged table — a hash match certifies the IVM algebra. Money
+    moves in exact integer cents; updates contribute a pure price
+    delta (status unchanged), deletes retract, inserts add under the
+    new status.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    k = F.col("o_orderkey")
+    view0 = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+    d_upd = (
+        orders.where(k % 10 == 0)
+        .groupBy("o_orderstatus")
+        .agg(F.lit(0).cast("long").alias("dn"),
+             (F.count(F.lit(1)) * 1000).alias("dc"))  # +10.00 per row
+    )
+    d_del = (
+        orders.where(k % 10 == 1)
+        .groupBy("o_orderstatus")
+        .agg((-F.count(F.lit(1))).alias("dn"), (-F.sum("cents")).alias("dc"))
+    )
+    d_ins = (
+        orders.where(k % 10 == 2)
+        .groupBy(F.lit("N").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("dn"), F.sum("cents").alias("dc"))
+    )
+    deltas = (
+        d_upd.unionByName(d_del).unionByName(d_ins)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    return (
+        view0.join(deltas, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n"), F.lit(0))
+             + F.coalesce(F.col("dn"), F.lit(0))).cast("long")
+            .alias("n_orders"),
+            (F.coalesce(F.col("c"), F.lit(0))
+             + F.coalesce(F.col("dc"), F.lit(0))).cast("long")
+            .alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    )

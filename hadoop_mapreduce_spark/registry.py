@@ -152,6 +152,7 @@ QUERIES: dict[str, QueryFn] = {
     "fightin_words": textstats.fightin_words,  # hash-paired r7h
     "events_cusum_changepoint": timeseries.events_cusum_changepoint,  # hash-paired r7i
     "kwic_concordance": textstats.kwic_concordance,  # hash-paired r7i
+    "ivm_orders_agg": cdc.ivm_orders_agg,  # hash-paired r7i
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -4975,4 +4976,37 @@ SELECT doc_id, (p - 1)::BIGINT AS pos,
   t[p] AS term,
   coalesce(array_to_string(t[p + 1:p + 3], ' '), '') AS right_ctx
 FROM hits ORDER BY doc_id, pos LIMIT 50
+"""
+
+# r7i: ivm_orders_agg — the oracle recomputes the view FROM SCRATCH on
+# the merged snapshot; the Spark side only applies deltas. A hash match
+# certifies the self-maintainability algebra (see the docstring).
+ORACLE["ivm_orders_agg"] = """
+WITH orders0 AS (
+  SELECT o_orderkey, o_orderstatus,
+    (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus, cents + 1000 AS cents, 'U' AS op
+  FROM orders0 WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents, 'D'
+  FROM orders0 WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders0),
+    'N', cents, 'I'
+  FROM orders0 WHERE o_orderkey % 10 = 2
+),
+merged AS (
+  SELECT coalesce(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+    CASE WHEN c.op IN ('I','U') THEN c.o_orderstatus
+         ELSE t.o_orderstatus END AS o_orderstatus,
+    CASE WHEN c.op IN ('I','U') THEN c.cents ELSE t.cents END AS cents
+  FROM orders0 t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+  sum(cents)::BIGINT AS total_cents
+FROM merged GROUP BY 1 ORDER BY 1
 """

@@ -130,3 +130,44 @@ def test_scd2_intervals_are_contiguous(spark):
         assert [r.version for r in rows] == list(range(1, len(rows) + 1))
         for prev, nxt in zip(rows, rows[1:]):
             assert prev.valid_to == nxt.valid_from
+
+
+def test_ivm_orders_agg_equals_full_recompute(spark):
+    """The delta-maintained view must equal aggregating the actually-
+    merged snapshot (merge_apply + groupBy) — the self-maintainability
+    contract, checked against the operator's own merge machinery."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.operators.cdc import (
+        ivm_orders_agg, merge_apply)
+    from hadoop_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r.o_orderstatus: (r.n_orders, r.total_cents)
+           for r in ivm_orders_agg(spark, SF_DIR).collect()}
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    k = F.col("o_orderkey")
+    mx = orders.agg(F.max("o_orderkey").alias("__mx"))
+    changes = (
+        orders.where(k % 10 == 0)
+        .withColumn("cents", F.col("cents") + 1000)
+        .withColumn("op", F.lit("U"))
+        .unionByName(orders.where(k % 10 == 1).withColumn("op", F.lit("D")))
+        .unionByName(
+            orders.where(k % 10 == 2)
+            .crossJoin(F.broadcast(mx))
+            .withColumn("o_orderkey", k + F.col("__mx"))
+            .drop("__mx")
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("op", F.lit("I")))
+    )
+    merged = merge_apply(orders, changes, "o_orderkey")
+    want = {r.o_orderstatus: (r.n, r.c) for r in
+            merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("c")).collect()}
+    assert got == want
