@@ -3169,8 +3169,8 @@ _WINDOW_R7 = [
     "hll_portable_union", "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
     "embedding_centroid_drift", "char_trigram_langid",
-    "minhash_accuracy_audit", "quantile_histogram_portable",
-    "events_ewma_daily", "salted_aggregate_events",
+    "minhash_accuracy_audit",
+    "events_ewma_daily",
     "winnowing_neardup_pairs",
     # (d) r7c-new operators, hash-paired (quality_signal_correlation
     # landed after the previous window refresh — now included)
@@ -3195,8 +3195,8 @@ _WINDOW_R7 = [
     # (i) r7h-new operators (this session), all hash-paired
     "watermark_lateness_audit", "join_cardinality_audit",
     "fightin_words",
-    # r7-new operators, all hash-paired:
-    "heavy_hitters_cms",
+    # (j) r7i-new operators (this session), all hash-paired
+    "events_cusum_changepoint", "kwic_concordance", "ivm_orders_agg",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

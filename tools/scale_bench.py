@@ -164,6 +164,12 @@ HEADLINE = _HEADLINE + [
     "watermark_lateness_audit",
     "join_cardinality_audit",
     "fightin_words",
+    # round-7i additions: CUSUM (bounded fold after one exchange),
+    # KWIC (match-relation-sized), IVM (O(|changes|) deltas — the
+    # flat-refresh claim is the ladder story).
+    "events_cusum_changepoint",
+    "kwic_concordance",
+    "ivm_orders_agg",
 ]
 
 
