@@ -1667,15 +1667,20 @@ def fightin_words(spark: SparkSession, sf_dir: str,
     aw = F.lit(a0) * F.col("y_w") / F.col("n")
     yi, yj = F.col("y_iw"), F.col("y_w") - F.col("y_iw")
     ni, nj = F.col("n_i"), F.col("n") - F.col("n_i")
-    d = (
-        F.log((yi + aw) / (ni + F.lit(a0) - yi - aw))
-        - F.log((yj + aw) / (nj + F.lit(a0) - yj - aw))
-    )
+    d1 = ni + F.lit(a0) - yi - aw
+    d2 = nj + F.lit(a0) - yj - aw
+    d = F.log((yi + aw) / d1) - F.log((yj + aw) / d2)
     var = F.lit(1.0) / (yi + aw) + F.lit(1.0) / (yj + aw)
+    # Monroe's formula assumes a0 << n; on a degenerate corpus (e.g. a
+    # single distinct term held by one source, fuzz-found) a log
+    # denominator reaches zero — such cells carry no comparative
+    # signal, so they score 0 rather than crash/NaN.
+    z = F.when((d1 > 0) & (d2 > 0),
+               F.round(d / F.sqrt(var), 6)).otherwise(F.lit(0.0))
     scored = grid.select(
         "source", "w",
         F.col("y_iw").cast("long").alias("y_iw"),
-        F.round(d / F.sqrt(var), 6).alias("z"),
+        z.alias("z"),
     )
     wr = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("w"))
     return (

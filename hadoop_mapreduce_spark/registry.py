@@ -4908,13 +4908,16 @@ grid AS (
 ),
 sc AS (
   SELECT source, w, y_iw,
-    round(
+    CASE WHEN (n_i + 1000.0 - y_iw - 1000.0 * y_w / n) > 0
+          AND (n - n_i + 1000.0 - (y_w - y_iw) - 1000.0 * y_w / n) > 0
+    THEN round(
       (ln((y_iw + 1000.0 * y_w / n)
           / (n_i + 1000.0 - y_iw - 1000.0 * y_w / n))
        - ln((y_w - y_iw + 1000.0 * y_w / n)
             / (n - n_i + 1000.0 - (y_w - y_iw) - 1000.0 * y_w / n)))
       / sqrt(1.0 / (y_iw + 1000.0 * y_w / n)
-             + 1.0 / (y_w - y_iw + 1000.0 * y_w / n)), 6) AS z
+             + 1.0 / (y_w - y_iw + 1000.0 * y_w / n)), 6)
+    ELSE 0.0 END AS z
   FROM grid
 ),
 rk AS (

@@ -46,6 +46,10 @@ FUZZ_QUERIES = [
     "shard_layout_plan",
     "packing_boundary_audit",
     "bootstrap_ci_quality",
+    # r7h/i text ops — slice edges (KWIC) and the rounded-z ranking
+    # (fightin words: last-ulp ln differences must collapse at 6 dp)
+    "kwic_concordance",
+    "fightin_words",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -137,6 +141,8 @@ EVENT_QUERIES = [
     "session_gap_sweep",
     "event_pair_itemsets",
     "active_user_ratios",
+    "watermark_lateness_audit",
+    "events_cusum_changepoint",
 ]
 
 
@@ -253,6 +259,8 @@ ORD_QUERIES = [
     "date_functions",
     # r7g: ntile boundary determinism under heavy ties
     "customer_rfm_segments",
+    # r7i: IVM delta algebra vs full recompute on degenerate batches
+    "ivm_orders_agg",
 ]
 
 
