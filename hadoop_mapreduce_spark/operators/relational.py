@@ -1516,3 +1516,58 @@ def customer_rfm_segments(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def orders_cohort_ltv(spark, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, each cohort's spend tracked by months-since-first-order —
+    the revenue twin of events_retention_cohorts' activity triangle,
+    and the table a subscription/commerce business reads LTV curves
+    from. Month arithmetic is integer (year*12 + month) on both
+    engines — never months_between(), whose fractional semantics
+    differ. Spend in exact DECIMAL-derived cents; the cumulative
+    column is a per-cohort running sum over the <=|months| triangle
+    rows, not over orders.
+
+    Plan: one groupBy(custkey) for cohort assignment (min month), one
+    broadcast-joined groupBy to the (cohort, k) grain, one bounded
+    window for the cumsum. Output rows = cohorts x months.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year(F.col("o_orderdate").cast("timestamp")) * 12
+         + F.month(F.col("o_orderdate").cast("timestamp"))).alias("ym"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("ym0"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.col("ym0").alias("cohort_ym"),
+            (F.col("ym") - F.col("ym0")).alias("k"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("spend_cents"),
+        )
+    )
+    w = (Window.partitionBy("cohort_ym").orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        cells.select(
+            F.expr("cohort_ym div 12").alias("cohort_year"),
+            F.expr("cohort_ym % 12").alias("cohort_month0"),
+            F.col("k").cast("long").alias("k"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("spend_cents").cast("long").alias("spend_cents"),
+            F.sum("spend_cents").over(w).cast("long")
+            .alias("cum_spend_cents"),
+        )
+        .orderBy("cohort_year", "cohort_month0", "k")
+    )

@@ -153,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_cusum_changepoint": timeseries.events_cusum_changepoint,  # hash-paired r7i
     "kwic_concordance": textstats.kwic_concordance,  # hash-paired r7i
     "ivm_orders_agg": cdc.ivm_orders_agg,  # hash-paired r7i
+    "orders_cohort_ltv": relational.orders_cohort_ltv,  # hash-paired r7j
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -5012,4 +5013,30 @@ merged AS (
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
   sum(cents)::BIGINT AS total_cents
 FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+# r7j: orders_cohort_ltv — cohort LTV triangle; integer year*12+month
+# arithmetic (months_between differs across engines), exact cents.
+ORACLE["orders_cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey,
+    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+    (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(ym) AS ym0 FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT ym0 AS cohort_ym, o.ym - f.ym0 AS k,
+    count(DISTINCT o.o_custkey) AS n_active, sum(cents) AS spend_cents
+  FROM o JOIN f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT (cohort_ym // 12)::BIGINT AS cohort_year,
+  (cohort_ym % 12)::BIGINT AS cohort_month0,
+  k::BIGINT AS k, n_active::BIGINT AS n_active,
+  spend_cents::BIGINT AS spend_cents,
+  sum(spend_cents) OVER (PARTITION BY cohort_ym ORDER BY k
+                         ROWS UNBOUNDED PRECEDING)::BIGINT
+    AS cum_spend_cents
+FROM cells ORDER BY cohort_year, cohort_month0, k
 """

@@ -199,3 +199,33 @@ def test_customer_rfm_segments_quintiles(spark):
     m5 = [r.mean_spend_cents for r in rows if r.m_score == 5]
     m1 = [r.mean_spend_cents for r in rows if r.m_score == 1]
     assert min(m5) > max(m1)
+
+
+def test_orders_cohort_ltv_triangle(spark):
+    """Triangle invariants on real fixtures: k >= 0, cumulative spend
+    is non-decreasing within a cohort, total spend across cells equals
+    total order spend in cents, and cohort sizes at k=0 sum to the
+    customer count."""
+    import duckdb
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        orders_cohort_ltv,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = orders_cohort_ltv(spark, SF_DIR).collect()
+    assert rows and all(r.k >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault((r.cohort_year, r.cohort_month0),
+                             []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.k)
+        assert rs[0].k == 0  # every cohort starts at its birth month
+        cums = [r.cum_spend_cents for r in rs]
+        assert cums == sorted(cums)
+        assert cums[-1] == sum(r.spend_cents for r in rs)
+    total = duckdb.sql(
+        f"SELECT sum((o_totalprice::DECIMAL(18,2)*100)::BIGINT) FROM "
+        f"'{SF_DIR}/orders.parquet'").fetchone()[0]
+    assert sum(r.spend_cents for r in rows) == total
