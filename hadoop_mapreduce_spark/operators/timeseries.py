@@ -1085,3 +1085,65 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each order (the conversion)
+    is credited to the LAST event of that customer at-or-before the
+    order date, rolled up per event type with conversion counts and
+    exact time-to-convert percentiles — the marketing-analytics twin
+    of the as-of join (same one-shuffle union trick; the credit rule
+    is the industry-default last-touch, deterministic via the
+    (ts, side, event_id) total order where the latest event and
+    highest event_id win ties).
+
+    Plan: union events and orders tagged by side, one window keyed on
+    user carrying the last event forward — never a per-order range
+    join. Unattributed orders (no prior event) appear as the
+    '(none)' row so the credit table always sums to the order count.
+    Percentile ranks are exact order statistics.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("side"),
+        "event_type", "event_id",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("t_us"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (Window.partitionBy("k").orderBy("t_us", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = ev.unionByName(orders).select(
+        "k", "t_us", "side",
+        F.last("event_type", ignorenulls=True).over(w).alias("last_type"),
+        F.last(F.when(F.col("side") == 0, F.col("t_us")),
+               ignorenulls=True).over(w).alias("last_ev_us"),
+    )
+    conv = tagged.where(F.col("side") == 1).select(
+        F.coalesce(F.col("last_type"), F.lit("(none)")).alias("credit"),
+        (F.col("t_us") - F.col("last_ev_us")).alias("lag_us"),
+    )
+    wr = Window.partitionBy("credit").orderBy(
+        F.asc_nulls_last("lag_us"))
+    ranked = conv.select(
+        "credit", "lag_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("credit")).alias("n"),
+    )
+    return (
+        ranked.groupBy("credit")
+        .agg(
+            F.max("n").cast("long").alias("n_conversions"),
+            F.max(F.when(F.expr("rn = (n + 1) div 2"),
+                         F.col("lag_us"))).alias("p50_lag_us"),
+            F.max(F.when(F.expr("rn = (n * 95 + 99) div 100"),
+                         F.col("lag_us"))).alias("p95_lag_us"),
+        )
+        .orderBy("credit")
+    )

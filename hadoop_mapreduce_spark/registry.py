@@ -154,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "kwic_concordance": textstats.kwic_concordance,  # hash-paired r7i
     "ivm_orders_agg": cdc.ivm_orders_agg,  # hash-paired r7i
     "orders_cohort_ltv": relational.orders_cohort_ltv,  # hash-paired r7j
+    "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,
@@ -5039,4 +5040,44 @@ SELECT (cohort_ym // 12)::BIGINT AS cohort_year,
                          ROWS UNBOUNDED PRECEDING)::BIGINT
     AS cum_spend_cents
 FROM cells ORDER BY cohort_year, cohort_month0, k
+"""
+
+# r7j: conversion_attribution — last-touch credit via the one-shuffle
+# union window (asof pattern), exact order-statistic lag percentiles.
+ORACLE["conversion_attribution"] = """
+WITH u AS (
+  SELECT user_id AS k, epoch_us(ts) AS t_us, 0 AS side,
+    event_type, event_id
+  FROM events
+  UNION ALL
+  SELECT o_custkey, epoch_us(o_orderdate::TIMESTAMP), 1, NULL, NULL
+  FROM orders
+),
+tagged AS (
+  SELECT k, t_us, side,
+    last_value(event_type IGNORE NULLS) OVER w AS last_type,
+    last_value(CASE WHEN side = 0 THEN t_us END IGNORE NULLS) OVER w
+      AS last_ev_us
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t_us, side, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+conv AS (
+  SELECT coalesce(last_type, '(none)') AS credit,
+    t_us - last_ev_us AS lag_us
+  FROM tagged WHERE side = 1
+),
+rk AS (
+  SELECT credit, lag_us,
+    row_number() OVER (PARTITION BY credit
+                       ORDER BY lag_us ASC NULLS LAST) AS rn,
+    count(*) OVER (PARTITION BY credit) AS n
+  FROM conv
+)
+SELECT credit, max(n)::BIGINT AS n_conversions,
+  max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END)::BIGINT
+    AS p50_lag_us,
+  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_us END)::BIGINT
+    AS p95_lag_us
+FROM rk GROUP BY credit ORDER BY credit
 """

@@ -449,3 +449,49 @@ def test_events_cusum_changepoint_detects_shift(spark, tmp_path):
     first_flag = min(i for i, r in enumerate(shift) if r.shift_flag)
     assert first_flag >= 10
     assert all(r.shift_flag == 0 and r.cusum_scaled == 0 for r in flat)
+
+
+def test_conversion_attribution_last_touch(spark, tmp_path):
+    """The order is credited to the latest event at-or-before it
+    (same-timestamp event IS visible); an order with no prior event
+    lands in '(none)'; credits sum to the order count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        conversion_attribution,
+    )
+
+    d = lambda h: datetime(2024, 2, 1, h)
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([d(9), d(10), d(8)], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": pa.array(["view", "click", "view"], pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    od = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+        "o_totalprice": pa.array([5.0] * 3, pa.float64()),
+        "o_orderdate": pa.array([d(12), d(8), d(12)],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+    })
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+    rows = {r.credit: r for r in
+            conversion_attribution(spark, str(tmp_path)).collect()}
+    # user 1: click at 10:00 is the last touch before the 12:00 order
+    assert rows["click"].n_conversions == 1
+    assert rows["click"].p50_lag_us == 2 * 3600 * 1_000_000
+    # user 2: the 08:00 event is exactly at the order ts -> visible
+    assert rows["view"].n_conversions == 1
+    assert rows["view"].p50_lag_us == 0
+    # user 3 has no events at all
+    assert rows["(none)"].n_conversions == 1
+    assert rows["(none)"].p50_lag_us is None
+    assert sum(r.n_conversions for r in rows.values()) == 3
