@@ -155,6 +155,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivm_orders_agg": cdc.ivm_orders_agg,  # hash-paired r7i
     "orders_cohort_ltv": relational.orders_cohort_ltv,  # hash-paired r7j
     "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
+    "compression_ratio_quality": textstats.compression_ratio_quality,  # rows-only (DEFLATE not SQL-expressible)
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
     "ann_dim_truncation_audit": similarity.ann_dim_truncation_audit,

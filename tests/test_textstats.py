@@ -634,3 +634,25 @@ def test_kwic_concordance_edges(spark, tmp_path):
     assert r0.left_ctx == "" and r0.right_ctx == "a b c"
     assert r1.left_ctx == "a b c" and r1.right_ctx == "d e"
     assert r2.left_ctx == "y z w" and r2.right_ctx == ""
+
+
+def test_compression_ratio_quality_exact_and_property(spark, tmp_path):
+    """Exact twin against Python zlib for every doc, and the signal
+    property: a 50x-repeated sentence compresses far below the flag
+    threshold while unique-ish text stays above it."""
+    import zlib
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        compression_ratio_quality,
+    )
+
+    rep = "the same sentence again and again " * 50
+    uniq = ("quick brown foxes jump over sixteen lazy dogs while "
+            "zebras quietly graze beyond the violet mountain ridge")
+    sf = _docs_table(tmp_path, [rep, uniq])
+    [r] = compression_ratio_quality(spark, sf).collect()
+    expect_z = sum(len(zlib.compress(t.encode(), 6)) for t in (rep, uniq))
+    expect_raw = len(rep) + len(uniq)
+    assert (r.raw_bytes, r.z_bytes) == (expect_raw, expect_z)
+    assert r.corpus_ratio_e6 == expect_z * 1_000_000 // expect_raw
+    assert r.n_flagged == 1  # only the repeated doc flags
