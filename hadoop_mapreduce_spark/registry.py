@@ -3169,10 +3169,9 @@ _WINDOW_R7 = [
     # never-witnessed new operators)
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
     # (c) r7b-new operators, hash-paired, never yet witnessed
-    "hll_portable_union", "winnowing_fingerprint",
+    "winnowing_fingerprint",
     "ccnet_perplexity_buckets", "vocab_coverage_curve",
     "embedding_centroid_drift", "char_trigram_langid",
-    "minhash_accuracy_audit",
     "events_ewma_daily",
     "winnowing_neardup_pairs",
     # (d) r7c-new operators, hash-paired (quality_signal_correlation
@@ -3180,7 +3179,7 @@ _WINDOW_R7 = [
     "skipgram_cooccurrence", "stopword_discovery",
     "rrf_quality_fusion", "quality_threshold_sweep",
     "source_concentration_audit", "token_budget_fill",
-    "curriculum_interleave", "source_novelty_attribution",
+    "source_novelty_attribution",
     "quality_signal_correlation",
     # (e) r7d-new operators (this session), all hash-paired
     "ngram_diversity_audit", "dataset_card", "badwords_filter",
@@ -3200,6 +3199,9 @@ _WINDOW_R7 = [
     "fightin_words",
     # (j) r7i-new operators (this session), all hash-paired
     "events_cusum_changepoint", "kwic_concordance", "ivm_orders_agg",
+    # (k) r7j-new operators (this session)
+    "orders_cohort_ltv", "conversion_attribution",
+    "compression_ratio_quality",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

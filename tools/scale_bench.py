@@ -170,6 +170,12 @@ HEADLINE = _HEADLINE + [
     "events_cusum_changepoint",
     "kwic_concordance",
     "ivm_orders_agg",
+    # round-7j additions: LTV (two keyed aggs + triangle window),
+    # attribution (one union window), compression (scan-speed UDF —
+    # the Arrow-batch throughput claim).
+    "orders_cohort_ltv",
+    "conversion_attribution",
+    "compression_ratio_quality",
 ]
 
 
