@@ -1147,3 +1147,117 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("credit")
     )
+
+
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands read behind engagement / retention dashboards
+    (extends the reference's per-key aggregation surface, SURVEY.md §2
+    op-10, to ordered-run analytics the way `dedup_repeated_spans` does
+    for token positions).
+
+    Plan shape (scale-correct at any event volume): the raw stream
+    collapses to DISTINCT (user_id, day) FIRST — the only data-sized
+    exchange — then one window pass per user assigns island ids via the
+    day_number − row_number trick (consecutive days share a constant
+    difference), and two bounded aggregations produce islands and the
+    per-user rollup. Day numbers are exact integer day-diffs from a
+    fixed epoch on BOTH engines, so island grouping is arithmetic, not
+    calendar-string, and engine-portable.
+
+    The longest-streak argmax (earliest start wins ties) rides the same
+    user-partitioned exchange: a window max over islands, then a
+    filtered min — no extra shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.col("d") - F.col("rn"))
+        .groupBy("user_id", "grp")
+        .agg(F.min("d").alias("start_d"),
+             F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    wu = Window.partitionBy("user_id")
+    return (
+        islands.withColumn("mx", F.max("len").over(wu))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.min(F.when(F.col("len") == F.col("mx"), F.col("start_d")))
+            .alias("ls_d"),
+        )
+        .select(
+            "user_id", "n_streaks", "n_active_days", "longest_streak",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("ls_d"))
+            .cast("string").alias("longest_streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily event-count series per
+    event type, lags 1..max_lag — the seasonality / persistence
+    diagnostic read before fitting any forecast model (pairs with
+    `events_dow_hour_profile`'s fixed-grid view).
+
+    Scale shape: the stream collapses to one bounded (type, day) count
+    table (the only data-sized exchange; ≤ 366 rows/type/year at any
+    corpus size), the lag pairing is a broadcast self-join on exact
+    integer day numbers, and each (type, lag) cell reduces the five
+    Pearson sums. All sums are exact BIGINT arithmetic (counts are
+    integers); only the final correlation divides in DOUBLE, and it is
+    floor-rounded at 6 dp — the repo's cross-engine float convention
+    (see events_ewma_daily).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") - F.col("lag")))
+        .select(F.col("a.event_type").alias("event_type"), "lag",
+                F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    g = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = ((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+           * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")))
+    return (
+        g.select(
+            "event_type", F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.when(den > 0,
+                   F.floor(num.cast("double") / F.sqrt(den.cast("double"))
+                           * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

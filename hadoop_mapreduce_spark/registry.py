@@ -155,6 +155,8 @@ QUERIES: dict[str, QueryFn] = {
     "ivm_orders_agg": cdc.ivm_orders_agg,  # hash-paired r7i
     "orders_cohort_ltv": relational.orders_cohort_ltv,  # hash-paired r7j
     "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
+    "user_active_streaks": timeseries.user_active_streaks,  # hash-paired r7k
+    "events_acf": timeseries.events_acf,  # hash-paired r7k
     "compression_ratio_quality": textstats.compression_ratio_quality,  # rows-only (DEFLATE not SQL-expressible)
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
@@ -5083,4 +5085,69 @@ SELECT credit, max(n)::BIGINT AS n_conversions,
   max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_us END)::BIGINT
     AS p95_lag_us
 FROM rk GROUP BY credit ORDER BY credit
+"""
+
+# r7k: user_active_streaks — gaps-and-islands on exact integer day
+# numbers; the argmax tie (earliest start among equal-longest islands)
+# is a filtered min on both engines.
+ORACLE["user_active_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, grp, min(d) AS start_d, count(*)::BIGINT AS len
+  FROM isl GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, grp, start_d, len,
+         max(len) OVER (PARTITION BY user_id) AS mx
+  FROM islands
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_streaks,
+       sum(len)::BIGINT AS n_active_days,
+       max(len)::BIGINT AS longest_streak,
+       (DATE '2024-01-01'
+        + to_days(min(CASE WHEN len = mx THEN start_d END)::INTEGER)
+       )::DATE::VARCHAR AS longest_streak_start
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+# r7k: events_acf — Pearson sums are exact BIGINT (daily counts are
+# integers); only the final ratio divides in DOUBLE and floor-rounds at
+# 6 dp, the repo's cross-engine float convention.
+ORACLE["events_acf"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7])::BIGINT AS lag),
+pairs AS (
+  SELECT a.event_type, lags.lag, a.x AS x, b.x AS y
+  FROM daily a
+  CROSS JOIN lags
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - lags.lag
+),
+g AS (
+  SELECT event_type, lag, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n AS n_pairs,
+       CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0 THEN
+         floor((n * sxy - sx * sy)::DOUBLE
+               / sqrt(((n * sx2 - sx * sx) * (n * sy2 - sy * sy))::DOUBLE)
+               * 1e6 + 0.5) / 1e6
+       END AS acf
+FROM g ORDER BY event_type, lag
 """

@@ -495,3 +495,81 @@ def test_conversion_attribution_last_touch(spark, tmp_path):
     assert rows["(none)"].n_conversions == 1
     assert rows["(none)"].p50_lag_us is None
     assert sum(r.n_conversions for r in rows.values()) == 3
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, user_id, ts) written with the fixture
+    schema (other columns defaulted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+
+def test_user_active_streaks_islands(spark, tmp_path):
+    """u1 active days {0,1,2, 5,6, 10}: three islands, longest 3 from
+    day 0; u2 active {4,5} only. Two same-length islands tie-break to
+    the EARLIEST start."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        user_active_streaks,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    u1_days = [0, 1, 2, 5, 6, 10]
+    u3_days = [3, 4, 8, 9]  # two length-2 islands -> earliest start wins
+    rows = (
+        [(i, 1, d0 + timedelta(days=d)) for i, d in enumerate(u1_days)]
+        + [(100 + i, 2, d0 + timedelta(days=d)) for i, d in enumerate([4, 5])]
+        + [(200 + i, 3, d0 + timedelta(days=d)) for i, d in enumerate(u3_days)]
+        # duplicate event same day must not double-count
+        + [(999, 1, d0 + timedelta(days=0, hours=5))]
+    )
+    _write_events(tmp_path, rows)
+    out = {r.user_id: r for r in
+           user_active_streaks(spark, str(tmp_path)).collect()}
+    assert (out[1].n_streaks, out[1].n_active_days,
+            out[1].longest_streak) == (3, 6, 3)
+    assert out[1].longest_streak_start == "2024-01-01"
+    assert (out[2].n_streaks, out[2].longest_streak) == (1, 2)
+    assert out[2].longest_streak_start == "2024-01-05"
+    assert (out[3].n_streaks, out[3].longest_streak) == (2, 2)
+    assert out[3].longest_streak_start == "2024-01-04"  # tie -> earliest
+
+
+def test_events_acf_perfect_alternation(spark, tmp_path):
+    """A strictly alternating daily count series (1,3,1,3,...) has
+    ACF(1) = -1 and ACF(2) = +1 exactly; numpy.corrcoef agrees on every
+    lag."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.timeseries import events_acf
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts = [1 if d % 2 == 0 else 3 for d in range(12)]
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, 1, d0 + timedelta(days=d, minutes=k)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.lag: r for r in events_acf(spark, str(tmp_path)).collect()}
+    assert out[1].acf == -1.0 and out[2].acf == 1.0
+    x = np.array(counts, dtype=float)
+    for lag in range(1, 8):
+        expect = float(np.corrcoef(x[lag:], x[:-lag])[0, 1])
+        got = out[lag].acf
+        assert abs(got - expect) < 2e-6, (lag, got, expect)
+        assert out[lag].n_pairs == 12 - lag
