@@ -1261,3 +1261,167 @@ def events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity / licensing
+    metric ("how many users were on AT ONCE") that a plain daily
+    session count cannot answer. Sessions are the same 30-minute-gap
+    windows as `events_session`; a session is live on [first_ts,
+    last_ts + gap), Spark's session_window interval.
+
+    Distributed sweep-line, no global sort of the boundary stream:
+      1. sessions collapse to ±1 boundary rows (one data-sized agg);
+      2. per-HOUR delta totals form a BOUNDED table (≤ 8760 rows/year
+         at any corpus size) whose single-partition running sum yields
+         each hour's entry concurrency — the classic two-level scan
+         that replaces a global window over the data;
+      3. within each hour partition a keyed window finishes the prefix
+         sum; boundary concurrency = hour offset + local running sum.
+    Midnight PROBE rows (delta 0, one per day on a bounded spine)
+    sample the running value at day start, so a day whose peak is
+    carried entirely by sessions spanning midnight (no +1 boundary that
+    day) still reports its true maximum.
+
+    Tie rule at identical microsecond: ends (−1) before probes (0)
+    before starts (+1) — a session ending exactly when another starts
+    is NOT concurrent with it; both engines order by (t_us, delta).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            # ts is TIMESTAMP_NTZ here (fixture nanos path); the
+            # session runs in UTC, so the NTZ->TIMESTAMP cast is
+            # value-identity and unix_micros is exact.
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("s_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp"))
+            .alias("e_us"))
+    )
+    bounds = (
+        sess.select(F.col("s_us").alias("t_us"),
+                    F.lit(1).cast("long").alias("delta"))
+        .unionAll(sess.select(F.col("e_us").alias("t_us"),
+                              F.lit(-1).cast("long").alias("delta")))
+    )
+    day_us = 86_400_000_000
+    rng = bounds.agg(
+        F.min(F.expr(f"t_us DIV {day_us}")).alias("d0"),
+        F.max(F.expr(f"t_us DIV {day_us}")).alias("d1"))
+    probes = rng.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("dnum")).select(
+        (F.col("dnum") * F.lit(day_us)).alias("t_us"),
+        F.lit(0).cast("long").alias("delta"))
+    allb = bounds.unionAll(probes).withColumn(
+        "bucket", F.expr("t_us DIV 3600000000"))
+    per_bucket = allb.groupBy("bucket").agg(F.sum("delta").alias("bsum"))
+    # Running sum over the BOUNDED per-hour table: a single-partition
+    # window over ≤ 8760 rows/year is the intended plan, not a scale
+    # hazard (same pattern as the day-spine ops).
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("off"))
+    wi = (Window.partitionBy("bucket").orderBy("t_us", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    conc = (
+        allb.withColumn("run", F.sum("delta").over(wi))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn("conc", F.col("off") + F.col("run"))
+    )
+    return (
+        conc.groupBy(F.expr(f"t_us DIV {day_us}").alias("dnum"))
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long").alias("n_sessions_started"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("long").alias("n_sessions_ended"),
+        )
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("dnum").cast("int")).cast("string")
+            .alias("day"),
+            "max_concurrency", "n_sessions_started", "n_sessions_ended",
+        )
+        .orderBy("day")
+    )
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str,
+                       alpha: float = 0.5, beta: float = 0.3) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend) over
+    the per-type DAILY event-count series, with the one-step-ahead
+    forecast and its absolute error — the trend-aware upgrade of
+    `events_ewma_daily` (which models level only and lags any ramp).
+
+      l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})      seed l_1 = x_1
+      b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}      seed b_1 = 0
+      forecast_t (made at t−1) = l_{t−1} + b_{t−1}
+
+    Scale + determinism shape is exactly the EWMA operator's: the
+    stream collapses to one bounded (type, day) count table (the only
+    data-sized exchange; the recursion runs over DAYS, ≤ 366/year at
+    any corpus size), each type's series folds with ONE higher-order
+    `aggregate` lambda, and because the inputs are exact BIGINTs and
+    both engines execute the identical multiply-add sequence in the
+    identical order (DuckDB steps the same recurrence in a lockstep
+    recursive CTE), the float chain is bit-identical and floor-rounds
+    cleanly at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type",
+                  F.datediff(F.col("ts").cast("date"),
+                             F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("xs"))
+    a, oa = repr(float(alpha)), repr(1.0 - float(alpha))
+    b, ob = repr(float(beta)), repr(1.0 - float(beta))
+    lvl = (f"CASE WHEN acc.k = 0 THEN CAST(x.x AS DOUBLE) "
+           f"ELSE {a} * CAST(x.x AS DOUBLE) "
+           f"+ {oa} * (acc.l + acc.b) END")
+    trd = (f"CASE WHEN acc.k = 0 THEN CAST(0.0 AS DOUBLE) "
+           f"ELSE {b} * (({lvl}) - acc.l) + {ob} * acc.b END")
+    fct = "CASE WHEN acc.k = 0 THEN CAST(NULL AS DOUBLE) ELSE acc.l + acc.b END"
+    fold = f"""
+      aggregate(
+        xs,
+        named_struct(
+          'out',
+          CAST(array() AS ARRAY<STRUCT<d BIGINT, x BIGINT, l DOUBLE,
+                                       b DOUBLE, f DOUBLE>>),
+          'l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), 'k', 0),
+        (acc, x) -> named_struct(
+          'out', array_append(acc.out,
+                   named_struct('d', CAST(x.d AS BIGINT), 'x', x.x,
+                                'l', {lvl}, 'b', {trd}, 'f', {fct})),
+          'l', {lvl},
+          'b', {trd},
+          'k', acc.k + 1),
+        acc -> acc.out)
+    """
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        arr.select("event_type", F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "event_type",
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.col("r.d").cast("int")).cast("string")
+            .alias("day"),
+            F.col("r.x").alias("n_events"),
+            r6(F.col("r.l")).alias("level"),
+            r6(F.col("r.b")).alias("trend"),
+            r6(F.col("r.f")).alias("forecast"),
+            r6(F.abs(F.col("r.x").cast("double") - F.col("r.f")))
+            .alias("abs_error"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -157,6 +157,8 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
     "user_active_streaks": timeseries.user_active_streaks,  # hash-paired r7k
     "events_acf": timeseries.events_acf,  # hash-paired r7k
+    "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
+    "events_holt_linear": timeseries.events_holt_linear,  # hash-paired r7k
     "compression_ratio_quality": textstats.compression_ratio_quality,  # rows-only (DEFLATE not SQL-expressible)
     "padding_waste_audit": curation.padding_waste_audit,
     "inbatch_collision_audit": curation.inbatch_collision_audit,
@@ -5150,4 +5152,88 @@ SELECT event_type, lag, n AS n_pairs,
                * 1e6 + 0.5) / 1e6
        END AS acf
 FROM g ORDER BY event_type, lag
+"""
+
+# r7k: session_concurrency — the oracle rebuilds the same ±1 boundary
+# stream (30-min-gap sessions, live on [first, last+30min)) plus the
+# midnight delta-0 probes, and takes one global running sum; ties order
+# by (t_us, delta) on both engines, so ends release before starts
+# acquire at the same microsecond.
+ORACLE["session_concurrency"] = """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS s_us,
+         epoch_us(max(ts)) + 1800000000 AS e_us
+  FROM s GROUP BY 1, 2
+),
+b AS (
+  SELECT s_us AS t_us, 1::BIGINT AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS t_us, -1::BIGINT AS delta FROM sess
+),
+rng AS (
+  SELECT min(t_us) // 86400000000 AS d0, max(t_us) // 86400000000 AS d1
+  FROM b
+),
+probes AS (
+  SELECT unnest(range(d0, d1 + 1)) * 86400000000 AS t_us, 0::BIGINT AS delta
+  FROM rng
+),
+allb AS (SELECT * FROM b UNION ALL SELECT * FROM probes),
+c AS (
+  SELECT t_us, delta,
+         sum(delta) OVER (ORDER BY t_us, delta ROWS UNBOUNDED PRECEDING) AS conc
+  FROM allb
+)
+SELECT (DATE '1970-01-01' + to_days((t_us // 86400000000)::INTEGER))::DATE::VARCHAR AS day,
+       max(conc)::BIGINT AS max_concurrency,
+       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_sessions_started,
+       sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT AS n_sessions_ended
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+# r7k: events_holt_linear — lockstep recursive CTE stepping the exact
+# Holt recurrence (seed l_1 = x_1, b_1 = 0) in the same multiply-add
+# order as the Spark fold; inputs are exact BIGINT daily counts, so the
+# float chain is bit-identical and floor-rounds at 6 dp.
+ORACLE["events_holt_linear"] = """
+WITH RECURSIVE idx AS (
+  SELECT event_type, d, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+  FROM (
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1, 2)
+),
+h AS (
+  SELECT event_type, d, x, t,
+         x::DOUBLE AS l, 0.0::DOUBLE AS b, NULL::DOUBLE AS f
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.d, i.x, i.t,
+         0.5 * i.x::DOUBLE + 0.5 * (h.l + h.b),
+         0.3 * ((0.5 * i.x::DOUBLE + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+         h.l + h.b
+  FROM h JOIN idx i ON i.event_type = h.event_type AND i.t = h.t + 1
+)
+SELECT event_type,
+       (DATE '2024-01-01' + to_days(d::INTEGER))::DATE::VARCHAR AS day,
+       x AS n_events,
+       floor(l * 1e6 + 0.5) / 1e6 AS level,
+       floor(b * 1e6 + 0.5) / 1e6 AS trend,
+       floor(f * 1e6 + 0.5) / 1e6 AS forecast,
+       floor(abs(x::DOUBLE - f) * 1e6 + 0.5) / 1e6 AS abs_error
+FROM h ORDER BY event_type, day
 """

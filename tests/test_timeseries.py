@@ -573,3 +573,84 @@ def test_events_acf_perfect_alternation(spark, tmp_path):
         got = out[lag].acf
         assert abs(got - expect) < 2e-6, (lag, got, expect)
         assert out[lag].n_pairs == 12 - lag
+
+
+def test_session_concurrency_sweep_line(spark, tmp_path):
+    """Three users: u1 22:00–23:50 day0 (session live until 00:20 day1,
+    spanning midnight), u2 23:00 day0 (live 23:00–23:30), u3 00:10
+    day1. Day0 peak = 2 (u1+u2 during 23:00–23:30); day1 peak = 2
+    (u1 still live at 00:10 when u3 starts). Day1 has no +1 boundary
+    before u3 — the midnight probe must carry u1's session over."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        session_concurrency,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    # u1: events every 20 min from 22:00 to 23:50 -> one session,
+    # live [22:00, 00:20 next day)
+    for i, m in enumerate(range(0, 111, 10)):
+        rows.append((i, 1, d0 + timedelta(hours=22, minutes=m)))
+    rows.append((50, 2, d0 + timedelta(hours=23)))          # u2
+    rows.append((60, 3, d0 + timedelta(days=1, minutes=10)))  # u3
+    _write_events(tmp_path, rows)
+    out = {r.day: r for r in
+           session_concurrency(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"].max_concurrency == 2
+    assert out["2024-01-01"].n_sessions_started == 2
+    assert out["2024-01-02"].max_concurrency == 2
+    assert out["2024-01-02"].n_sessions_started == 1
+    assert out["2024-01-02"].n_sessions_ended == 2  # u1 00:20, u3 00:40
+
+
+def test_session_concurrency_touch_is_not_concurrent(spark, tmp_path):
+    """A session ending exactly when another starts does not overlap:
+    u1 live [00:00, 00:30), u2 starts exactly at 00:30 -> peak 1."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        session_concurrency,
+    )
+
+    d0 = datetime(2024, 1, 5)
+    rows = [(1, 1, d0), (2, 2, d0 + timedelta(minutes=30))]
+    _write_events(tmp_path, rows)
+    out = session_concurrency(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].max_concurrency == 1
+
+
+def test_events_holt_linear_tracks_ramp(spark, tmp_path):
+    """On a perfectly linear daily ramp (x_t = 2t) a numpy replay of
+    the recurrence must agree to 1e-6, the trend converges toward the
+    true slope 2, and forecasts improve: late abs_error < early."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_holt_linear,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = [2 * (t + 1) for t in range(14)]
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, 1, d0 + timedelta(days=d, minutes=k)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = events_holt_linear(spark, str(tmp_path)).collect()
+    assert len(out) == 14 and out[0].forecast is None
+    al, be = 0.5, 0.3
+    l, b = float(counts[0]), 0.0
+    for t in range(1, 14):
+        f = l + b
+        nl = al * counts[t] + (1 - al) * (l + b)
+        b = be * (nl - l) + (1 - be) * b
+        l = nl
+        import math
+        assert abs(out[t].level - l) < 2e-6
+        assert abs(out[t].trend - b) < 2e-6
+        assert abs(out[t].forecast - f) < 2e-6
+    assert abs(out[13].trend - 2.0) < 0.2      # converged near slope
+    assert out[13].abs_error < out[2].abs_error
