@@ -3173,9 +3173,11 @@ _WINDOW_R7 = [
     # never-witnessed new operators)
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
     # (c) r7b-new operators, hash-paired, never yet witnessed
+    # (rotation: ccnet_perplexity_buckets / vocab_coverage_curve /
+    # embedding_centroid_drift / char_trigram_langid yielded their
+    # slots to the r7k wave — both full artifacts cover them at two
+    # sfs; they lead the r8 window front)
     "winnowing_fingerprint",
-    "ccnet_perplexity_buckets", "vocab_coverage_curve",
-    "embedding_centroid_drift", "char_trigram_langid",
     "events_ewma_daily",
     "winnowing_neardup_pairs",
     # (d) r7c-new operators, hash-paired (quality_signal_correlation
@@ -3206,6 +3208,9 @@ _WINDOW_R7 = [
     # (k) r7j-new operators (this session)
     "orders_cohort_ltv", "conversion_attribution",
     "compression_ratio_quality",
+    # (l) r7k-new operators (this session), all hash-paired
+    "user_active_streaks", "session_concurrency", "events_acf",
+    "events_holt_linear",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
