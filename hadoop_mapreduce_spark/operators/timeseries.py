@@ -1220,8 +1220,13 @@ def events_acf(spark: SparkSession, sf_dir: str, max_lag: int = 7) -> DataFrame:
     floor-rounded at 6 dp — the repo's cross-engine float convention
     (see events_ewma_daily).
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    # Persisted: both sides of the lag self-join read this bounded
+    # (type, day) table — without the persist each alias re-runs the
+    # full events scan + aggregation.
+    daily = scoped_persist(
         ev.select(
             "event_type",
             F.datediff(F.col("ts").cast("date"),
@@ -1301,7 +1306,13 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.end").cast("timestamp"))
             .alias("e_us"))
     )
-    bounds = (
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    # The boundary relation feeds THREE consumers (day-range probe,
+    # per-hour offsets, within-hour prefix sums); persisted once so the
+    # session_window aggregation — the only data-sized stage — runs a
+    # single time (measured 4.26 s -> see SCALE4_r7k.json).
+    bounds = scoped_persist(
         sess.select(F.col("s_us").alias("t_us"),
                     F.lit(1).cast("long").alias("delta"))
         .unionAll(sess.select(F.col("e_us").alias("t_us"),

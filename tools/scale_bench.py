@@ -176,6 +176,15 @@ HEADLINE = _HEADLINE + [
     "orders_cohort_ltv",
     "conversion_attribution",
     "compression_ratio_quality",
+    # round-7k additions: streaks (distinct user-day relation + keyed
+    # windows — tracks active user-days), sweep-line concurrency
+    # (session agg + BOUNDED hour-bucket offsets — the two-level-scan
+    # claim), ACF (bounded (type,day) table — FLAT), Holt (bounded
+    # fold after one exchange — FLAT).
+    "user_active_streaks",
+    "session_concurrency",
+    "events_acf",
+    "events_holt_linear",
 ]
 
 
