@@ -1802,3 +1802,169 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+# Explicit, shorthand-free character classes so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte — no \d, \w, \s or \b (their
+# definitions differ across engines; see BPE_RE above).
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_redact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit — the compliance pass every pretraining
+    pipeline runs before release (emails / phone numbers / IP
+    addresses, the Dolma & BigScience PII trio): per source, the
+    document hit rate per class and the total character mass a
+    redaction pass would remove.
+
+    The synthetic corpus is punctuation-free word soup, so the PII
+    payload follows the repo's deterministic RECIPE-REPLAY convention
+    (audio/video_meta): contact strings derived from md5(doc_id) are
+    appended to a doc_id-keyed subset of docs (every 3rd doc an email,
+    every 5th a phone, every 7th an IP), and the DuckDB oracle replays
+    the identical recipe — so the regex-extraction machinery under
+    audit (extract-all, per-class counts, match-length mass) is
+    verified end to end on strings both engines construct
+    byte-identically. On a real corpus only the injection block is
+    deleted; the audit below it is unchanged.
+
+    Scale shape: scan-speed projection (regexp_extract_all inside
+    whole-stage codegen, no UDF) followed by a |sources|-row rollup —
+    the same near-flat family as badwords_filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    n1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    n2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    n3 = F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
+    n4 = F.conv(F.substring(h, 25, 8), 16, 10).cast("long")
+    email = F.concat(F.lit(" contact u"), F.substring(h, 1, 6),
+                     F.lit("@mail"), F.substring(h, 7, 4), F.lit(".com"))
+    phone = F.concat(F.lit(" call +1-"),
+                     (n1 % 900 + 100).cast("string"), F.lit("-"),
+                     (n2 % 900 + 100).cast("string"), F.lit("-"),
+                     (n3 % 9000 + 1000).cast("string"))
+    ip = F.concat(F.lit(" host "),
+                  (n1 % 256).cast("string"), F.lit("."),
+                  (n2 % 256).cast("string"), F.lit("."),
+                  (n3 % 256).cast("string"), F.lit("."),
+                  (n4 % 256).cast("string"))
+    full = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, phone).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, ip).otherwise(F.lit("")),
+    )
+    def _mass(pattern: str) -> Column:
+        # Column-API fold (never F.expr with an embedded pattern: Spark
+        # SQL string literals unescape backslashes, silently turning
+        # \. into .).
+        return F.aggregate(
+            F.transform(
+                F.regexp_extract_all("full", F.lit(pattern), F.lit(0)),
+                lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+
+    per_doc = docs.select(
+        "source", full.alias("full")
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all("full", F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("full", F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all("full", F.lit(PII_IP_RE), F.lit(0)))
+        .cast("long").alias("n_ip"),
+        (_mass(PII_EMAIL_RE) + _mass(PII_PHONE_RE) + _mass(PII_IP_RE))
+        .alias("pii_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_email") + F.col("n_phone")
+                         + F.col("n_ip") > 0, 1).otherwise(0))
+            .cast("long").alias("docs_with_pii"),
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+            F.sum("n_ip").cast("long").alias("n_ips"),
+            F.sum("pii_chars").cast("long").alias("pii_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile: Flesch Reading Ease plus its raw
+    ingredients — the classic document-quality prior (textbook prose
+    scores ~60-80, boilerplate/legal sludge goes negative) that
+    complements the repetition/LM families with a SYLLABLE-level
+    signal none of them sees.
+
+    Syllables are approximated as vowel-run count per word
+    (`[aeiouy]+` groups, min 1) — the standard cheap estimator;
+    sentences are fixed 16-token pseudo-sentences because the corpus
+    is punctuation-free (ceil(words/16), documented constant; on real
+    prose swap in a terminal-punctuation split).
+
+    Determinism: ALL cross-row aggregation happens on exact BIGINT
+    totals (words, syllables, pseudo-sentences, polysyllables); the
+    Flesch formula divides once per SOURCE from those integer totals
+    (never an avg of per-doc floats, whose summation order differs),
+    then floor-rounds at 6 dp. Scale: one tokenize scan, the syllable
+    fold runs inside whole-stage codegen over the token array — no
+    explode, no UDF — then a |sources|-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text(F.col("text")))
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.expr(
+            "aggregate(transform("
+            "  filter(split(lower(regexp_replace(text,"
+            "    '[^a-zA-Z0-9\\\\s]+', '')), '\\\\s+'), t -> t <> ''),"
+            "  t -> greatest(1, size(regexp_extract_all(t, '[aeiouy]+', 0)))),"
+            " 0L, (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("sy"),
+        F.expr(
+            "CAST(size(filter(transform("
+            "  filter(split(lower(regexp_replace(text,"
+            "    '[^a-zA-Z0-9\\\\s]+', '')), '\\\\s+'), t -> t <> ''),"
+            "  t -> size(regexp_extract_all(t, '[aeiouy]+', 0))),"
+            "  c -> c >= 3)) AS BIGINT)"
+        ).alias("poly"),
+    ).select(
+        "source", "w", "sy", "poly",
+        F.expr("(w + 15) DIV 16").alias("s"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("sy").cast("long").alias("syllables"),
+        F.sum("poly").cast("long").alias("polysyllables"),
+        F.sum("s").cast("long").alias("sentences"),
+    )
+    fl = (F.lit(206.835)
+          - F.lit(1.015) * (F.col("words").cast("double")
+                            / F.col("sentences").cast("double"))
+          - F.lit(84.6) * (F.col("syllables").cast("double")
+                           / F.col("words").cast("double")))
+    # words > 0 guard: an all-empty-text source would divide by zero,
+    # and the engines disagree on what that yields (NULL vs error).
+    nz = F.col("words") > 0
+    return (
+        g.select(
+            "source", "n_docs", "words", "syllables", "polysyllables",
+            "sentences",
+            F.when(nz, F.floor(fl * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("flesch"),
+            F.when(nz, F.expr("syllables * 1000000 DIV words"))
+            .alias("syl_per_word_e6"),
+            F.when(nz, F.expr("polysyllables * 1000000 DIV words"))
+            .alias("poly_rate_e6"),
+        )
+        .orderBy("source")
+    )

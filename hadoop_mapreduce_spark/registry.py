@@ -156,6 +156,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_cohort_ltv": relational.orders_cohort_ltv,  # hash-paired r7j
     "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
     "user_active_streaks": timeseries.user_active_streaks,  # hash-paired r7k
+    "pii_redact_audit": textstats.pii_redact_audit,  # hash-paired r7l
+    "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
     "events_holt_linear": timeseries.events_holt_linear,  # hash-paired r7k
@@ -5242,3 +5244,87 @@ SELECT event_type,
        floor(abs(x::DOUBLE - f) * 1e6 + 0.5) / 1e6 AS abs_error
 FROM h ORDER BY event_type, day
 """
+
+# r7l: pii_redact_audit — the oracle replays the md5 contact-string
+# recipe byte-identically (DuckDB string literals do not unescape
+# backslashes, so the shared regex constants paste verbatim).
+from hadoop_mapreduce_spark.operators.textstats import (  # noqa: E402
+    PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE)
+
+_PII_MASS = ("coalesce(list_sum(list_transform("
+             "regexp_extract_all(ftxt, '{p}'), x -> length(x))), 0)")
+ORACLE["pii_redact_audit"] = f"""
+WITH base AS (
+  SELECT source, doc_id, text, md5(doc_id::VARCHAR) AS h,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT AS n1,
+    ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::UBIGINT::BIGINT AS n2,
+    ('0x' || substr(md5(doc_id::VARCHAR), 17, 8))::UBIGINT::BIGINT AS n3,
+    ('0x' || substr(md5(doc_id::VARCHAR), 25, 8))::UBIGINT::BIGINT AS n4
+  FROM documents
+),
+full_t AS (
+  SELECT source,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || substr(h, 1, 6)
+              || '@mail' || substr(h, 7, 4) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-'
+              || (n1 % 900 + 100)::VARCHAR || '-'
+              || (n2 % 900 + 100)::VARCHAR || '-'
+              || (n3 % 9000 + 1000)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host '
+              || (n1 % 256)::VARCHAR || '.' || (n2 % 256)::VARCHAR || '.'
+              || (n3 % 256)::VARCHAR || '.' || (n4 % 256)::VARCHAR
+            ELSE '' END AS ftxt
+  FROM base
+),
+pd AS (
+  SELECT source,
+    len(regexp_extract_all(ftxt, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+    len(regexp_extract_all(ftxt, '{PII_PHONE_RE}'))::BIGINT AS n_phone,
+    len(regexp_extract_all(ftxt, '{PII_IP_RE}'))::BIGINT AS n_ip,
+    ({_PII_MASS.format(p=PII_EMAIL_RE)}
+     + {_PII_MASS.format(p=PII_PHONE_RE)}
+     + {_PII_MASS.format(p=PII_IP_RE)})::BIGINT AS pii_chars
+  FROM full_t
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT
+    AS docs_with_pii,
+  sum(n_email)::BIGINT AS n_emails,
+  sum(n_phone)::BIGINT AS n_phones,
+  sum(n_ip)::BIGINT AS n_ips,
+  sum(pii_chars)::BIGINT AS pii_chars
+FROM pd GROUP BY source ORDER BY source
+"""
+
+# r7l: readability_scores — integer totals per source, one float
+# division site (the Flesch formula), floor-rounded at 6 dp.
+ORACLE["readability_scores"] = f"""
+WITH pd AS (
+  SELECT source,
+    len(toks)::BIGINT AS w,
+    coalesce(list_sum(list_transform(toks,
+      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)
+      ::BIGINT AS sy,
+    len(list_filter(list_transform(toks,
+      t -> len(regexp_extract_all(t, '[aeiouy]+'))), c -> c >= 3))
+      ::BIGINT AS poly
+  FROM (SELECT source, {{toks}} AS toks FROM documents)
+),
+g AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS words,
+         sum(sy)::BIGINT AS syllables, sum(poly)::BIGINT AS polysyllables,
+         sum((w + 15) // 16)::BIGINT AS sentences
+  FROM pd GROUP BY source
+)
+SELECT source, n_docs, words, syllables, polysyllables, sentences,
+  CASE WHEN words > 0 THEN
+    floor((206.835 - 1.015 * (words::DOUBLE / sentences::DOUBLE)
+           - 84.6 * (syllables::DOUBLE / words::DOUBLE)) * 1e6 + 0.5) / 1e6
+  END AS flesch,
+  CASE WHEN words > 0 THEN (syllables * 1000000 // words) END
+    AS syl_per_word_e6,
+  CASE WHEN words > 0 THEN (polysyllables * 1000000 // words) END
+    AS poly_rate_e6
+FROM g ORDER BY source
+""".replace("{toks}", _TOKS)

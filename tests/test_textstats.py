@@ -656,3 +656,81 @@ def test_compression_ratio_quality_exact_and_property(spark, tmp_path):
     assert (r.raw_bytes, r.z_bytes) == (expect_raw, expect_z)
     assert r.corpus_ratio_e6 == expect_z * 1_000_000 // expect_raw
     assert r.n_flagged == 1  # only the repeated doc flags
+
+
+def test_pii_redact_audit_recipe_and_real_matches(spark, tmp_path):
+    """doc_ids 3/5/7 receive exactly one injected email/phone/IP each
+    (doc 15 gets email+phone), doc 1 gets nothing, and a REAL email in
+    the text is counted without any injection. pii_chars equals the
+    summed lengths of a python re replay of the same patterns."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE, pii_redact_audit,
+    )
+
+    ids = [1, 3, 5, 7, 15]
+    texts = ["plain words here", "alpha beta", "gamma delta",
+             "epsilon zeta", "reach me at alice@example.com thanks"]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def inject(doc_id, text):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        n = [int(h[o:o + 8], 16) for o in (0, 8, 16, 24)]
+        out = text
+        if doc_id % 3 == 0:
+            out += f" contact u{h[:6]}@mail{h[6:10]}.com"
+        if doc_id % 5 == 0:
+            out += (f" call +1-{n[0] % 900 + 100}-{n[1] % 900 + 100}"
+                    f"-{n[2] % 9000 + 1000}")
+        if doc_id % 7 == 0:
+            out += (f" host {n[0] % 256}.{n[1] % 256}.{n[2] % 256}"
+                    f".{n[3] % 256}")
+        return out
+
+    exp_chars = exp_e = exp_p = exp_i = with_pii = 0
+    for doc_id, text in zip(ids, texts):
+        t = inject(doc_id, text)
+        e = re.findall(PII_EMAIL_RE, t)
+        p = re.findall(PII_PHONE_RE, t)
+        ip = re.findall(PII_IP_RE, t)
+        exp_e += len(e); exp_p += len(p); exp_i += len(ip)
+        exp_chars += sum(len(m) for m in e + p + ip)
+        with_pii += 1 if (e or p or ip) else 0
+
+    row = pii_redact_audit(spark, str(tmp_path)).collect()[0]
+    assert (row.n_emails, row.n_phones, row.n_ips) == (exp_e, exp_p, exp_i)
+    assert row.n_emails == 3          # docs 3, 15 injected + real alice@
+    assert (row.docs_with_pii, row.pii_chars) == (with_pii, exp_chars)
+
+
+def test_readability_scores_hand_computed(spark, tmp_path):
+    """'the cat runs' = 3 words / 3 syllables / 1 pseudo-sentence ->
+    Flesch 119.19; 'beautiful' is polysyllabic (eau,i,u = 3 runs);
+    a vowel-free token still counts 1 syllable (the min clamp)."""
+    from hadoop_mapreduce_spark.operators.textstats import (
+        readability_scores,
+    )
+
+    sf = _docs_table(tmp_path, ["the cat runs", "beautiful grr"])
+    row = readability_scores(spark, sf).collect()[0]
+    # doc1: w=3 sy=3 poly=0; doc2: w=2 sy=3+1=4 poly=1 (beautiful)
+    assert (row.words, row.syllables, row.polysyllables) == (5, 7, 1)
+    assert row.sentences == 2
+    w, s, sy = 5, 2, 7
+    import math
+    expect = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+    assert abs(row.flesch - expect) < 2e-6
+    assert row.syl_per_word_e6 == 7 * 1_000_000 // 5
+    assert row.poly_rate_e6 == 1_000_000 // 5
