@@ -1243,3 +1243,49 @@ def bootstrap_ci_quality(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fraud / synthetic-data detector (natural multi-magnitude amounts
+    follow P(d) = log10(1 + 1/d); fabricated or truncated feeds
+    don't), extending the dq_checks family with a distributional test.
+
+    Exact arithmetic everywhere it matters: amounts become exact cents
+    via the DECIMAL(18,2) route (the repo's money convention), the
+    leading digit is string-derived from that integer, counts and
+    observed shares are BIGINT (share in exact micro-units by floor
+    division). Only the Benford expectation and the chi-square
+    contribution touch floats — transcendental (log10) per-digit
+    constants where a 6-dp floor boundary hit is measure-zero (the
+    fightin_words ln() precedent). One groupBy to ≤ 9 rows, the grand
+    total a 1-row broadcast — flat at any order volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    g = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("long")
+            .alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = g.groupBy().agg(F.sum("n").alias("total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp_n = F.col("total").cast("double") * p
+    # plain multiply, never pow(x, 2): pow's last ulp is
+    # implementation-defined, x*x is an IEEE operation.
+    dev = F.col("n").cast("double") - exp_n
+    chi = (dev * dev) / exp_n
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n",
+            F.expr("n * 1000000 DIV total").alias("share_e6"),
+            r6(p).alias("benford_share"),
+            r6(chi).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )

@@ -1571,3 +1571,66 @@ def orders_cohort_ltv(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_month0", "k")
     )
+
+
+def orders_abc_pareto(spark, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by lineitem revenue: class
+    A carries the first 80% of cumulative revenue, B to 95%, C the
+    tail — the inventory-prioritisation cube next to RFM in every
+    commerce warehouse.
+
+    Exactness: per-line revenue is the ALL-INTEGER product
+    cents(l_extendedprice) x (100 − discount_pct), i.e. units of 1e-4
+    dollars, summed as DECIMAL(38,0) (HUGEINT on the oracle) so no
+    float ever orders the ranking; class boundaries are the integer
+    comparisons 100·cum ≤ 80·total / 95·total. Revenue shares are
+    floor micro-units.
+
+    Scale note: the cumulative window ranks the per-PART aggregate —
+    dimension-sized, not fact-sized. Like customer_rfm_segments, the
+    single-sort-pass window is the right local plan; past ~10⁸ parts
+    swap in the two-phase rank (range-partitioned sort + per-partition
+    offsets — the session_concurrency bucket-offset pattern).
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        * (100 - (F.col("l_discount").cast("decimal(4,2)") * 100)
+           .cast("long"))
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev4.cast("decimal(38,0)")).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = (
+        per_part
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum", F.sum("rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    total = per_part.groupBy().agg(F.sum("rev").alias("total"))
+    cls = (
+        F.when(F.lit(100) * F.col("cum") <= F.lit(80) * F.col("total"),
+               "A")
+        .when(F.lit(100) * F.col("cum") <= F.lit(95) * F.col("total"),
+              "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(cls.alias("abc_class"), "rev", "rnk", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("decimal(38,0)").alias("revenue_e4"),
+            F.expr("CAST(sum(rev) * 1000000 DIV any_value(total) AS BIGINT)")
+            .alias("share_e6"),
+            F.min("rnk").cast("long").alias("first_rank"),
+            F.max("rnk").cast("long").alias("last_rank"),
+        )
+        .orderBy("abc_class")
+    )

@@ -157,6 +157,8 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_attribution": timeseries.conversion_attribution,  # hash-paired r7j
     "user_active_streaks": timeseries.user_active_streaks,  # hash-paired r7k
     "pii_redact_audit": textstats.pii_redact_audit,  # hash-paired r7l
+    "benford_audit": curation.benford_audit,  # hash-paired r7l
+    "orders_abc_pareto": relational.orders_abc_pareto,  # hash-paired r7l
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -5328,3 +5330,57 @@ SELECT source, n_docs, words, syllables, polysyllables, sentences,
     AS poly_rate_e6
 FROM g ORDER BY source
 """.replace("{toks}", _TOKS)
+
+# r7l: benford_audit — shares/counts exact integers; the Benford
+# expectation and chi2 contribution are the only floats (per-digit
+# transcendental constants, 6-dp floor; identical expression trees —
+# the deviation is squared by plain multiplication, never pow()).
+ORACLE["benford_audit"] = """
+WITH g AS (
+  SELECT substr(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::VARCHAR,
+                1, 1)::BIGINT AS digit,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n)::BIGINT AS total FROM g)
+SELECT digit, n,
+  (n * 1000000 // total)::BIGINT AS share_e6,
+  floor(log10(1.0 + 1.0 / digit::DOUBLE) * 1e6 + 0.5) / 1e6
+    AS benford_share,
+  floor(((n::DOUBLE - total::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+         * (n::DOUBLE - total::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE)))
+        / (total::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+        * 1e6 + 0.5) / 1e6 AS chi2_contrib
+FROM g, t ORDER BY digit
+"""
+
+# r7l: orders_abc_pareto — all-integer 1e-4-dollar revenue units
+# (HUGEINT on this side, DECIMAL(38,0) on Spark's), integer class
+# boundaries, floor micro-unit shares.
+ORACLE["orders_abc_pareto"] = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+             * (100 - (l_discount::DECIMAL(4,2) * 100)::BIGINT))::HUGEINT
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+rk AS (
+  SELECT l_partkey, rev,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pp
+),
+t AS (SELECT sum(rev)::HUGEINT AS total FROM pp)
+SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+            WHEN 100 * cum <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*)::BIGINT AS n_parts,
+       sum(rev) AS revenue_e4,
+       (sum(rev) * 1000000 // max(total))::BIGINT AS share_e6,
+       min(rnk)::BIGINT AS first_rank,
+       max(rnk)::BIGINT AS last_rank
+FROM rk, t
+GROUP BY 1 ORDER BY 1
+"""

@@ -535,3 +535,41 @@ def test_bootstrap_ci_quality_invariants(spark):
     # internals: cheapest check is that expect_m falls inside the CI
     r0 = [r for r in rows if r.source == "src0"][0]
     assert r0.boot_lo_e6 <= expect_m <= r0.boot_hi_e6
+
+
+def test_benford_audit_uniform_digits(spark, tmp_path):
+    """90 orders with totals 10.00,11.00,...,99.00: each leading digit
+    1..9 appears exactly 10x (share 1/9) while Benford predicts 30.1%
+    for digit 1 — so chi2_contrib must be LARGEST for digit 1 among
+    digits whose observed share undershoots, and a scipy-free python
+    replay of the chi-square agrees to 1e-6."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import benford_audit
+
+    totals = [float(x) for x in range(1000, 9999, 100)]  # 10.00..99.00
+    n = len(totals)
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["F"] * n, pa.string()),
+        "o_totalprice": pa.array([t / 100 for t in totals], pa.float64()),
+        "o_orderdate": pa.array(
+            [__import__("datetime").datetime(2024, 1, 1)] * n,
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * n, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    rows = {r.digit: r for r in benford_audit(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    for d, r in rows.items():
+        assert r.n == 10
+        assert r.share_e6 == 10 * 1_000_000 // 90
+        p = math.log10(1 + 1 / d)
+        assert abs(r.benford_share - p) < 2e-6
+        chi = (10 - 90 * p) ** 2 / (90 * p)
+        assert abs(r.chi2_contrib - chi) < 2e-6
+    assert rows[1].chi2_contrib == max(r.chi2_contrib for r in rows.values())

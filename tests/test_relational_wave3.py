@@ -229,3 +229,41 @@ def test_orders_cohort_ltv_triangle(spark):
         f"SELECT sum((o_totalprice::DECIMAL(18,2)*100)::BIGINT) FROM "
         f"'{SF_DIR}/orders.parquet'").fetchone()[0]
     assert sum(r.spend_cents for r in rows) == total
+
+
+def test_orders_abc_pareto_classes(spark, tmp_path):
+    """Four parts with revenue 70/20/8/2 (no discount): cumulative
+    shares 70/90/98/100 -> A={p1} (<=80), B={p2} (<=95), C={p3,p4};
+    revenue is exact 1e-4-dollar units and shares floor micro-units."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        orders_abc_pareto,
+    )
+    from datetime import datetime
+
+    prices = [(1, 70.0), (2, 20.0), (3, 8.0), (4, 2.0)]
+    n = len(prices)
+    tbl = pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([p for p, _ in prices], pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int64()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([v for _, v in prices], pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array([datetime(2024, 1, 1)] * n,
+                               pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    out = {r.abc_class: r for r in
+           orders_abc_pareto(spark, str(tmp_path)).collect()}
+    assert (out["A"].n_parts, out["B"].n_parts, out["C"].n_parts) == (1, 1, 2)
+    assert int(out["A"].revenue_e4) == 70_00 * 100
+    assert out["A"].share_e6 == 700_000
+    assert (out["A"].first_rank, out["C"].first_rank,
+            out["C"].last_rank) == (1, 3, 4)
