@@ -1261,10 +1261,14 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fightin_words ln() precedent). One groupBy to ≤ 9 rows, the grand
     total a 1-row broadcast — flat at any order volume.
     """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
         .cast("long")
-    g = (
+    # Persisted: the ≤9-row digit table feeds both the grand total and
+    # the output — without it each branch re-scans orders.
+    g = scoped_persist(
         orders.select(
             F.substring(cents.cast("string"), 1, 1).cast("long")
             .alias("digit"))

@@ -1603,8 +1603,13 @@ def orders_abc_pareto(spark, sf_dir: str) -> DataFrame:
         * (100 - (F.col("l_discount").cast("decimal(4,2)") * 100)
            .cast("long"))
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev4.cast("decimal(38,0)")).alias("rev"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    # Persisted: the dimension-sized per-part aggregate feeds both the
+    # rank window and the grand total — without it each branch re-runs
+    # the lineitem scan + aggregation.
+    per_part = scoped_persist(li.groupBy("l_partkey").agg(
+        F.sum(rev4.cast("decimal(38,0)")).alias("rev")))
     w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
     ranked = (
         per_part

@@ -1857,27 +1857,32 @@ def pii_redact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0, phone).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0, ip).otherwise(F.lit("")),
     )
-    def _mass(pattern: str) -> Column:
-        # Column-API fold (never F.expr with an embedded pattern: Spark
-        # SQL string literals unescape backslashes, silently turning
-        # \. into .).
+    def _matches(pattern: str) -> Column:
+        # Column-API pattern literal (never F.expr with an embedded
+        # pattern: Spark SQL string literals unescape backslashes,
+        # silently turning \. into .).
+        return F.regexp_extract_all("full", F.lit(pattern), F.lit(0))
+
+    def _mass(arr: str) -> Column:
         return F.aggregate(
-            F.transform(
-                F.regexp_extract_all("full", F.lit(pattern), F.lit(0)),
-                lambda x: F.length(x).cast("long")),
+            F.transform(F.col(arr), lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"), lambda a, x: a + x)
 
+    # Each regex scans the document exactly ONCE: the match array is
+    # materialised per class, and count + char mass both derive from it.
     per_doc = docs.select(
         "source", full.alias("full")
     ).select(
         "source",
-        F.size(F.regexp_extract_all("full", F.lit(PII_EMAIL_RE), F.lit(0)))
-        .cast("long").alias("n_email"),
-        F.size(F.regexp_extract_all("full", F.lit(PII_PHONE_RE), F.lit(0)))
-        .cast("long").alias("n_phone"),
-        F.size(F.regexp_extract_all("full", F.lit(PII_IP_RE), F.lit(0)))
-        .cast("long").alias("n_ip"),
-        (_mass(PII_EMAIL_RE) + _mass(PII_PHONE_RE) + _mass(PII_IP_RE))
+        _matches(PII_EMAIL_RE).alias("m_email"),
+        _matches(PII_PHONE_RE).alias("m_phone"),
+        _matches(PII_IP_RE).alias("m_ip"),
+    ).select(
+        "source",
+        F.size("m_email").cast("long").alias("n_email"),
+        F.size("m_phone").cast("long").alias("n_phone"),
+        F.size("m_ip").cast("long").alias("n_ip"),
+        (_mass("m_email") + _mass("m_phone") + _mass("m_ip"))
         .alias("pii_chars"),
     )
     return (
@@ -1918,24 +1923,27 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no UDF — then a |sources|-row rollup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(normalize_text(F.col("text")))
+    # ONE tokenize pass and ONE syllable-regex pass per document: the
+    # token array and the per-token vowel-run counts are materialised
+    # once, and words / syllables / polysyllables all derive from the
+    # same counts array (the unconsolidated form re-tokenized per
+    # statistic — 3 scans; measured in SCALE4_r7l.json).
     per_doc = docs.select(
         "source",
-        F.size(toks).cast("long").alias("w"),
-        F.expr(
-            "aggregate(transform("
-            "  filter(split(lower(regexp_replace(text,"
-            "    '[^a-zA-Z0-9\\\\s]+', '')), '\\\\s+'), t -> t <> ''),"
-            "  t -> greatest(1, size(regexp_extract_all(t, '[aeiouy]+', 0)))),"
-            " 0L, (a, x) -> a + CAST(x AS BIGINT))"
-        ).alias("sy"),
-        F.expr(
-            "CAST(size(filter(transform("
-            "  filter(split(lower(regexp_replace(text,"
-            "    '[^a-zA-Z0-9\\\\s]+', '')), '\\\\s+'), t -> t <> ''),"
-            "  t -> size(regexp_extract_all(t, '[aeiouy]+', 0))),"
-            "  c -> c >= 3)) AS BIGINT)"
-        ).alias("poly"),
+        F.transform(
+            tokenize(normalize_text(F.col("text"))),
+            lambda t: F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"),
+                                                  F.lit(0))).cast("long")
+        ).alias("runs"),
+    ).select(
+        "source",
+        F.size("runs").cast("long").alias("w"),
+        F.aggregate(
+            F.transform("runs", lambda c: F.greatest(F.lit(1).cast("long"),
+                                                     c)),
+            F.lit(0).cast("long"), lambda a, x: a + x).alias("sy"),
+        F.size(F.filter("runs", lambda c: c >= 3)).cast("long")
+        .alias("poly"),
     ).select(
         "source", "w", "sy", "poly",
         F.expr("(w + 15) DIV 16").alias("s"),

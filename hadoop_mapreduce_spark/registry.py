@@ -3184,10 +3184,11 @@ _WINDOW_R7 = [
     "winnowing_fingerprint",
     "events_ewma_daily",
     "winnowing_neardup_pairs",
-    # (d) r7c-new operators, hash-paired (quality_signal_correlation
-    # landed after the previous window refresh — now included)
-    "skipgram_cooccurrence", "stopword_discovery",
-    "rrf_quality_fusion", "quality_threshold_sweep",
+    # (d) r7c-new operators, hash-paired (rotation: skipgram_
+    # cooccurrence / stopword_discovery / rrf_quality_fusion /
+    # quality_threshold_sweep yielded their slots to the r7l wave —
+    # oldest-first policy, both full artifacts cover them at two sfs;
+    # they queue behind the r7b four for the r8 window front)
     "source_concentration_audit", "token_budget_fill",
     "source_novelty_attribution",
     "quality_signal_correlation",
@@ -3215,6 +3216,9 @@ _WINDOW_R7 = [
     # (l) r7k-new operators (this session), all hash-paired
     "user_active_streaks", "session_concurrency", "events_acf",
     "events_holt_linear",
+    # (m) r7l-new operators (this session), all hash-paired
+    "pii_redact_audit", "readability_scores", "benford_audit",
+    "orders_abc_pareto",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

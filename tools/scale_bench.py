@@ -185,6 +185,14 @@ HEADLINE = _HEADLINE + [
     "session_concurrency",
     "events_acf",
     "events_holt_linear",
+    # round-7l additions: PII + readability (scan-speed regex/token
+    # projections + |sources| rollups — near-flat per-row cost, the
+    # codegen-regex throughput claim), Benford (one groupBy to <=9
+    # rows — FLAT), Pareto (part-keyed agg + dimension-sized window).
+    "pii_redact_audit",
+    "readability_scores",
+    "benford_audit",
+    "orders_abc_pareto",
 ]
 
 
