@@ -2049,3 +2049,66 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str,
         )
         .orderBy("threshold_pct")
     )
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str,
+                                  threshold: float = 0.8,
+                                  n_iter: int = 4) -> DataFrame:
+    """Synchronous label propagation (LPA) over the near-duplicate
+    graph — the community view that sits between connected components
+    (too coarse: one bridge edge merges two dup families) and pairwise
+    clusters: each node adopts the MAJORITY label among its neighbours,
+    ties to the smallest label, for a fixed n_iter synchronous rounds.
+
+    Determinism: classic async LPA is run-order-dependent; the
+    synchronous fixed-round variant with a total tie-break
+    (count DESC, label ASC) is a pure function of the edge set, so the
+    DuckDB oracle replays the identical rounds as CHAINED (non-
+    recursive) aggregation CTEs — aggregates are not allowed in a
+    recursive term, but a FIXED iteration count needs no recursion.
+
+    Scale shape per round: one join (labels ⨝ edges, both dup-graph-
+    sized — orders of magnitude below the corpus) + one (node, label)
+    count + one rank window keyed on node. Lineage is re-rooted per
+    round via localCheckpoint like every iterative operator here
+    (dedup.py star-CC precedent).
+    """
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold) \
+        .select("id1", "id2")
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sym = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"),
+                               F.col("id1").alias("dst")))
+    )
+    # Self-loops: each node votes for its own current label too. Pure
+    # neighbour voting under SYNCHRONOUS update oscillates with period
+    # 2 on any near-bipartite family (two identical docs swap labels
+    # forever and an even round count reports them as singletons); the
+    # self-vote is the standard damping fix and makes pair/clique
+    # families converge to their min label.
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    edges = scoped_persist(
+        sym.unionAll(nodes.select(F.col("v").alias("src"),
+                                  F.col("v").alias("dst"))))
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for i in range(n_iter):
+        labels = (
+            edges.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+        labels = labels.localCheckpoint(eager=False)
+    wc = Window.partitionBy("lbl")
+    return (
+        labels.withColumn("community_size",
+                          F.count(F.lit(1)).over(wc).cast("long"))
+        .select(F.col("v").alias("doc_id"),
+                F.col("lbl").alias("community"), "community_size")
+        .orderBy("doc_id")
+    )

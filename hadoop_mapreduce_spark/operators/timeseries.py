@@ -1436,3 +1436,73 @@ def events_holt_linear(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_type", "day")
     )
+
+
+def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) motif table: each event
+    type's daily-count series is z-normalised and quantised to a
+    4-symbol alphabet at the N(0,1) quartile breakpoints (−0.6745, 0,
+    0.6745), then every 3-day window of CONSECUTIVE days becomes a
+    motif word — the classic symbolic index for "what shapes recur in
+    this series" (Lin/Keogh), feeding anomaly triage next to CUSUM and
+    the ACF.
+
+    Determinism without a rounding convention: the symbols come from
+    COMPARISONS, not emitted floats. mean/var derive from exact BIGINT
+    window sums (S, S2, n per type), both engines build z with the
+    identical expression tree, and a tie z == breakpoint would require
+    the integer-derived double to land exactly on an irrational-ish
+    quartile constant — the fightin_words measure-zero argument. A
+    zero-variance series maps wholly to 'b'.
+
+    Scale shape: the raw stream collapses to the bounded (type, day)
+    table once; stats ride a type-keyed window over it (≤ 366
+    rows/type/year), motif assembly is two leads over the same window
+    order, and the motif rollup is alphabet-bounded (≤ 4³ rows/type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type", "d", "x",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wt).alias("s2"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    v = (F.col("s2").cast("double") / F.col("n").cast("double")) - m * m
+    z = (F.col("x").cast("double") - m) / F.sqrt(v)
+    sym = (
+        F.when(v <= 0, "b")
+        .when(z < -0.6745, "a")
+        .when(z < 0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    motifs = (
+        stats.select("event_type", "d", sym.alias("sym"))
+        .select(
+            "event_type", "d", "sym",
+            F.lead("sym", 1).over(wo).alias("s1"),
+            F.lead("sym", 2).over(wo).alias("s2"),
+            F.lead("d", 1).over(wo).alias("d1"),
+            F.lead("d", 2).over(wo).alias("d2"),
+        )
+        .where((F.col("d1") == F.col("d") + 1)
+               & (F.col("d2") == F.col("d") + 2))
+        .select("event_type",
+                F.concat("sym", "s1", "s2").alias("motif"))
+    )
+    return (
+        motifs.groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", F.desc("n"), "motif")
+    )

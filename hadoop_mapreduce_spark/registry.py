@@ -159,6 +159,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact_audit": textstats.pii_redact_audit,  # hash-paired r7l
     "benford_audit": curation.benford_audit,  # hash-paired r7l
     "orders_abc_pareto": relational.orders_abc_pareto,  # hash-paired r7l
+    "label_propagation_communities": dedup.label_propagation_communities,  # hash-paired r7m
+    "sax_motifs": timeseries.sax_motifs,  # hash-paired r7m
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -5387,4 +5389,86 @@ SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
        max(rnk)::BIGINT AS last_rank
 FROM rk, t
 GROUP BY 1 ORDER BY 1
+"""
+
+# r7m: label_propagation_communities — fixed-round synchronous LPA as
+# CHAINED aggregation CTEs (no recursion needed for a fixed count, and
+# recursive terms may not aggregate); tie-break (count DESC, label ASC)
+# totalises the update on both engines.
+_LPA_ROUND = """
+l{k} AS (
+  SELECT v, lbl FROM (
+    SELECT e.src AS v, p.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, p.lbl) AS rn
+    FROM edges e JOIN l{p} p ON p.v = e.dst
+    GROUP BY e.src, p.lbl)
+  WHERE rn = 1
+)"""
+ORACLE["label_propagation_communities"] = (
+    "WITH j AS (WITH " + _SHINGLES + "),\n"
+    "sym AS (SELECT id1 AS src, id2 AS dst FROM j"
+    " UNION ALL SELECT id2, id1 FROM j),\n"
+    # self-loops damp the synchronous-update period-2 oscillation
+    # (see the operator docstring)
+    "edges AS (SELECT src, dst FROM sym"
+    " UNION ALL SELECT DISTINCT src, src FROM sym),\n"
+    "l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),"
+    + ",".join(_LPA_ROUND.format(k=k, p=k - 1) for k in range(1, 5))
+    + """
+SELECT v AS doc_id, lbl AS community,
+       count(*) OVER (PARTITION BY lbl)::BIGINT AS community_size
+FROM l4 ORDER BY doc_id
+""")
+
+# r7m: sax_motifs — symbols from comparisons over an identically-built
+# z expression (exact BIGINT window sums -> one double expression
+# tree); breakpoint ties are measure-zero, zero-variance series -> 'b'.
+ORACLE["sax_motifs"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, d, x,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS s,
+         sum(x * x) OVER (PARTITION BY event_type) AS s2
+  FROM daily
+),
+symd AS (
+  SELECT event_type, d,
+    CASE
+      WHEN (s2::DOUBLE / n::DOUBLE)
+           - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE) <= 0
+        THEN 'b'
+      WHEN (x::DOUBLE - s::DOUBLE / n::DOUBLE)
+           / sqrt((s2::DOUBLE / n::DOUBLE)
+                  - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE))
+           < -0.6745 THEN 'a'
+      WHEN (x::DOUBLE - s::DOUBLE / n::DOUBLE)
+           / sqrt((s2::DOUBLE / n::DOUBLE)
+                  - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE))
+           < 0 THEN 'b'
+      WHEN (x::DOUBLE - s::DOUBLE / n::DOUBLE)
+           / sqrt((s2::DOUBLE / n::DOUBLE)
+                  - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE))
+           < 0.6745 THEN 'c'
+      ELSE 'd' END AS sym
+  FROM stats
+),
+mot AS (
+  SELECT event_type,
+         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS motif,
+         d,
+         lead(d, 1) OVER w AS d1,
+         lead(d, 2) OVER w AS d2
+  FROM symd
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, motif, count(*)::BIGINT AS n
+FROM mot WHERE d1 = d + 1 AND d2 = d + 2
+GROUP BY 1, 2 ORDER BY event_type, n DESC, motif
 """

@@ -491,3 +491,43 @@ def test_dedup_threshold_sweep_monotone(spark):
         # each pair touches two docs; distinct endpoints can't exceed 2x
         assert rows[t].n_docs_touched <= 2 * rows[t].n_pairs or \
             rows[t].n_pairs == 0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark, tmp_path):
+    """Two near-dup families joined by one bridge doc: LPA separates
+    them into two communities (where connected components would merge
+    everything), and each community's label is its minimum doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.dedup import (
+        label_propagation_communities,
+    )
+
+    # family A: docs 1-4 identical; family B: docs 10-13 identical;
+    # bridge doc 20 shares half its shingles with each family -> its
+    # jaccard to members is < 0.8 threshold, so it forms no edge and
+    # the two cliques stay separate communities.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    texts, ids = [], []
+    for i in range(1, 5):
+        ids.append(i); texts.append(a)
+    for i in range(10, 14):
+        ids.append(i); texts.append(b)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = label_propagation_communities(spark, str(tmp_path)).collect()
+    comm = {r.doc_id: r.community for r in rows}
+    assert set(comm) == {1, 2, 3, 4, 10, 11, 12, 13}
+    assert len({comm[i] for i in (1, 2, 3, 4)}) == 1
+    assert len({comm[i] for i in (10, 11, 12, 13)}) == 1
+    assert comm[1] != comm[10]
+    sizes = {r.doc_id: r.community_size for r in rows}
+    assert all(sizes[i] == 4 for i in comm)

@@ -654,3 +654,38 @@ def test_events_holt_linear_tracks_ramp(spark, tmp_path):
         assert abs(out[t].forecast - f) < 2e-6
     assert abs(out[13].trend - 2.0) < 0.2      # converged near slope
     assert out[13].abs_error < out[2].abs_error
+
+
+def test_sax_motifs_symbols_and_windows(spark, tmp_path):
+    """A deterministic low/high alternation maps to alternating
+    below/above-mean symbols, and a numpy replay of the z-quantisation
+    + 3-gram assembly reproduces the motif counts exactly."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from hadoop_mapreduce_spark.operators.timeseries import sax_motifs
+
+    d0 = datetime(2024, 1, 1)
+    counts = [1, 9, 1, 9, 1, 9, 1, 9, 5, 5]
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, 1, d0 + timedelta(days=d, minutes=k)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {(r.event_type, r.motif): r.n
+           for r in sax_motifs(spark, str(tmp_path)).collect()}
+
+    x = np.array(counts, dtype=float)
+    m, sd = x.mean(), x.std()
+    def sym(v):
+        z = (v - m) / sd
+        return ("a" if z < -0.6745 else
+                "b" if z < 0 else
+                "c" if z < 0.6745 else "d")
+    syms = [sym(v) for v in x]
+    expect = Counter("".join(syms[i:i + 3]) for i in range(len(syms) - 2))
+    got = {k[1]: v for k, v in out.items()}
+    assert got == dict(expect)
