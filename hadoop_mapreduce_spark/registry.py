@@ -3181,10 +3181,9 @@ _WINDOW_R7 = [
     # (c) r7b-new operators, hash-paired, never yet witnessed
     # (rotation: ccnet_perplexity_buckets / vocab_coverage_curve /
     # embedding_centroid_drift / char_trigram_langid yielded their
-    # slots to the r7k wave — both full artifacts cover them at two
-    # sfs; they lead the r8 window front)
-    "winnowing_fingerprint",
-    "events_ewma_daily",
+    # slots to the r7k wave, winnowing_fingerprint / events_ewma_daily
+    # to the r7m wave — oldest-first policy, both full artifacts cover
+    # them at two sfs; they lead the r8 window front)
     "winnowing_neardup_pairs",
     # (d) r7c-new operators, hash-paired (rotation: skipgram_
     # cooccurrence / stopword_discovery / rrf_quality_fusion /
@@ -3221,6 +3220,8 @@ _WINDOW_R7 = [
     # (m) r7l-new operators (this session), all hash-paired
     "pii_redact_audit", "readability_scores", "benford_audit",
     "orders_abc_pareto",
+    # (n) r7m-new operators (this session), all hash-paired
+    "label_propagation_communities", "sax_motifs",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

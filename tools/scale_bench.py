@@ -193,6 +193,11 @@ HEADLINE = _HEADLINE + [
     "readability_scores",
     "benford_audit",
     "orders_abc_pareto",
+    # round-7m additions: LPA (per-round cost tracks the DUP GRAPH, not
+    # the corpus — same family as star-CC), SAX (bounded (type,day)
+    # table, alphabet-bounded output — FLAT).
+    "label_propagation_communities",
+    "sax_motifs",
 ]
 
 
