@@ -1268,9 +1268,14 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     # Persisted: the ≤9-row digit table feeds both the grand total and
     # the output — without it each branch re-scans orders.
+    # Benford is a statement about MAGNITUDES: zero totals have no
+    # leading significant digit (and 1/digit would divide by zero —
+    # fuzz-found), negative totals contribute their absolute value.
     g = scoped_persist(
-        orders.select(
-            F.substring(cents.cast("string"), 1, 1).cast("long")
+        orders.select(F.abs(cents).alias("ac"))
+        .where(F.col("ac") > 0)
+        .select(
+            F.substring(F.col("ac").cast("string"), 1, 1).cast("long")
             .alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

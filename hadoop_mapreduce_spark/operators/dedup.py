@@ -2112,3 +2112,55 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str,
                 F.col("lbl").alias("community"), "community_size")
         .orderBy("doc_id")
     )
+
+
+def dedup_chain_audit(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.8) -> DataFrame:
+    """Transitive-merge audit of the connected-component dedup: per
+    multi-doc cluster, edge count, edge DENSITY (observed edges /
+    possible pairs) and the weakest verified edge — the governance
+    read that answers "did transitive closure CHAIN documents that are
+    not actually near-duplicates of each other?". A density of 1e6
+    (micro-units) means a clique (every pair independently verified);
+    anything lower means at least one doc pair in the cluster was
+    merged only through intermediaries, the classic over-merge hazard
+    of CC-based dedup (keep-one-per-cluster would then drop docs that
+    are NOT near-dups of the kept representative).
+
+    Scale shape: the edge relation is the shared LSH-verified pair
+    base (collision-bounded, persisted inside), components ride the
+    star-CC assignment, and everything after is cluster-keyed rollups
+    over dup-graph-sized relations. Density math is exact integer
+    micro-units; the weakest-edge Jaccard reuses the pair base's 6-dp
+    rounding convention.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    pairs = scoped_persist(
+        minhash_pairs_unsorted(spark, sf_dir, threshold=threshold))
+    # star-CC assignment over the same edge set (doc_id, component)
+    assign = dedup_components_star(spark, sf_dir, threshold=threshold)
+    wc = Window.partitionBy("component")
+    multi = (
+        assign.withColumn("size", F.count(F.lit(1)).over(wc))
+        .where(F.col("size") >= 2)
+    )
+    e = pairs.join(
+        multi.select(F.col("doc_id").alias("id1"), "component", "size"),
+        "id1")
+    return (
+        e.groupBy("component")
+        .agg(
+            F.max("size").cast("long").alias("size"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.round(F.min("jaccard"), 6).alias("min_edge_jaccard"),
+        )
+        .select(
+            "component", "size", "n_edges", "min_edge_jaccard",
+            F.expr("n_edges * 2000000 DIV (size * (size - 1))")
+            .alias("density_e6"),
+            (F.expr("n_edges * 2 < size * (size - 1)"))
+            .alias("chained"),
+        )
+        .orderBy("component")
+    )

@@ -1631,7 +1631,11 @@ def orders_abc_pareto(spark, sf_dir: str) -> DataFrame:
         .groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("rev").cast("decimal(38,0)").alias("revenue_e4"),
+            # output as BIGINT, never DECIMAL (registered outputs ban
+            # Decimal — the r5 driver-flake class); the internal cumsum
+            # stays exact DECIMAL(38,0). BIGINT caps at $9e14 in 1e-4
+            # units per class — far past any real corpus total.
+            F.sum("rev").cast("long").alias("revenue_e4"),
             F.expr("CAST(sum(rev) * 1000000 DIV any_value(total) AS BIGINT)")
             .alias("share_e6"),
             F.min("rnk").cast("long").alias("first_rank"),

@@ -1111,3 +1111,71 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str,
+                             k: int = 20) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier ranking: each vector's
+    score is Σ_d (x_d − μ_d)² / σ²_d — the standard cheap anomaly read
+    over an embedding column (mislabeled modality, truncated encodes,
+    scale-broken batches) that per-dimension stats alone
+    (embedding_dim_stats) can't rank per-document.
+
+    Exactness discipline (same as embedding_dim_stats): float32 inputs
+    cast to float64 make every per-dim sum EXACT and order-independent
+    (24-bit mantissas in 53-bit arithmetic), so μ_d and σ²_d are
+    bit-identical on both engines — a constant dimension yields σ² of
+    exactly 0.0 and is skipped by the v > 0 guard, not an epsilon. The
+    per-vector sum over dimensions is an ORDER-FIXED left fold
+    (aggregate over the dim-indexed term array on Spark, list_reduce
+    over an i-ordered list() on DuckDB — identical addition chains),
+    and the ranking happens on floor-rounded micro-units, never raw
+    doubles.
+
+    Scale: one (n·d)-row explode + d-row stats broadcast + one
+    per-vector fold — no pairwise anything; TakeOrdered top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("d", "x"))
+    dims = (
+        exploded.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+             F.sum(F.col("x") * F.col("x")).alias("s2"))
+        .select(
+            "d", (F.col("s") / F.col("n")).alias("m"),
+            (F.col("s2") / F.col("n")
+             - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")))
+            .alias("v"))
+    )
+    stats = dims.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "m", "v"))).alias("st"))
+    scored = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id", "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("st"),
+                    lambda x, st: F.when(
+                        st["v"] > 0,
+                        (x - st["m"]) * (x - st["m"]) / st["v"])
+                    .otherwise(F.lit(0.0))),
+                F.lit(0.0),
+                lambda a, t: a + t).alias("score"),
+        )
+        .select("vec_id", F.col("label").cast("long").alias("label"),
+                F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+                .cast("long").alias("score_e6"))
+    )
+    # TakeOrdered top-k first (never a global window over all vectors);
+    # the rank window then runs over k rows.
+    top = scored.orderBy(F.desc("score_e6"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("score_e6"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "vec_id", "label", "score_e6")
+        .orderBy("rank")
+    )

@@ -1976,3 +1976,54 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct vocabulary vs tokens
+    seen at 16 corpus-prefix checkpoints — the companion diagnostic to
+    `token_zipf_slope` (Zipf describes the frequency head, Heaps V ~
+    T^beta the vocabulary's growth; a corpus whose beta collapses early
+    is template-saturated long before pairwise dedup can tell you).
+
+    "First k docs" is defined WITHOUT a global sort: documents land in
+    16 portable md5(doc_id) buckets and checkpoint b is the union of
+    buckets 0..b — a deterministic nested prefix family. Each term
+    contributes its MINIMUM bucket (the checkpoint where it first
+    exists), so the curve needs exactly two data-sized exchanges: one
+    (term -> min bucket), one (bucket -> doc/token totals); the
+    cumulative assembly is a window over 16 rows. beta is ln(V)/ln(T)
+    from exact BIGINT totals, the only float, 6-dp floored.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10)
+              .cast("long") % 16)
+    toks = tokenize(normalize_text(F.col("text")))
+    base = docs.select(bucket.alias("b"), toks.alias("t"))
+    per_bucket = base.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.size("t")).cast("long").alias("tokens"))
+    term_min = (
+        base.select("b", F.explode("t").alias("term"))
+        .groupBy("term").agg(F.min("b").alias("bmin"))
+        .groupBy("bmin").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    grid = per_bucket.join(term_min.withColumnRenamed("bmin", "b"),
+                           "b", "left")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = grid.select(
+        F.col("b").alias("checkpoint"),
+        F.sum("docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("tokens").over(w).cast("long").alias("tokens_cum"),
+        F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).cast("long")
+        .alias("vocab_cum"),
+    )
+    beta = (F.log(F.col("vocab_cum").cast("double"))
+            / F.log(F.col("tokens_cum").cast("double")))
+    return cum.select(
+        "checkpoint", "docs_cum", "tokens_cum", "vocab_cum",
+        F.when((F.col("vocab_cum") > 1) & (F.col("tokens_cum") > 1),
+               F.floor(beta * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("heaps_beta"),
+    ).orderBy("checkpoint")

@@ -161,6 +161,9 @@ QUERIES: dict[str, QueryFn] = {
     "orders_abc_pareto": relational.orders_abc_pareto,  # hash-paired r7l
     "label_propagation_communities": dedup.label_propagation_communities,  # hash-paired r7m
     "sax_motifs": timeseries.sax_motifs,  # hash-paired r7m
+    "dedup_chain_audit": dedup.dedup_chain_audit,  # hash-paired r7n
+    "vocab_growth_heaps": textstats.vocab_growth_heaps,  # hash-paired r7n
+    "embedding_outlier_scores": similarity.embedding_outlier_scores,  # hash-paired r7o
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3178,19 +3181,17 @@ _WINDOW_R7 = [
     # changed paths are hash-green in both full artifacts; slots go to
     # never-witnessed new operators)
     "events_hierarchical_rollup", "dedup_jaccard_prefix",
-    # (c) r7b-new operators, hash-paired, never yet witnessed
-    # (rotation: ccnet_perplexity_buckets / vocab_coverage_curve /
-    # embedding_centroid_drift / char_trigram_langid yielded their
-    # slots to the r7k wave, winnowing_fingerprint / events_ewma_daily
-    # to the r7m wave — oldest-first policy, both full artifacts cover
-    # them at two sfs; they lead the r8 window front)
-    "winnowing_neardup_pairs",
+    # (c/d) rotation note: the r7b four yielded slots to r7k, winnowing_
+    # fingerprint / events_ewma_daily to r7m, winnowing_neardup_pairs /
+    # source_concentration_audit to r7n — oldest-first policy, both
+    # full artifacts cover every rotated-out query at two sfs; they
+    # lead the r8 window front in rotation order.
     # (d) r7c-new operators, hash-paired (rotation: skipgram_
     # cooccurrence / stopword_discovery / rrf_quality_fusion /
     # quality_threshold_sweep yielded their slots to the r7l wave —
     # oldest-first policy, both full artifacts cover them at two sfs;
     # they queue behind the r7b four for the r8 window front)
-    "source_concentration_audit", "token_budget_fill",
+    "token_budget_fill",
     "source_novelty_attribution",
     "quality_signal_correlation",
     # (e) r7d-new operators (this session), all hash-paired
@@ -3222,6 +3223,8 @@ _WINDOW_R7 = [
     "orders_abc_pareto",
     # (n) r7m-new operators (this session), all hash-paired
     "label_propagation_communities", "sax_motifs",
+    # (o) r7n-new operators (this session), all hash-paired
+    "dedup_chain_audit", "vocab_growth_heaps",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -5344,10 +5347,11 @@ FROM g ORDER BY source
 # the deviation is squared by plain multiplication, never pow()).
 ORACLE["benford_audit"] = """
 WITH g AS (
-  SELECT substr(((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::VARCHAR,
-                1, 1)::BIGINT AS digit,
+  SELECT substr(ac::VARCHAR, 1, 1)::BIGINT AS digit,
          count(*)::BIGINT AS n
-  FROM orders GROUP BY 1
+  FROM (SELECT abs((o_totalprice::DECIMAL(18,2) * 100)::BIGINT) AS ac
+        FROM orders)
+  WHERE ac > 0 GROUP BY 1
 ),
 t AS (SELECT sum(n)::BIGINT AS total FROM g)
 SELECT digit, n,
@@ -5384,7 +5388,7 @@ SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
             WHEN 100 * cum <= 95 * total THEN 'B'
             ELSE 'C' END AS abc_class,
        count(*)::BIGINT AS n_parts,
-       sum(rev) AS revenue_e4,
+       sum(rev)::BIGINT AS revenue_e4,
        (sum(rev) * 1000000 // max(total))::BIGINT AS share_e6,
        min(rnk)::BIGINT AS first_rank,
        max(rnk)::BIGINT AS last_rank
@@ -5472,4 +5476,110 @@ mot AS (
 SELECT event_type, motif, count(*)::BIGINT AS n
 FROM mot WHERE d1 = d + 1 AND d2 = d + 2
 GROUP BY 1, 2 ORDER BY event_type, n DESC, motif
+"""
+
+# r7n: dedup_chain_audit — the oracle rebuilds the exact edge set and
+# the min-label closure, then the same cluster-keyed rollups; density
+# is integer micro-units, the weakest edge reuses the pair base's 6-dp
+# rounding (round is monotone, so min-then-round == round-then-min).
+ORACLE["dedup_chain_audit"] = f"""
+WITH RECURSIVE
+j AS (WITH {_SHINGLES}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j
+  UNION
+  SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+sizes AS (SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY 1),
+e2 AS (
+  SELECT c.component, j.jaccard
+  FROM j JOIN comp c ON c.doc_id = j.id1
+)
+SELECT e2.component, max(s.size)::BIGINT AS size,
+       count(*)::BIGINT AS n_edges,
+       round(min(jaccard), 6) AS min_edge_jaccard,
+       (count(*) * 2000000 // (max(s.size) * (max(s.size) - 1)))::BIGINT
+         AS density_e6,
+       count(*) * 2 < max(s.size) * (max(s.size) - 1) AS chained
+FROM e2 JOIN sizes s ON s.component = e2.component
+GROUP BY 1 ORDER BY 1
+"""
+
+# r7n: vocab_growth_heaps — md5-bucket nested prefixes replace "first k
+# docs in some global order"; totals exact BIGINT, beta the one float.
+ORACLE["vocab_growth_heaps"] = f"""
+WITH base AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 16
+           AS b,
+         {_TOKS} AS t
+  FROM documents
+),
+per_bucket AS (
+  SELECT b, count(*)::BIGINT AS docs, sum(len(t))::BIGINT AS tokens
+  FROM base GROUP BY b
+),
+term_min AS (
+  SELECT term, min(b) AS bmin FROM (
+    SELECT b, unnest(t) AS term FROM base) GROUP BY term
+),
+nv AS (SELECT bmin AS b, count(*)::BIGINT AS nv FROM term_min GROUP BY 1),
+cum AS (
+  SELECT p.b AS checkpoint,
+         sum(p.docs) OVER w AS docs_cum,
+         sum(p.tokens) OVER w AS tokens_cum,
+         sum(coalesce(nv.nv, 0)) OVER w AS vocab_cum
+  FROM per_bucket p LEFT JOIN nv ON nv.b = p.b
+  WINDOW w AS (ORDER BY p.b ROWS UNBOUNDED PRECEDING)
+)
+SELECT checkpoint, docs_cum::BIGINT AS docs_cum,
+       tokens_cum::BIGINT AS tokens_cum, vocab_cum::BIGINT AS vocab_cum,
+       CASE WHEN vocab_cum > 1 AND tokens_cum > 1 THEN
+         floor(ln(vocab_cum::DOUBLE) / ln(tokens_cum::DOUBLE) * 1e6 + 0.5)
+           / 1e6
+       END AS heaps_beta
+FROM cum ORDER BY checkpoint
+"""
+
+# r7o: embedding_outlier_scores — float32-exact per-dim stats (a
+# constant dimension's variance is exactly 0.0), order-fixed left fold
+# per vector (list() ORDER BY i -> list_reduce == Spark's aggregate
+# chain starting 0.0 + t1), micro-unit ranking.
+ORACLE["embedding_outlier_scores"] = """
+WITH ex AS (
+  SELECT vec_id, i, e[i]::DOUBLE AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+),
+dims AS (
+  SELECT i, sum(x) / count(*) AS m,
+         sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))
+           AS v
+  FROM ex GROUP BY i
+),
+terms AS (
+  SELECT ex.vec_id,
+         CASE WHEN d.v > 0 THEN (ex.x - d.m) * (ex.x - d.m) / d.v
+              ELSE 0.0 END AS t,
+         ex.i
+  FROM ex JOIN dims d ON d.i = ex.i
+),
+scored AS (
+  SELECT t.vec_id, e.label,
+         list_reduce(list_prepend(0.0, list(t.t ORDER BY t.i)),
+                     (a, b) -> a + b) AS score
+  FROM terms t JOIN embeddings e ON e.vec_id = t.vec_id
+  GROUP BY t.vec_id, e.label
+)
+SELECT row_number() OVER (ORDER BY floor(score * 1e6 + 0.5)::BIGINT DESC,
+                          vec_id)::BIGINT AS rank,
+       vec_id, label::BIGINT AS label,
+       floor(score * 1e6 + 0.5)::BIGINT AS score_e6
+FROM scored
+ORDER BY rank LIMIT 20
 """

@@ -531,3 +531,46 @@ def test_label_propagation_two_cliques_with_bridge(spark, tmp_path):
     assert comm[1] != comm[10]
     sizes = {r.doc_id: r.community_size for r in rows}
     assert all(sizes[i] == 4 for i in comm)
+
+
+def test_dedup_chain_audit_clique_vs_chain(spark, tmp_path):
+    """A 3-clique of identical docs is density 1e6 / not chained; a
+    path A~B~C whose ends A,C are NOT near-dups (B overlaps each end
+    heavily, A and C share half) must surface as chained with
+    density 2/3 of 1e6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.dedup import dedup_chain_audit
+
+    clique = "zebra yak xray whale viper unicorn tiger snake rhino quail"
+    # chain over 40-token docs: B differs from A by ONE token (3 of 38
+    # trigram shingles change, J ~ 0.854 >= 0.8), C differs from B by
+    # one MORE token far away (J(B,C) ~ 0.854) but from A by two
+    # (J(A,C) ~ 0.73 < 0.8) -> cluster {A,B,C} has only the two chain
+    # edges: merged through the intermediary, the over-merge hazard.
+    words = [f"tok{i}" for i in range(40)]
+    a = " ".join(words)
+    wb = list(words); wb[5] = "changed5"
+    b_ = " ".join(wb)
+    wc = list(wb); wc[30] = "changed30"
+    c = " ".join(wc)
+    ids = [1, 2, 3, 10, 11, 12]
+    texts = [clique, clique, clique, a, b_, c]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.component: r for r in
+            dedup_chain_audit(spark, str(tmp_path)).collect()}
+    cl = rows[1]
+    assert (cl.size, cl.n_edges, cl.density_e6, cl.chained) == (
+        3, 3, 1_000_000, False)
+    ch = rows[10]
+    assert (ch.size, ch.n_edges, ch.chained) == (3, 2, True)
+    assert ch.density_e6 == 2_000_000 // 6 * 2  # 2 edges of 3 pairs
+    assert ch.min_edge_jaccard < 1.0

@@ -50,6 +50,15 @@ FUZZ_QUERIES = [
     # (fightin words: last-ulp ln differences must collapse at 6 dp)
     "kwic_concordance",
     "fightin_words",
+    # r7l/n text ops — regex classes on control-char soup (the \x0B
+    # hazard again), zero-word sources (readability division guards),
+    # md5-bucket prefix family on tiny corpora, and the LPA/chain
+    # oracles' recursive closure on degenerate all-duplicate corpora
+    "pii_redact_audit",
+    "readability_scores",
+    "vocab_growth_heaps",
+    "label_propagation_communities",
+    "dedup_chain_audit",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -143,6 +152,15 @@ EVENT_QUERIES = [
     "active_user_ratios",
     "watermark_lateness_audit",
     "events_cusum_changepoint",
+    # r7k/m event ops — gaps-and-islands day ties, sweep-line boundary
+    # microsecond ties (end == start), ACF short-series degeneracy
+    # (den == 0 on constant series), Holt single-day seeds, SAX
+    # zero-variance symbol clamp
+    "user_active_streaks",
+    "session_concurrency",
+    "events_acf",
+    "events_holt_linear",
+    "sax_motifs",
 ]
 
 
@@ -261,6 +279,9 @@ ORD_QUERIES = [
     "customer_rfm_segments",
     # r7i: IVM delta algebra vs full recompute on degenerate batches
     "ivm_orders_agg",
+    # r7l: leading-digit extraction on flat-price corpora (one digit
+    # carries 100% of mass; the chi2 division must not blow up)
+    "benford_audit",
 ]
 
 

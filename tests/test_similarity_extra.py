@@ -392,3 +392,42 @@ def test_embedding_centroid_drift_matches_numpy(spark):
         assert -1.0 <= r.cos_to_global <= 1.0
         assert abs(r.cos_to_global - cos) < 1e-4, (r.label, cos)
         assert abs(r.centroid_norm - np.linalg.norm(cent) / len(m)) < 1e-4
+
+
+def test_embedding_outlier_scores_numpy_replay(spark, tmp_path):
+    """A planted far-out vector ranks first, and a numpy replay of the
+    diagonal Mahalanobis (population stats, v>0 dims only) matches
+    every micro-unit score; a constant dimension contributes exactly
+    zero instead of dividing by an epsilon."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_outlier_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-8, 8, size=(30, 8)).astype(np.float32) / 4.0
+    base[:, 3] = 2.5            # constant dim -> variance exactly 0
+    base[29] = base[29] + 40.0  # planted outlier
+    base[29, 3] = 2.5
+    tbl = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(30)], pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = embedding_outlier_scores(spark, str(tmp_path)).collect()
+    assert rows[0].vec_id == 29 and rows[0].rank == 1
+
+    x = base.astype(np.float64)
+    m = x.mean(axis=0)
+    v = (x * x).mean(axis=0) - m * m
+    terms = np.where(v > 0, (x - m) ** 2 / np.where(v > 0, v, 1.0), 0.0)
+    scores = terms.sum(axis=1)
+    expect = {i: int(np.floor(s * 1e6 + 0.5)) for i, s in enumerate(scores)}
+    for r in rows:
+        assert abs(r.score_e6 - expect[r.vec_id]) <= 1, (
+            r.vec_id, r.score_e6, expect[r.vec_id])

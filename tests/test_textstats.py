@@ -734,3 +734,41 @@ def test_readability_scores_hand_computed(spark, tmp_path):
     assert abs(row.flesch - expect) < 2e-6
     assert row.syl_per_word_e6 == 7 * 1_000_000 // 5
     assert row.poly_rate_e6 == 1_000_000 // 5
+
+
+def test_vocab_growth_heaps_monotone_and_exact(spark, tmp_path):
+    """Cumulative docs/tokens/vocab are non-decreasing, the final
+    checkpoint equals the exact corpus totals, and a python replay of
+    the md5-bucket prefix family reproduces every vocab count."""
+    import hashlib
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        vocab_growth_heaps,
+    )
+
+    texts = [f"w{i % 7} shared common t{i}" for i in range(40)]
+    sf = _docs_table(tmp_path, texts)
+    rows = vocab_growth_heaps(spark, sf).collect()
+    assert [r.checkpoint for r in rows] == sorted(
+        {r.checkpoint for r in rows})
+    for a, b in zip(rows, rows[1:]):
+        assert b.docs_cum >= a.docs_cum
+        assert b.tokens_cum >= a.tokens_cum
+        assert b.vocab_cum >= a.vocab_cum
+    last = rows[-1]
+    vocab = set()
+    toks = 0
+    buckets = {}
+    for i, t in enumerate(texts, start=1):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 16
+        buckets.setdefault(h, []).append(t.split())
+        toks += len(t.split())
+        vocab.update(t.split())
+    assert (last.docs_cum, last.tokens_cum, last.vocab_cum) == (
+        40, toks, len(vocab))
+    for r in rows:
+        pv = set()
+        for b in range(r.checkpoint + 1):
+            for ws in buckets.get(b, []):
+                pv.update(ws)
+        assert r.vocab_cum == len(pv)

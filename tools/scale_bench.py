@@ -198,6 +198,12 @@ HEADLINE = _HEADLINE + [
     # table, alphabet-bounded output — FLAT).
     "label_propagation_communities",
     "sax_motifs",
+    # round-7n additions: chain audit (pair base + cluster rollups —
+    # tracks the dup graph; its oracle carries the same exact-pair edge
+    # build that DNFs at 4x, so expect a duck DNF row), Heaps curve
+    # (two keyed exchanges, 16 rows out — linear scan cost, flat tail).
+    "dedup_chain_audit",
+    "vocab_growth_heaps",
 ]
 
 
