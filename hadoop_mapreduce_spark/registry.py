@@ -3191,7 +3191,6 @@ _WINDOW_R7 = [
     # quality_threshold_sweep yielded their slots to the r7l wave —
     # oldest-first policy, both full artifacts cover them at two sfs;
     # they queue behind the r7b four for the r8 window front)
-    "token_budget_fill",
     "source_novelty_attribution",
     "quality_signal_correlation",
     # (e) r7d-new operators (this session), all hash-paired
@@ -3223,8 +3222,9 @@ _WINDOW_R7 = [
     "orders_abc_pareto",
     # (n) r7m-new operators (this session), all hash-paired
     "label_propagation_communities", "sax_motifs",
-    # (o) r7n-new operators (this session), all hash-paired
+    # (o) r7n/r7o-new operators (this session), all hash-paired
     "dedup_chain_audit", "vocab_growth_heaps",
+    "embedding_outlier_scores",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

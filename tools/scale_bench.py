@@ -204,6 +204,9 @@ HEADLINE = _HEADLINE + [
     # (two keyed exchanges, 16 rows out — linear scan cost, flat tail).
     "dedup_chain_audit",
     "vocab_growth_heaps",
+    # round-7o: one explode + d-row broadcast + fold — linear, tiny
+    # constants.
+    "embedding_outlier_scores",
 ]
 
 
