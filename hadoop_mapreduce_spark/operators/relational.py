@@ -1643,3 +1643,83 @@ def orders_abc_pareto(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def orders_interarrival_profile(spark, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival profile: gap statistics between
+    consecutive orders in exact integer DAYS — the purchase-cadence
+    read behind replenishment and churn models (a customer whose
+    max_gap dwarfs their mean_gap has lapsed at least once; burstiness
+    = max/mean separates steady subscribers from spike buyers).
+
+    One shuffle on o_custkey; the lag window and the rollup share it.
+    All statistics are exact integers (mean gap in micro-days by floor
+    division); customers with a single order are real rows with NULL
+    gap stats, not dropped — churn models need them.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+               " div 86400000000 AS BIGINT)").alias("day"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey", "day",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"))
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("day").cast("long").alias("first_day"),
+            F.max("day").cast("long").alias("last_day"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            # count(gap) = 0 for single-order customers — guard the
+            # division (ANSI mode turns DIV 0 into an error)
+            F.expr("CASE WHEN count(gap) > 0 THEN "
+                   "CAST(sum(gap) * 1000000 DIV count(gap) AS BIGINT) "
+                   "END").alias("mean_gap_micro_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def order_status_flow(spark, sf_dir: str) -> DataFrame:
+    """Order-status transition matrix: for each customer's orders in
+    date order, count (status → next status) transitions and their
+    per-source-status probability — the first-order Markov view of how
+    order books evolve (pairs with `events_session_bigrams`, which is
+    the same read over event streams).
+
+    One shuffle on o_custkey (lag window), then a |statuses|²-bounded
+    rollup; probabilities are exact micro-units from integer counts.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.col("o_orderdate").cast("timestamp").alias("dt"))
+    w = Window.partitionBy("o_custkey").orderBy("dt", "o_orderkey")
+    pairs = (
+        orders.select(
+            F.col("o_orderstatus").alias("from_status"),
+            F.lead("o_orderstatus").over(w).alias("to_status"))
+        .where(F.col("to_status").isNotNull())
+    )
+    g = pairs.groupBy("from_status", "to_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("from_status")
+    return (
+        g.withColumn("from_total", F.sum("n").over(wt))
+        .select(
+            "from_status", "to_status", "n",
+            F.expr("n * 1000000 DIV from_total").alias("p_e6"),
+        )
+        .orderBy("from_status", "to_status")
+    )

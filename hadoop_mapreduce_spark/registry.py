@@ -164,6 +164,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_chain_audit": dedup.dedup_chain_audit,  # hash-paired r7n
     "vocab_growth_heaps": textstats.vocab_growth_heaps,  # hash-paired r7n
     "embedding_outlier_scores": similarity.embedding_outlier_scores,  # hash-paired r7o
+    "orders_interarrival_profile": relational.orders_interarrival_profile,  # hash-paired r7p
+    "order_status_flow": relational.order_status_flow,  # hash-paired r7p
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -5582,4 +5584,50 @@ SELECT row_number() OVER (ORDER BY floor(score * 1e6 + 0.5)::BIGINT DESC,
        floor(score * 1e6 + 0.5)::BIGINT AS score_e6
 FROM scored
 ORDER BY rank LIMIT 20
+"""
+
+# r7p: orders_interarrival_profile — exact integer day gaps, floor
+# micro-day mean; single-order customers are real NULL-gap rows.
+ORACLE["orders_interarrival_profile"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, day,
+         day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM o
+)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       min(day)::BIGINT AS first_day,
+       max(day)::BIGINT AS last_day,
+       count(gap)::BIGINT AS n_gaps,
+       min(gap)::BIGINT AS min_gap_days,
+       max(gap)::BIGINT AS max_gap_days,
+       CASE WHEN count(gap) > 0
+            THEN (sum(gap) * 1000000 // count(gap))::BIGINT END
+         AS mean_gap_micro_days
+FROM g GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+# r7p: order_status_flow — |statuses|^2 rollup, micro-unit rows.
+ORACLE["order_status_flow"] = """
+WITH p AS (
+  SELECT o_orderstatus AS from_status,
+         lead(o_orderstatus) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+           AS to_status
+  FROM orders
+),
+g AS (
+  SELECT from_status, to_status, count(*)::BIGINT AS n
+  FROM p WHERE to_status IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_status, to_status, n,
+       (n * 1000000 // sum(n) OVER (PARTITION BY from_status))::BIGINT
+         AS p_e6
+FROM g ORDER BY from_status, to_status
 """

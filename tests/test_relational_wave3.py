@@ -267,3 +267,49 @@ def test_orders_abc_pareto_classes(spark, tmp_path):
     assert out["A"].share_e6 == 700_000
     assert (out["A"].first_rank, out["C"].first_rank,
             out["C"].last_rank) == (1, 3, 4)
+
+
+def test_orders_interarrival_and_status_flow(spark, tmp_path):
+    """Customer 1 orders on days 0, 10, 40 (gaps 10 and 30; mean 20);
+    customer 2 has a single order -> NULL gap stats. Status sequence
+    O -> P -> F for customer 1 yields transitions O->P and P->F with
+    probability 1e6 each."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        order_status_flow, orders_interarrival_profile,
+    )
+
+    rows = [
+        (1, 1, "O", datetime(2024, 1, 1)),
+        (2, 1, "P", datetime(2024, 1, 11)),
+        (3, 1, "F", datetime(2024, 2, 10)),
+        (4, 2, "O", datetime(2024, 1, 5)),
+    ]
+    tbl = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+        "o_totalprice": pa.array([10.0] * 4, pa.float64()),
+        "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 4, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+
+    prof = {r.o_custkey: r for r in
+            orders_interarrival_profile(spark, str(tmp_path)).collect()}
+    c1 = prof[1]
+    assert (c1.n_orders, c1.n_gaps, c1.min_gap_days, c1.max_gap_days) == (
+        3, 2, 10, 30)
+    assert c1.mean_gap_micro_days == 20_000_000
+    c2 = prof[2]
+    assert (c2.n_orders, c2.n_gaps, c2.mean_gap_micro_days) == (1, 0, None)
+
+    flow = {(r.from_status, r.to_status): r for r in
+            order_status_flow(spark, str(tmp_path)).collect()}
+    assert flow[("O", "P")].n == 1 and flow[("O", "P")].p_e6 == 1_000_000
+    assert flow[("P", "F")].n == 1 and flow[("P", "F")].p_e6 == 1_000_000
+    assert ("O", "F") not in flow
