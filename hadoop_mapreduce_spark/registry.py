@@ -3193,8 +3193,8 @@ _WINDOW_R7 = [
     # quality_threshold_sweep yielded their slots to the r7l wave —
     # oldest-first policy, both full artifacts cover them at two sfs;
     # they queue behind the r7b four for the r8 window front)
-    "source_novelty_attribution",
-    "quality_signal_correlation",
+    # (d) fully rotated out to r7p (oldest-first; dual-sf artifact
+    # coverage stands in until the r8 window front)
     # (e) r7d-new operators (this session), all hash-paired
     "ngram_diversity_audit", "dataset_card", "badwords_filter",
     "lang_source_chisq", "events_dow_hour_profile",
@@ -3227,6 +3227,8 @@ _WINDOW_R7 = [
     # (o) r7n/r7o-new operators (this session), all hash-paired
     "dedup_chain_audit", "vocab_growth_heaps",
     "embedding_outlier_scores",
+    # (p) r7p-new operators (this session), all hash-paired
+    "orders_interarrival_profile", "order_status_flow",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

@@ -207,6 +207,9 @@ HEADLINE = _HEADLINE + [
     # round-7o: one explode + d-row broadcast + fold — linear, tiny
     # constants.
     "embedding_outlier_scores",
+    # round-7p: one custkey exchange each — linear with tiny constants.
+    "orders_interarrival_profile",
+    "order_status_flow",
 ]
 
 
