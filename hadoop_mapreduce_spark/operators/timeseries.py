@@ -1506,3 +1506,82 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", F.desc("n"), "motif")
     )
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE / CEP-style event-pattern detection over
+    sessions — the "did the user view, then click around, then buy,
+    without erroring in between?" query that SQL engines express with
+    MATCH_RECOGNIZE and Flink with CEP. Spark has neither; the
+    Spark-native formulation SYMBOLIZES each session (one char per
+    event in time order: v/c/p/s/e) and runs the pattern as a regex
+    over the session string — regular expressions ARE the
+    MATCH_RECOGNIZE pattern language, so this is semantics-complete
+    for non-overlapping greedy matches.
+
+    Patterns audited (explicit char classes, Java == RE2):
+      direct_convert   v c* p        (view, clicks, purchase)
+      browse_abandon   v c+ $        (clicky session that never buys)
+      error_retry      e [^e]* p     (recovers from an error to buy)
+      signup_activate  s [vc]* p     (activation funnel)
+
+    Scale shape: ONE user-keyed exchange builds the per-session symbol
+    strings (collect_list bounded by session length — the same bound
+    every session operator here carries); the pattern grid is a
+    broadcast of 4 literals; output is 4 rows. Counts are exact
+    integers; shares exact micro-units.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    sess = (
+        ev.select(
+            "user_id", "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            "event_id", sym.alias("ch"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                 "user_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("t_us", "event_id", "ch"))),
+                lambda s: s["ch"]), "").alias("seq"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sess = scoped_persist(sess)
+    # Spark's regexp functions need FOLDABLE patterns — the grid is a
+    # unioned 4-branch literal scan over the persisted session table,
+    # not a pattern-column crossJoin.
+    pats = [("browse_abandon", "vc+$"),
+            ("direct_convert", "vc*p"),
+            ("error_retry", "e[^e]*p"),
+            ("signup_activate", "s[vc]*p")]
+    per = None
+    for name, re_lit in pats:
+        b = sess.select(
+            F.lit(name).alias("pattern"),
+            F.size(F.regexp_extract_all("seq", F.lit(re_lit), F.lit(0)))
+            .cast("long").alias("m"))
+        per = b if per is None else per.unionAll(b)
+    total = sess.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    hits = per.groupBy("pattern").agg(
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_sessions_matched"),
+        F.sum("m").cast("long").alias("n_matches"),
+    )
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            "pattern", "n_sessions_matched", "n_matches",
+            F.expr("n_sessions_matched * 1000000 DIV n_sessions")
+            .alias("session_share_e6"),
+        )
+        .orderBy("pattern")
+    )

@@ -166,6 +166,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_outlier_scores": similarity.embedding_outlier_scores,  # hash-paired r7o
     "orders_interarrival_profile": relational.orders_interarrival_profile,  # hash-paired r7p
     "order_status_flow": relational.order_status_flow,  # hash-paired r7p
+    "events_pattern_match": timeseries.events_pattern_match,  # hash-paired r7q
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -5632,4 +5633,49 @@ SELECT from_status, to_status, n,
        (n * 1000000 // sum(n) OVER (PARTITION BY from_status))::BIGINT
          AS p_e6
 FROM g ORDER BY from_status, to_status
+"""
+
+# r7q: events_pattern_match — MATCH_RECOGNIZE/CEP twin: sessions
+# symbolized to one char per event in (ts, event_id) order, patterns
+# evaluated as regexes (Java == RE2 on these explicit classes).
+ORACLE["events_pattern_match"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+         ELSE 'e' END AS ch,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY user_id, sid
+),
+pats AS (
+  SELECT * FROM (VALUES ('browse_abandon', 'vc+$'),
+                        ('direct_convert', 'vc*p'),
+                        ('error_retry', 'e[^e]*p'),
+                        ('signup_activate', 's[vc]*p'))
+    AS t(pattern, re)
+),
+per AS (
+  SELECT p.pattern, len(regexp_extract_all(sess.seq, p.re))::BIGINT AS m
+  FROM sess CROSS JOIN pats p
+),
+tot AS (SELECT count(*)::BIGINT AS n_sessions FROM sess)
+SELECT pattern,
+       sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_sessions_matched,
+       sum(m)::BIGINT AS n_matches,
+       (sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) * 1000000
+        // max(tot.n_sessions))::BIGINT AS session_share_e6
+FROM per, tot
+GROUP BY pattern ORDER BY pattern
 """

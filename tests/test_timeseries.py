@@ -689,3 +689,62 @@ def test_sax_motifs_symbols_and_windows(spark, tmp_path):
     expect = Counter("".join(syms[i:i + 3]) for i in range(len(syms) - 2))
     got = {k[1]: v for k, v in out.items()}
     assert got == dict(expect)
+
+
+def test_events_pattern_match_symbolized_sessions(spark, tmp_path):
+    """One crafted session per pattern: v,c,c,p converts (and its tail
+    never counts as browse_abandon because c-run doesn't end the
+    string); v,c,c abandons; e,v,p retries; s,v,p activates. A python
+    re replay over the symbol strings agrees exactly."""
+    import re as _re
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_pattern_match,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    seqs = {
+        1: ["view", "click", "click", "purchase"],
+        2: ["view", "click", "click"],
+        3: ["error", "view", "purchase"],
+        4: ["signup", "view", "purchase"],
+    }
+    rows, eid = [], 0
+    for uid, types in seqs.items():
+        for i, et in enumerate(types):
+            rows.append((eid, d0 + timedelta(minutes=i), uid, et,
+                         1.0, "{}"))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.pattern: r for r in
+           events_pattern_match(spark, str(tmp_path)).collect()}
+
+    sym = {"view": "v", "click": "c", "purchase": "p",
+           "signup": "s", "error": "e"}
+    strings = ["".join(sym[t] for t in ts) for ts in seqs.values()]
+    pats = {"browse_abandon": "vc+$", "direct_convert": "vc*p",
+            "error_retry": "e[^e]*p", "signup_activate": "s[vc]*p"}
+    for name, pat in pats.items():
+        ms = [len(_re.findall(pat, s)) for s in strings]
+        assert out[name].n_sessions_matched == sum(1 for m in ms if m)
+        assert out[name].n_matches == sum(ms)
+        assert out[name].session_share_e6 == (
+            sum(1 for m in ms if m) * 1_000_000 // 4)
+    # vc*p with an empty click-run also matches inside 'evp' and
+    # 'svp' — the regex replay above is the ground truth
+    assert out["direct_convert"].n_sessions_matched == 3
+    assert out["browse_abandon"].n_sessions_matched == 1
+    assert out["error_retry"].n_sessions_matched == 1
+    assert out["signup_activate"].n_sessions_matched == 1
