@@ -3197,7 +3197,7 @@ _WINDOW_R7 = [
     # (d) fully rotated out to r7p (oldest-first; dual-sf artifact
     # coverage stands in until the r8 window front)
     # (e) r7d-new operators (this session), all hash-paired
-    "ngram_diversity_audit", "dataset_card", "badwords_filter",
+    "dataset_card", "badwords_filter",
     "lang_source_chisq", "events_dow_hour_profile",
     "neardup_label_conflict", "lsh_band_tuning",
     "packing_boundary_audit",
@@ -3228,8 +3228,9 @@ _WINDOW_R7 = [
     # (o) r7n/r7o-new operators (this session), all hash-paired
     "dedup_chain_audit", "vocab_growth_heaps",
     "embedding_outlier_scores",
-    # (p) r7p-new operators (this session), all hash-paired
+    # (p) r7p/q-new operators (this session), all hash-paired
     "orders_interarrival_profile", "order_status_flow",
+    "events_pattern_match",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

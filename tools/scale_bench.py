@@ -210,6 +210,8 @@ HEADLINE = _HEADLINE + [
     # round-7p: one custkey exchange each — linear with tiny constants.
     "orders_interarrival_profile",
     "order_status_flow",
+    # round-7q: one session exchange + 4 bounded scans — linear.
+    "events_pattern_match",
 ]
 
 
