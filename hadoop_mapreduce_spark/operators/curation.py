@@ -1298,3 +1298,83 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix of quality filters — the redundancy
+    audit run before stacking heuristic filters into a pipeline: two
+    signals with near-perfect Cohen's kappa are the same filter twice
+    (wasted compute, double-counted rejections); near-zero kappa means
+    they reject DIFFERENT documents and both earn their place.
+
+    Four cheap single-scan signals over the shared token array:
+      short          n_tokens < 20
+      low_diversity  distinct/total token ratio < 1/2
+      long_words     total chars > 8 x tokens (avg word length > 8)
+      dup_bigrams    distinct/total bigram ratio < 3/4
+
+    All contingency counts are exact BIGINT; kappa's observed/expected
+    agreement is derived from those integers with ONE float division
+    site per pair, 6-dp floored. Output = C(4,2) = 6 rows from one
+    corpus scan + one tiny rollup: the flags travel as an integer bit
+    vector, so the pairwise matrix needs no self-join — each pair's
+    cells are conditional sums over the same |corpus|-row relation.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text, tokenize)
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(normalize_text(F.col("text")))
+    base = docs.select(
+        t.alias("t")
+    ).select(
+        F.size("t").alias("n"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.aggregate(F.transform(F.col("t"),
+                                lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("chars"),
+        F.expr("size(array_distinct(transform("
+               "  slice(t, 1, greatest(size(t) - 1, 0)),"
+               "  (x, i) -> concat(x, ' ', element_at(t, i + 2)))))")
+        .alias("ndb"),
+    ).select(
+        (F.col("n") < 20).cast("int").alias("f_short"),
+        ((F.col("nd") * 2) < F.col("n")).cast("int").alias("f_lowdiv"),
+        (F.col("chars") > F.col("n") * 8).cast("int").alias("f_longw"),
+        (F.when(F.col("n") > 1,
+                (F.col("ndb") * 4) < (F.col("n") - 1) * 3)
+         .otherwise(F.lit(False))).cast("int").alias("f_dupbi"),
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sigs = ["f_short", "f_lowdiv", "f_longw", "f_dupbi"]
+    agg = scoped_persist(base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(s).cast("long").alias(s) for s in sigs],
+        *[F.sum(F.col(a) * F.col(b)).cast("long").alias(f"both_{a}_{b}")
+          for i, a in enumerate(sigs) for b in sigs[i + 1:]],
+    ))  # persisted: the 6 pair selects below each read this 1-row agg
+    rows = []
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            both = F.col(f"both_{a}_{b}")
+            na, nb, n = F.col(a), F.col(b), F.col("n_docs")
+            neither = n - na - nb + both
+            po = (both + neither).cast("double") / n.cast("double")
+            pe = ((na * nb + (n - na) * (n - nb)).cast("double")
+                  / (n * n).cast("double"))
+            kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+            rows.append(agg.select(
+                F.lit(a[2:]).alias("sig_a"), F.lit(b[2:]).alias("sig_b"),
+                both.alias("n_both"),
+                (na - both).alias("n_only_a"),
+                (nb - both).alias("n_only_b"),
+                neither.alias("n_neither"),
+                (F.floor(kappa * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("kappa"),
+            ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("sig_a", "sig_b")

@@ -167,6 +167,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_interarrival_profile": relational.orders_interarrival_profile,  # hash-paired r7p
     "order_status_flow": relational.order_status_flow,  # hash-paired r7p
     "events_pattern_match": timeseries.events_pattern_match,  # hash-paired r7q
+    "quality_filter_agreement": curation.quality_filter_agreement,  # hash-paired r7r
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3197,7 +3198,7 @@ _WINDOW_R7 = [
     # (d) fully rotated out to r7p (oldest-first; dual-sf artifact
     # coverage stands in until the r8 window front)
     # (e) r7d-new operators (this session), all hash-paired
-    "dataset_card", "badwords_filter",
+    "badwords_filter",
     "lang_source_chisq", "events_dow_hour_profile",
     "neardup_label_conflict", "lsh_band_tuning",
     "packing_boundary_audit",
@@ -3228,9 +3229,9 @@ _WINDOW_R7 = [
     # (o) r7n/r7o-new operators (this session), all hash-paired
     "dedup_chain_audit", "vocab_growth_heaps",
     "embedding_outlier_scores",
-    # (p) r7p/q-new operators (this session), all hash-paired
+    # (p) r7p/q/r-new operators (this session), all hash-paired
     "orders_interarrival_profile", "order_status_flow",
-    "events_pattern_match",
+    "events_pattern_match", "quality_filter_agreement",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -5680,3 +5681,59 @@ SELECT pattern,
 FROM per, tot
 GROUP BY pattern ORDER BY pattern
 """
+
+# r7r: quality_filter_agreement — exact BIGINT contingency cells, one
+# float division site per pair (Cohen's kappa), 6-dp floored; the six
+# pair rows are generated from the same 1-row aggregate both sides.
+_QFA_SIGS = ["f_short", "f_lowdiv", "f_longw", "f_dupbi"]
+_QFA_PAIR = """
+SELECT '{a_name}' AS sig_a, '{b_name}' AS sig_b,
+  both_{a}_{b} AS n_both,
+  {a} - both_{a}_{b} AS n_only_a,
+  {b} - both_{a}_{b} AS n_only_b,
+  n_docs - {a} - {b} + both_{a}_{b} AS n_neither,
+  CASE WHEN (({a} * {b} + (n_docs - {a}) * (n_docs - {b}))::DOUBLE
+             / (n_docs * n_docs)::DOUBLE) < 1.0 THEN
+    floor((((both_{a}_{b} + n_docs - {a} - {b} + both_{a}_{b})::DOUBLE
+            / n_docs::DOUBLE)
+           - (({a} * {b} + (n_docs - {a}) * (n_docs - {b}))::DOUBLE
+              / (n_docs * n_docs)::DOUBLE))
+          / (1.0 - (({a} * {b} + (n_docs - {a}) * (n_docs - {b}))::DOUBLE
+                    / (n_docs * n_docs)::DOUBLE))
+          * 1e6 + 0.5) / 1e6
+  END AS kappa
+FROM agg"""
+ORACLE["quality_filter_agreement"] = (
+    f"""
+WITH base0 AS (
+  SELECT {_TOKS} AS t FROM documents
+),
+base AS (
+  SELECT len(t) AS n,
+         len(list_distinct(t)) AS nd,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS chars,
+         len(list_distinct(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1]))) AS ndb
+  FROM base0
+),
+flags AS (
+  SELECT (n < 20)::INT AS f_short,
+         (nd * 2 < n)::INT AS f_lowdiv,
+         (chars > n * 8)::INT AS f_longw,
+         (CASE WHEN n > 1 THEN ndb * 4 < (n - 1) * 3
+               ELSE false END)::INT AS f_dupbi
+  FROM base
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+"""
+    + ",\n".join(f"    sum({s})::BIGINT AS {s}" for s in _QFA_SIGS)
+    + ",\n"
+    + ",\n".join(
+        f"    sum({a} * {b})::BIGINT AS both_{a}_{b}"
+        for i, a in enumerate(_QFA_SIGS) for b in _QFA_SIGS[i + 1:])
+    + "\n  FROM flags\n)\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _QFA_PAIR.format(a=a, b=b, a_name=a[2:], b_name=b[2:])
+        for i, a in enumerate(_QFA_SIGS) for b in _QFA_SIGS[i + 1:])
+    + "\n) ORDER BY sig_a, sig_b")

@@ -573,3 +573,48 @@ def test_benford_audit_uniform_digits(spark, tmp_path):
         chi = (10 - 90 * p) ** 2 / (90 * p)
         assert abs(r.chi2_contrib - chi) < 2e-6
     assert rows[1].chi2_contrib == max(r.chi2_contrib for r in rows.values())
+
+
+def test_quality_filter_agreement_kappa(spark, tmp_path):
+    """Hand-built corpus where f_short and f_lowdiv flag the SAME two
+    docs (kappa 1.0) while f_longw flags a disjoint one — python
+    replay of the contingency + kappa agrees exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_filter_agreement,
+    )
+
+    # docs 1-2: short AND low diversity (5 tokens, 2 distinct)
+    # doc 3: long diverse text, normal words
+    # doc 4: long diverse text with very long words (f_longw only)
+    texts = [
+        "aa bb aa bb aa",
+        "cc dd cc dd cc",
+        " ".join(f"w{i}" for i in range(40)),
+        " ".join(f"verylongtoken{i:05d}" for i in range(40)),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {(r.sig_a, r.sig_b): r for r in
+           quality_filter_agreement(spark, str(tmp_path)).collect()}
+    assert len(out) == 6
+    r = out[("short", "lowdiv")]
+    assert (r.n_both, r.n_only_a, r.n_only_b, r.n_neither) == (2, 0, 0, 2)
+    assert r.kappa == 1.0  # identical flag sets
+    r2 = out[("longw", "short")] if ("longw", "short") in out else \
+        out[("short", "longw")]
+    assert r2.n_both == 0  # disjoint
+    # python kappa replay for the disjoint pair: po=(0+1)/4? compute
+    n, na, nb, both = 4, 2, 1, 0
+    po = (both + n - na - nb + both) / n
+    pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+    import math
+    assert abs(r2.kappa - (po - pe) / (1 - pe)) < 2e-6

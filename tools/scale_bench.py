@@ -212,6 +212,8 @@ HEADLINE = _HEADLINE + [
     "order_status_flow",
     # round-7q: one session exchange + 4 bounded scans — linear.
     "events_pattern_match",
+    # round-7r: one tokenize scan + 1-row agg — near-flat.
+    "quality_filter_agreement",
 ]
 
 
