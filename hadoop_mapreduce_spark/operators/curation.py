@@ -1378,3 +1378,81 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("sig_a", "sig_b")
+
+
+def auc_roc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve + AUC of the English-stopword-hit score as a
+    detector of lang='en' — the threshold-free quality audit run before
+    shipping any heuristic filter (does the signal actually rank the
+    target class above the rest?).  Companion to
+    `quality_filter_agreement` (which audits filter REDUNDANCY, not
+    filter POWER) and `quality_threshold_sweep` (one filter, fixed
+    operating points).
+
+    All arithmetic is exact BIGINT.  The score (count of DISTINCT
+    English stopwords present, `language_id`'s hit statistic) lives on
+    the bounded domain 0..10, so the ROC grid is a <=11-row table: one
+    data-sized groupBy(score) collapses the corpus, and every window /
+    cumulative below runs on the bounded grid — no single-reducer
+    hazard at any corpus size.  AUC is the Mann-Whitney U statistic
+    with the standard half-credit tie correction computed in doubled
+    units so it stays integral:
+
+        u2 = sum_s 2*p_s*(negatives strictly below s) + p_s*n_s
+        AUC = u2 / (2*P*N)   -> emitted as auc_e6 = u2*1e6 // (2*P*N)
+
+    Per-threshold rows emit predict-positive-iff-score>=s confusion
+    counts and micro-unit TPR/FPR (n * 1e6 // total, the repo's exact
+    integer-ratio convention — see order_status_flow).
+    """
+    from hadoop_mapreduce_spark.operators.textstats import LANG_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    toks = tokenize(normalize_text(F.col("text")))
+    score = F.size(
+        F.array_intersect(toks, F.lit(list(LANG_STOPWORDS["en"]))))
+    base = docs.select(
+        score.cast("long").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    grid = base.groupBy("s").agg(
+        F.sum("pos").alias("p"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n"),
+    )
+    w_below = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_from = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    enriched = (
+        grid.withColumn(
+            "n_below", F.coalesce(F.sum("n").over(w_below), F.lit(0)))
+        .withColumn("u2_part",
+                    2 * F.col("p") * F.col("n_below")
+                    + F.col("p") * F.col("n"))
+        .withColumn("tp", F.sum("p").over(w_from))
+        .withColumn("fp", F.sum("n").over(w_from))
+    )
+    tot = enriched.agg(
+        F.sum("u2_part").alias("u2"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+    )
+    return (
+        enriched.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("n_neg") - F.col("fp")).cast("long").alias("tn"),
+            F.expr("tp * 1000000 DIV n_pos").alias("tpr_e6"),
+            F.expr("fp * 1000000 DIV n_neg").alias("fpr_e6"),
+            F.col("u2").cast("long").alias("u2"),
+            F.expr("u2 * 1000000 DIV (2 * n_pos * n_neg)").alias("auc_e6"),
+        )
+        .orderBy("threshold")
+    )

@@ -1723,3 +1723,63 @@ def order_status_flow(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_status", "to_status")
     )
+
+
+def skyline_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) operator over two document quality
+    signals — docs not dominated on (n_chars, distinct whitespace
+    tokens), both maximised.  The classic Börzsönyi et al. SKYLINE OF
+    operator, absent from both Spark and the reference's surface
+    (extends SURVEY.md §2 op-10's per-key aggregation to preference
+    queries).
+
+    A point p is dominated iff some q has q.x >= p.x and q.y >= p.y
+    with at least one strict.  Naive evaluation is the O(n^2)
+    NOT-EXISTS self-join (the oracle's spelling).  The distributed plan
+    exploits that for a 2-D max-max skyline only the per-x maximum of y
+    can survive: one data-sized groupBy(x) collapses the corpus to a
+    candidate table bounded by |distinct n_chars| (the document-length
+    DOMAIN — hundreds of values at any corpus size, since n_chars is
+    capped by the ingest contract), a single-partition window over that
+    bounded table marks the strict prefix-max frontier, and the
+    frontier (tiny) broadcasts back to pick up every doc sitting
+    exactly on a frontier point — ties on both coordinates are mutually
+    non-dominating and all emitted, matching SKYLINE semantics.
+
+    At 100 TB: the only data-sized exchanges are the groupBy(x) partial
+    agg (map-side combine collapses to <= |domain| rows per task) and
+    the broadcast-join scan; the global window never sees data-sized
+    input, so the single-reducer hazard of a naive ORDER BY x window is
+    structurally avoided.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text(F.col("text")))
+    scored = docs.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    cand = scored.groupBy("n_chars").agg(
+        F.max("distinct_tokens").alias("ymax"))
+    w = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier = (
+        cand.withColumn("prev", F.max("ymax").over(w))
+        # strict: a larger-x point with EQUAL y dominates (strict in x)
+        .filter(F.col("ymax") > F.coalesce(F.col("prev"), F.lit(-1)))
+        .select(F.col("n_chars").alias("fx"), F.col("ymax").alias("fy"))
+    )
+    return (
+        scored.join(
+            F.broadcast(frontier),
+            (scored["n_chars"] == F.col("fx"))
+            & (scored["distinct_tokens"] == F.col("fy")),
+        )
+        .select("doc_id", "source", "n_chars", "distinct_tokens")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )

@@ -2027,3 +2027,54 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.floor(beta * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("heaps_beta"),
     ).orderBy("checkpoint")
+
+
+def keyphrase_rake(spark: SparkSession, sf_dir: str,
+                   top_k: int = 100) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens; a word's degree is the summed
+    length of the phrases containing it, its score degree/frequency —
+    words that ride long multi-word phrases outrank bare frequent
+    words.  The classic cheap keyword extractor an LLM-data pipeline
+    runs for corpus topic audits (complements `tfidf_top_terms`, which
+    needs document frequency, and `bigram_pmi_collocations`, which only
+    sees pairs).
+
+    Stopword boundary set = the en stopword list (`LANG_STOPWORDS`),
+    deterministic and oracle-mirrored.  Phrase assembly is the running-
+    stopword-count trick: phrase_id = number of stopwords at-or-before
+    the position, so consecutive non-stop tokens share an id — one
+    per-doc window pass, no self-join.  All outputs are exact BIGINT
+    (score in micro-units via single integer division; degree and freq
+    are positive so DIV == floor on both engines).
+
+    Scale: the per-doc window partitions by doc_id (no global window);
+    word aggregation is vocabulary-bounded with map-side combine; top-k
+    is a rank-limit over the bounded vocab table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop = list(LANG_STOPWORDS["en"])
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos", "w"))
+    marked = toks.withColumn(
+        "is_stop", F.col("w").isin(stop).cast("int"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    phrased = (
+        marked.withColumn("phrase_id", F.sum("is_stop").over(wdoc))
+        .where(F.col("is_stop") == 0)
+    )
+    wphrase = Window.partitionBy("doc_id", "phrase_id")
+    words = phrased.select(
+        "w", F.count(F.lit(1)).over(wphrase).alias("plen"))
+    scored = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    return (
+        scored.select(
+            F.col("w").alias("word"), "freq", "degree",
+            F.expr("degree * 1000000 DIV freq").alias("rake_e6"),
+        )
+        .orderBy(F.col("rake_e6").desc(), F.col("freq").desc(), "word")
+        .limit(top_k)
+    )

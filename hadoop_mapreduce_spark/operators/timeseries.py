@@ -1585,3 +1585,225 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+def survival_kaplan_meier(
+    spark: SparkSession, sf_dir: str, churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of user lifetime with
+    right-censoring — the churn statistic `events_retention_cohorts`
+    approximates without censoring handling.  A user's lifetime is
+    last_active_day - first_active_day; the churn event is OBSERVED
+    only when the user has been silent for > churn_gap_days before the
+    corpus end, otherwise the lifetime is right-censored (the user may
+    still be active).
+
+    Scale shape: one per-user aggregation of the raw stream (the only
+    data-sized exchange, map-side-combined), a 1-row global-max
+    broadcast, then a groupBy(duration) grid bounded by the corpus day
+    span (<=366 rows/year regardless of user count), on which every
+    cumulative window runs.  At-risk counts and death/censor counts are
+    exact BIGINT; only the survival product leaves integers, via the
+    deterministic exp-sum-ln fold over the ordered grid (both engines
+    fold the identical doubles in the identical order; floor-rounded at
+    6 dp per the repo convention).  n_at_risk(t) counts every user with
+    duration >= t — censored-at-t users are at risk at t (the standard
+    deaths-before-censoring convention).  A zero-survivor step (d = n)
+    forces survival exactly 0.0 from that step on, rather than
+    ln(0) = NULL poisoning the window (Spark) or -inf (DuckDB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_d"), F.max(day).alias("last_d"))
+    gmax = per_user.agg(F.max("last_d").alias("corpus_end"))
+    durs = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            (F.col("last_d") - F.col("first_d")).cast("long").alias("t"),
+            (F.col("last_d")
+             < F.col("corpus_end") - F.lit(churn_gap_days))
+            .cast("long").alias("churned"),
+        )
+    )
+    grid = durs.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("c"),
+    )
+    tot = grid.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    w_below = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    km = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            (F.col("n_total")
+             - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_below),
+                          F.lit(0))).cast("long"))
+        .withColumn(
+            "lnf",
+            F.when(
+                F.col("d") > 0,
+                F.log((F.col("n_at_risk") - F.col("d"))
+                      .cast("double") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0)))
+        .withColumn("min_surv", F.min(F.col("n_at_risk") - F.col("d"))
+                    .over(w_upto))
+    )
+    surv = F.when(F.col("min_surv") == 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum("lnf").over(w_upto)))
+    return (
+        km.select(
+            "t",
+            F.col("d").cast("long").alias("n_churned"),
+            F.col("c").cast("long").alias("n_censored"),
+            "n_at_risk",
+            (F.floor(surv * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+def events_stl_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend decomposition (STL-style, single pass) of the
+    daily event-count series per event type: trend = 7-day centered
+    moving average, seasonal = per-day-of-week mean of the detrended
+    residual.  The decomposition behind every "is Monday really
+    slower?" dashboard — `events_dow_hour_profile` reports the RAW
+    day-of-week profile, which conflates trend with seasonality; this
+    op subtracts the trend first, the statistic STL actually defines.
+
+    Exactness: a full 7-day centered window has an integer sum, so the
+    detrended value scaled by 7 — d7 = 7*n - sum7 — is exact BIGINT;
+    per-DOW aggregation sums d7 exactly, and the single final division
+    sum_d7 / (7*n_days) is one double op, floor-rounded 6 dp (the repo
+    convention).  Edge days without a full +/-3-day window are excluded
+    (count over the frame < 7), matching textbook centered-MA edge
+    handling — no partial-window bias.
+
+    Scale: one data-sized groupBy((type, day)) with map-side combine;
+    the MA window and DOW rollup run on the bounded daily grid
+    (<=366 rows/type/year at any corpus size), partitioned by type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy(
+        F.col("event_type"), day.alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w7 = (Window.partitionBy("event_type").orderBy("d")
+          .rangeBetween(-3, 3))
+    det = (
+        daily.withColumn("sum7", F.sum("n").over(w7))
+        .withColumn("cnt7", F.count("n").over(w7))
+        .where(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            # Monday=0 .. Sunday=6; 2024-01-01 is a Monday, d % 7 is
+            # engine-portable integer arithmetic (d >= 0 always).
+            (F.col("d") % 7).alias("dow"),
+            (F.lit(7) * F.col("n") - F.col("sum7")).alias("d7"),
+        )
+    )
+    return (
+        det.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("d7").cast("long").alias("sum_d7"),
+        )
+        .select(
+            "event_type", "dow", "n_days", "sum_d7",
+            (F.floor(F.col("sum_d7").cast("double")
+                     / (F.lit(7.0) * F.col("n_days"))
+                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital "quick ratio"
+    ledger): every active user-week is classified NEW (first active
+    week ever), RETAINED (also active the previous week) or
+    RESURRECTED (gap > 1 week); CHURNED is charged to the week AFTER an
+    activity gap begins.  The invariant actives(w) = new + retained +
+    resurrected and actives(w) - actives(w-1) = new + resurrected -
+    churned makes the ledger self-auditing — distinct from
+    `events_retention_cohorts` (fixed-cohort triangle) and
+    `active_user_ratios` (rolling actives, no classification).
+
+    All-integer: weeks are epoch-day DIV 7; classification is lag/lead
+    arithmetic on the per-user ordered week list; the quick ratio
+    (new + resurrected) / churned is emitted in exact micro-units with
+    a NULL guard for churn-free weeks.
+
+    Scale: one distinct (user, week) projection (data-sized,
+    map-side-combined), per-user windows (partitioned, never global),
+    and a week-keyed rollup bounded by the corpus week span.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    uw = (
+        # integer week index: DIV truncation == floor for d >= 0, and
+        # avoids double->int cast (truncating in Spark, ROUNDING in
+        # DuckDB — a real cross-engine trap)
+        ev.select("user_id", day.alias("d"))
+        .select("user_id", F.expr("d DIV 7").cast("int").alias("wk"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    classified = (
+        uw.withColumn("prev", F.lag("wk").over(w))
+        .withColumn("nxt", F.lead("wk").over(w))
+    )
+    per_week = (
+        classified.groupBy("wk")
+        .agg(
+            F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+            .alias("n_new"),
+            F.sum(F.when(F.col("prev") == F.col("wk") - 1, 1).otherwise(0))
+            .alias("n_retained"),
+            F.sum(F.when(F.col("prev") < F.col("wk") - 1, 1).otherwise(0))
+            .alias("n_resurrected"),
+        )
+    )
+    gmax = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        classified.crossJoin(F.broadcast(gmax))
+        # the churn event lands in week wk+1 when the user's next
+        # active week (if any) is not wk+1 — only while the corpus can
+        # still observe it (wk + 1 <= max_wk)
+        .where((F.col("nxt").isNull() | (F.col("nxt") > F.col("wk") + 1))
+               & (F.col("wk") + 1 <= F.col("max_wk")))
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        # full outer: a week can have churn but zero actives (everyone
+        # gone) — the ledger must still show that week's churn row
+        per_week.join(churn, "wk", "full")
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce(F.col("n_retained"), F.lit(0)).cast("long")
+            .alias("n_retained"),
+            F.coalesce(F.col("n_resurrected"), F.lit(0)).cast("long")
+            .alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long")
+            .alias("n_churned"),
+            (F.coalesce(F.col("n_new"), F.lit(0))
+             + F.coalesce(F.col("n_retained"), F.lit(0))
+             + F.coalesce(F.col("n_resurrected"), F.lit(0)))
+            .cast("long").alias("n_active"),
+            F.expr("""CASE WHEN coalesce(n_churned, 0) > 0
+                      THEN (coalesce(n_new, 0) + coalesce(n_resurrected, 0))
+                           * 1000000 DIV n_churned END""")
+            .alias("quick_ratio_e6"),
+        )
+        .orderBy("wk")
+    )

@@ -168,6 +168,14 @@ QUERIES: dict[str, QueryFn] = {
     "order_status_flow": relational.order_status_flow,  # hash-paired r7p
     "events_pattern_match": timeseries.events_pattern_match,  # hash-paired r7q
     "quality_filter_agreement": curation.quality_filter_agreement,  # hash-paired r7r
+    # round-7 wave s: preference / evaluation / survival statistics
+    "skyline_quality_frontier": relational.skyline_quality_frontier,
+    "auc_roc_langid": curation.auc_roc_langid,
+    "survival_kaplan_meier": timeseries.survival_kaplan_meier,
+    # round-7 wave t: keyword extraction / decomposition / growth ledger
+    "keyphrase_rake": textstats.keyphrase_rake,
+    "events_stl_seasonal": timeseries.events_stl_seasonal,
+    "user_growth_accounting": timeseries.user_growth_accounting,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -5737,3 +5745,219 @@ agg AS (
         _QFA_PAIR.format(a=a, b=b, a_name=a[2:], b_name=b[2:])
         for i, a in enumerate(_QFA_SIGS) for b in _QFA_SIGS[i + 1:])
     + "\n) ORDER BY sig_a, sig_b")
+
+# r7s: skyline_quality_frontier — the oracle spells the SKYLINE
+# definition directly (NOT EXISTS dominance anti-join, O(n^2) — fine at
+# oracle scale); the Spark plan is the bounded-domain groupBy + prefix
+# -max frontier (see operators/relational.py).  Identical outputs
+# including ties on both coordinates.
+ORACLE["skyline_quality_frontier"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+         len(list_distinct({_TOKS}))::BIGINT AS distinct_tokens
+  FROM documents
+)
+SELECT s.doc_id, s.source, s.n_chars, s.distinct_tokens
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM scored q
+  WHERE q.n_chars >= s.n_chars AND q.distinct_tokens >= s.distinct_tokens
+    AND (q.n_chars > s.n_chars OR q.distinct_tokens > s.distinct_tokens)
+)
+ORDER BY s.n_chars DESC, s.doc_id
+"""
+
+# r7s: auc_roc_langid — exact BIGINT Mann-Whitney with doubled-unit tie
+# credit; ROC confusion counts per threshold.  Score domain is 0..10 so
+# every window runs on a bounded grid.
+ORACLE["auc_roc_langid"] = f"""
+WITH base AS (
+  SELECT len(list_intersect({_TOKS},
+         ['the','and','of','to','a','in','is','it','you','that']))::BIGINT AS s,
+         (lang = 'en')::BIGINT AS pos
+  FROM documents
+),
+grid AS (
+  SELECT s, sum(pos)::BIGINT AS p, (count(*) - sum(pos))::BIGINT AS n
+  FROM base GROUP BY s
+),
+enr AS (
+  SELECT s, p, n,
+    coalesce(sum(n) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below,
+    sum(p) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    sum(n) OVER (ORDER BY s DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM grid
+),
+tot AS (
+  SELECT sum(2 * p * n_below + p * n)::BIGINT AS u2,
+         sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg
+  FROM enr
+)
+SELECT e.s AS threshold, e.tp::BIGINT AS tp, e.fp::BIGINT AS fp,
+       (t.n_pos - e.tp)::BIGINT AS fn, (t.n_neg - e.fp)::BIGINT AS tn,
+       (e.tp * 1000000 // t.n_pos)::BIGINT AS tpr_e6,
+       (e.fp * 1000000 // t.n_neg)::BIGINT AS fpr_e6,
+       t.u2,
+       (t.u2 * 1000000 // (2 * t.n_pos * t.n_neg))::BIGINT AS auc_e6
+FROM enr e CROSS JOIN tot t
+ORDER BY threshold
+"""
+
+# r7s: survival_kaplan_meier — counts are exact BIGINT on a day-span
+# -bounded grid; the survival product is the deterministic exp-sum-ln
+# fold over ORDER BY t (identical doubles, identical order on both
+# engines), floor-rounded 6 dp; a zero-survivor step forces exact 0.0.
+ORACLE["survival_kaplan_meier"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(date_diff('day', DATE '2024-01-01', ts::DATE)) AS first_d,
+         max(date_diff('day', DATE '2024-01-01', ts::DATE)) AS last_d
+  FROM events GROUP BY user_id
+),
+gmax AS (SELECT max(last_d) AS corpus_end FROM per_user),
+durs AS (
+  SELECT (last_d - first_d)::BIGINT AS t,
+         (last_d < corpus_end - 7)::BIGINT AS churned
+  FROM per_user CROSS JOIN gmax
+),
+grid AS (
+  SELECT t, sum(churned)::BIGINT AS d,
+         (count(*) - sum(churned))::BIGINT AS c
+  FROM durs GROUP BY t
+),
+tot AS (SELECT sum(d + c) AS n_total FROM grid),
+km AS (
+  SELECT t, d, c,
+    (n_total - coalesce(sum(d + c) OVER (ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+      AS n_at_risk
+  FROM grid CROSS JOIN tot
+),
+km2 AS (
+  SELECT t, d, c, n_at_risk,
+    CASE WHEN d > 0
+         THEN ln((n_at_risk - d)::DOUBLE / n_at_risk)
+         ELSE 0.0 END AS lnf,
+    min(n_at_risk - d) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_surv
+  FROM km
+)
+SELECT t, d AS n_churned, c AS n_censored, n_at_risk,
+  CASE WHEN min_surv = 0 THEN 0.0
+       ELSE floor(exp(sum(lnf) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            * 1e6 + 0.5) / 1e6
+  END AS survival
+FROM km2 ORDER BY t
+"""
+
+# r7t: keyphrase_rake — RAKE word scores; phrase segmentation is the
+# running-stopword-count trick on both engines; degree/freq/score are
+# exact BIGINT (positive, so DIV == // here).
+ORACLE["keyphrase_rake"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w,
+         generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+    (w IN ('the','and','of','to','a','in','is','it','you','that'))::INT
+      AS is_stop
+  FROM toks
+),
+phrased AS (
+  SELECT doc_id, w,
+    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+    is_stop
+  FROM marked
+),
+words AS (
+  SELECT w,
+    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM phrased WHERE is_stop = 0
+),
+scored AS (
+  SELECT w AS word, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS degree
+  FROM words GROUP BY w
+)
+SELECT word, freq, degree,
+       (degree * 1000000 // freq)::BIGINT AS rake_e6
+FROM scored
+ORDER BY rake_e6 DESC, freq DESC, word
+LIMIT 100
+"""
+
+# r7t: events_stl_seasonal — detrended-by-7x integers (d7 = 7n - sum7)
+# summed exactly per (type, dow); one final double division, floor-
+# rounded 6 dp.  Full centered windows only (cnt7 = 7).
+ORACLE["events_stl_seasonal"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+det AS (
+  SELECT event_type, d % 7 AS dow,
+    7 * n - sum(n) OVER w AS d7,
+    count(n) OVER w AS cnt7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, dow::BIGINT AS dow,
+  count(*)::BIGINT AS n_days,
+  sum(d7)::BIGINT AS sum_d7,
+  floor(sum(d7)::DOUBLE / (7.0 * count(*)) * 1e6 + 0.5) / 1e6 AS seasonal
+FROM det WHERE cnt7 = 7
+GROUP BY event_type, dow
+ORDER BY event_type, dow
+"""
+
+# r7t: user_growth_accounting — lag/lead classification on per-user
+# ordered distinct weeks; churn charged to wk+1, observable weeks only;
+# quick ratio in exact micro-units (operands positive).
+ORACLE["user_growth_accounting"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)::INT AS wk
+  FROM events
+),
+cl AS (
+  SELECT user_id, wk,
+    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+  FROM uw
+),
+per_week AS (
+  SELECT wk,
+    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+    sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+    sum(CASE WHEN prev < wk - 1 THEN 1 ELSE 0 END)::BIGINT
+      AS n_resurrected
+  FROM cl GROUP BY wk
+),
+gmax AS (SELECT max(wk) AS max_wk FROM uw),
+churn AS (
+  SELECT wk + 1 AS wk, count(*)::BIGINT AS n_churned
+  FROM cl CROSS JOIN gmax
+  WHERE (nxt IS NULL OR nxt > wk + 1) AND wk + 1 <= max_wk
+  GROUP BY wk + 1
+)
+SELECT coalesce(p.wk, c.wk)::BIGINT AS wk,
+  coalesce(n_new, 0)::BIGINT AS n_new,
+  coalesce(n_retained, 0)::BIGINT AS n_retained,
+  coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+  coalesce(n_churned, 0)::BIGINT AS n_churned,
+  (coalesce(n_new, 0) + coalesce(n_retained, 0)
+   + coalesce(n_resurrected, 0))::BIGINT AS n_active,
+  CASE WHEN coalesce(n_churned, 0) > 0
+       THEN ((coalesce(n_new, 0) + coalesce(n_resurrected, 0))
+             * 1000000 // n_churned)::BIGINT END AS quick_ratio_e6
+FROM per_week p FULL OUTER JOIN churn c ON p.wk = c.wk
+ORDER BY wk
+"""

@@ -618,3 +618,35 @@ def test_quality_filter_agreement_kappa(spark, tmp_path):
     pe = (na * nb + (n - na) * (n - nb)) / (n * n)
     import math
     assert abs(r2.kappa - (po - pe) / (1 - pe)) < 2e-6
+
+
+def test_auc_roc_langid_exact_u(spark, tmp_path):
+    """4 docs: two 'en' with scores {2, 1}, two 'de' with scores {1, 0}.
+    U = #(pos>neg) + 0.5*#(pos==neg) = (2 + 1) + 0.5*1 = 3.5 -> u2 = 7,
+    AUC = 7/8 -> auc_e6 = 875000.  Threshold rows carry exact confusion
+    counts for predict-positive-iff-score>=s."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import auc_roc_langid
+
+    texts = ["the and cat", "the cat", "the hund", "hund katze"]
+    langs = ["en", "en", "de", "de"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.threshold: r for r in
+            auc_roc_langid(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for r in rows.values():
+        assert r.u2 == 7 and r.auc_e6 == 875000
+    # s>=2: tp=1 fp=0 ; s>=1: tp=2 fp=1 ; s>=0: tp=2 fp=2
+    assert (rows[2].tp, rows[2].fp, rows[2].fn, rows[2].tn) == (1, 0, 1, 2)
+    assert (rows[1].tp, rows[1].fp) == (2, 1)
+    assert (rows[0].tp, rows[0].fp, rows[0].tn) == (2, 2, 0)
+    assert rows[2].tpr_e6 == 500000 and rows[2].fpr_e6 == 0

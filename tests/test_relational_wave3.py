@@ -313,3 +313,36 @@ def test_orders_interarrival_and_status_flow(spark, tmp_path):
     assert flow[("O", "P")].n == 1 and flow[("O", "P")].p_e6 == 1_000_000
     assert flow[("P", "F")].n == 1 and flow[("P", "F")].p_e6 == 1_000_000
     assert ("O", "F") not in flow
+
+
+def test_skyline_quality_frontier_dominance(spark, tmp_path):
+    """Hand-built plane: (10,5) (8,9) (10,3) (6,9) (4,1) and a duplicate
+    of (8,9).  Skyline = (10,5), both (8,9)s; (6,9) is dominated by
+    (8,9) (strict in x, equal y), (10,3) by (10,5), (4,1) by all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        skyline_quality_frontier,
+    )
+
+    # distinct_tokens = number of distinct words; n_chars set explicitly
+    def words(k, tag):
+        return " ".join(f"{tag}{i}" for i in range(k))
+
+    texts = [words(5, "a"), words(9, "b"), words(3, "c"), words(9, "d"),
+             words(1, "e"), words(9, "f")]
+    nch = [10, 8, 10, 6, 4, 8]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array(nch, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = skyline_quality_frontier(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.n_chars, r.distinct_tokens) for r in out} == {
+        (1, 10, 5), (2, 8, 9), (6, 8, 9)}
+    # ordered by n_chars desc then doc_id
+    assert [r.doc_id for r in out] == [1, 2, 6]

@@ -772,3 +772,36 @@ def test_vocab_growth_heaps_monotone_and_exact(spark, tmp_path):
             for ws in buckets.get(b, []):
                 pv.update(ws)
         assert r.vocab_cum == len(pv)
+
+
+def test_keyphrase_rake_degree_over_freq(spark, tmp_path):
+    """'deep learning' appears as a 2-word phrase twice; 'cat' appears
+    alone three times.  RAKE: degree(deep)=4, freq=2, score 2.0 beats
+    cat's 3/3 = 1.0 despite lower frequency."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import keyphrase_rake
+
+    texts = [
+        "deep learning is the cat",
+        "a deep learning cat",
+        "the cat",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.word: r for r in keyphrase_rake(spark, str(tmp_path)).collect()}
+    # phrases: (deep learning) (cat) / (deep learning cat) / (cat)
+    assert (rows["deep"].freq, rows["deep"].degree) == (2, 5)
+    assert (rows["learning"].freq, rows["learning"].degree) == (2, 5)
+    assert (rows["cat"].freq, rows["cat"].degree) == (3, 5)
+    assert rows["deep"].rake_e6 == 2_500_000
+    assert rows["cat"].rake_e6 == 5_000_000 // 3
+    # 'the', 'is', 'a' are stopword boundaries, never emitted
+    assert "the" not in rows and "is" not in rows and "a" not in rows

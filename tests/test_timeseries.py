@@ -748,3 +748,127 @@ def test_events_pattern_match_symbolized_sessions(spark, tmp_path):
     assert out["browse_abandon"].n_sessions_matched == 1
     assert out["error_retry"].n_sessions_matched == 1
     assert out["signup_activate"].n_sessions_matched == 1
+
+
+def test_survival_kaplan_meier_hand_curve(spark, tmp_path):
+    """Corpus end day 20.  u1: days 0-2 (dur 2, churned), u2: days 0-5
+    (dur 5, churned), u3: day 10 only (dur 0, churned: last 10 < 13),
+    u4: days 0-20 (dur 20, censored), u5: days 19-20 (dur 1, censored).
+    Grid: t=0 d=1 n=5 -> S=0.8 ; t=1 c=1 n=4 -> S=0.8 ; t=2 d=1 n=3
+    -> S=0.8*2/3 ; t=5 d=1 n=2 -> S*1/2 ; t=20 c=1 n=1 -> unchanged."""
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1, 6)
+    rows, eid = [], 0
+    for uid, days in [(1, [0, 1, 2]), (2, [0, 5]), (3, [10]),
+                      (4, [0, 20]), (5, [19, 20])]:
+        for d in days:
+            rows.append((eid, uid, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        survival_kaplan_meier,
+    )
+
+    out = {r.t: r for r in
+           survival_kaplan_meier(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0, 1, 2, 5, 20]
+    assert (out[0].n_churned, out[0].n_censored, out[0].n_at_risk) == (1, 0, 5)
+    assert abs(out[0].survival - 0.8) < 1e-9
+    assert (out[1].n_censored, out[1].n_at_risk) == (1, 4)
+    assert abs(out[1].survival - 0.8) < 1e-9
+    assert (out[2].n_churned, out[2].n_at_risk) == (1, 3)
+    assert abs(out[2].survival - 0.8 * 2 / 3) < 1e-6
+    assert (out[5].n_churned, out[5].n_at_risk) == (1, 2)
+    assert abs(out[5].survival - 0.8 * 2 / 3 * 0.5) < 1e-6
+    assert (out[20].n_censored, out[20].n_at_risk) == (0 + 1, 1)
+    assert abs(out[20].survival - out[5].survival) < 1e-9
+
+
+def test_survival_kaplan_meier_zero_survivor_step(spark, tmp_path):
+    """When every at-risk user churns at the last death time, survival
+    hits exactly 0.0 (no ln(0) NULL/inf poisoning)."""
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1, 6)
+    rows, eid = [], 0
+    # corpus end = 30 (u3 active at end, censored, dur 0 at t=30... )
+    # u1, u2: dur 3, both churned; u3 pins corpus_end with days 27..30
+    for uid, days in [(1, [0, 3]), (2, [5, 8]), (3, [30])]:
+        for d in days:
+            rows.append((eid, uid, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        survival_kaplan_meier,
+    )
+
+    out = {r.t: r for r in
+           survival_kaplan_meier(spark, str(tmp_path)).collect()}
+    # t=0: u3 censored (last=30 not < 23), n=3, S unchanged=1.0
+    # t=3: u1,u2 churn, n_at_risk=2, d=2 -> S=0.0
+    assert (out[0].n_churned, out[0].n_censored) == (0, 1)
+    assert out[0].survival == 1.0
+    assert (out[3].n_churned, out[3].n_at_risk) == (2, 2)
+    assert out[3].survival == 0.0
+
+
+def test_events_stl_seasonal_pure_weekly_pattern(spark, tmp_path):
+    """A 21-day series with counts 1,1,1,1,1,1,8 repeating weekly: the
+    7-day MA is constant 2 at every interior day, so d7 = 7n - 14:
+    -7 for the six low days, +42 for the spike day (dow 6)."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_stl_seasonal,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(21):
+        n = 8 if d % 7 == 6 else 1
+        for _ in range(n):
+            rows.append((eid, 1, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.dow: r for r in
+           events_stl_seasonal(spark, str(tmp_path)).collect()}
+    # interior days are 3..17 -> dows 3,4,5,6,0,1,2 with 2-3 days each
+    assert sorted(out) == list(range(7))
+    for dow, r in out.items():
+        per_day = 42 if dow == 6 else -7
+        assert r.sum_d7 == per_day * r.n_days
+        assert abs(r.seasonal - per_day / 7.0) < 2e-6
+
+
+def test_user_growth_accounting_ledger(spark, tmp_path):
+    """u1 active wks {0,1,2}, u2 {0,2}, u3 {1}.  wk0: 2 new; wk1:
+    1 new (u3), 1 retained (u1); wk2: 1 retained (u1), 1 resurrected
+    (u2); churn: u2 gap charges wk1, u3 charges wk2.  Invariant:
+    active(w) = new+retained+resurrected."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        user_growth_accounting,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for uid, wks in [(1, [0, 1, 2]), (2, [0, 2]), (3, [1])]:
+        for w in wks:
+            rows.append((eid, uid, d0 + timedelta(days=7 * w)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.wk: r for r in
+           user_growth_accounting(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert (out[0].n_new, out[0].n_retained, out[0].n_resurrected,
+            out[0].n_churned) == (2, 0, 0, 0)
+    assert (out[1].n_new, out[1].n_retained, out[1].n_churned) == (1, 1, 1)
+    assert (out[2].n_retained, out[2].n_resurrected,
+            out[2].n_churned) == (1, 1, 1)
+    for r in out.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # wk1 quick ratio: (1 new + 0 res) / 1 churned = 1.0
+    assert out[1].quick_ratio_e6 == 1_000_000
+    assert out[0].quick_ratio_e6 is None
