@@ -1783,3 +1783,66 @@ def skyline_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "distinct_tokens")
         .orderBy(F.col("n_chars").desc(), "doc_id")
     )
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str,
+                      min_support: int = 2, k: int = 100) -> DataFrame:
+    """Market-basket co-purchase mining over lineitem: part pairs that
+    appear together in the same order, with support and lift — the
+    frequent-itemset statistic `event_pair_itemsets` computes for event
+    streams, applied to the star schema's order/part graph (a genuinely
+    different join shape: the pair fan-out rides the ORDER key, not a
+    time window).
+
+    Exactness: support counts are BIGINT; lift = support * n_orders /
+    (cnt_a * cnt_b) is emitted in micro-units computed in
+    DECIMAL(38,0) — the numerator is count^2-scaled and would overflow
+    int64 once order counts pass ~3e6 (same overflow posture as
+    source_concentration_audit).
+
+    Scale: the only data-sized exchanges are the distinct
+    (order, part) projection and the pair aggregation; the self-join
+    fans out by per-order basket size (bounded by the order contract,
+    ~7 avg / low-tens max at any corpus size), so pair volume is
+    O(orders * basket^2), linear in data.  Per-part counts broadcast
+    back onto the pair table; n_orders is a 1-row broadcast.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = scoped_persist(
+        li.select("l_orderkey", "l_partkey").distinct())
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    part_cnt = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("p1"),
+                 F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return (
+        pairs
+        .join(F.broadcast(part_cnt.select(
+            F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))),
+            "p1")
+        .join(F.broadcast(part_cnt.select(
+            F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))),
+            "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1", "p2",
+            F.col("support").cast("long").alias("support"),
+            F.col("cnt1").cast("long").alias("cnt1"),
+            F.col("cnt2").cast("long").alias("cnt2"),
+            F.expr("""CAST((CAST(support AS DECIMAL(38,0)) * n_orders
+                      * 1000000) DIV (CAST(cnt1 AS DECIMAL(38,0)) * cnt2)
+                      AS BIGINT)""").alias("lift_e6"),
+        )
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(k)
+    )

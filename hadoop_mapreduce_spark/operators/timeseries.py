@@ -1807,3 +1807,135 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series per event
+    type: slope = median of all pairwise slopes, intercept = median of
+    (y - slope*x) — the estimator that shrugs off the outlier days that
+    wreck an OLS fit (the robust-regression sibling of
+    `events_anomaly_mad`'s robust dispersion; `events_holt_linear`
+    tracks trend but is exponentially weighted, not robust).
+
+    Exactness: pairwise slopes are single divisions of exact BIGINT
+    differences — identical doubles on both engines; the median is the
+    interpolating percentile(0.5) (Spark percentile == DuckDB
+    quantile_cont), which averages two identical doubles at worst.  The
+    slope is floor-rounded at 6 dp BEFORE the intercept pass, so the
+    residual medians also operate on engine-identical inputs.
+
+    Scale: the stream collapses to the bounded (type, day) grid first
+    (<=366 rows/type/year — the only data-sized exchange); the pair
+    self-join is grid x grid within a type, O(days^2) <= 67k pairs per
+    type per year, metadata-sized at any corpus size; per-type slope
+    rows broadcast back for the intercept pass.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = scoped_persist(
+        ev.groupBy("event_type", day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.d") < F.col("b.d")))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            ((F.col("b.n") - F.col("a.n")).cast("double")
+             / (F.col("b.d") - F.col("a.d")).cast("double")).alias("s"),
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    per_type = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        r6(F.expr("percentile(s, 0.5)")).alias("slope"),
+    )
+    resid = (
+        daily.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type", "n_pairs", "slope",
+            (F.col("n").cast("double")
+             - F.col("slope") * F.col("d").cast("double")).alias("r"),
+        )
+    )
+    return (
+        resid.groupBy("event_type", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            r6(F.expr("percentile(r, 0.5)")).alias("intercept"),
+        )
+        .select("event_type", "n_days", "n_pairs", "slope", "intercept")
+        .orderBy("event_type")
+    )
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30, max_steps: int = 12,
+                      k: int = 50) -> DataFrame:
+    """Top-k full navigation paths: the ordered event-type sequence of
+    each user session, truncated to its first max_steps events, counted
+    across the corpus — the whole-journey statistic
+    `events_session_bigrams` only sees two steps of.
+
+    Sessionisation is the identical portable lag/cumsum formulation as
+    events_session_bigrams (session id = running count of
+    gap-exceeding steps per user), so both engines agree on session
+    boundaries bit-for-bit.  Path assembly sorts each session's
+    (ts, event_id, type) structs — ties on ts are broken by event_id,
+    engine-portable — and the truncation cap bounds both the collected
+    array and the emitted string at any session length (a runaway bot
+    session contributes a fixed-size path, not an unbounded row).
+
+    Scale: one user-keyed window pass, one (user, session) aggregation
+    whose state is capped by max_steps after truncation, and a
+    path-keyed count whose key space is bounded by |event_types|^
+    max_steps in theory but by observed path diversity in practice;
+    top-k is TakeOrdered, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(
+            (F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
+            .cast("long")
+        ).over(w).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    ranked = stepped.withColumn("rn", F.row_number().over(ws))
+    # collect_list skips NULLs, so the aggregation state holds at most
+    # max_steps structs per session REGARDLESS of session length — the
+    # truncation happens before the collect, not after
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("rn") <= max_steps,
+                               F.struct("ts", "event_id", "event_type")))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.min("len").cast("long").alias("min_len"),
+            F.max("len").cast("long").alias("max_len"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

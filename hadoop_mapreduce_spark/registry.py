@@ -176,6 +176,10 @@ QUERIES: dict[str, QueryFn] = {
     "keyphrase_rake": textstats.keyphrase_rake,
     "events_stl_seasonal": timeseries.events_stl_seasonal,
     "user_growth_accounting": timeseries.user_growth_accounting,
+    # round-7 wave u: basket mining / robust trend / journey paths
+    "basket_part_pairs": relational.basket_part_pairs,
+    "theil_sen_trend": timeseries.theil_sen_trend,
+    "session_path_topk": timeseries.session_path_topk,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -2084,7 +2088,7 @@ def _spread16_sql(v: str) -> str:
 _MORTON_SQL = f"{_spread16_sql('x')} + ({_spread16_sql('y')} << 1)"
 ORACLE["zorder_layout"] = f"""
 WITH base AS (
-  SELECT user_id, (epoch(ts)::BIGINT // 3600) AS hour FROM events
+  SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS hour FROM events
 ),
 stats AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
                  min(hour) AS h0, max(hour) AS h1 FROM base),
@@ -2409,7 +2413,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 ORACLE["events_session_bigrams"] = """
 WITH gaps AS (
   SELECT user_id, ts, event_id, event_type,
-    epoch(ts) - epoch(lag(ts) OVER w) AS gap
+    date_diff('second', lag(ts) OVER w, ts) AS gap
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -3205,11 +3209,14 @@ _WINDOW_R7 = [
     # they queue behind the r7b four for the r8 window front)
     # (d) fully rotated out to r7p (oldest-first; dual-sf artifact
     # coverage stands in until the r8 window front)
-    # (e) r7d-new operators (this session), all hash-paired
-    "badwords_filter",
-    "lang_source_chisq", "events_dow_hour_profile",
-    "neardup_label_conflict", "lsh_band_tuning",
-    "packing_boundary_audit",
+    # (e) r7d rotated out to r7s/t (oldest-first; badwords_filter /
+    # lang_source_chisq / events_dow_hour_profile / neardup_label_
+    # conflict / lsh_band_tuning / packing_boundary_audit covered by
+    # both full artifacts at two sfs; they queue for the r8 front)
+    # (e') r7s/t-new operators (this session), all hash-paired
+    "skyline_quality_frontier", "auc_roc_langid",
+    "survival_kaplan_meier", "keyphrase_rake",
+    "events_stl_seasonal", "user_growth_accounting",
     # (f) r7e-new operators (this session), all hash-paired
     "preference_pair_build", "join_skew_audit", "shard_layout_plan",
     "bootstrap_ci_quality",
@@ -5960,4 +5967,101 @@ SELECT coalesce(p.wk, c.wk)::BIGINT AS wk,
              * 1000000 // n_churned)::BIGINT END AS quick_ratio_e6
 FROM per_week p FULL OUTER JOIN churn c ON p.wk = c.wk
 ORDER BY wk
+"""
+
+# r7u: basket_part_pairs — pair fan-out rides the order key, bounded by
+# basket size; lift in micro-units via HUGEINT/DECIMAL(38,0) integer
+# division (count^2-scaled numerator overflows int64 at cluster scale).
+ORACLE["basket_part_pairs"] = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM baskets),
+pc AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p1, p2, support, c1.cnt AS cnt1, c2.cnt AS cnt2,
+  ((support::HUGEINT * n_orders * 1000000)
+   // (c1.cnt::HUGEINT * c2.cnt))::BIGINT AS lift_e6
+FROM pairs
+JOIN pc c1 ON p1 = c1.l_partkey
+JOIN pc c2 ON p2 = c2.l_partkey
+CROSS JOIN no
+ORDER BY support DESC, p1, p2
+LIMIT 100
+"""
+
+# r7u: theil_sen_trend — pairwise slopes on the bounded daily grid;
+# median = quantile_cont(0.5) == Spark percentile(0.5); the slope is
+# 6dp-floor-rounded BEFORE the intercept residual pass so both engines
+# median identical doubles.
+ORACLE["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.n - a.n)::DOUBLE / (b.d - a.d) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         floor(quantile_cont(s, 0.5) * 1e6 + 0.5) / 1e6 AS slope
+  FROM slopes GROUP BY event_type
+),
+resid AS (
+  SELECT d.event_type, p.n_pairs, p.slope,
+         d.n::DOUBLE - p.slope * d.d AS r
+  FROM daily d JOIN per_type p USING (event_type)
+)
+SELECT event_type, count(*)::BIGINT AS n_days, n_pairs, slope,
+       floor(quantile_cont(r, 0.5) * 1e6 + 0.5) / 1e6 AS intercept
+FROM resid GROUP BY event_type, n_pairs, slope
+ORDER BY event_type
+"""
+
+# r7u: session_path_topk — identical lag/cumsum sessionisation as
+# events_session_bigrams; paths are list-ordered by (ts, event_id) and
+# truncated to 12 steps on both engines.
+ORACLE["session_path_topk"] = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+    -- whole-second boundary count == Spark's unix_timestamp diff
+    -- (epoch() would carry fractional seconds the Spark side truncates)
+    date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN coalesce(gap, 0) > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+    row_number() OVER (PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id) AS rn
+  FROM stepped
+),
+paths AS (
+  SELECT user_id, session_id,
+    string_agg(CASE WHEN rn <= 12 THEN event_type END, '>'
+               ORDER BY rn) AS path,
+    count(*)::BIGINT AS len
+  FROM ranked GROUP BY user_id, session_id
+)
+SELECT path, count(*)::BIGINT AS n_sessions,
+       min(len)::BIGINT AS min_len, max(len)::BIGINT AS max_len
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 50
 """

@@ -346,3 +346,39 @@ def test_skyline_quality_frontier_dominance(spark, tmp_path):
         (1, 10, 5), (2, 8, 9), (6, 8, 9)}
     # ordered by n_chars desc then doc_id
     assert [r.doc_id for r in out] == [1, 2, 6]
+
+
+def test_basket_part_pairs_support_and_lift(spark, tmp_path):
+    """4 orders: {1,2} {1,2} {1,3} {2}.  Pair (1,2) support 2 (>= min),
+    (1,3) support 1 (filtered).  lift(1,2) = 2*4/(3*3) = 8/9 ->
+    888888 micro-units (floor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        basket_part_pairs,
+    )
+
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2),
+            (1, 1)]  # duplicate line in order 1 must not double-count
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+        "l_linenumber": pa.array(list(range(len(rows))), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+        "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+        "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+        "l_shipdate": pa.array(
+            [__import__("datetime").datetime(2024, 1, 1)] * len(rows),
+            pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    out = basket_part_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.p1, r.p2, r.support, r.cnt1, r.cnt2) == (1, 2, 2, 3, 3)
+    assert r.lift_e6 == 2 * 4 * 1_000_000 // 9

@@ -872,3 +872,67 @@ def test_user_growth_accounting_ledger(spark, tmp_path):
     # wk1 quick ratio: (1 new + 0 res) / 1 churned = 1.0
     assert out[1].quick_ratio_e6 == 1_000_000
     assert out[0].quick_ratio_e6 is None
+
+
+def test_theil_sen_trend_outlier_resistant(spark, tmp_path):
+    """Daily counts 1,2,3,4,50,6,7 (one spike): pairwise-slope median
+    stays 1.0 (the OLS slope would be dragged to ~3.9); intercept =
+    median(n - 1.0*d) = 1.0 despite the day-4 outlier residual 46."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    counts = [1, 2, 3, 4, 50, 6, 7]
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, 1, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = theil_sen_trend(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 7 and r.n_pairs == 21
+    assert abs(r.slope - 1.0) < 1e-9
+    assert abs(r.intercept - 1.0) < 1e-9
+
+
+def test_session_path_topk_truncation_and_order(spark, tmp_path):
+    """u1 has one session view>click>purchase and one view>view (after
+    a >30min gap); a 15-event bot session truncates its path to 12
+    steps but reports the true length."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        session_path_topk,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows = []  # (event_id, user_id, ts, type)
+    rows += [(0, 1, d0, "view"), (1, 1, d0 + timedelta(minutes=1), "click"),
+             (2, 1, d0 + timedelta(minutes=2), "purchase")]
+    rows += [(3, 1, d0 + timedelta(minutes=60), "view"),
+             (4, 1, d0 + timedelta(minutes=61), "view")]
+    rows += [(10 + i, 2, d0 + timedelta(minutes=i), "view")
+             for i in range(15)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.path: r for r in
+           session_path_topk(spark, str(tmp_path)).collect()}
+    assert out["view>click>purchase"].n_sessions == 1
+    assert out["view>view"].n_sessions == 1
+    bot = out[">".join(["view"] * 12)]
+    assert (bot.n_sessions, bot.min_len, bot.max_len) == (1, 15, 15)
