@@ -1179,3 +1179,137 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str,
         .select("rank", "vec_id", "label", "score_e6")
         .orderBy("rank")
     )
+
+
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str,
+                               n_bins: int = 40) -> DataFrame:
+    """Anisotropy audit of the embedding space: the distribution of
+    pairwise cosine similarity over a deterministic id-adjacent pair
+    sample, binned into a fixed histogram, plus the exact-integer mean
+    — the "is the embedding space a narrow cone?" diagnostic
+    (Ethayarajh 2019): a healthy isotropic space centers near 0, an
+    anisotropic one piles up near +1 and quietly breaks every
+    cosine-threshold dedup/ANN operator downstream
+    (`dedup_embedding_cosine`, `semdedup_ivf`).
+
+    Pair sampling is (vec_id, vec_id + 1) — a metadata-free equi-join
+    that needs no global count or shuffle beyond the id join, unbiased
+    when ids are assignment-order (uncorrelated with embedding
+    content).  Exactness: each cosine is floor-rounded to e6 micro-
+    units FIRST, so the histogram bin edges and the SUM (exact BIGINT,
+    order-independent) agree bit-for-bit across engines — a raw
+    SUM(double) of cosines would be partition-order-dependent.
+
+    Scale: one self-join on contiguous ids (co-partitioned ranges join
+    with near-zero skew), one bounded groupBy(bin), one 1-row total.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.e"), F.col("b.e"))
+    pairs = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("cos_e6"))
+    )
+    binned = pairs.select(
+        "cos_e6",
+        F.least(
+            F.floor((F.col("cos_e6") + F.lit(1000000))
+                    * n_bins / F.lit(2000000)).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cos_e6").cast("long").alias("sum_cos_e6"),
+    )
+    tot = hist.agg(
+        F.sum("n").alias("n_pairs"),
+        F.expr("CAST(sum(sum_cos_e6) DIV sum(n) AS BIGINT)")
+        .alias("mean_cos_e6"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "sum_cos_e6",
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                "mean_cos_e6")
+        .orderBy("bin")
+    )
+
+
+def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str,
+                             max_df: int = 200, k: int = 50) -> DataFrame:
+    """Top-k most similar document pairs by TF-IDF cosine — the sparse
+    lexical twin of `dedup_embedding_cosine`'s dense similarity: a
+    term-at-a-time postings self-join accumulates dot products only
+    over SHARED terms, the classic sparse all-pairs similarity shape
+    (Bayardo et al. WWW'07) that never materialises a dense pair grid.
+
+    Exactness: TF-IDF weights (tf * ln((N+1)/(df+1)), the repo's
+    `tfidf_top_terms` convention) are floor-rounded to e6 micro-units
+    BEFORE pairing, so per-pair dot products and per-doc norms are
+    exact BIGINT sums of BIGINT products (order-independent); the one
+    double division cosine = dot / sqrt(norm1 * norm2) happens on
+    engine-identical integers, floor-rounded at 6 dp.
+
+    Scale: the df cap (drop terms with df > max_df) bounds posting-list
+    length — the standard stop-term guard that keeps the pair fan-out
+    O(sum df_t^2) instead of corpus-quadratic; per-pair accumulation is
+    map-side combined; top-k is TakeOrdered, no global sort.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(normalize_text(F.col("text"))))
+        .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    weighted = scoped_persist(
+        tf.join(F.broadcast(df.where(F.col("df") <= max_df)), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.floor(F.col("tf")
+                    * F.log((F.col("n") + F.lit(1.0))
+                            / (F.col("df") + F.lit(1.0)))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long").alias("w_e6"),
+        ))
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w_e6") * F.col("w_e6")).alias("norm2"))
+    a, b = weighted.alias("a"), weighted.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"),
+                 F.col("b.doc_id").alias("id2"))
+        .agg(
+            F.sum(F.col("a.w_e6") * F.col("b.w_e6")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    n1 = norms.select(F.col("doc_id").alias("id1"),
+                      F.col("norm2").alias("norm1"))
+    n2 = norms.select(F.col("doc_id").alias("id2"),
+                      F.col("norm2").alias("norm2"))
+    return (
+        dots.join(n1, "id1").join(n2, "id2")
+        .select(
+            "id1", "id2", "n_shared_terms",
+            (F.floor(F.col("dot").cast("double")
+                     / F.sqrt(F.col("norm1").cast("double")
+                              * F.col("norm2").cast("double"))
+                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "id1", "id2")
+        .limit(k)
+    )

@@ -2078,3 +2078,96 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str,
         .orderBy(F.col("rake_e6").desc(), F.col("freq").desc(), "word")
         .limit(top_k)
     )
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str,
+                    min_cf: int = 20, k: int = 200) -> DataFrame:
+    """Church-Gale burstiness per term: the variance-to-mean ratio of
+    per-document counts (zeros included) — topical "bursty" words
+    (appearing many times in few docs) score >> 1, function words sit
+    near 1 (Poisson).  The corpus-linguistics signal behind stopword-
+    list induction and keyword weighting that raw frequency
+    (`stopword_discovery`) and cross-corpus log-odds (`fightin_words`)
+    both miss: burstiness separates 'the' from a character name with
+    the SAME total count.
+
+    Exactness: with N docs, cf = Σtf and s2 = Σtf², the zero-inclusive
+    VMR is (s2·N − cf²) / (cf·N) — three exact BIGINTs and ONE double
+    division, floor-rounded 6 dp.  No per-doc zero rows are ever
+    materialised (the zeros live in the algebra, not the data).
+
+    Scale: one (doc, term) count (data-sized, map-side-combined), one
+    vocab-bounded term rollup, top-k by corpus frequency.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+        )
+        .where(F.col("cf") >= min_cf)
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        stats.select(
+            "term", "df", "cf", "s2",
+            (F.floor((F.col("s2").cast("double") * F.col("n")
+                      - F.col("cf").cast("double") * F.col("cf"))
+                     / (F.col("cf").cast("double") * F.col("n"))
+                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("burstiness"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(k)
+    )
+
+
+def doc_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional structure audit: token statistics by relative
+    position DECILE within each document — do documents front-load
+    short function words and defer long content words (or vice
+    versa)?  The intra-document axis none of the whole-doc quality
+    signals see; position bias in training text directly shapes what a
+    fixed-context model learns first.
+
+    All-integer: decile = pos0·10 DIV len on the 0-based position (exact, 0..9), per-decile
+    sums of exact char lengths / stopword hits, ratios in micro-units
+    via single integer division of positive BIGINTs.
+
+    Scale: one posexplode pass with the per-doc length attached via
+    size() BEFORE the explode (no second window), and a 10-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.size(_tokens("text")).alias("len"),
+        F.posexplode(_tokens("text")).alias("pos0", "w"),
+    ).where(F.col("len") > 0)
+    stop = list(LANG_STOPWORDS["en"])
+    graded = base.select(
+        F.expr("pos0 * 10 DIV len").alias("decile"),
+        F.length("w").alias("wlen"),
+        F.col("w").isin(stop).cast("long").alias("is_stop"),
+    )
+    return (
+        graded.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wlen").cast("long").alias("sum_chars"),
+            F.sum("is_stop").cast("long").alias("n_stop"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens", "sum_chars", "n_stop",
+            F.expr("sum_chars * 1000000 DIV n_tokens")
+            .alias("avg_wlen_e6"),
+            F.expr("n_stop * 1000000 DIV n_tokens").alias("stop_rate_e6"),
+        )
+        .orderBy("decile")
+    )

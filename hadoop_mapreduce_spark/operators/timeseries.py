@@ -1939,3 +1939,82 @@ def session_path_topk(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
     )
+
+
+def attribution_linear_credit(spark: SparkSession, sf_dir: str,
+                              lookback_days: int = 7) -> DataFrame:
+    """Linear multi-touch attribution: every non-purchase touch of the
+    converting user inside the lookback window before a 'purchase'
+    event shares the conversion credit equally — the fairness-spread
+    counterpoint to `conversion_attribution`'s last-touch rule.
+    Conversions are purchase EVENTS (the orders table lives in
+    1995-2001, disjoint from the 2024 event stream by fixture design,
+    so order-based multi-touch would be the degenerate all-'(none)'
+    table; last-touch attribution keeps orders to demonstrate the
+    as-of-union shape — this op demonstrates the credit arithmetic).
+
+    Credit is exact micro-units: each conversion distributes
+    floor(1e6 * n_type_touches / n_touches) per touching event type
+    (DIV truncation — per-conversion credit sums to <= 1e6, remainder
+    dropped, never double-counted).  Touchless purchases land in the
+    '(none)' row with full credit, so credit is conserved to within
+    truncation; n_conversions_credited counts conversions contributing
+    to the row (a conversion touching two types appears in both rows —
+    per-type reach, not a partition).
+
+    Scale: the touch join is a user-keyed equi-join with a time-range
+    filter — fan-out is the user's in-window activity (bounded by the
+    lookback cap), never a global range join; both rollups ride the
+    (conversion) and (type) keys with map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type", "event_id",
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("k").alias("ck"), F.col("t_us").alias("c_us"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch_src = ev.where(F.col("event_type") != "purchase")
+    lb = F.lit(lookback_days * 86400 * 1000000)
+    # explicit aliases: both sides share the ev lineage, and unaliased
+    # F.col() can silently resolve through the wrong parent (classic
+    # self-join trap — this bug shipped as an all-'(none)' table once)
+    touches = conv.alias("c").join(
+        touch_src.alias("t"),
+        (F.col("c.ck") == F.col("t.k"))
+        & (F.col("t.t_us") <= F.col("c.c_us"))
+        & (F.col("t.t_us") > F.col("c.c_us") - lb),
+        "left",
+    ).select(F.col("c.conv_id").alias("conv_id"),
+             F.col("t.event_type").alias("event_type"))
+    per_conv = touches.groupBy("conv_id").agg(
+        F.count("event_type").alias("n_touches"))
+    per_conv_type = (
+        touches.groupBy(
+            "conv_id",
+            F.coalesce(F.col("event_type"), F.lit("(none)"))
+            .alias("credit"))
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    credited = (
+        per_conv_type.join(per_conv, "conv_id")
+        .select(
+            "credit",
+            F.when(F.col("n_touches") == 0, F.lit(1000000))
+            .otherwise(F.expr("n_type * 1000000 DIV n_touches"))
+            .alias("credit_e6"),
+            F.when(F.col("n_touches") == 0, F.lit(0))
+            .otherwise(F.col("n_type")).alias("n_type_touches"),
+        )
+    )
+    return (
+        credited.groupBy("credit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions_credited"),
+            F.sum("credit_e6").cast("long").alias("total_credit_e6"),
+            F.sum("n_type_touches").cast("long").alias("n_touches_total"),
+        )
+        .orderBy("credit")
+    )

@@ -180,6 +180,14 @@ QUERIES: dict[str, QueryFn] = {
     "basket_part_pairs": relational.basket_part_pairs,
     "theil_sen_trend": timeseries.theil_sen_trend,
     "session_path_topk": timeseries.session_path_topk,
+    # round-7 wave v: entity resolution / embedding diagnostics / sparse sim
+    "customer_entity_blocking": relational.customer_entity_blocking,
+    "embedding_anisotropy_audit": similarity.embedding_anisotropy_audit,
+    "sparse_cosine_pairs_topk": similarity.sparse_cosine_pairs_topk,
+    # round-7 wave w: multi-touch attribution / burstiness / position bias
+    "attribution_linear_credit": timeseries.attribution_linear_credit,
+    "term_burstiness": textstats.term_burstiness,
+    "doc_position_profile": textstats.doc_position_profile,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3217,14 +3225,20 @@ _WINDOW_R7 = [
     "skyline_quality_frontier", "auc_roc_langid",
     "survival_kaplan_meier", "keyphrase_rake",
     "events_stl_seasonal", "user_growth_accounting",
-    # (f) r7e-new operators (this session), all hash-paired
-    "preference_pair_build", "join_skew_audit", "shard_layout_plan",
+    # (f) r7e rotated out to r7u (oldest-first; preference_pair_build /
+    # join_skew_audit / shard_layout_plan covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
     "bootstrap_ci_quality",
-    # (g) r7f-new operators (this session), all hash-paired
-    "ks_drift_quality", "session_gap_sweep", "dedup_threshold_sweep",
-    "event_pair_itemsets",
-    # (h) r7g-new operators (this session), all hash-paired
-    "active_user_ratios", "customer_rfm_segments",
+    # (f') r7u-new operators (this session), all hash-paired
+    "basket_part_pairs", "theil_sen_trend", "session_path_topk",
+    # (g/h) r7f/r7g rotated out to r7v/w (oldest-first; ks_drift_quality
+    # / session_gap_sweep / dedup_threshold_sweep / event_pair_itemsets
+    # / active_user_ratios / customer_rfm_segments covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
+    # (g') r7v/w-new operators (this session), all hash-paired
+    "customer_entity_blocking", "embedding_anisotropy_audit",
+    "sparse_cosine_pairs_topk", "attribution_linear_credit",
+    "term_burstiness", "doc_position_profile",
     # (i) r7h-new operators (this session), all hash-paired
     "watermark_lateness_audit", "join_cardinality_audit",
     "fightin_words",
@@ -6064,4 +6078,174 @@ SELECT path, count(*)::BIGINT AS n_sessions,
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 50
+"""
+
+# r7v: customer_entity_blocking — blocked ER candidate pairs; identical
+# Wagner-Fischer levenshtein on both engines; balance proximity on
+# exact cent-scaled BIGINTs.
+ORACLE["customer_entity_blocking"] = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT a.c_nationkey::BIGINT AS nationkey, a.c_mktsegment AS mktsegment,
+       a.c_custkey AS id1, b.c_custkey AS id2,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS name_lev,
+       (abs(a.bal_cents - b.bal_cents) <= 10000) AS balance_close
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY nationkey, mktsegment, id1, id2
+"""
+
+# r7v: embedding_anisotropy_audit — id-adjacent pair cosines floor-
+# rounded to e6 BEFORE binning/summation, so the histogram and the
+# BIGINT mean are order-independent and engine-identical.
+ORACLE["embedding_anisotropy_audit"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT CAST(floor(
+    list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) * 1e6 + 0.5) AS BIGINT)
+    AS cos_e6
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+),
+binned AS (
+  SELECT cos_e6,
+    least(CAST(floor((cos_e6 + 1000000) * 40.0 / 2000000) AS BIGINT), 39)
+      AS bin
+  FROM pairs
+),
+hist AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(cos_e6)::BIGINT AS sum_cos_e6
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS n_pairs,
+         (sum(sum_cos_e6) // sum(n))::BIGINT AS mean_cos_e6
+  FROM hist
+)
+SELECT bin, n, sum_cos_e6, n_pairs, mean_cos_e6
+FROM hist CROSS JOIN tot ORDER BY bin
+"""
+
+# r7v: sparse_cosine_pairs_topk — TF-IDF weights e6-floor-rounded
+# before pairing; dot/norms are exact BIGINT; one double division per
+# surviving pair, 6 dp.  df cap (200) mirrors the Spark stop-term
+# guard.
+ORACLE["sparse_cosine_pairs_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+weighted AS (
+  SELECT doc_id, term,
+    CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1e6 + 0.5) AS BIGINT)
+      AS w_e6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df <= 200
+),
+norms AS (
+  SELECT doc_id, sum(w_e6 * w_e6) AS norm2 FROM weighted GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         sum(a.w_e6 * b.w_e6) AS dot,
+         count(*)::BIGINT AS n_shared_terms
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_shared_terms,
+  floor(dot::DOUBLE / sqrt(n1.norm2::DOUBLE * n2.norm2::DOUBLE)
+        * 1e6 + 0.5) / 1e6 AS cosine
+FROM dots
+JOIN norms n1 ON id1 = n1.doc_id
+JOIN norms n2 ON id2 = n2.doc_id
+ORDER BY cosine DESC, id1, id2
+LIMIT 50
+"""
+
+# r7w: attribution_linear_credit — user-keyed equi-join with lookback
+# range filter; credit in truncated micro-units (operands positive).
+ORACLE["attribution_linear_credit"] = """
+WITH ev AS (
+  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t_us,
+         event_type, event_id
+  FROM events
+),
+conv AS (
+  SELECT k AS ck, t_us AS c_us, event_id AS conv_id
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT c.conv_id, t.event_type
+  FROM conv c LEFT JOIN (SELECT * FROM ev
+                         WHERE event_type <> 'purchase') t
+    ON c.ck = t.k AND t.t_us <= c.c_us
+   AND t.t_us > c.c_us - 7::BIGINT * 86400 * 1000000
+),
+per_conv AS (
+  SELECT conv_id, count(event_type) AS n_touches
+  FROM touches GROUP BY conv_id
+),
+pot AS (
+  SELECT conv_id, coalesce(event_type, '(none)') AS credit,
+         count(*) AS n_type
+  FROM touches GROUP BY 1, 2
+),
+credited AS (
+  SELECT credit,
+    CASE WHEN n_touches = 0 THEN 1000000
+         ELSE n_type * 1000000 // n_touches END AS credit_e6,
+    CASE WHEN n_touches = 0 THEN 0 ELSE n_type END AS n_type_touches
+  FROM pot JOIN per_conv USING (conv_id)
+)
+SELECT credit, count(*)::BIGINT AS n_conversions_credited,
+       sum(credit_e6)::BIGINT AS total_credit_e6,
+       sum(n_type_touches)::BIGINT AS n_touches_total
+FROM credited GROUP BY credit ORDER BY credit
+"""
+# r7w: term_burstiness — zero-inclusive VMR from three exact BIGINTs,
+# one double division, 6 dp.
+ORACLE["term_burstiness"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+         sum(tf * tf)::BIGINT AS s2
+  FROM tf GROUP BY term HAVING sum(tf) >= 20
+)
+SELECT term, df, cf, s2,
+  floor((s2::DOUBLE * n - cf::DOUBLE * cf) / (cf::DOUBLE * n)
+        * 1e6 + 0.5) / 1e6 AS burstiness
+FROM stats CROSS JOIN n
+ORDER BY cf DESC, term
+LIMIT 200
+"""
+
+# r7w: doc_position_profile — 0-based position decile via exact integer
+# division; micro-unit rates of positive BIGINTs.
+ORACLE["doc_position_profile"] = f"""
+WITH toks AS (
+  SELECT len({_TOKS}) AS len, unnest({_TOKS}) AS w,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos0
+  FROM documents
+),
+graded AS (
+  SELECT (pos0 * 10 // len) AS decile, length(w) AS wlen,
+    (w IN ('the','and','of','to','a','in','is','it','you','that'))::BIGINT
+      AS is_stop
+  FROM toks WHERE len > 0
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_tokens,
+  sum(wlen)::BIGINT AS sum_chars, sum(is_stop)::BIGINT AS n_stop,
+  (sum(wlen) * 1000000 // count(*))::BIGINT AS avg_wlen_e6,
+  (sum(is_stop) * 1000000 // count(*))::BIGINT AS stop_rate_e6
+FROM graded GROUP BY decile ORDER BY decile
 """

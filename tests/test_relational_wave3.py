@@ -382,3 +382,40 @@ def test_basket_part_pairs_support_and_lift(spark, tmp_path):
     r = out[0]
     assert (r.p1, r.p2, r.support, r.cnt1, r.cnt2) == (1, 2, 2, 3, 3)
     assert r.lift_e6 == 2 * 4 * 1_000_000 // 9
+
+
+def test_customer_entity_blocking_blocks_and_distance(spark, tmp_path):
+    """Same-block pairs within lev<=2 only: names differing in 1-2
+    chars match; a 3-char difference or a different nation/segment
+    never pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        customer_entity_blocking,
+    )
+
+    rows = [
+        (1, "Customer#000000001", 1, "AUTO", 100.00),
+        (2, "Customer#000000002", 1, "AUTO", 50.00),     # lev 1 to #1
+        (3, "Customer#000000333", 1, "AUTO", 100.00),    # lev 3 to #1
+        (4, "Customer#000000004", 2, "AUTO", 100.00),    # other nation
+        (5, "Customer#000000005", 1, "BUILDING", 100.00),  # other seg
+        (6, "Customer#000000021", 1, "AUTO", 300.00),    # lev 1 to #1
+    ]
+    tbl = pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "c_acctbal": pa.array([r[4] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    out = {(r.id1, r.id2): r for r in
+           customer_entity_blocking(spark, str(tmp_path)).collect()}
+    assert set(out) == {(1, 2), (1, 6), (2, 6)}
+    assert out[(1, 2)].name_lev == 1
+    assert out[(1, 6)].name_lev == 1
+    assert out[(2, 6)].name_lev == 2
+    assert out[(1, 2)].balance_close  # |100-50| = 50 <= 100
+    assert not out[(1, 6)].balance_close  # |100-300| = 200 > 100

@@ -431,3 +431,59 @@ def test_embedding_outlier_scores_numpy_replay(spark, tmp_path):
     for r in rows:
         assert abs(r.score_e6 - expect[r.vec_id]) <= 1, (
             r.vec_id, r.score_e6, expect[r.vec_id])
+
+
+def test_embedding_anisotropy_audit_known_cones(spark, tmp_path):
+    """Three identical vectors (cos 1.0 pairs) + one orthogonal: pair
+    (0,1) and (1,2) have cos 1.0 -> bin 39; pair (2,3) cos 0.0 ->
+    bin 20.  Exact-integer mean = (1e6+1e6+0)/3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_anisotropy_audit,
+    )
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 1], pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = {r.bin: r for r in
+           embedding_anisotropy_audit(spark, str(tmp_path)).collect()}
+    assert out[39].n == 2 and out[39].sum_cos_e6 == 2_000_000
+    assert out[20].n == 1 and out[20].sum_cos_e6 == 0
+    for r in out.values():
+        assert r.n_pairs == 3
+        assert r.mean_cos_e6 == 2_000_000 // 3
+
+
+def test_sparse_cosine_pairs_topk_shared_terms_only(spark, tmp_path):
+    """Docs 1-2 are identical (cosine 1.0); doc 3 shares one term with
+    them; doc 4 shares nothing and pairs with nobody."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.similarity import (
+        sparse_cosine_pairs_topk,
+    )
+
+    texts = ["alpha beta gamma", "alpha beta gamma",
+             "alpha delta epsilon", "zeta eta theta"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {(r.id1, r.id2): r for r in
+           sparse_cosine_pairs_topk(spark, str(tmp_path)).collect()}
+    assert (1, 2) in out and out[(1, 2)].n_shared_terms == 3
+    assert abs(out[(1, 2)].cosine - 1.0) < 1e-6
+    assert out[(1, 3)].n_shared_terms == 1
+    assert out[(1, 3)].cosine < out[(1, 2)].cosine
+    assert not any(4 in p for p in out)

@@ -805,3 +805,62 @@ def test_keyphrase_rake_degree_over_freq(spark, tmp_path):
     assert rows["cat"].rake_e6 == 5_000_000 // 3
     # 'the', 'is', 'a' are stopword boundaries, never emitted
     assert "the" not in rows and "is" not in rows and "a" not in rows
+
+
+def test_term_burstiness_separates_bursty_from_uniform(spark, tmp_path):
+    """'uniformword' appears once in each of 20 docs (VMR ~ (20*20-400)
+    /(20*20)=0 -> Poisson-ish ~0); 'burstyword' appears 20 times in ONE
+    doc: VMR = (400*20-400)/(400... ) >> 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import term_burstiness
+
+    texts = ["uniformword filler"] * 20
+    texts[0] = "uniformword filler " + " ".join(["burstyword"] * 20)
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 20, pa.string()),
+        "source": pa.array(["s"] * 20, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.term: r for r in term_burstiness(spark, str(tmp_path)).collect()}
+    u, b = out["uniformword"], out["burstyword"]
+    assert (u.df, u.cf, u.s2) == (20, 20, 20)
+    # VMR = (s2*N - cf^2)/(cf*N) = (400-400)/400 = 0.0
+    assert abs(u.burstiness - 0.0) < 1e-9
+    assert (b.df, b.cf, b.s2) == (1, 20, 400)
+    # (400*20 - 400)/(20*20) = 19.0
+    assert abs(b.burstiness - 19.0) < 1e-9
+    assert "filler" in out and abs(out["filler"].burstiness) < 1e-9
+
+
+def test_doc_position_profile_front_loaded_stopwords(spark, tmp_path):
+    """10-token docs with 'the' at position 0 only: decile 0 has
+    stop_rate 1.0, every other decile 0.0; word lengths exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        doc_position_profile,
+    )
+
+    text = "the " + " ".join(f"w{i:02d}" for i in range(9))  # 10 tokens
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([text, text], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array(["s"] * 2, pa.string()),
+        "n_chars": pa.array([len(text)] * 2, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.decile: r for r in
+           doc_position_profile(spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(10))
+    assert out[0].stop_rate_e6 == 1_000_000 and out[0].n_tokens == 2
+    for d in range(1, 10):
+        assert out[d].stop_rate_e6 == 0
+        assert out[d].avg_wlen_e6 == 3_000_000  # 'wNN' = 3 chars
+    assert out[0].avg_wlen_e6 == 3_000_000  # 'the' = 3 chars too

@@ -936,3 +936,46 @@ def test_session_path_topk_truncation_and_order(spark, tmp_path):
     assert out["view>view"].n_sessions == 1
     bot = out[">".join(["view"] * 12)]
     assert (bot.n_sessions, bot.min_len, bot.max_len) == (1, 15, 15)
+
+
+def test_attribution_linear_credit_split(spark, tmp_path):
+    """Purchase by u1 preceded (within 7d) by 2 views + 1 click: views
+    get 2/3 credit, click 1/3.  Purchase by u2 with no in-window touch
+    goes whole to '(none)'.  A touch 8 days out is never credited."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        attribution_linear_credit,
+    )
+
+    pd_ = datetime(2024, 1, 20)
+    rows = [
+        (0, 1, pd_ - timedelta(days=1), "view"),
+        (1, 1, pd_ - timedelta(days=2), "view"),
+        (2, 1, pd_ - timedelta(days=3), "click"),
+        (3, 1, pd_ - timedelta(days=8), "view"),   # outside lookback
+        (10, 1, pd_, "purchase"),
+        (11, 2, pd_, "purchase"),                  # touchless
+        (4, 2, pd_ + timedelta(days=1), "view"),   # after the purchase
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.credit: r for r in
+           attribution_linear_credit(spark, str(tmp_path)).collect()}
+    assert out["view"].total_credit_e6 == 2 * 1_000_000 // 3
+    assert out["view"].n_touches_total == 2
+    assert out["click"].total_credit_e6 == 1_000_000 // 3
+    assert out["(none)"].total_credit_e6 == 1_000_000
+    assert out["(none)"].n_conversions_credited == 1
+    assert out["(none)"].n_touches_total == 0
+
