@@ -2164,3 +2164,112 @@ def dedup_chain_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("component")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str,
+                      threshold_e3: int = 900) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder 1997):
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)| — the directed statistic that
+    catches a document EMBEDDED inside a larger one, which symmetric
+    Jaccard structurally misses (a 100-shingle doc fully contained in a
+    10000-shingle doc has J ≈ 0.01 but C = 1.0).  Quote-expansion and
+    boilerplate-wrapping duplicates are exactly this shape, and every
+    symmetric op in the family (`dedup_ngram_jaccard`,
+    `dedup_minhash_lsh`) is blind to them.
+
+    Exactness: the qualifying test is pure integers —
+    c * 1000 >= threshold_e3 * |S(A)| — and containment is emitted in
+    micro-units by integer division; no float ever compares.  Ordered
+    pairs: (small ⊂ big) and (big ⊃ small) are different facts, and
+    both directions emit when both pass.
+
+    Scale: same inverted-index shape as the exact-Jaccard twin (the
+    scale path for candidates is prefix filtering / LSH; this op is the
+    exact-semantics surface), but the threshold test prunes BEFORE the
+    output join and the per-pair state is one count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3, distinct=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_small"),
+                 F.col("b.id").alias("id_big"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("id").alias("id_small"),
+                      F.col("n").alias("n_small"))
+    s2 = sizes.select(F.col("id").alias("id_big"),
+                      F.col("n").alias("n_big"))
+    return (
+        inter.join(s1, "id_small").join(s2, "id_big")
+        .where(F.col("c") * 1000 >= F.lit(threshold_e3) * F.col("n_small"))
+        .select(
+            "id_small", "id_big",
+            F.col("c").cast("long").alias("n_shared"),
+            F.col("n_small").cast("long").alias("n_small"),
+            F.col("n_big").cast("long").alias("n_big"),
+            F.expr("c * 1000000 DIV n_small").alias("containment_e6"),
+        )
+        .orderBy("id_small", "id_big")
+    )
+
+
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str,
+                                    threshold: float = 0.5) -> DataFrame:
+    """Which sources copy from which: near-duplicate pair counts rolled
+    up to the |sources|² matrix, with within-source and cross-source
+    duplication separated — the provenance question behind mixture
+    weighting (a source whose docs mostly duplicate ANOTHER source adds
+    less novelty than its row count suggests; `source_overlap_matrix`
+    measures vocabulary overlap, this measures actual near-dup mass).
+
+    Pairs come from the exact inverted-index Jaccard at the given
+    threshold (oracle parity with the `dedup_ngram_jaccard` family);
+    the rollup key is the UNORDERED source pair (src_a <= src_b), and
+    the pair-rate denominator |docs_a| * |docs_b| (or n*(n-1)/2 within
+    a source) makes rates comparable across sources of different
+    sizes — exact micro-units, integer division.
+
+    Scale: the matrix rollup is |sources|²-bounded; per-source doc
+    counts broadcast onto it.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold=threshold) \
+        .select("id1", "id2")
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("id1"),
+                    F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("id2"),
+                    F.col("source").alias("src2"))
+    labeled = (
+        pairs.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+        .select(
+            F.least("src1", "src2").alias("src_a"),
+            F.greatest("src1", "src2").alias("src_b"),
+        )
+    )
+    counts = labeled.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    ca = per_src.select(F.col("source").alias("src_a"),
+                        F.col("n_docs").alias("docs_a"))
+    cb = per_src.select(F.col("source").alias("src_b"),
+                        F.col("n_docs").alias("docs_b"))
+    return (
+        counts.join(F.broadcast(ca), "src_a").join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("docs_a").cast("long").alias("docs_a"),
+            F.col("docs_b").cast("long").alias("docs_b"),
+            F.expr("""CASE WHEN src_a = src_b
+                      THEN n_pairs * 2000000 DIV (docs_a * (docs_a - 1))
+                      ELSE n_pairs * 1000000 DIV (docs_a * docs_b)
+                      END""").alias("dup_rate_e6"),
+        )
+        .orderBy("src_a", "src_b")
+    )

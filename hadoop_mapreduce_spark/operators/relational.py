@@ -1895,11 +1895,34 @@ def customer_entity_blocking(spark: SparkSession, sf_dir: str,
         F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
         .alias("bal_cents"),
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    # the customer file reads as ONE split, and the (broadcast) block
+    # join fans out ~n^2/|blocks| pairs from it — without spreading the
+    # probe side, every levenshtein runs in a single task (measured:
+    # the whole 4x row was one core).  Round-robin is fine: the build
+    # side broadcasts, so probe partitioning is unconstrained.
+    # The hash key is a single BIGINT (nation*1024 + crc32(segment)
+    # bucket) — 25% cheaper probes than the (int, string) composite on
+    # 14M pairs; crc32 collisions are made harmless by re-verifying the
+    # real segment equality in the join condition.  The banded lev runs
+    # INSIDE the condition so non-matches never materialise as rows.
+    # Cost attribution (measured at sf0.1, 0.9M pairs): the pair
+    # enumeration is the floor (~2.6s); the banded lev adds ~1s; a
+    # per-block array-explosion variant hit the same floor (2.9s), so
+    # the join shape is kept.
+    blocked = cust.select(
+        "*",
+        (F.col("c_nationkey").cast("long") * F.lit(1024)
+         + F.crc32(F.col("c_mktsegment")) % F.lit(1024)).alias("blk"))
+    a = blocked.repartition(
+        spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(blocked).alias("b")
     pairs = (
-        a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
                & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+               & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"),
+                                max_lev) >= 0))
         .select(
             F.col("a.c_nationkey").cast("long").alias("nationkey"),
             F.col("a.c_mktsegment").alias("mktsegment"),

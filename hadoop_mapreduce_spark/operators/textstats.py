@@ -2143,11 +2143,16 @@ def doc_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one posexplode pass with the per-doc length attached via
     size() BEFORE the explode (no second window), and a 10-row rollup.
+    The token array is materialised in its own projection below the
+    explode — referencing _tokens() twice inline put the tokenize
+    expression above the Generate and re-ran it per exploded row
+    (measured 25s -> 1.3s at sf0.1, the explode_ngrams trap again).
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        F.size(_tokens("text")).alias("len"),
-        F.posexplode(_tokens("text")).alias("pos0", "w"),
+    toked = docs.select(_tokens("text").alias("__t"))
+    base = toked.select(
+        F.size("__t").alias("len"),
+        F.posexplode("__t").alias("pos0", "w"),
     ).where(F.col("len") > 0)
     stop = list(LANG_STOPWORDS["en"])
     graded = base.select(
@@ -2170,4 +2175,75 @@ def doc_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_stop * 1000000 DIV n_tokens").alias("stop_rate_e6"),
         )
         .orderBy("decile")
+    )
+
+
+def text_tiling_boundaries(spark: SparkSession, sf_dir: str,
+                           block: int = 20, min_block: int = 5,
+                           boundary_e6: int = 300000) -> DataFrame:
+    """TextTiling-style topic-shift detection (Hearst 1997, lexical
+    cohesion form): adjacent fixed-size token blocks are compared by
+    distinct-vocabulary overlap, and a gap whose overlap ratio drops
+    below the threshold is a topic boundary — the intra-document
+    segmentation signal used to split long documents at COHERENT
+    points before chunking (`doc_chunking` cuts at fixed sizes; this
+    op says where cutting is safe).
+
+    All-integer: block id = pos0 DIV block; overlap ratio =
+    shared_distinct * 1e6 DIV min(|V_b|, |V_b+1|); gaps whose right
+    block is shorter than min_block (the ragged tail) are excluded
+    rather than spuriously flagged.  Zero-overlap gaps are REAL
+    boundaries — the gap grid is built first and shared counts left-
+    join onto it (an inner join would silently drop exactly the
+    strongest boundaries).
+
+    Scale: one posexplode pass, distinct (doc, block, token), a
+    token-keyed join confined WITHIN each doc's adjacent block pairs,
+    and a doc-keyed rollup.  Everything shuffles on (doc) or
+    (doc, token) — no global structure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens("text")).alias("pos0", "w"))
+    bt = toks.select(
+        "doc_id", F.expr(f"pos0 DIV {block}").alias("b"), "w").distinct()
+    bsizes = bt.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("nv"))
+    l, r = bsizes.alias("l"), bsizes.alias("r")
+    gaps = (
+        l.join(r, (F.col("l.doc_id") == F.col("r.doc_id"))
+               & (F.col("r.b") == F.col("l.b") + 1))
+        .where(F.col("r.nv") >= min_block)
+        .select(F.col("l.doc_id").alias("doc_id"), F.col("l.b").alias("b"),
+                F.col("l.nv").alias("nv_l"), F.col("r.nv").alias("nv_r"))
+    )
+    x, y = bt.alias("x"), bt.alias("y")
+    shared = (
+        x.join(y, (F.col("x.doc_id") == F.col("y.doc_id"))
+               & (F.col("y.b") == F.col("x.b") + 1)
+               & (F.col("x.w") == F.col("y.w")))
+        .groupBy(F.col("x.doc_id").alias("doc_id"),
+                 F.col("x.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        gaps.join(shared, ["doc_id", "b"], "left")
+        .select(
+            "doc_id", "b",
+            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+            F.expr("coalesce(shared, 0) * 1000000 DIV least(nv_l, nv_r)")
+            .alias("overlap_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum((F.col("overlap_e6") < boundary_e6).cast("long"))
+            .cast("long").alias("n_boundaries"),
+            F.min("overlap_e6").cast("long").alias("min_overlap_e6"),
+            F.min(F.when(F.col("overlap_e6") < boundary_e6, F.col("b")))
+            .cast("long").alias("first_boundary_block"),
+        )
+        .orderBy("doc_id")
     )

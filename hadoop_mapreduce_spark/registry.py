@@ -188,6 +188,10 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_linear_credit": timeseries.attribution_linear_credit,
     "term_burstiness": textstats.term_burstiness,
     "doc_position_profile": textstats.doc_position_profile,
+    # round-7 wave x: containment dedup / provenance matrix / segmentation
+    "dedup_containment": dedup.dedup_containment,
+    "cross_source_duplication_matrix": dedup.cross_source_duplication_matrix,
+    "text_tiling_boundaries": textstats.text_tiling_boundaries,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3239,9 +3243,12 @@ _WINDOW_R7 = [
     "customer_entity_blocking", "embedding_anisotropy_audit",
     "sparse_cosine_pairs_topk", "attribution_linear_credit",
     "term_burstiness", "doc_position_profile",
-    # (i) r7h-new operators (this session), all hash-paired
-    "watermark_lateness_audit", "join_cardinality_audit",
-    "fightin_words",
+    # (i) r7h rotated out to r7x (oldest-first; watermark_lateness_audit
+    # / join_cardinality_audit / fightin_words covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
+    # (i') r7x-new operators (this session), all hash-paired
+    "dedup_containment", "cross_source_duplication_matrix",
+    "text_tiling_boundaries",
     # (j) r7i-new operators (this session), all hash-paired
     "events_cusum_changepoint", "kwic_concordance", "ivm_orders_agg",
     # (k) r7j-new operators (this session)
@@ -6248,4 +6255,109 @@ SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_tokens,
   (sum(wlen) * 1000000 // count(*))::BIGINT AS avg_wlen_e6,
   (sum(is_stop) * 1000000 // count(*))::BIGINT AS stop_rate_e6
 FROM graded GROUP BY decile ORDER BY decile
+"""
+
+# r7x: dedup_containment — directed Broder containment; the qualifying
+# test and the emitted ratio are pure integers.
+ORACLE["dedup_containment"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_small, id_big, c::BIGINT AS n_shared,
+       s1.n::BIGINT AS n_small, s2.n::BIGINT AS n_big,
+       (c * 1000000 // s1.n)::BIGINT AS containment_e6
+FROM inter
+JOIN sizes s1 ON id_small = s1.doc_id
+JOIN sizes s2 ON id_big = s2.doc_id
+WHERE c * 1000 >= 900 * s1.n
+ORDER BY id_small, id_big
+"""
+
+# r7x: cross_source_duplication_matrix — near-dup pairs (exact Jaccard
+# >= 0.5) rolled to the unordered source-pair matrix with exact
+# micro-unit rates.
+ORACLE["cross_source_duplication_matrix"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+             JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+),
+labeled AS (
+  SELECT least(d1.source, d2.source) AS src_a,
+         greatest(d1.source, d2.source) AS src_b
+  FROM jac JOIN documents d1 ON id1 = d1.doc_id
+           JOIN documents d2 ON id2 = d2.doc_id
+),
+counts AS (
+  SELECT src_a, src_b, count(*)::BIGINT AS n_pairs
+  FROM labeled GROUP BY 1, 2
+),
+per_src AS (SELECT source, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY source)
+SELECT src_a, src_b, n_pairs,
+       ca.n_docs AS docs_a, cb.n_docs AS docs_b,
+       CASE WHEN src_a = src_b
+            THEN (n_pairs * 2000000 // (ca.n_docs * (ca.n_docs - 1)))::BIGINT
+            ELSE (n_pairs * 1000000 // (ca.n_docs * cb.n_docs))::BIGINT
+       END AS dup_rate_e6
+FROM counts
+JOIN per_src ca ON src_a = ca.source
+JOIN per_src cb ON src_b = cb.source
+ORDER BY src_a, src_b
+"""
+
+# r7x: text_tiling_boundaries — all-integer lexical-cohesion gaps; the
+# gap grid is built first so zero-overlap boundaries survive.
+ORACLE["text_tiling_boundaries"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos0
+  FROM documents
+),
+bt AS (SELECT DISTINCT doc_id, pos0 // 20 AS b, w FROM toks),
+bsizes AS (SELECT doc_id, b, count(*) AS nv FROM bt GROUP BY 1, 2),
+gaps AS (
+  SELECT l.doc_id, l.b, l.nv AS nv_l, r.nv AS nv_r
+  FROM bsizes l JOIN bsizes r
+    ON l.doc_id = r.doc_id AND r.b = l.b + 1
+  WHERE r.nv >= 5
+),
+shared AS (
+  SELECT x.doc_id, x.b, count(*) AS shared
+  FROM bt x JOIN bt y
+    ON x.doc_id = y.doc_id AND y.b = x.b + 1 AND x.w = y.w
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT g.doc_id, g.b, coalesce(s.shared, 0) AS shared,
+         coalesce(s.shared, 0) * 1000000 // least(g.nv_l, g.nv_r)
+           AS overlap_e6
+  FROM gaps g LEFT JOIN shared s ON g.doc_id = s.doc_id AND g.b = s.b
+)
+SELECT doc_id, count(*)::BIGINT AS n_gaps,
+  sum((overlap_e6 < 300000)::INT)::BIGINT AS n_boundaries,
+  min(overlap_e6)::BIGINT AS min_overlap_e6,
+  min(CASE WHEN overlap_e6 < 300000 THEN b END)::BIGINT
+    AS first_boundary_block
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """

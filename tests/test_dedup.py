@@ -574,3 +574,55 @@ def test_dedup_chain_audit_clique_vs_chain(spark, tmp_path):
     assert (ch.size, ch.n_edges, ch.chained) == (3, 2, True)
     assert ch.density_e6 == 2_000_000 // 6 * 2  # 2 edges of 3 pairs
     assert ch.min_edge_jaccard < 1.0
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(
+            [f"s{i % 2}" for i in range(len(texts))], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_dedup_containment_directed(spark, tmp_path):
+    """doc1 is doc2's prefix: every doc1 shingle appears in doc2, so
+    C(1->2) = 1.0 qualifies; C(2->1) = n1/n2 < 0.9 does not.  Symmetric
+    Jaccard at 0.9 would find NEITHER."""
+    from hadoop_mapreduce_spark.operators.dedup import dedup_containment
+
+    small = " ".join(f"w{i}" for i in range(10))            # 8 shingles
+    big = small + " " + " ".join(f"x{i}" for i in range(20))
+    _write_docs(tmp_path, [small, big, "totally different words here"])
+    out = {(r.id_small, r.id_big): r for r in
+           dedup_containment(spark, str(tmp_path)).collect()}
+    assert (1, 2) in out and (2, 1) not in out
+    r = out[(1, 2)]
+    assert r.n_shared == r.n_small == 8
+    assert r.containment_e6 == 1_000_000
+    assert len(out) == 1
+
+
+def test_cross_source_duplication_matrix_axes(spark, tmp_path):
+    """Two identical docs land in sources s0/s1 (alternating ids), so
+    the near-dup pair counts in the CROSS cell (s0,s1); rate uses
+    docs_a*docs_b."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        cross_source_duplication_matrix,
+    )
+
+    dup = " ".join(f"t{i}" for i in range(12))
+    texts = [dup, dup, "other words one", "more words two"]
+    _write_docs(tmp_path, texts)  # ids 1..4, sources s0 s1 s0 s1
+    out = {(r.src_a, r.src_b): r for r in
+           cross_source_duplication_matrix(spark, str(tmp_path)).collect()}
+    r = out[("s0", "s1")]
+    assert r.n_pairs == 1 and r.docs_a == 2 and r.docs_b == 2
+    assert r.dup_rate_e6 == 1_000_000 // 4
+    assert ("s0", "s0") not in out and ("s1", "s1") not in out

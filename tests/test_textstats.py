@@ -864,3 +864,36 @@ def test_doc_position_profile_front_loaded_stopwords(spark, tmp_path):
         assert out[d].stop_rate_e6 == 0
         assert out[d].avg_wlen_e6 == 3_000_000  # 'wNN' = 3 chars
     assert out[0].avg_wlen_e6 == 3_000_000  # 'the' = 3 chars too
+
+
+def test_text_tiling_boundaries_topic_shift(spark, tmp_path):
+    """40-token doc: blocks 0-1 share zero vocabulary (hard topic
+    shift) -> gap overlap 0, flagged; a doc with identical blocks has
+    overlap 1.0, no boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        text_tiling_boundaries,
+    )
+
+    shift = (" ".join(f"alpha{i}" for i in range(20)) + " "
+             + " ".join(f"beta{i}" for i in range(20)))
+    same_block = " ".join(f"w{i}" for i in range(20))
+    cohesive = same_block + " " + same_block
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([shift, cohesive], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array(["s"] * 2, pa.string()),
+        "n_chars": pa.array([len(shift), len(cohesive)], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           text_tiling_boundaries(spark, str(tmp_path)).collect()}
+    assert (out[1].n_gaps, out[1].n_boundaries) == (1, 1)
+    assert out[1].min_overlap_e6 == 0
+    assert out[1].first_boundary_block == 0
+    assert (out[2].n_gaps, out[2].n_boundaries) == (1, 0)
+    assert out[2].min_overlap_e6 == 1_000_000
+    assert out[2].first_boundary_block is None
