@@ -1467,3 +1467,57 @@ def ks_drift_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str,
+                           n_total: int = 1000) -> DataFrame:
+    """Neyman-optimal stratified sampling design: allocate a fixed
+    sample budget across sources proportionally to N_h·S_h (stratum
+    size × stratum std-dev of document length) — the design that
+    minimises the estimator variance for a fixed budget, vs the
+    proportional allocation `sample_stratified` executes (high-variance
+    strata get oversampled; a uniform boilerplate source gets almost
+    nothing).  This op emits the PLAN; feeding it into the sampler is
+    the composition.
+
+    Exactness discipline: per-stratum Σx and Σx² are exact BIGINTs, the
+    variance is the exact rational (N·Σx² − (Σx)²)/N², and S_h's sqrt
+    (IEEE, correctly rounded — identical on both engines) is
+    immediately floor-rounded into the e6 BIGINT weight w_h = N_h·S_h
+    micro-units, so the cross-strata total and every allocation is pure
+    integer arithmetic — a raw double sum over strata would be
+    partition-order-dependent.  Allocations use the largest-remainder
+    guarantee only implicitly (floor division; the emitted rows carry
+    exact weights so a consumer can redistribute the ≤|strata| dropped
+    units deterministically).
+
+    Scale: one corpus scan to |sources| rows; everything after is
+    metadata-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+        .alias("sx2"),
+    )
+    w = per.select(
+        "source", "n_docs", "sx", "sx2",
+        F.floor(
+            F.col("n_docs")
+            * F.sqrt((F.col("sx2").cast("double") * F.col("n_docs")
+                      - F.col("sx").cast("double") * F.col("sx"))
+                     / (F.col("n_docs").cast("double") * F.col("n_docs")))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("w_e6"),
+    )
+    tot = w.agg(F.sum("w_e6").alias("tot_w_e6"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "sx", "sx2", "w_e6",
+            F.col("tot_w_e6").cast("long").alias("tot_w_e6"),
+            F.expr(f"w_e6 * {n_total} DIV tot_w_e6").alias("n_alloc"),
+        )
+        .orderBy("source")
+    )

@@ -2273,3 +2273,100 @@ def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str,
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# Fixed universal-hash constants for the b-bit MinHash family: odd
+# multipliers, deterministic, mirrored verbatim in the oracle SQL.
+# h_i(x) = (x * A_i + B_i) mod P over the 30-bit-reduced base hash.
+_BBIT_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_BBIT_A = [2 * i * i + 4 * i + 3 for i in range(32)]
+_BBIT_B = [7 * i + 1 for i in range(32)]
+
+
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str,
+                          b: int = 4, k: int = 200) -> DataFrame:
+    """b-bit MinHash accuracy audit (Li & König 2010): store only the
+    lowest b bits of each MinHash value — 1/16th of the signature bytes
+    at b=4 — and estimate Jaccard from the b-bit collision rate with
+    the bias correction J = (c − 2^−b) / (1 − 2^−b).  Output pairs the
+    estimate against the EXACT Jaccard per candidate pair, so the row
+    is the storage-vs-accuracy trade read before shrinking a petabyte
+    signature store (`minhash_accuracy_audit` audits full-width
+    signatures; this is the compressed regime).
+
+    Engine-portable by construction: the base hash is the repo's 60-bit
+    md5 prefix reduced to 30 bits, the 32-function family is integer
+    universal hashing ((x·A_i + B_i) mod 2^31−1, constants above) —
+    ONE md5 per shingle, no engine-native hash — so signatures,
+    collision counts, and both ratio columns are bit-identical BIGINTs.
+    The estimator numerator clamps at 0 BEFORE the integer division
+    (negative DIV truncates toward zero in Spark but floors in DuckDB —
+    the cross-engine trap this repo's conventions ban).
+
+    Scale: signatures aggregate map-side (32 longs per doc); candidate
+    pairs come from the shared-shingle inverted index; the collision
+    join is (pair × 32) rows, linear in candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3, distinct=True)
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sh = scoped_persist(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a0, b0 = sh.alias("a"), sh.alias("b")
+    cand = (
+        a0.join(b0, (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hv30 = (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long") % F.lit(1 << 30)).alias("x")
+    hashed = sh.select("id", hv30)
+    fam = F.explode(F.arrays_zip(
+        F.lit(list(range(32))).alias("i"),
+        F.lit(_BBIT_A).alias("ai"),
+        F.lit(_BBIT_B).alias("bi"),
+    )).alias("f")
+    mask = (1 << b) - 1
+    sigs = (
+        hashed.select("id", "x", fam)
+        .select(
+            "id", F.col("f.i").alias("i"),
+            ((F.col("x") * F.col("f.ai") + F.col("f.bi"))
+             % F.lit(_BBIT_P)).alias("h"),
+        )
+        .groupBy("id", "i")
+        .agg((F.min("h") % F.lit(mask + 1)).cast("long").alias("mb"))
+    )
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("i").alias("i"),
+                     F.col("mb").alias("mb1"))
+    s2 = sigs.select(F.col("id").alias("j2"), F.col("i").alias("i2"),
+                     F.col("mb").alias("mb2"))
+    coll = (
+        cand.join(s1, "id1")
+        .join(s2, (F.col("id2") == F.col("j2"))
+              & (F.col("i") == F.col("i2")))
+        .groupBy("id1", "id2", "c")
+        .agg(F.sum((F.col("mb1") == F.col("mb2")).cast("long"))
+             .cast("long").alias("n_coll"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    twob = mask + 1
+    return (
+        coll.join(sz1, "id1").join(sz2, "id2")
+        .select(
+            "id1", "id2",
+            F.col("c").cast("long").alias("n_shared"),
+            F.expr("c * 1000000 DIV (n1 + n2 - c)").alias("jaccard_e6"),
+            "n_coll",
+            F.expr(f"""greatest(0, n_coll * {twob} - 32) * 1000000
+                   DIV (32 * {twob - 1})""").alias("est_e6"),
+            F.expr(f"""abs(c * 1000000 DIV (n1 + n2 - c)
+                   - greatest(0, n_coll * {twob} - 32) * 1000000
+                     DIV (32 * {twob - 1}))""").alias("abs_err_e6"),
+        )
+        .orderBy(F.desc("jaccard_e6"), "id1", "id2")
+        .limit(k)
+    )

@@ -2247,3 +2247,75 @@ def text_tiling_boundaries(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def source_rank_correlation(spark: SparkSession, sf_dir: str,
+                            top_n: int = 100) -> DataFrame:
+    """Spearman rank correlation of term-frequency rankings between
+    every source pair, over the corpus-wide top-N vocabulary — the
+    rank-based drift statistic: `lang_source_chisq` tests count
+    deviations and `jsd_lang_divergence` measures distributional
+    distance, but both are dominated by the head; Spearman on ranks
+    asks whether sources ORDER the vocabulary the same way, which is
+    what a shared-tokenizer assumption actually needs.
+
+    Exactness: ranks are row_number over the deterministic
+    (count DESC, term) order — integers, no tie-averaging ambiguity
+    (the tie-break is part of the statistic's definition here and
+    identical in the oracle); a term missing from a source takes rank
+    top_n + 1 (documented convention).  rho = 1 − 6·Σd²/(m·(m²−1))
+    divides exact BIGINTs, 6 dp.
+
+    Scale: vocabulary-bounded throughout — top-N vocab broadcast, per
+    (source, term) counts map-side combined, |sources|² output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", _tokens("text").alias("__t"))
+    toks = toked.select("source", F.explode("__t").alias("term"))
+    global_top = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term").limit(top_n)
+        .select("term")
+    )
+    st = (
+        toks.join(F.broadcast(global_top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("cnt"), "term")
+    ranked = st.select("source", "term",
+                       F.row_number().over(wr).alias("rk"))
+    # every (source, top-N term) cell, absent terms at rank top_n + 1
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(global_top))
+    full = (
+        grid.join(ranked, ["source", "term"], "left")
+        .select("source", "term",
+                F.coalesce(F.col("rk"), F.lit(top_n + 1)).alias("rk"))
+    )
+    a, b = full.alias("a"), full.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum((F.col("a.rk") - F.col("b.rk"))
+                  * (F.col("a.rk") - F.col("b.rk"))).cast("long")
+            .alias("sum_d2"),
+        )
+        .select(
+            "src_a", "src_b", "m", "sum_d2",
+            (F.lit(1.0)
+             - F.lit(6.0) * F.col("sum_d2")
+             / (F.col("m").cast("double")
+                * (F.col("m") * F.col("m") - 1))).alias("raw"),
+        )
+        .select(
+            "src_a", "src_b", "m", "sum_d2",
+            (F.floor(F.col("raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("spearman_rho"),
+        )
+        .orderBy("src_a", "src_b")
+    )

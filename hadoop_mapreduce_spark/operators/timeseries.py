@@ -2018,3 +2018,188 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("credit")
     )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST per event type — the nonparametric
+    significance companion to `theil_sen_trend`'s slope estimate (the
+    two are the standard pairing: MK says WHETHER a monotone trend
+    exists, Theil-Sen says how steep).  S = Σ_{i<j} sign(x_j − x_i)
+    over the daily count series, with the tie-corrected variance
+       Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    summed over groups of tied VALUES.
+
+    Exactness: S, both variance numerators, and the tie table are pure
+    BIGINT (sign comparisons and polynomial sums of integers); the only
+    doubles are the final continuity-corrected z = (S∓1)/sqrt(Var) and
+    they divide exact integers, floor-rounded 6 dp.
+
+    Scale: everything runs on the bounded (type, day) grid — the pair
+    enumeration is days², ≤67k pairs/type/year, metadata-sized; the
+    tie table is value-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    daily = scoped_persist(daily)
+    a, b = daily.alias("a"), daily.alias("b")
+    s_tab = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.n") - F.col("a.n")).cast("long"))
+             .cast("long").alias("s"))
+    )
+    counts = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                   * (2 * F.col("t") + 5)).cast("long").alias("tie18"))
+    )
+    z = F.when(
+        F.col("var18") <= 0, F.lit(None).cast("double")
+    ).when(
+        F.col("s") > 0,
+        (F.col("s") - 1).cast("double")
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+    ).when(
+        F.col("s") < 0,
+        (F.col("s") + 1).cast("double")
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        s_tab.join(counts, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn(
+            "var18",
+            (F.col("n_days") * (F.col("n_days") - 1)
+             * (2 * F.col("n_days") + 5)
+             - F.coalesce(F.col("tie18"), F.lit(0))).cast("long"))
+        .select(
+            "event_type", "n_days", "s", "var18",
+            (F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str,
+                             season: int = 7) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's count with the
+    value one season (7 days) earlier, score MAE / MAPE / bias per
+    event type — the evaluation floor every real forecast
+    (`events_holt_linear`, `events_ewma_daily`) must beat before it
+    earns dashboard space; shipping a model without this baseline row
+    is the classic forecasting mistake.
+
+    All-integer: errors are |n_t − n_{t−7}| BIGINT sums; MAE and bias
+    are micro-unit integer divisions; MAPE sums per-day micro-unit
+    ratios |err|·1e6 DIV actual (actual ≥ 1 by construction — a day
+    with zero events has no row and is NOT a forecastable point,
+    documented).  Scale: bounded (type, day) grid; the season lag is a
+    grid self-join on exact integer day keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    daily = scoped_persist(daily)
+    a, b = daily.alias("a"), daily.alias("b")
+    scored = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("b.d") == F.col("a.d") - season))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("a.n") - F.col("b.n")).alias("err"),
+            F.col("a.n").alias("actual"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.abs(F.col("err"))).cast("long").alias("sum_abs_err"),
+            F.sum("err").cast("long").alias("sum_err"),
+            F.sum(F.expr("abs(err) * 1000000 DIV actual")).cast("long")
+            .alias("sum_ape_e6"),
+        )
+        .select(
+            "event_type", "n_points", "sum_abs_err", "sum_err",
+            F.expr("sum_abs_err * 1000000 DIV n_points").alias("mae_e6"),
+            F.expr("sum_ape_e6 DIV n_points").alias("mape_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on each event type's daily count series
+    dichotomised at its median: too FEW runs = trending/clustered, too
+    MANY = oscillating — the randomness sanity check that neither
+    `events_acf` (linear dependence only) nor `mann_kendall_trend`
+    (monotone trend only) provides.
+
+    Median-tied days are excluded (the standard treatment).  The
+    dichotomy uses the exact interpolating median (percentile 0.5 ==
+    DuckDB quantile_cont); runs are counted with one ordered lag pass.
+    n1, n2, runs are BIGINT; E[R] = 2·n1·n2/(n1+n2) + 1 and Var[R]
+    divide exact integer products, and z gets the 0.5 continuity
+    correction — all 6 dp floor-rounded doubles of exact integers.
+
+    Scale: bounded (type, day) grid; median + lag both ride the
+    per-type partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med"))
+    marked = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("n") != F.col("med"))
+        .select("event_type", "d",
+                (F.col("n") > F.col("med")).cast("int").alias("hi"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        marked.withColumn(
+            "new_run",
+            (F.coalesce(F.lag("hi").over(w), F.lit(-1)) != F.col("hi"))
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("new_run").cast("long").alias("runs"),
+            F.sum("hi").cast("long").alias("n1"),
+            F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n2"),
+        )
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("runs")
+    n = n1 + n2
+    er = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    vr = (F.lit(2.0) * n1 * n2 * (2 * n1 * n2 - n)
+          / (n * n * (n - F.lit(1))))
+    z = F.when((n1 == 0) | (n2 == 0) | (n <= 1), F.lit(None)).otherwise(
+        F.when(r.cast("double") >= er,
+               (r - er - F.lit(0.5)) / F.sqrt(vr))
+        .otherwise((r - er + F.lit(0.5)) / F.sqrt(vr)))
+    return (
+        runs.select(
+            "event_type", "n1", "n2", "runs",
+            (F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
+        )
+        .orderBy("event_type")
+    )

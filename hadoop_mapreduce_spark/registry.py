@@ -192,6 +192,14 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment": dedup.dedup_containment,
     "cross_source_duplication_matrix": dedup.cross_source_duplication_matrix,
     "text_tiling_boundaries": textstats.text_tiling_boundaries,
+    # round-7 wave y: trend testing / compressed sketches / sampling design
+    "mann_kendall_trend": timeseries.mann_kendall_trend,
+    "minhash_bbit_estimate": dedup.minhash_bbit_estimate,
+    "neyman_allocation_plan": datamix.neyman_allocation_plan,
+    # round-7 wave z: forecast baseline / rank drift / randomness test
+    "forecast_backtest_snaive": timeseries.forecast_backtest_snaive,
+    "source_rank_correlation": textstats.source_rank_correlation,
+    "runs_test_daily": timeseries.runs_test_daily,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3249,11 +3257,18 @@ _WINDOW_R7 = [
     # (i') r7x-new operators (this session), all hash-paired
     "dedup_containment", "cross_source_duplication_matrix",
     "text_tiling_boundaries",
-    # (j) r7i-new operators (this session), all hash-paired
-    "events_cusum_changepoint", "kwic_concordance", "ivm_orders_agg",
-    # (k) r7j-new operators (this session)
-    "orders_cohort_ltv", "conversion_attribution",
-    "compression_ratio_quality",
+    # (j) r7i rotated out to r7y (oldest-first; events_cusum_changepoint
+    # / kwic_concordance / ivm_orders_agg covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
+    # (j') r7y-new operators (this session), all hash-paired
+    "mann_kendall_trend", "minhash_bbit_estimate",
+    "neyman_allocation_plan",
+    # (k) r7j rotated out to r7z (oldest-first; orders_cohort_ltv /
+    # conversion_attribution / compression_ratio_quality covered by
+    # both full artifacts at two sfs; they queue for the r8 front)
+    # (k') r7z-new operators (this session), all hash-paired
+    "forecast_backtest_snaive", "source_rank_correlation",
+    "runs_test_daily",
     # (l) r7k-new operators (this session), all hash-paired
     "user_active_streaks", "session_concurrency", "events_acf",
     "events_holt_linear",
@@ -6360,4 +6375,234 @@ SELECT doc_id, count(*)::BIGINT AS n_gaps,
   min(CASE WHEN overlap_e6 < 300000 THEN b END)::BIGINT
     AS first_boundary_block
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# r7y: mann_kendall_trend — S and the tie-corrected variance numerator
+# are pure BIGINT polynomial sums on the bounded daily grid; the
+# continuity-corrected z divides exact integers, 6 dp.
+ORACLE["mann_kendall_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+s_tab AS (
+  SELECT a.event_type,
+         sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+                  ELSE 0 END)::BIGINT AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY a.event_type
+),
+counts AS (
+  SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+  FROM (SELECT event_type, n, count(*) AS t FROM daily
+        GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY event_type
+),
+j AS (
+  SELECT s.event_type, c.n_days, s.s,
+    (c.n_days * (c.n_days - 1) * (2 * c.n_days + 5)
+     - coalesce(t.tie18, 0))::BIGINT AS var18
+  FROM s_tab s JOIN counts c USING (event_type)
+  LEFT JOIN ties t USING (event_type)
+)
+SELECT event_type, n_days, s, var18,
+  CASE WHEN var18 <= 0 THEN NULL
+       WHEN s > 0 THEN floor((s - 1)::DOUBLE
+                             / sqrt(var18::DOUBLE / 18.0) * 1e6 + 0.5) / 1e6
+       WHEN s < 0 THEN floor((s + 1)::DOUBLE
+                             / sqrt(var18::DOUBLE / 18.0) * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS z
+FROM j ORDER BY event_type
+"""
+
+# r7y: minhash_bbit_estimate — the integer universal-hash family over
+# the 30-bit md5 base makes signatures bit-identical; the estimator
+# numerator clamps at 0 before integer division.
+ORACLE["minhash_bbit_estimate"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+     % 1073741824) AS x
+  FROM sh
+),
+fam AS (
+  SELECT i, ua[i + 1] AS ai, ub[i + 1] AS bi
+  FROM (SELECT [3, 9, 19, 33, 51, 73, 99, 129, 163, 201, 243, 289, 339, 393, 451, 513, 579, 649, 723, 801, 883, 969, 1059, 1153, 1251, 1353, 1459, 1569, 1683, 1801, 1923, 2049]::BIGINT[] AS ua, [1, 8, 15, 22, 29, 36, 43, 50, 57, 64, 71, 78, 85, 92, 99, 106, 113, 120, 127, 134, 141, 148, 155, 162, 169, 176, 183, 190, 197, 204, 211, 218]::BIGINT[] AS ub),
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS i) g
+),
+sigs AS (
+  SELECT doc_id, i, (min((x * ai + bi) % 2147483647) % 16)::BIGINT AS mb
+  FROM hashed CROSS JOIN fam
+  GROUP BY doc_id, i
+),
+coll AS (
+  SELECT c.id1, c.id2, c.c,
+         sum((s1.mb = s2.mb)::INT)::BIGINT AS n_coll
+  FROM cand c
+  JOIN sigs s1 ON c.id1 = s1.doc_id
+  JOIN sigs s2 ON c.id2 = s2.doc_id AND s1.i = s2.i
+  GROUP BY 1, 2, 3
+)
+SELECT id1, id2, c::BIGINT AS n_shared,
+  (c * 1000000 // (z1.n + z2.n - c))::BIGINT AS jaccard_e6,
+  n_coll,
+  (greatest(0, n_coll * 16 - 32) * 1000000 // (32 * 15))::BIGINT
+    AS est_e6,
+  abs(c * 1000000 // (z1.n + z2.n - c)
+      - greatest(0, n_coll * 16 - 32) * 1000000 // (32 * 15))::BIGINT
+    AS abs_err_e6
+FROM coll
+JOIN sizes z1 ON id1 = z1.doc_id
+JOIN sizes z2 ON id2 = z2.doc_id
+ORDER BY jaccard_e6 DESC, id1, id2
+LIMIT 200
+"""
+
+# r7y: neyman_allocation_plan — exact BIGINT moment sums; the sqrt is
+# floor-rounded into the e6 weight BEFORE the cross-strata total so
+# every downstream number is integer.
+ORACLE["neyman_allocation_plan"] = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sx2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, sx, sx2,
+    CAST(floor(n_docs * sqrt((sx2::DOUBLE * n_docs - sx::DOUBLE * sx)
+                             / (n_docs::DOUBLE * n_docs))
+               * 1e6 + 0.5) AS BIGINT) AS w_e6
+  FROM per
+),
+tot AS (SELECT sum(w_e6)::BIGINT AS tot_w_e6 FROM w)
+SELECT source, n_docs, sx, sx2, w_e6, tot_w_e6,
+       (w_e6 * 1000 // tot_w_e6)::BIGINT AS n_alloc
+FROM w CROSS JOIN tot ORDER BY source
+"""
+
+# r7z: forecast_backtest_snaive — exact integer error sums on the
+# bounded grid; MAE/MAPE in truncated micro-units (operands positive).
+ORACLE["forecast_backtest_snaive"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.event_type, a.n - b.n AS err, a.n AS actual
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+)
+SELECT event_type, count(*)::BIGINT AS n_points,
+  sum(abs(err))::BIGINT AS sum_abs_err,
+  sum(err)::BIGINT AS sum_err,
+  (sum(abs(err)) * 1000000 // count(*))::BIGINT AS mae_e6,
+  (sum(abs(err) * 1000000 // actual) // count(*))::BIGINT AS mape_e6
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+# r7z: source_rank_correlation — deterministic (count DESC, term)
+# ranks; absent top-N terms take rank top_n + 1; exact-BIGINT Σd².
+ORACLE["source_rank_correlation"] = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+gtop AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ORDER BY cnt DESC, term LIMIT 100)
+),
+st AS (
+  SELECT source, term, count(*) AS cnt
+  FROM toks JOIN gtop USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, term,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, term) AS rk
+  FROM st
+),
+grid AS (
+  SELECT s.source, g.term
+  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN gtop g
+),
+fullr AS (
+  SELECT g.source, g.term, coalesce(r.rk, 101) AS rk
+  FROM grid g LEFT JOIN ranked r
+    ON g.source = r.source AND g.term = r.term
+)
+SELECT a.source AS src_a, b.source AS src_b,
+  count(*)::BIGINT AS m,
+  sum((a.rk - b.rk) * (a.rk - b.rk))::BIGINT AS sum_d2,
+  floor((1.0 - 6.0 * sum((a.rk - b.rk) * (a.rk - b.rk))
+         / (count(*)::DOUBLE * (count(*) * count(*) - 1)))
+        * 1e6 + 0.5) / 1e6 AS spearman_rho
+FROM fullr a JOIN fullr b
+  ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2 ORDER BY src_a, src_b
+"""
+
+# r7z: runs_test_daily — median-dichotomised runs with continuity
+# correction; the median is the interpolating percentile(0.5) ==
+# quantile_cont on both engines.
+ORACLE["runs_test_daily"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med
+  FROM daily GROUP BY event_type
+),
+marked AS (
+  SELECT d.event_type, d.d, (d.n > m.med)::INT AS hi
+  FROM daily d JOIN med m USING (event_type)
+  WHERE d.n <> m.med
+),
+lagged AS (
+  SELECT event_type, hi,
+    (coalesce(lag(hi) OVER (PARTITION BY event_type ORDER BY d), -1)
+     <> hi)::BIGINT AS new_run
+  FROM marked
+),
+runs AS (
+  SELECT event_type, sum(new_run)::BIGINT AS runs,
+         sum(hi)::BIGINT AS n1, sum(1 - hi)::BIGINT AS n2
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n1, n2, runs,
+  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1 THEN NULL
+       ELSE floor(
+         (CASE WHEN runs >= 2.0 * n1 * n2 / (n1 + n2) + 1.0
+               THEN runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0) - 0.5
+               ELSE runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0) + 0.5 END)
+         / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                / ((n1 + n2)::DOUBLE * (n1 + n2) * (n1 + n2 - 1)))
+         * 1e6 + 0.5) / 1e6
+  END AS z
+FROM runs ORDER BY event_type
 """

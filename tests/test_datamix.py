@@ -575,3 +575,33 @@ def test_ks_drift_quality_two_point(spark, tmp_path):
     assert rows["sep"].ks_e6 == 1_000_000
     assert rows["uni"].ks_e6 == 1_000_000  # symmetric split
     assert rows["sep"].n_src == 2 and rows["sep"].n_rest == 2
+
+
+def test_neyman_allocation_oversamples_variance(spark, tmp_path):
+    """Stratum 'wide' has doc lengths {100, 300} (sd 100); 'narrow' has
+    {200, 200} (sd 0) -> w_narrow = 0, so the whole budget flows to the
+    high-variance stratum despite equal sizes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        neyman_allocation_plan,
+    )
+
+    texts = ["a" * 100, "a" * 300, "b" * 200, "b" * 200]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["wide", "wide", "narrow", "narrow"],
+                           pa.string()),
+        "n_chars": pa.array([100, 300, 200, 200], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           neyman_allocation_plan(spark, str(tmp_path)).collect()}
+    w = out["wide"]
+    assert (w.n_docs, w.sx, w.sx2) == (2, 400, 100**2 + 300**2)
+    assert w.w_e6 == 2 * 100 * 1_000_000  # N_h * sd(=100) in e6
+    assert out["narrow"].w_e6 == 0
+    assert w.n_alloc == 1000 and out["narrow"].n_alloc == 0

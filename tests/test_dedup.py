@@ -626,3 +626,23 @@ def test_cross_source_duplication_matrix_axes(spark, tmp_path):
     assert r.n_pairs == 1 and r.docs_a == 2 and r.docs_b == 2
     assert r.dup_rate_e6 == 1_000_000 // 4
     assert ("s0", "s0") not in out and ("s1", "s1") not in out
+
+
+def test_minhash_bbit_identical_docs_estimate_one(spark, tmp_path):
+    """Two identical docs share every shingle: all 32 b-bit mins
+    collide, estimate = (32*16-32)/(32*15) = 1.0 exactly, matching the
+    exact Jaccard; the third unrelated doc never pairs."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        minhash_bbit_estimate,
+    )
+
+    dup = " ".join(f"w{i}" for i in range(15))
+    _write_docs(tmp_path, [dup, dup, "entirely different token stream"])
+    out = {(r.id1, r.id2): r for r in
+           minhash_bbit_estimate(spark, str(tmp_path)).collect()}
+    r = out[(1, 2)]
+    assert r.jaccard_e6 == 1_000_000
+    assert r.n_coll == 32
+    assert r.est_e6 == 1_000_000
+    assert r.abs_err_e6 == 0
+    assert all(3 not in p for p in out)

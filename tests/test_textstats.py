@@ -897,3 +897,37 @@ def test_text_tiling_boundaries_topic_shift(spark, tmp_path):
     assert (out[2].n_gaps, out[2].n_boundaries) == (1, 0)
     assert out[2].min_overlap_e6 == 1_000_000
     assert out[2].first_boundary_block is None
+
+
+def test_source_rank_correlation_identical_and_reversed(spark, tmp_path):
+    """Sources with identical term rankings have rho 1.0; a source
+    whose frequencies reverse the order gets rho < 0 against them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        source_rank_correlation,
+    )
+
+    # s0 and s1: aa x3, bb x2, cc x1 ; s2 reversed: cc x3, bb x2, aa x1
+    def doc(counts):
+        return " ".join(" ".join([w] * k) for w, k in counts)
+
+    texts = [doc([("aa", 3), ("bb", 2), ("cc", 1)]),
+             doc([("aa", 3), ("bb", 2), ("cc", 1)]),
+             doc([("cc", 3), ("bb", 2), ("aa", 1)])]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s0", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {(r.src_a, r.src_b): r for r in
+           source_rank_correlation(spark, str(tmp_path)).collect()}
+    assert out[("s0", "s1")].sum_d2 == 0
+    assert abs(out[("s0", "s1")].spearman_rho - 1.0) < 1e-9
+    # perfect reversal over m=3: rho = -1
+    assert abs(out[("s0", "s2")].spearman_rho + 1.0) < 1e-9
+    assert out[("s0", "s2")].m == 3

@@ -979,3 +979,111 @@ def test_attribution_linear_credit_split(spark, tmp_path):
     assert out["(none)"].n_conversions_credited == 1
     assert out["(none)"].n_touches_total == 0
 
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    """Strictly increasing daily counts 1..8: S = C(8,2) = 28, no
+    ties, Var18 = 8*7*21 = 1176 -> Var = 65.33, z = 27/sqrt(65.33).
+    A constant series has S = 0, z = 0, and an all-tied variance."""
+    from datetime import datetime, timedelta
+    import math
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(8):
+        for _ in range(d + 1):
+            rows.append((eid, 1, d0 + timedelta(days=d), "up"))
+            eid += 1
+        for _ in range(3):
+            rows.append((eid, 1, d0 + timedelta(days=d), "flat"))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           mann_kendall_trend(spark, str(tmp_path)).collect()}
+    up = out["up"]
+    assert (up.n_days, up.s) == (8, 28)
+    assert up.var18 == 8 * 7 * 21
+    assert abs(up.z - 27.0 / math.sqrt(1176 / 18.0)) < 2e-6
+    flat = out["flat"]
+    assert flat.s == 0
+    # all 8 values tied in one group: tie18 = 8*7*21 -> var18 = 0
+    assert flat.var18 == 0 and flat.z is None
+
+
+def test_forecast_backtest_snaive_exact_errors(spark, tmp_path):
+    """14-day series 1..14: prediction for day d is d-7's count, so
+    every scored point (days 7..13) has err = +7: MAE 7.0, bias +7,
+    MAPE = mean over 7 points of 7e6 DIV actual."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        forecast_backtest_snaive,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(14):
+        for _ in range(d + 1):
+            rows.append((eid, 1, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = forecast_backtest_snaive(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_points, r.sum_abs_err, r.sum_err) == (7, 49, 49)
+    assert r.mae_e6 == 7_000_000
+    expected_mape = sum(7 * 1_000_000 // a for a in range(8, 15)) // 7
+    assert r.mape_e6 == expected_mape
+
+
+def test_runs_test_daily_alternating_vs_blocked(spark, tmp_path):
+    """Alternating 1,5,1,5,... over 12 days: every step starts a new
+    run (12 runs of 6+6 -> z > 0, too many runs); blocked
+    1x6 then 5x6 gives 2 runs (z < 0, clustered)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        runs_test_daily,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(12):
+        alt = 5 if d % 2 else 1
+        blk = 5 if d >= 6 else 1
+        for _ in range(alt):
+            rows.append((eid, 1, d0 + timedelta(days=d), "alt")); eid += 1
+        for _ in range(blk):
+            rows.append((eid, 1, d0 + timedelta(days=d), "blk")); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           runs_test_daily(spark, str(tmp_path)).collect()}
+    # median of {1,5}x6 = 3 -> no ties excluded, n1 = n2 = 6
+    assert (out["alt"].n1, out["alt"].n2, out["alt"].runs) == (6, 6, 12)
+    assert (out["blk"].n1, out["blk"].n2, out["blk"].runs) == (6, 6, 2)
+    assert out["alt"].z > 0 and out["blk"].z < 0
