@@ -1456,3 +1456,239 @@ def auc_roc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between document length and lexical diversity per
+    source, computed EXACTLY from a bucketed joint contingency grid —
+    the concordance-based third leg of the signal-redundancy triad
+    (`quality_signal_correlation` gives Pearson + deterministic-rank
+    Spearman; tau-b is the tie-robust one, and ties are everywhere once
+    signals are bucketed for sketching).
+
+    Grid trick: bucket both signals (n_chars DIV 50, distinct tokens
+    DIV 5), then every pair statistic is a sum over CELL pairs:
+       C = Σ n₁n₂ over (x₁<x₂ ∧ y₁<y₂),  D over (x₁<x₂ ∧ y₁>y₂),
+       ties from the marginals — all exact BIGINT, no row-pair
+    enumeration.  tau-b = (C−D)/sqrt((N₀−Tx)(N₀−Ty)) is ONE double
+    division of exact integers, 6 dp.
+
+    Scale: one corpus scan to the per-source grid (bounded by bucket
+    domain² — a few hundred cells); the cell-pair join is grid²,
+    metadata-sized at any corpus size.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source", "n_chars",
+        tokenize(normalize_text(F.col("text"))).alias("__t"))
+    cells = scoped_persist(
+        toked.select(
+            "source",
+            F.expr("n_chars DIV 50").alias("x"),
+            F.expr("CAST(size(array_distinct(__t)) AS BIGINT) DIV 5")
+            .alias("y"),
+        )
+        .groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n")))
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & ((F.col("a.x") < F.col("b.x"))
+                  | ((F.col("a.x") == F.col("b.x"))
+                     & (F.col("a.y") < F.col("b.y")))))
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(
+            F.sum(F.when((F.col("a.x") < F.col("b.x"))
+                         & (F.col("a.y") < F.col("b.y")),
+                         F.col("a.n") * F.col("b.n")).otherwise(0))
+            .cast("long").alias("c"),
+            F.sum(F.when((F.col("a.x") < F.col("b.x"))
+                         & (F.col("a.y") > F.col("b.y")),
+                         F.col("a.n") * F.col("b.n")).otherwise(0))
+            .cast("long").alias("d"),
+        )
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("n").cast("long").alias("nn"))
+    tx = (cells.groupBy("source", "x").agg(F.sum("n").alias("mx"))
+          .groupBy("source")
+          .agg(F.sum(F.expr("mx * (mx - 1) DIV 2"))
+               .cast("long").alias("tx")))
+    ty = (cells.groupBy("source", "y").agg(F.sum("n").alias("my"))
+          .groupBy("source")
+          .agg(F.sum(F.expr("my * (my - 1) DIV 2"))
+               .cast("long").alias("ty")))
+    n0 = F.expr("nn * (nn - 1) DIV 2")
+    tau = ((F.col("c") - F.col("d")).cast("double")
+           / F.sqrt((n0 - F.col("tx")).cast("double")
+                    * (n0 - F.col("ty")).cast("double")))
+    return (
+        cd.join(tot, "source").join(tx, "source").join(ty, "source")
+        .select(
+            "source", "nn", "c", "d",
+            n0.alias("n0"), "tx", "ty",
+            F.when((n0 - F.col("tx") <= 0) | (n0 - F.col("ty") <= 0),
+                   F.lit(None).cast("double"))
+            .otherwise(F.floor(tau * F.lit(1e6) + F.lit(0.5))
+                       / F.lit(1e6)).alias("tau_b"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_flag_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source odds ratio for each quality flag: is THIS source
+    enriched for short / low-diversity / long-word docs relative to
+    the rest of the corpus?  The effect-size view the flag-agreement
+    kappa matrix (`quality_filter_agreement`) and the global flag rates
+    can't give — an OR of 5 on a small source is invisible in corpus
+    totals but decisive for mixture weighting.
+
+    The 2×2 cells (flagged/clean × this-source/rest) are exact BIGINTs
+    from one scan; OR = (a·d)/(b·c) with the Haldane-Anscombe +0.5
+    continuity correction applied when ANY cell is zero (otherwise the
+    raw ratio — both branches exact-integer products divided once in
+    double, 6 dp, and the correction rule is part of the statistic's
+    definition, mirrored in the oracle).
+
+    Scale: one corpus scan to |sources|×|flags| cells; everything after
+    is metadata-sized.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source", tokenize(normalize_text(F.col("text"))).alias("__t"))
+    base = toked.select(
+        "source",
+        F.size("__t").alias("n"),
+        F.size(F.array_distinct("__t")).alias("nd"),
+        F.expr("""coalesce(aggregate(transform(__t, x -> length(x)),
+                  0L, (acc, x) -> acc + x), 0L)""").alias("chars"),
+    )
+    flags = base.select(
+        "source",
+        (F.col("n") < 20).cast("long").alias("f_short"),
+        (F.col("nd") * 2 < F.col("n")).cast("long").alias("f_lowdiv"),
+        (F.col("chars") > F.col("n") * 8).cast("long").alias("f_longw"),
+    )
+    rows = []
+    for flag in ("f_short", "f_lowdiv", "f_longw"):
+        per = flags.groupBy("source").agg(
+            F.sum(flag).cast("long").alias("a"),
+            (F.count(F.lit(1)) - F.sum(flag)).cast("long").alias("b"),
+        )
+        tot = flags.agg(
+            F.sum(flag).cast("long").alias("ta"),
+            (F.count(F.lit(1)) - F.sum(flag)).cast("long").alias("tb"),
+        )
+        cells = per.crossJoin(F.broadcast(tot)).select(
+            F.lit(flag[2:]).alias("flag"), "source",
+            "a", "b",
+            (F.col("ta") - F.col("a")).alias("c"),
+            (F.col("tb") - F.col("b")).alias("d"),
+        )
+        rows.append(cells)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    corrected = F.when(
+        (F.col("a") == 0) | (F.col("b") == 0)
+        | (F.col("c") == 0) | (F.col("d") == 0),
+        ((F.col("a") + F.lit(0.5)) * (F.col("d") + F.lit(0.5)))
+        / ((F.col("b") + F.lit(0.5)) * (F.col("c") + F.lit(0.5))),
+    ).otherwise(
+        (F.col("a") * F.col("d")).cast("double")
+        / (F.col("b") * F.col("c")).cast("double"))
+    return (
+        out.select(
+            "flag", "source",
+            F.col("a").cast("long").alias("n_flagged"),
+            F.col("b").cast("long").alias("n_clean"),
+            F.col("c").cast("long").alias("rest_flagged"),
+            F.col("d").cast("long").alias("rest_clean"),
+            (F.floor(corrected * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("odds_ratio"),
+        )
+        .orderBy("flag", "source")
+    )
+
+
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the English-stopword quality score
+    as a detector of lang='en' — `auc_roc_langid`'s operational
+    sibling: AUC says the signal ranks well IN AGGREGATE; the lift
+    table says what the top 10% / 20% actually deliver, which is the
+    number a curation budget decision reads.
+
+    Deciles are assigned on the DETERMINISTIC total order
+    (score DESC, doc_id) — the repo's portable-rank convention — via
+    rank·10 DIV n, all integers; per-decile positives and the
+    cumulative gains/lift are exact BIGINT micro-units.
+
+    Scale shape: NO global window — the score domain is bounded
+    (0..10), so the global rank decomposes into (count of strictly
+    higher scores, from the bounded grid) + (row_number within this
+    score, a PARTITIONED window) — the same bounded-domain trick as
+    skyline_quality_frontier.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.operators.textstats import LANG_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text(F.col("text")))
+    score = F.size(
+        F.array_intersect(toks, F.lit(list(LANG_STOPWORDS["en"]))))
+    base = docs.select(
+        "doc_id", score.cast("long").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"),
+                   F.sum("pos").alias("n_pos_total"))
+    grid = base.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    above = grid.select(
+        "s", F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("n_above"))
+    wps = Window.partitionBy("s").orderBy("doc_id")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(wps))
+        .join(F.broadcast(above), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(n_above + rn - 1) * 10 DIV n_total").alias("decile"),
+            "pos", "n_total", "n_pos_total",
+        )
+    )
+    per = ranked.groupBy("decile", "n_total", "n_pos_total").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(wc).cast("long"))
+        .withColumn("cum_docs", F.sum("n_docs").over(wc).cast("long"))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs", "n_pos",
+            F.expr("n_pos * 1000000 DIV n_docs").alias("precision_e6"),
+            "cum_pos",
+            F.expr("cum_pos * 1000000 DIV n_pos_total").alias("recall_e6"),
+            F.expr("""cum_pos * n_total * 1000000
+                   DIV (cum_docs * n_pos_total)""").alias("lift_e6"),
+        )
+        .orderBy("decile")
+    )

@@ -1521,3 +1521,112 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source — the single
+    number answering "how much does knowing the source tell you about
+    the language?" (0 = independent mixture, high = language-siloed
+    sources), plus per-cell pointwise MI showing WHICH (lang, source)
+    cells drive it.  Complements `lang_source_chisq` (deviation test,
+    no effect size) and `jsd_lang_divergence` (pairwise distributional
+    distance, no joint structure).
+
+    Exactness discipline: every cell count and marginal is exact
+    BIGINT; each cell's n_ls·ln(n_ls·N/(n_l·n_s)) term is a smooth
+    function of exact integers (identical doubles on both engines),
+    floor-rounded into e6 micro-units PER CELL, and the MI total is the
+    exact integer sum of those cell terms divided by N — a raw double
+    sum over cells would be partition-order-dependent.
+
+    Scale: one corpus scan to the |langs|×|sources| grid; marginals and
+    the total are grid re-aggregations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    joint = scoped_persist(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ls")))
+    ml = joint.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
+    ms = joint.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
+    tot = joint.agg(F.sum("n_ls").alias("nn"))
+    cells = (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_ls",
+            F.col("n_l").cast("long").alias("n_l"),
+            F.col("n_s").cast("long").alias("n_s"),
+            F.floor(
+                F.col("n_ls")
+                * F.log(F.col("n_ls").cast("double") * F.col("nn")
+                        / (F.col("n_l").cast("double") * F.col("n_s")))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("term_e6"),
+            F.col("nn").cast("long").alias("nn"),
+        )
+    )
+    # MI >= 0 mathematically, but the per-cell rounding can push the
+    # SUM a few micro-units negative on a near-independent mixture —
+    # and a negative numerator hits the DIV(truncate) vs //(floor)
+    # divergence.  Clamp before dividing: the clamp only ever absorbs
+    # rounding noise.
+    mi = cells.agg(
+        F.expr("CAST(greatest(0, sum(term_e6)) DIV max(nn) AS BIGINT)")
+        .alias("mi_e6"))
+    return (
+        cells.crossJoin(F.broadcast(mi))
+        .select(
+            "lang", "source", "n_ls", "n_l", "n_s",
+            # pointwise MI of the cell, micro-nats (can be negative —
+            # plain floor-round, no integer division involved)
+            F.expr("CAST(term_e6 DIV n_ls AS BIGINT)").alias("pmi_e6"),
+            "mi_e6",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def length_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table: each source's document-length
+    deciles against the corpus deciles — WHERE in the distribution a
+    source deviates, which `ks_drift_quality`'s single sup-statistic
+    collapses away (a source can pass KS while its tail is 3× long).
+
+    Exactness: both quantile vectors are the interpolating
+    percentile() over exact integers (Spark percentile == DuckDB
+    quantile_cont, same (n−1)·p index rule, identical doubles), and
+    the drift column is their difference, floor-rounded 6 dp.
+
+    Scale: two bounded aggregations (per-source and corpus percentile
+    state is the KLL-free exact sort within each group — at cluster
+    scale the per-group sort is the documented cost of EXACT
+    quantiles; the approx_percentile twin is the cheap path) and a
+    broadcast join of the 9-row corpus vector.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fr = [i / 10.0 for i in range(1, 10)]
+    fr_sql = "array(" + ", ".join(str(f) for f in fr) + ")"
+    per_src = docs.groupBy("source").agg(
+        F.expr(f"percentile(n_chars, {fr_sql})").alias("qs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    corpus = docs.agg(
+        F.expr(f"percentile(n_chars, {fr_sql})").alias("qc"))
+    exploded = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source", "n_docs",
+        F.posexplode(F.arrays_zip(F.col("qs"), F.col("qc")))
+        .alias("i", "pair"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        exploded.select(
+            "source", "n_docs",
+            ((F.col("i") + 1) * 10).cast("long").alias("pct"),
+            r6(F.col("pair.qs")).alias("q_source"),
+            r6(F.col("pair.qc")).alias("q_corpus"),
+            r6(F.col("pair.qs") - F.col("pair.qc")).alias("drift"),
+        )
+        .orderBy("source", "pct")
+    )

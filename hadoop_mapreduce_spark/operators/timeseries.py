@@ -2203,3 +2203,74 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def session_transition_entropy(spark: SparkSession, sf_dir: str,
+                               gap_minutes: int = 30) -> DataFrame:
+    """Markov transition entropy of user journeys: for each event type,
+    the Shannon entropy of its NEXT-event distribution inside sessions,
+    plus the stationary-weighted entropy rate — how predictable the
+    product's flows are (`order_status_flow` gives the raw transition
+    matrix for orders; `events_session_bigrams` the top event bigrams;
+    this reduces the matrix to the predictability number per state).
+
+    Sessionisation is the repo's portable lag/cumsum formulation
+    (identical to events_session_bigrams / session_path_topk).
+    Exactness: transition counts are BIGINT; each term
+    n_ft·ln(n_f/n_ft) is a smooth function of exact integers,
+    floor-rounded to e6 PER CELL, summed exactly, divided by n_f —
+    and the rate applies the same fold once more across states, so no
+    double ever sums across partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum((F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
+              .cast("long")).over(w).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    trans = (
+        stepped.withColumn("nxt", F.lead("event_type").over(ws))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ft"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    trans = scoped_persist(trans)
+    per_from = (
+        trans.withColumn(
+            "n_f", F.sum("n_ft").over(
+                Window.partitionBy("from_type")).cast("long"))
+        .select(
+            "from_type", "n_ft", "n_f",
+            F.floor(F.col("n_ft")
+                    * F.log(F.col("n_f").cast("double") / F.col("n_ft"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("term_e6"),
+        )
+        .groupBy("from_type")
+        .agg(
+            F.max("n_f").alias("n_from"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_to"),
+            F.expr("CAST(sum(term_e6) DIV max(n_f) AS BIGINT)")
+            .alias("entropy_e6"),
+        )
+    )
+    rate = per_from.agg(
+        F.expr("CAST(sum(n_from * entropy_e6) DIV sum(n_from) AS BIGINT)")
+        .alias("rate_e6"))
+    return (
+        per_from.crossJoin(F.broadcast(rate))
+        .select("from_type",
+                F.col("n_from").cast("long").alias("n_from"),
+                "n_distinct_to", "entropy_e6", "rate_e6")
+        .orderBy("from_type")
+    )

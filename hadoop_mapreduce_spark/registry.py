@@ -200,6 +200,14 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_backtest_snaive": timeseries.forecast_backtest_snaive,
     "source_rank_correlation": textstats.source_rank_correlation,
     "runs_test_daily": timeseries.runs_test_daily,
+    # round-8 wave a (r7 continuation): concordance / joint structure
+    "quality_kendall_tau": curation.quality_kendall_tau,
+    "lang_source_mutual_info": datamix.lang_source_mutual_info,
+    "session_transition_entropy": timeseries.session_transition_entropy,
+    # round-8 wave b: effect sizes / QQ drift / gains table
+    "quality_flag_odds_ratio": curation.quality_flag_odds_ratio,
+    "length_qq_drift": datamix.length_qq_drift,
+    "quality_decile_lift": curation.quality_decile_lift,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3269,12 +3277,20 @@ _WINDOW_R7 = [
     # (k') r7z-new operators (this session), all hash-paired
     "forecast_backtest_snaive", "source_rank_correlation",
     "runs_test_daily",
-    # (l) r7k-new operators (this session), all hash-paired
-    "user_active_streaks", "session_concurrency", "events_acf",
+    # (l) r7k mostly rotated out to r8a (oldest-first; user_active_
+    # streaks / session_concurrency / events_acf covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
     "events_holt_linear",
-    # (m) r7l-new operators (this session), all hash-paired
-    "pii_redact_audit", "readability_scores", "benford_audit",
+    # (l') r8a-new operators (this session), all hash-paired
+    "quality_kendall_tau", "lang_source_mutual_info",
+    "session_transition_entropy",
+    # (m) r7l mostly rotated out to r8b (oldest-first; pii_redact_audit
+    # / readability_scores / benford_audit covered by both full
+    # artifacts at two sfs; they queue for the r8 front)
     "orders_abc_pareto",
+    # (m') r8b-new operators (this session), all hash-paired
+    "quality_flag_odds_ratio", "length_qq_drift",
+    "quality_decile_lift",
     # (n) r7m-new operators (this session), all hash-paired
     "label_propagation_communities", "sax_motifs",
     # (o) r7n/r7o-new operators (this session), all hash-paired
@@ -6605,4 +6621,240 @@ SELECT event_type, n1, n2, runs,
          * 1e6 + 0.5) / 1e6
   END AS z
 FROM runs ORDER BY event_type
+"""
+
+# r8a: quality_kendall_tau — exact tau-b from the bucketed joint grid;
+# C/D/tie counts are BIGINT cell-pair sums; one double division.
+ORACLE["quality_kendall_tau"] = f"""
+WITH cells AS (
+  SELECT source, n_chars // 50 AS x,
+         len(list_distinct({_TOKS})) // 5 AS y,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+cd AS (
+  SELECT a.source,
+    sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END)
+      ::BIGINT AS c,
+    sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END)
+      ::BIGINT AS d
+  FROM cells a JOIN cells b
+    ON a.source = b.source
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  GROUP BY a.source
+),
+tot AS (SELECT source, sum(n)::BIGINT AS nn FROM cells GROUP BY source),
+tx AS (
+  SELECT source, sum(mx * (mx - 1) // 2)::BIGINT AS tx
+  FROM (SELECT source, x, sum(n) AS mx FROM cells GROUP BY 1, 2)
+  GROUP BY source
+),
+ty AS (
+  SELECT source, sum(my * (my - 1) // 2)::BIGINT AS ty
+  FROM (SELECT source, y, sum(n) AS my FROM cells GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT cd.source, nn, c, d,
+  (nn * (nn - 1) // 2)::BIGINT AS n0, tx, ty,
+  CASE WHEN nn * (nn - 1) // 2 - tx <= 0
+         OR nn * (nn - 1) // 2 - ty <= 0 THEN NULL
+       ELSE floor((c - d)::DOUBLE
+            / sqrt((nn * (nn - 1) // 2 - tx)::DOUBLE
+                   * (nn * (nn - 1) // 2 - ty)) * 1e6 + 0.5) / 1e6
+  END AS tau_b
+FROM cd JOIN tot USING (source) JOIN tx USING (source)
+JOIN ty USING (source)
+ORDER BY source
+"""
+
+# r8a: lang_source_mutual_info — per-cell terms e6-floor-rounded before
+# the exact integer total; pmi can be negative so it uses plain DIV of
+# the (possibly negative) term by the positive cell count on BOTH
+# engines... except negative DIV truncates in Spark and floors in
+# DuckDB, so pmi divides term_e6 (one engine-identical BIGINT) by n_ls
+# with explicit floor semantics via the CASE below.
+ORACLE["lang_source_mutual_info"] = """
+WITH joint AS (
+  SELECT lang, source, count(*)::BIGINT AS n_ls
+  FROM documents GROUP BY 1, 2
+),
+ml AS (SELECT lang, sum(n_ls)::BIGINT AS n_l FROM joint GROUP BY lang),
+ms AS (SELECT source, sum(n_ls)::BIGINT AS n_s FROM joint GROUP BY source),
+tot AS (SELECT sum(n_ls)::BIGINT AS nn FROM joint),
+cells AS (
+  SELECT lang, source, n_ls, n_l, n_s,
+    CAST(floor(n_ls * ln(n_ls::DOUBLE * nn / (n_l::DOUBLE * n_s))
+               * 1e6 + 0.5) AS BIGINT) AS term_e6,
+    nn
+  FROM joint JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+),
+mi AS (SELECT (greatest(0, sum(term_e6)) // max(nn))::BIGINT AS mi_e6 FROM cells)
+SELECT lang, source, n_ls, n_l, n_s,
+  CASE WHEN term_e6 >= 0 THEN (term_e6 // n_ls)::BIGINT
+       ELSE -((-term_e6) // n_ls)::BIGINT END AS pmi_e6,
+  mi_e6
+FROM cells CROSS JOIN mi
+ORDER BY lang, source
+"""
+
+# r8a: session_transition_entropy — same lag/cumsum sessionisation as
+# session_path_topk (exact-second gaps); per-cell e6 terms summed as
+# BIGINT; two-level integer fold for the rate.
+ORACLE["session_transition_entropy"] = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+    date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN coalesce(gap, 0) > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+),
+trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM stepped
+),
+tcnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_ft
+  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+terms AS (
+  SELECT from_type, n_ft,
+    sum(n_ft) OVER (PARTITION BY from_type) AS n_f
+  FROM tcnt
+),
+per_from AS (
+  SELECT from_type, max(n_f)::BIGINT AS n_from,
+    count(*)::BIGINT AS n_distinct_to,
+    (sum(CAST(floor(n_ft * ln(n_f::DOUBLE / n_ft) * 1e6 + 0.5)
+              AS BIGINT)) // max(n_f))::BIGINT AS entropy_e6
+  FROM terms GROUP BY from_type
+),
+rate AS (
+  SELECT (sum(n_from * entropy_e6) // sum(n_from))::BIGINT AS rate_e6
+  FROM per_from
+)
+SELECT from_type, n_from, n_distinct_to, entropy_e6, rate_e6
+FROM per_from CROSS JOIN rate
+ORDER BY from_type
+"""
+
+# r8b: quality_flag_odds_ratio — exact 2x2 cells; Haldane-Anscombe +0.5
+# correction exactly when any cell is zero (rule mirrored on both
+# engines); one double division, 6 dp.
+ORACLE["quality_flag_odds_ratio"] = f"""
+WITH base AS (
+  SELECT source, len({_TOKS}) AS n,
+         len(list_distinct({_TOKS})) AS nd,
+         coalesce(list_sum(list_transform({_TOKS},
+                  x -> length(x))), 0) AS chars
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         (n < 20)::BIGINT AS f_short,
+         (nd * 2 < n)::BIGINT AS f_lowdiv,
+         (chars > n * 8)::BIGINT AS f_longw
+  FROM base
+),
+stacked AS (
+  SELECT 'short' AS flag, source, f_short AS f FROM flags
+  UNION ALL SELECT 'lowdiv', source, f_lowdiv FROM flags
+  UNION ALL SELECT 'longw', source, f_longw FROM flags
+),
+per AS (
+  SELECT flag, source, sum(f)::BIGINT AS a,
+         (count(*) - sum(f))::BIGINT AS b
+  FROM stacked GROUP BY 1, 2
+),
+tot AS (
+  SELECT flag, sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb
+  FROM per GROUP BY flag
+)
+SELECT p.flag, p.source, a AS n_flagged, b AS n_clean,
+       (ta - a)::BIGINT AS rest_flagged, (tb - b)::BIGINT AS rest_clean,
+       floor(CASE WHEN a = 0 OR b = 0 OR ta - a = 0 OR tb - b = 0
+                  THEN (a + 0.5) * ((tb - b) + 0.5)
+                       / ((b + 0.5) * ((ta - a) + 0.5))
+                  ELSE (a * (tb - b))::DOUBLE / (b * (ta - a))
+             END * 1e6 + 0.5) / 1e6 AS odds_ratio
+FROM per p JOIN tot t USING (flag)
+ORDER BY flag, source
+"""
+
+# r8b: length_qq_drift — interpolating decile vectors on both engines;
+# differences floor-rounded 6 dp.
+ORACLE["length_qq_drift"] = """
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents GROUP BY source
+),
+corpus AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS qc
+  FROM documents
+),
+exploded AS (
+  SELECT source, n_docs, i, qs[i] AS q_s, qc[i] AS q_c
+  FROM per_src CROSS JOIN corpus,
+       LATERAL (SELECT unnest(generate_series(1, 9)) AS i) g
+)
+SELECT source, n_docs, (i * 10)::BIGINT AS pct,
+  floor(q_s * 1e6 + 0.5) / 1e6 AS q_source,
+  floor(q_c * 1e6 + 0.5) / 1e6 AS q_corpus,
+  floor((q_s - q_c) * 1e6 + 0.5) / 1e6 AS drift
+FROM exploded ORDER BY source, pct
+"""
+
+# r8b: quality_decile_lift — global rank decomposed into bounded-grid
+# prefix counts + per-score partitioned row_numbers; all-integer
+# precision / recall / lift micro-units.
+ORACLE["quality_decile_lift"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_intersect({_TOKS},
+        ['the','and','of','to','a','in','is','it','you','that']))::BIGINT
+      AS s,
+    (lang = 'en')::BIGINT AS pos
+  FROM documents
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_total, sum(pos)::BIGINT AS n_pos_total
+  FROM base
+),
+grid AS (SELECT s, count(*) AS cnt FROM base GROUP BY s),
+above AS (
+  SELECT s, coalesce(sum(cnt) OVER (ORDER BY s DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above
+  FROM grid
+),
+ranked AS (
+  SELECT (a.n_above
+          + row_number() OVER (PARTITION BY b.s ORDER BY b.doc_id)
+          - 1) * 10 // t.n_total AS decile,
+         b.pos, t.n_total, t.n_pos_total
+  FROM base b JOIN above a USING (s) CROSS JOIN tot t
+),
+per AS (
+  SELECT decile, n_total, n_pos_total,
+         count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos
+  FROM ranked GROUP BY 1, 2, 3
+)
+SELECT decile::BIGINT AS decile, n_docs, n_pos,
+  (n_pos * 1000000 // n_docs)::BIGINT AS precision_e6,
+  sum(n_pos) OVER w::BIGINT AS cum_pos,
+  (sum(n_pos) OVER w * 1000000 // n_pos_total)::BIGINT AS recall_e6,
+  (sum(n_pos) OVER w * n_total * 1000000
+   // (sum(n_docs) OVER w * n_pos_total))::BIGINT AS lift_e6
+FROM per
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY decile
 """

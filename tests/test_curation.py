@@ -650,3 +650,112 @@ def test_auc_roc_langid_exact_u(spark, tmp_path):
     assert (rows[1].tp, rows[1].fp) == (2, 1)
     assert (rows[0].tp, rows[0].fp, rows[0].tn) == (2, 2, 0)
     assert rows[2].tpr_e6 == 500000 and rows[2].fpr_e6 == 0
+
+
+def test_quality_kendall_tau_perfect_concordance(spark, tmp_path):
+    """Three docs whose length and diversity buckets strictly co-rank:
+    tau_b = 1.0 (C = 3 cell pairs, D = 0, no ties).  A fourth source
+    with all-identical buckets has undefined tau (NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_kendall_tau,
+    )
+
+    def words(k, tag):
+        return " ".join(f"{tag}{i}" for i in range(k))
+
+    # x = n_chars DIV 50, y = distinct DIV 5
+    texts = [words(5, "a"), words(12, "b"), words(17, "c"),
+             words(5, "z"), words(5, "z")]
+    nch = [10, 60, 110, 10, 10]
+    srcs = ["s", "s", "s", "t", "t"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array(nch, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           quality_kendall_tau(spark, str(tmp_path)).collect()}
+    s = out["s"]
+    assert (s.nn, s.c, s.d, s.tx, s.ty) == (3, 3, 0, 0, 0)
+    assert abs(s.tau_b - 1.0) < 1e-9
+    # source 't' occupies a single (x, y) cell: no cell pair exists, so
+    # no row is emitted at all (tau undefined) — same on both engines
+    assert "t" not in out
+
+
+def test_quality_flag_odds_ratio_enriched_source(spark, tmp_path):
+    """Source 'shorty' has 3/4 short docs, 'longy' 1/4: OR for
+    f_short on shorty = (3*3)/(1*1) = 9.0 exactly (no zero cells)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_flag_odds_ratio,
+    )
+
+    short = "tiny doc"
+    long_ = " ".join(f"w{i}" for i in range(30))
+    texts = [short, short, short, long_, short, long_, long_, long_]
+    srcs = ["shorty"] * 4 + ["longy"] * 4
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 8, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {(r.flag, r.source): r for r in
+           quality_flag_odds_ratio(spark, str(tmp_path)).collect()}
+    r = out[("short", "shorty")]
+    assert (r.n_flagged, r.n_clean, r.rest_flagged, r.rest_clean) == \
+        (3, 1, 1, 3)
+    assert abs(r.odds_ratio - 9.0) < 1e-9
+    r2 = out[("short", "longy")]
+    assert abs(r2.odds_ratio - 1.0 / 9.0) < 1e-6
+    # longw flag never fires -> zero cells -> Haldane-corrected OR
+    rz = out[("longw", "shorty")]
+    assert rz.n_flagged == 0 and rz.odds_ratio is not None
+
+
+def test_quality_decile_lift_top_decile_concentration(spark, tmp_path):
+    """20 docs, exactly 2 'en' docs carrying the only stopword hits:
+    they land in decile 0 (2 docs per decile), so decile-0 precision is
+    1.0, recall 1.0, lift = 20/2 = 10."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.curation import (
+        quality_decile_lift,
+    )
+
+    texts, langs = [], []
+    for i in range(20):
+        if i < 2:
+            texts.append("the and of cat")
+            langs.append("en")
+        else:
+            texts.append(f"wort{i} anders{i}")
+            langs.append("de")
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 20, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.decile: r for r in
+           quality_decile_lift(spark, str(tmp_path)).collect()}
+    d0 = out[0]
+    assert (d0.n_docs, d0.n_pos) == (2, 2)
+    assert d0.precision_e6 == 1_000_000
+    assert d0.recall_e6 == 1_000_000
+    assert d0.lift_e6 == 10_000_000
+    assert out[9].n_pos == 0 and out[9].lift_e6 == 1_000_000

@@ -605,3 +605,59 @@ def test_neyman_allocation_oversamples_variance(spark, tmp_path):
     assert w.w_e6 == 2 * 100 * 1_000_000  # N_h * sd(=100) in e6
     assert out["narrow"].w_e6 == 0
     assert w.n_alloc == 1000 and out["narrow"].n_alloc == 0
+
+
+def test_lang_source_mutual_info_perfect_and_independent(spark, tmp_path):
+    """Perfectly language-siloed sources (en->s0, de->s1, 2 docs each):
+    MI = ln 2.  pmi of each occupied cell is also ln 2."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        lang_source_mutual_info,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+        "source": pa.array(["s0", "s0", "s1", "s1"], pa.string()),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = lang_source_mutual_info(spark, str(tmp_path)).collect()
+    ln2_e6 = int(math.floor(math.log(2) * 1e6 + 0.5))
+    assert len(out) == 2
+    for r in out:
+        assert r.n_ls == 2 and r.n_l == 2 and r.n_s == 2
+        assert abs(r.pmi_e6 - ln2_e6) <= 1
+        assert abs(r.mi_e6 - ln2_e6) <= 1
+
+
+def test_length_qq_drift_shifted_source(spark, tmp_path):
+    """Source 'big' lengths are exactly source 'small' + 100: its
+    median drift vs the pooled corpus equals +50 (corpus median sits
+    halfway), and small's is -50."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import length_qq_drift
+
+    small = list(range(100, 120))
+    big = [x + 100 for x in small]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(["x"] * 40, pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string()),
+        "source": pa.array(["small"] * 20 + ["big"] * 20, pa.string()),
+        "n_chars": pa.array(small + big, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {(r.source, r.pct): r for r in
+           length_qq_drift(spark, str(tmp_path)).collect()}
+    assert out[("big", 50)].q_source - out[("small", 50)].q_source == 100
+    # symmetric shift: drifts mirror around the pooled quantile
+    assert abs(out[("big", 50)].drift + out[("small", 50)].drift) < 1e-6
+    assert out[("big", 50)].drift > 0 > out[("small", 50)].drift

@@ -1087,3 +1087,43 @@ def test_runs_test_daily_alternating_vs_blocked(spark, tmp_path):
     assert (out["alt"].n1, out["alt"].n2, out["alt"].runs) == (6, 6, 12)
     assert (out["blk"].n1, out["blk"].n2, out["blk"].runs) == (6, 6, 2)
     assert out["alt"].z > 0 and out["blk"].z < 0
+
+
+def test_session_transition_entropy_deterministic_vs_uniform(spark, tmp_path):
+    """'view' always goes to 'click' (entropy 0); 'click' splits 50/50
+    between 'view' and 'purchase' (entropy ln 2)."""
+    import math
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        session_transition_entropy,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    # one long session: view click view click purchase ... build
+    # transitions: view->click x4; click->view x2, click->purchase x2
+    seq = ["view", "click", "view", "click", "purchase",
+           "view", "click", "view", "click", "purchase"]
+    rows = [(i, 1, d0 + timedelta(minutes=i), t) for i, t in enumerate(seq)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.from_type: r for r in
+           session_transition_entropy(spark, str(tmp_path)).collect()}
+    ln2_e6 = int(math.floor(math.log(2) * 1e6 + 0.5))
+    assert out["view"].entropy_e6 == 0
+    assert out["view"].n_distinct_to == 1
+    assert abs(out["click"].entropy_e6 - ln2_e6) <= 1
+    # purchase -> view transitions exist (mid-sequence), entropy 0
+    assert out["purchase"].entropy_e6 == 0
+    # rate = weighted: (4*0 + 4*ln2 + 1*0) / 9
+    assert abs(out["view"].rate_e6 - (4 * ln2_e6) // 9) <= 1
