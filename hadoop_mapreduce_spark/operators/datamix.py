@@ -1630,3 +1630,65 @@ def length_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pct")
     )
+
+
+def length_hill_tail_index(spark: SparkSession, sf_dir: str,
+                           k: int = 100) -> DataFrame:
+    """Hill estimator of the document-length tail index per source —
+    alpha = 1 / mean(ln(x_(i) / x_(k))) over the top-k order
+    statistics: alpha < 2 means infinite-variance tails (a handful of
+    giant documents dominate token mass and shard sizing), the
+    heavy-tail fact a mean/percentile profile understates.  Consumes
+    the same length column as `length_qq_drift` but answers the TAIL
+    question QQ deciles can't reach.
+
+    Determinism: the top-k order statistics come from the portable
+    (n_chars DESC, doc_id) total order; each ln(x_i/x_k) is a smooth
+    function of two exact integers, floor-rounded to e6 PER TERM and
+    summed exactly (the repo's no-cross-partition-double-sum rule);
+    alpha inverts the integer mean once, 6 dp.
+
+    Scale: per-source top-k is a rank-limit (TakeOrdered shape), k
+    bounded; everything after is k-row arithmetic per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    topk = (
+        docs.select("source", "n_chars", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= k) & (F.col("n_chars") > 0))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    topk = scoped_persist(topk)
+    kth = (
+        topk.groupBy("source")
+        .agg(F.max("rk").cast("long").alias("k_eff"),
+             F.min("n_chars").cast("long").alias("x_k"))
+    )
+    terms = (
+        topk.join(F.broadcast(kth), "source")
+        .where(F.col("rk") < F.col("k_eff"))
+        .select(
+            "source", "k_eff", "x_k",
+            F.floor(F.log(F.col("n_chars").cast("double")
+                          / F.col("x_k"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("t_e6"),
+        )
+    )
+    return (
+        terms.groupBy("source", "k_eff", "x_k")
+        .agg(F.sum("t_e6").cast("long").alias("sum_ln_e6"),
+             F.count(F.lit(1)).cast("long").alias("n_terms"))
+        .select(
+            "source", "k_eff", "x_k", "sum_ln_e6", "n_terms",
+            F.when(F.col("sum_ln_e6") <= 0,
+                   F.lit(None).cast("double")).otherwise(
+                F.floor(F.col("n_terms").cast("double") * F.lit(1e6)
+                        / F.col("sum_ln_e6") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)).alias("hill_alpha"),
+        )
+        .orderBy("source")
+    )

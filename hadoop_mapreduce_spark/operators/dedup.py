@@ -2323,33 +2323,27 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str,
     hv30 = (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
             .cast("long") % F.lit(1 << 30)).alias("x")
     hashed = sh.select("id", hv30)
-    fam = F.explode(F.arrays_zip(
-        F.lit(list(range(32))).alias("i"),
-        F.lit(_BBIT_A).alias("ai"),
-        F.lit(_BBIT_B).alias("bi"),
-    )).alias("f")
     mask = (1 << b) - 1
-    sigs = (
-        hashed.select("id", "x", fam)
-        .select(
-            "id", F.col("f.i").alias("i"),
-            ((F.col("x") * F.col("f.ai") + F.col("f.bi"))
-             % F.lit(_BBIT_P)).alias("h"),
-        )
-        .groupBy("id", "i")
-        .agg((F.min("h") % F.lit(mask + 1)).cast("long").alias("mb"))
-    )
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("i").alias("i"),
-                     F.col("mb").alias("mb1"))
-    s2 = sigs.select(F.col("id").alias("j2"), F.col("i").alias("i2"),
-                     F.col("mb").alias("mb2"))
+    # ALL 32 per-function mins in ONE aggregation (the
+    # minhash_signatures pattern): the first cut exploded a 32-row
+    # family per shingle — a 32x-inflated exchange that measured 57.8s
+    # at 4x; this form shuffles 32 longs per doc.
+    sig_expr = "array(" + ",".join(
+        f"min((x * {a} + {bb}) % {_BBIT_P}) % {mask + 1}"
+        for a, bb in zip(_BBIT_A, _BBIT_B)) + ")"
+    sigs = hashed.groupBy("id").agg(
+        F.expr(sig_expr).cast("array<long>").alias("mb"))
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("mb").alias("mb1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("mb").alias("mb2"))
     coll = (
-        cand.join(s1, "id1")
-        .join(s2, (F.col("id2") == F.col("j2"))
-              & (F.col("i") == F.col("i2")))
-        .groupBy("id1", "id2", "c")
-        .agg(F.sum((F.col("mb1") == F.col("mb2")).cast("long"))
-             .cast("long").alias("n_coll"))
+        cand.join(s1, "id1").join(s2, "id2")
+        .select(
+            "id1", "id2", "c",
+            F.size(F.filter(
+                F.zip_with(F.col("mb1"), F.col("mb2"),
+                           lambda x, y: x == y),
+                lambda v: v)).cast("long").alias("n_coll"),
+        )
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))

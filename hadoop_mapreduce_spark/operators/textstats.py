@@ -2319,3 +2319,72 @@ def source_rank_correlation(spark: SparkSession, sf_dir: str,
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def token_context_diversity(spark: SparkSession, sf_dir: str,
+                            top_k: int = 100) -> DataFrame:
+    """Contextual diversity of the top-k terms: how many DISTINCT left
+    and right neighbors each frequent token has — the lexical statistic
+    separating a genuinely versatile word from one frozen inside a
+    template ('the' pairs with everything; a boilerplate phrase's
+    tokens always see the same neighbors).  Burstiness
+    (`term_burstiness`) measures concentration ACROSS documents;
+    context diversity measures it ACROSS positions — templated spam is
+    low on this axis even when document-spread looks healthy.
+
+    All-integer: neighbor pairs come from one materialised-token bigram
+    pass; distinct-neighbor counts and the diversity ratio
+    (l+r distinct) * 1e6 DIV (2 * freq) are exact BIGINTs.
+
+    Scale: vocabulary-bounded aggregations after one token scan; the
+    top-k filter broadcasts back onto the bigram stream so only
+    frequent terms' neighbors aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(_tokens("text").alias("__t"))
+    bi = toked.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("l"),
+                        F.element_at("__t", i + 1).alias("r")),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<l:string,r:string>>"))
+        ).alias("p")
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    bi = scoped_persist(bi)
+    freq = (
+        toked.select(F.explode("__t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w").limit(top_k)
+    )
+    right_div = (
+        bi.join(F.broadcast(freq.select(F.col("w").alias("l"))), "l")
+        .groupBy("l").agg(F.countDistinct("r").alias("n_right"))
+        .select(F.col("l").alias("w"), "n_right")
+    )
+    left_div = (
+        bi.join(F.broadcast(freq.select(F.col("w").alias("r"))), "r")
+        .groupBy("r").agg(F.countDistinct("l").alias("n_left"))
+        .select(F.col("r").alias("w"), "n_left")
+    )
+    return (
+        freq.join(left_div, "w", "left").join(right_div, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            F.col("freq").cast("long").alias("freq"),
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("long")
+            .alias("n_left"),
+            F.coalesce(F.col("n_right"), F.lit(0)).cast("long")
+            .alias("n_right"),
+            F.expr("""(coalesce(n_left, 0) + coalesce(n_right, 0))
+                   * 1000000 DIV (2 * freq)""").alias("diversity_e6"),
+        )
+        .orderBy(F.desc("freq"), "word")
+    )

@@ -2274,3 +2274,65 @@ def session_transition_entropy(spark: SparkSession, sf_dir: str,
                 "n_distinct_to", "entropy_e6", "rate_e6")
         .orderBy("from_type")
     )
+
+
+def events_residual_anomaly(spark: SparkSession, sf_dir: str,
+                            season: int = 7, z_cut: int = 2) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: z-score the RESIDUALS of
+    the seasonal-naive forecast (n_t − n_{t−7}) instead of the raw
+    counts — `events_anomaly_zscore` flags every Saturday of a weekly-
+    periodic series; differencing at the season removes that, so what
+    survives is a genuine shock (the standard first step of any
+    seasonal anomaly pipeline, and the diagnostic consumer of
+    `forecast_backtest_snaive`'s residual stream).
+
+    Exactness: residuals are exact BIGINT differences; mean and
+    variance come from exact Σr, Σr² per type; the z-score divides
+    exact integers ((r·n − Σr) / sqrt(n·Σr² − (Σr)²) rescaled by
+    sqrt(n)), floor-rounded 6 dp; the flag compares in pure integers —
+    (r·n − Σr)² · n  >  z_cut² · (n·Σr² − (Σr)²)  — so the boundary
+    can't flip on float noise.
+
+    Scale: bounded (type, day) grid self-join on exact day keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    daily = scoped_persist(daily)
+    a, b = daily.alias("a"), daily.alias("b")
+    resid = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("b.d") == F.col("a.d") - season))
+        .select(F.col("a.event_type").alias("event_type"),
+                F.col("a.d").alias("d"),
+                (F.col("a.n") - F.col("b.n")).alias("r"))
+    )
+    resid = scoped_persist(resid)
+    stats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    num = F.col("r") * F.col("m") - F.col("sr")
+    var_num = F.col("m") * F.col("sr2") - F.col("sr") * F.col("sr")
+    z = (num.cast("double")
+         / F.sqrt(var_num.cast("double") * F.col("m")))
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", F.col("d").cast("long").alias("d"),
+            F.col("r").cast("long").alias("residual"),
+            F.when(var_num <= 0, F.lit(None).cast("double")).otherwise(
+                F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("z"),
+            F.when(var_num <= 0, F.lit(False)).otherwise(
+                num * num * F.col("m")
+                > F.lit(z_cut * z_cut) * var_num)
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -208,6 +208,10 @@ QUERIES: dict[str, QueryFn] = {
     "quality_flag_odds_ratio": curation.quality_flag_odds_ratio,
     "length_qq_drift": datamix.length_qq_drift,
     "quality_decile_lift": curation.quality_decile_lift,
+    # round-8 wave c: context diversity / seasonal shocks / tail index
+    "token_context_diversity": textstats.token_context_diversity,
+    "events_residual_anomaly": timeseries.events_residual_anomaly,
+    "length_hill_tail_index": datamix.length_hill_tail_index,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3287,12 +3291,15 @@ _WINDOW_R7 = [
     # (m) r7l mostly rotated out to r8b (oldest-first; pii_redact_audit
     # / readability_scores / benford_audit covered by both full
     # artifacts at two sfs; they queue for the r8 front)
-    "orders_abc_pareto",
+    "length_hill_tail_index",
     # (m') r8b-new operators (this session), all hash-paired
     "quality_flag_odds_ratio", "length_qq_drift",
     "quality_decile_lift",
-    # (n) r7m-new operators (this session), all hash-paired
-    "label_propagation_communities", "sax_motifs",
+    # (n) r7m rotated out to r8c (oldest-first; label_propagation_
+    # communities / sax_motifs covered by both full artifacts at two
+    # sfs; they queue for the r8 front)
+    # (n') r8c-new operators (this session), all hash-paired
+    "token_context_diversity", "events_residual_anomaly",
     # (o) r7n/r7o-new operators (this session), all hash-paired
     "dedup_chain_audit", "vocab_growth_heaps",
     "embedding_outlier_scores",
@@ -6857,4 +6864,100 @@ FROM per
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)
 ORDER BY decile
+"""
+
+# r8c: token_context_diversity — distinct left/right neighbor counts
+# from one bigram pass; all-integer diversity ratio.
+ORACLE["token_context_diversity"] = f"""
+WITH toked AS (SELECT {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT t[i] AS l, t[i + 1] AS r
+  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                       AS i) g
+),
+freq2 AS (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(t) AS w FROM toked)
+  GROUP BY w ORDER BY freq DESC, w LIMIT 100
+),
+rd AS (
+  SELECT l AS w, count(DISTINCT r)::BIGINT AS n_right
+  FROM bi JOIN freq2 ON bi.l = freq2.w GROUP BY l
+),
+ld AS (
+  SELECT r AS w, count(DISTINCT l)::BIGINT AS n_left
+  FROM bi JOIN freq2 ON bi.r = freq2.w GROUP BY r
+)
+SELECT f.w AS word, f.freq,
+  coalesce(ld.n_left, 0)::BIGINT AS n_left,
+  coalesce(rd.n_right, 0)::BIGINT AS n_right,
+  ((coalesce(ld.n_left, 0) + coalesce(rd.n_right, 0)) * 1000000
+   // (2 * f.freq))::BIGINT AS diversity_e6
+FROM freq2 f
+LEFT JOIN ld ON f.w = ld.w
+LEFT JOIN rd ON f.w = rd.w
+ORDER BY f.freq DESC, word
+"""
+
+# r8c: events_residual_anomaly — exact integer seasonal-difference
+# residuals; the anomaly flag compares squared integers so the
+# boundary can't flip on float noise.
+ORACLE["events_residual_anomaly"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+resid AS (
+  SELECT a.event_type, a.d, (a.n - b.n)::BIGINT AS r
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS m, sum(r)::BIGINT AS sr,
+         sum(r * r)::BIGINT AS sr2
+  FROM resid GROUP BY event_type
+)
+SELECT r.event_type, r.d::BIGINT AS d, r.r AS residual,
+  CASE WHEN m * sr2 - sr * sr <= 0 THEN NULL
+       ELSE floor((r.r * m - sr)::DOUBLE
+                  / sqrt((m * sr2 - sr * sr)::DOUBLE * m)
+                  * 1e6 + 0.5) / 1e6 END AS z,
+  CASE WHEN m * sr2 - sr * sr <= 0 THEN false
+       ELSE (r.r * m - sr) * (r.r * m - sr) * m
+            > 4 * (m * sr2 - sr * sr) END AS is_anomaly
+FROM resid r JOIN stats s USING (event_type)
+ORDER BY event_type, d
+"""
+
+# r8c: length_hill_tail_index — top-k order stats on the portable
+# (n_chars DESC, doc_id) order; per-term e6 rounding before the exact
+# sum; one inversion, 6 dp.
+ORACLE["length_hill_tail_index"] = """
+WITH topk AS (
+  SELECT source, n_chars, doc_id,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE n_chars > 0
+),
+lim AS (SELECT * FROM topk WHERE rk <= 100),
+kth AS (
+  SELECT source, max(rk)::BIGINT AS k_eff, min(n_chars)::BIGINT AS x_k
+  FROM lim GROUP BY source
+),
+terms AS (
+  SELECT l.source, k.k_eff, k.x_k,
+    CAST(floor(ln(l.n_chars::DOUBLE / k.x_k) * 1e6 + 0.5) AS BIGINT)
+      AS t_e6
+  FROM lim l JOIN kth k USING (source)
+  WHERE l.rk < k.k_eff
+)
+SELECT source, k_eff, x_k,
+  sum(t_e6)::BIGINT AS sum_ln_e6, count(*)::BIGINT AS n_terms,
+  CASE WHEN sum(t_e6) <= 0 THEN NULL
+       ELSE floor(count(*)::DOUBLE * 1e6 / sum(t_e6) * 1e6 + 0.5) / 1e6
+  END AS hill_alpha
+FROM terms GROUP BY source, k_eff, x_k
+ORDER BY source
 """

@@ -661,3 +661,39 @@ def test_length_qq_drift_shifted_source(spark, tmp_path):
     # symmetric shift: drifts mirror around the pooled quantile
     assert abs(out[("big", 50)].drift + out[("small", 50)].drift) < 1e-6
     assert out[("big", 50)].drift > 0 > out[("small", 50)].drift
+
+
+def test_length_hill_tail_index_pareto_vs_uniform(spark, tmp_path):
+    """An exact Pareto(alpha=1) ladder x_i = 1000/i for i=1..20 has
+    Hill alpha ~= 1; a near-constant source has tiny log-sum and a
+    huge (or NULL) alpha."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import (
+        length_hill_tail_index,
+    )
+
+    pareto = [1000 // i for i in range(1, 21)]
+    flat = [500] * 20
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(["x"] * 40, pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string()),
+        "source": pa.array(["pareto"] * 20 + ["flat"] * 20, pa.string()),
+        "n_chars": pa.array(pareto + flat, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           length_hill_tail_index(spark, str(tmp_path)).collect()}
+    p = out["pareto"]
+    assert p.k_eff == 20 and p.x_k == 50  # 1000 DIV 20
+    # python replay of the exact integer pipeline
+    terms = [int(math.floor(math.log(x / 50) * 1e6 + 0.5))
+             for x in pareto[:-1]]
+    expect = math.floor(len(terms) * 1e6 / sum(terms) * 1e6 + 0.5) / 1e6
+    assert abs(p.hill_alpha - expect) < 1e-9
+    assert 0.8 < p.hill_alpha < 1.3
+    assert out["flat"].hill_alpha is None  # all terms ln(1) = 0

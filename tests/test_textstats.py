@@ -931,3 +931,37 @@ def test_source_rank_correlation_identical_and_reversed(spark, tmp_path):
     # perfect reversal over m=3: rho = -1
     assert abs(out[("s0", "s2")].spearman_rho + 1.0) < 1e-9
     assert out[("s0", "s2")].m == 3
+
+
+def test_token_context_diversity_template_vs_free(spark, tmp_path):
+    """'glue' always appears as 'left glue right' (1 left, 1 right
+    neighbor, freq 3 -> diversity 2/6); 'free' appears with 3 distinct
+    lefts and 3 distinct rights (diversity 1.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.textstats import (
+        token_context_diversity,
+    )
+
+    texts = [
+        "left glue right a1 free b1",
+        "left glue right a2 free b2",
+        "left glue right a3 free b3",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.word: r for r in
+           token_context_diversity(spark, str(tmp_path)).collect()}
+    g = out["glue"]
+    assert (g.freq, g.n_left, g.n_right) == (3, 1, 1)
+    assert g.diversity_e6 == 2 * 1_000_000 // 6
+    f = out["free"]
+    assert (f.freq, f.n_left, f.n_right) == (3, 3, 3)
+    assert f.diversity_e6 == 1_000_000

@@ -1127,3 +1127,34 @@ def test_session_transition_entropy_deterministic_vs_uniform(spark, tmp_path):
     assert out["purchase"].entropy_e6 == 0
     # rate = weighted: (4*0 + 4*ln2 + 1*0) / 9
     assert abs(out["view"].rate_e6 - (4 * ln2_e6) // 9) <= 1
+
+
+def test_events_residual_anomaly_shock_survives_seasonality(spark, tmp_path):
+    """Weekly pattern 1,1,1,1,1,1,8 repeating for 28 days with ONE
+    injected shock (+20 on day 17): raw z-scores would flag every
+    spike day; seasonal-difference residuals are all 0 except the
+    shock (+20) and its echo (-20 on day 24)."""
+    from datetime import datetime, timedelta
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        events_residual_anomaly,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for d in range(28):
+        n = 8 if d % 7 == 6 else 1
+        if d == 17:
+            n += 20
+        for _ in range(n):
+            rows.append((eid, 1, d0 + timedelta(days=d)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.d: r for r in
+           events_residual_anomaly(spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(7, 28))
+    assert out[17].residual == 20 and out[17].is_anomaly
+    assert out[24].residual == -20 and out[24].is_anomaly
+    for d, r in out.items():
+        if d not in (17, 24):
+            assert r.residual == 0 and not r.is_anomaly
