@@ -1692,3 +1692,71 @@ def length_hill_tail_index(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def token_mass_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points of token-mass concentration across documents
+    per source: docs sorted by token count, cumulative token share at
+    each doc-count decile — "the top 10% of documents carry X% of the
+    tokens", the within-source inequality view
+    (`source_concentration_audit`'s Gini summarises ACROSS sources;
+    this shows the curve WITHIN each, which sets shard/packing policy).
+
+    Scale + exactness: the per-source rank decomposes through the
+    bounded token-count histogram exactly like quality_decile_lift —
+    counts-of-counts grid prefix sums + per-(source, count) partitioned
+    row_numbers, no global window; cumulative token sums are exact
+    BIGINT; shares are micro-unit integer divisions.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id",
+        F.size(tokenize(normalize_text(F.col("text")))).cast("long")
+        .alias("tk"),
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    base = scoped_persist(base)
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").alias("total_tk"))
+    grid = base.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = (Window.partitionBy("source").orderBy(F.col("tk").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    above = grid.select(
+        "source", "tk",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).alias("n_above"))
+    wps = Window.partitionBy("source", "tk").orderBy("doc_id")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(wps))
+        .join(above, ["source", "tk"])
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source", "tk", "n_docs", "total_tk",
+            F.expr("(n_above + rn - 1) * 10 DIV n_docs").alias("decile"),
+        )
+    )
+    per = ranked.groupBy("source", "decile", "n_docs", "total_tk").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in_decile"),
+        F.sum("tk").cast("long").alias("tk_in_decile"),
+    )
+    wc = (Window.partitionBy("source").orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        per.withColumn("cum_tk", F.sum("tk_in_decile").over(wc)
+                       .cast("long"))
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            "docs_in_decile", "tk_in_decile", "cum_tk",
+            F.expr("tk_in_decile * 1000000 DIV total_tk")
+            .alias("share_e6"),
+            F.expr("cum_tk * 1000000 DIV total_tk").alias("cum_share_e6"),
+        )
+        .orderBy("source", "decile")
+    )

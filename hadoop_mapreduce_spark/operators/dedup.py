@@ -2364,3 +2364,78 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("jaccard_e6"), "id1", "id2")
         .limit(k)
     )
+
+
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str,
+                             threshold: float = 0.5) -> DataFrame:
+    """Shingle-size sensitivity sweep: the near-duplicate pair count
+    and docs-touched at k = 2, 3, 4 token shingles under one Jaccard
+    threshold — the parameter-robustness read before freezing a dedup
+    config (k=2 over-merges through common bigrams, k=5 misses
+    reorderings; a pair set that COLLAPSES between k=3 and k=4 is
+    boilerplate, one that survives is true duplication).
+    `dedup_threshold_sweep` sweeps the OTHER axis (threshold at fixed
+    k); together they span the tuning grid.
+
+    One tokenize pass builds all three shingle relations from the same
+    materialised token array; each k's exact pair count reuses the
+    inverted-index shape with integer-only qualify tests
+    (c * 1000 >= 500 * (n1 + n2 - c)).
+
+    Scale: the k-grid multiplies the postings volume by 3, not the
+    pair fan-out (each k joins only within itself); the sweep output
+    is 3 rows.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = scoped_persist(
+        docs.select("doc_id",
+                    tokenize(normalize_text(F.col("text"))).alias("__t")))
+    th_e3 = int(threshold * 1000)
+    outs = []
+    for k in (2, 3, 4):
+        starts = F.when(
+            F.size("__t") >= k,
+            F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        sh = (
+            toked.select(
+                F.col("doc_id").alias("id"),
+                F.explode(F.array_distinct(F.transform(
+                    starts,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__t"), i, k))))).alias("s"),
+            )
+        )
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"),
+                     F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+        s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+        qual = (
+            inter.join(s1, "id1").join(s2, "id2")
+            .where(F.col("c") * 1000
+                   >= F.lit(th_e3) * (F.col("n1") + F.col("n2")
+                                      - F.col("c")))
+        )
+        outs.append(qual.agg(
+            F.lit(k).cast("long").alias("shingle_k"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct(
+                F.col("id1")).cast("long").alias("n_id1"),
+        ).select("shingle_k", "n_pairs", "n_id1"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("shingle_k")

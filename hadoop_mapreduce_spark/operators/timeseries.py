@@ -2336,3 +2336,59 @@ def events_residual_anomaly(spark: SparkSession, sf_dir: str,
         )
         .orderBy("event_type", "d")
     )
+
+
+def dow_profile_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week day-of-week profile stability per event type: the
+    cosine similarity between consecutive weeks' 7-day count vectors —
+    is the weekly rhythm a stable property (safe to model/alert on) or
+    week-to-week noise?  The STABILITY meta-question over the profile
+    `events_dow_hour_profile` reports and `events_stl_seasonal`
+    averages away.
+
+    Exactness: week vectors are exact BIGINT counts; each consecutive-
+    week dot product and both norms are exact integer sums (the 7-term
+    fold never leaves int64); ONE double division + sqrt per week pair,
+    floor-rounded 6 dp.
+
+    Scale: bounded (type, week, dow) grid; the consecutive-week pairing
+    is a grid self-join on exact integer week keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("dd"),
+    ).select(
+        "event_type",
+        F.expr("dd DIV 7").alias("wk"),
+        (F.col("dd") % 7).alias("dow"),
+    ).groupBy("event_type", "wk", "dow").agg(
+        F.count(F.lit(1)).alias("n"))
+    a, b = grid.alias("a"), grid.alias("b")
+    pair = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("b.wk") == F.col("a.wk") + 1)
+               & (F.col("a.dow") == F.col("b.dow")))
+        .groupBy(F.col("a.event_type").alias("event_type"),
+                 F.col("a.wk").alias("wk"))
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("dot"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast("long").alias("na"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast("long").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_dows"),
+        )
+    )
+    return (
+        pair.select(
+            "event_type",
+            F.col("wk").cast("long").alias("wk"),
+            "n_shared_dows", "dot", "na", "nb",
+            (F.floor(F.col("dot").cast("double")
+                     / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("cosine"),
+        )
+        .orderBy("event_type", "wk")
+    )

@@ -212,6 +212,10 @@ QUERIES: dict[str, QueryFn] = {
     "token_context_diversity": textstats.token_context_diversity,
     "events_residual_anomaly": timeseries.events_residual_anomaly,
     "length_hill_tail_index": datamix.length_hill_tail_index,
+    # round-8 wave d: parameter sensitivity / rhythm stability / inequality
+    "dedup_shingle_size_sweep": dedup.dedup_shingle_size_sweep,
+    "dow_profile_stability": timeseries.dow_profile_stability,
+    "token_mass_lorenz": datamix.token_mass_lorenz,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3300,9 +3304,12 @@ _WINDOW_R7 = [
     # sfs; they queue for the r8 front)
     # (n') r8c-new operators (this session), all hash-paired
     "token_context_diversity", "events_residual_anomaly",
-    # (o) r7n/r7o-new operators (this session), all hash-paired
-    "dedup_chain_audit", "vocab_growth_heaps",
-    "embedding_outlier_scores",
+    # (o) r7n/o rotated out to r8d (oldest-first; dedup_chain_audit /
+    # vocab_growth_heaps / embedding_outlier_scores covered by both
+    # full artifacts at two sfs; they queue for the r8 front)
+    # (o') r8d-new operators (this session), all hash-paired
+    "dedup_shingle_size_sweep", "dow_profile_stability",
+    "token_mass_lorenz",
     # (p) r7p/q/r-new operators (this session), all hash-paired
     "orders_interarrival_profile", "order_status_flow",
     "events_pattern_match", "quality_filter_agreement",
@@ -6960,4 +6967,133 @@ SELECT source, k_eff, x_k,
   END AS hill_alpha
 FROM terms GROUP BY source, k_eff, x_k
 ORDER BY source
+"""
+
+# r8d: dedup_shingle_size_sweep — one token pass, three k-grids, pure
+# integer qualify tests; 3-row output.
+ORACLE["dedup_shingle_size_sweep"] = f"""
+WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                       AS i) g
+  WHERE len(t) >= 2
+),
+sz2 AS (SELECT id, count(*) AS n FROM sh2 GROUP BY id),
+q2 AS (
+  SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
+    SELECT i.id1, i.id2
+    FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
+          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2) i
+    JOIN sz2 s1 ON i.id1 = s1.id
+    JOIN sz2 s2 ON i.id2 = s2.id
+    WHERE i.c * 1000 >= 500 * (s1.n + s2.n - i.c))
+),
+sh3 AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(t) - 2))
+                       AS i) g
+  WHERE len(t) >= 3
+),
+sz3 AS (SELECT id, count(*) AS n FROM sh3 GROUP BY id),
+q3 AS (
+  SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
+    SELECT i.id1, i.id2
+    FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
+          FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2) i
+    JOIN sz3 s1 ON i.id1 = s1.id
+    JOIN sz3 s2 ON i.id2 = s2.id
+    WHERE i.c * 1000 >= 500 * (s1.n + s2.n - i.c))
+),
+sh4 AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+3], ' ') AS s
+  FROM toked, LATERAL (SELECT unnest(generate_series(1, len(t) - 3))
+                       AS i) g
+  WHERE len(t) >= 4
+),
+sz4 AS (SELECT id, count(*) AS n FROM sh4 GROUP BY id),
+q4 AS (
+  SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
+    SELECT i.id1, i.id2
+    FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
+          FROM sh4 a JOIN sh4 b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2) i
+    JOIN sz4 s1 ON i.id1 = s1.id
+    JOIN sz4 s2 ON i.id2 = s2.id
+    WHERE i.c * 1000 >= 500 * (s1.n + s2.n - i.c))
+)
+SELECT 2::BIGINT AS shingle_k, n_pairs::BIGINT AS n_pairs,
+       n_id1::BIGINT AS n_id1 FROM q2
+UNION ALL SELECT 3, n_pairs, n_id1 FROM q3
+UNION ALL SELECT 4, n_pairs, n_id1 FROM q4
+ORDER BY shingle_k
+"""
+# r8d: dow_profile_stability — consecutive-week 7-vector cosine; dot
+# and norms are exact BIGINT 7-term folds, one division per pair.
+ORACLE["dow_profile_stability"] = """
+WITH grid AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk,
+         date_diff('day', DATE '2024-01-01', ts::DATE) % 7 AS dow,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT a.event_type AS event_type, a.wk::BIGINT AS wk,
+  count(*)::BIGINT AS n_shared_dows,
+  sum(a.n * b.n)::BIGINT AS dot,
+  sum(a.n * a.n)::BIGINT AS na,
+  sum(b.n * b.n)::BIGINT AS nb,
+  floor(sum(a.n * b.n)::DOUBLE
+        / sqrt(sum(a.n * a.n)::DOUBLE * sum(b.n * b.n))
+        * 1e6 + 0.5) / 1e6 AS cosine
+FROM grid a JOIN grid b
+  ON a.event_type = b.event_type AND b.wk = a.wk + 1
+ AND a.dow = b.dow
+GROUP BY 1, 2 ORDER BY event_type, wk
+"""
+
+# r8d: token_mass_lorenz — rank decomposed through the counts-of-counts
+# grid (the quality_decile_lift pattern, per source); exact BIGINT
+# cumulative token shares.
+ORACLE["token_mass_lorenz"] = f"""
+WITH base AS (
+  SELECT source, doc_id, len({_TOKS})::BIGINT AS tk FROM documents
+),
+tot AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(tk)::BIGINT AS total_tk
+  FROM base GROUP BY source
+),
+grid AS (SELECT source, tk, count(*) AS cnt FROM base GROUP BY 1, 2),
+above AS (
+  SELECT source, tk,
+    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY tk DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above
+  FROM grid
+),
+ranked AS (
+  SELECT b.source, b.tk, t.n_docs, t.total_tk,
+    (a.n_above
+     + row_number() OVER (PARTITION BY b.source, b.tk ORDER BY b.doc_id)
+     - 1) * 10 // t.n_docs AS decile
+  FROM base b
+  JOIN above a ON b.source = a.source AND b.tk = a.tk
+  JOIN tot t ON b.source = t.source
+),
+per AS (
+  SELECT source, decile, n_docs, total_tk,
+         count(*)::BIGINT AS docs_in_decile,
+         sum(tk)::BIGINT AS tk_in_decile
+  FROM ranked GROUP BY 1, 2, 3, 4
+)
+SELECT source, decile::BIGINT AS decile, docs_in_decile, tk_in_decile,
+  sum(tk_in_decile) OVER w::BIGINT AS cum_tk,
+  (tk_in_decile * 1000000 // total_tk)::BIGINT AS share_e6,
+  (sum(tk_in_decile) OVER w * 1000000 // total_tk)::BIGINT
+    AS cum_share_e6
+FROM per
+WINDOW w AS (PARTITION BY source ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY source, decile
 """

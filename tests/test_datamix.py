@@ -697,3 +697,31 @@ def test_length_hill_tail_index_pareto_vs_uniform(spark, tmp_path):
     assert abs(p.hill_alpha - expect) < 1e-9
     assert 0.8 < p.hill_alpha < 1.3
     assert out["flat"].hill_alpha is None  # all terms ln(1) = 0
+
+
+def test_token_mass_lorenz_concentrated_source(spark, tmp_path):
+    """10 docs: one carries 91 tokens, nine carry 1 each (total 100).
+    Decile 0 = the giant doc -> share 91%; cumulative share reaches
+    exactly 1e6 at decile 9."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.datamix import token_mass_lorenz
+
+    texts = [" ".join(f"t{i}" for i in range(91))] + ["solo"] * 9
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "source": pa.array(["s"] * 10, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {r.decile: r for r in
+           token_mass_lorenz(spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(10))
+    assert out[0].docs_in_decile == 1 and out[0].tk_in_decile == 91
+    assert out[0].share_e6 == 910_000
+    assert out[9].cum_share_e6 == 1_000_000
+    for d in range(1, 10):
+        assert out[d].tk_in_decile == 1

@@ -646,3 +646,21 @@ def test_minhash_bbit_identical_docs_estimate_one(spark, tmp_path):
     assert r.est_e6 == 1_000_000
     assert r.abs_err_e6 == 0
     assert all(3 not in p for p in out)
+
+
+def test_dedup_shingle_size_sweep_k_sensitivity(spark, tmp_path):
+    """Two docs share a reordered word set: every bigram boundary
+    breaks at the swap point but singles survive — the k=2 pair count
+    is >= the k=4 one; identical docs qualify at every k."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_shingle_size_sweep,
+    )
+
+    base = " ".join(f"w{i}" for i in range(12))
+    _write_docs(tmp_path, [base, base, "other text entirely here now"])
+    out = {r.shingle_k: r for r in
+           dedup_shingle_size_sweep(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [2, 3, 4]
+    for k in (2, 3, 4):
+        assert out[k].n_pairs == 1  # the identical pair at every k
+        assert out[k].n_id1 == 1

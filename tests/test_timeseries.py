@@ -1158,3 +1158,46 @@ def test_events_residual_anomaly_shock_survives_seasonality(spark, tmp_path):
     for d, r in out.items():
         if d not in (17, 24):
             assert r.residual == 0 and not r.is_anomaly
+
+
+def test_dow_profile_stability_identical_vs_rotated(spark, tmp_path):
+    """'stable' repeats the same 7-day vector both weeks (cosine 1.0);
+    'rotated' cyclically shifts a spiky vector so consecutive weeks
+    disagree (cosine < 0.8)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_mapreduce_spark.operators.timeseries import (
+        dow_profile_stability,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    stable = [1, 2, 3, 4, 3, 2, 1]
+    spiky = [9, 1, 1, 1, 1, 1, 1]
+    for w in range(2):
+        for dow in range(7):
+            for _ in range(stable[dow]):
+                rows.append((eid, 1, d0 + timedelta(days=7 * w + dow),
+                             "stable")); eid += 1
+            vec = spiky if w == 0 else spiky[3:] + spiky[:3]
+            for _ in range(vec[dow]):
+                rows.append((eid, 1, d0 + timedelta(days=7 * w + dow),
+                             "rotated")); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           dow_profile_stability(spark, str(tmp_path)).collect()}
+    s = out["stable"]
+    assert s.n_shared_dows == 7 and s.dot == s.na == s.nb
+    assert abs(s.cosine - 1.0) < 1e-9
+    assert out["rotated"].cosine < 0.8
