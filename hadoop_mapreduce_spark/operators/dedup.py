@@ -2367,7 +2367,8 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str,
 
 
 def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str,
-                             threshold: float = 0.5) -> DataFrame:
+                             threshold: float = 0.5,
+                             max_df: int = 256) -> DataFrame:
     """Shingle-size sensitivity sweep: the near-duplicate pair count
     and docs-touched at k = 2, 3, 4 token shingles under one Jaccard
     threshold — the parameter-robustness read before freezing a dedup
@@ -2383,8 +2384,13 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str,
     (c * 1000 >= 500 * (n1 + n2 - c)).
 
     Scale: the k-grid multiplies the postings volume by 3, not the
-    pair fan-out (each k joins only within itself); the sweep output
-    is 3 rows.
+    pair fan-out (each k joins only within itself), and shingles
+    appearing in > max_df documents are dropped on BOTH engines (the
+    stop-shingle guard every postings self-join needs — k=2 bigram
+    postings otherwise go quadratic on dup-saturated corpora: the
+    uncapped sweep measured 60 s / heap-ceiling at 4×).  The cap is
+    part of the statistic's definition here, mirrored in the oracle,
+    so the comparison stays exact.  Sweep output is 3 rows.
     """
     from hadoop_mapreduce_spark.functions.text import (
         normalize_text,
@@ -2413,6 +2419,9 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str,
             )
         )
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_df).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
             a.join(b, (F.col("a.s") == F.col("b.s"))

@@ -1941,3 +1941,122 @@ def customer_entity_blocking(spark: SparkSession, sf_dir: str,
                & (F.col("name_lev") <= max_lev))
     )
     return pairs.orderBy("nationkey", "mktsegment", "id1", "id2")
+
+
+def part_supplier_hhi(spark: SparkSession, sf_dir: str,
+                      min_lines: int = 5, k: int = 100) -> DataFrame:
+    """Supply-concentration risk per part: the Herfindahl-Hirschman
+    index of supplier shares of each part's line volume — HHI 1e6 =
+    single-sourced (the supply-chain single-point-of-failure query),
+    HHI → 1e6/|suppliers| = evenly dual/multi-sourced.  The per-PART
+    inversion of `source_concentration_audit`'s corpus-level HHI, on
+    the star schema's only many-to-many edge (lineitem's part×supplier).
+
+    Exact integers end-to-end: HHI_e6 = Σ cnt_s² · 1e6 DIV total² per
+    part (counts are line counts; the squared sums stay far inside
+    int64 at any per-part volume since totals are per-part).
+
+    Scale: one (part, supplier) count (map-side combined), one
+    part-keyed rollup; top-k by (hhi, volume) is a rank-limit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    per_part = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+        )
+        .where(F.col("n_lines") >= min_lines)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n_suppliers", "n_lines",
+            F.expr("s2 * 1000000 DIV (n_lines * n_lines)")
+            .alias("hhi_e6"),
+        )
+    )
+    return per_part.orderBy(
+        F.desc("hhi_e6"), F.desc("n_lines"), "partkey").limit(k)
+
+
+def part_return_rate_wilson(spark: SparkSession, sf_dir: str,
+                            min_lines: int = 10, k: int = 100,
+                            z_e3: int = 1960) -> DataFrame:
+    """Worst-returning parts WITH statistical confidence: per part, the
+    'R' return-flag share plus the Wilson 95% LOWER bound — ranking by
+    the bound instead of the raw rate is the standard fix for "2
+    returns out of 2 lines looks like 100%" small-sample lies (the
+    same reasoning as rrf/bootstrap elsewhere in the repo, as a
+    closed-form single-pass query).
+
+    Exactness: n and r are BIGINT; the Wilson bound
+      (r + z²/2 − z·sqrt(r(n−r)/n + z²/4)) / (n + z²)
+    is evaluated with z in exact milli-units (z_e3 = 1960) so every
+    sub-term before the single sqrt is a ratio of exact integers —
+    identical doubles cross-engine, floor-rounded 6 dp.
+
+    Scale: one part-keyed conditional count; rank-limit output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long").alias("r"),
+        )
+        .where(F.col("n") >= min_lines)
+    )
+    z = F.lit(z_e3).cast("double") / F.lit(1000.0)
+    n, r = F.col("n").cast("double"), F.col("r").cast("double")
+    z2 = z * z
+    lower = ((r + z2 / 2
+              - z * F.sqrt(r * (n - r) / n + z2 / 4))
+             / (n + z2))
+    return (
+        per.select(
+            F.col("l_partkey").alias("partkey"), "n", "r",
+            F.expr("r * 1000000 DIV n").alias("rate_e6"),
+            (F.floor(lower * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), F.desc("n"), "partkey")
+        .limit(k)
+    )
+
+
+def supply_bipartite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the part×supplier bipartite graph: the
+    count-of-counts distribution on BOTH sides (how many parts have d
+    suppliers; how many suppliers carry d parts) — the structural
+    fingerprint read before any co-purchase or substitution analysis
+    (a bipartite graph with hub suppliers needs skew handling that a
+    uniform one doesn't; `join_skew_audit` measures one join's keys,
+    this profiles the relation itself).
+
+    All-integer; the two sides are tagged rows of one unioned
+    count-of-counts table.
+
+    Scale: one distinct (part, supplier) projection, two keyed degree
+    counts, two bounded count-of-counts rollups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    edges = scoped_persist(edges)
+    part_deg = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("d"))
+    supp_deg = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("d"))
+    p = (part_deg.groupBy("d")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+         .select(F.lit("part").alias("side"),
+                 F.col("d").cast("long").alias("degree"), "n_nodes"))
+    s = (supp_deg.groupBy("d")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+         .select(F.lit("supplier").alias("side"),
+                 F.col("d").cast("long").alias("degree"), "n_nodes"))
+    return p.unionAll(s).orderBy("side", "degree")

@@ -216,6 +216,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_shingle_size_sweep": dedup.dedup_shingle_size_sweep,
     "dow_profile_stability": timeseries.dow_profile_stability,
     "token_mass_lorenz": datamix.token_mass_lorenz,
+    # round-8 wave e: supply-chain risk on the part x supplier edge
+    "part_supplier_hhi": relational.part_supplier_hhi,
+    "part_return_rate_wilson": relational.part_return_rate_wilson,
+    "supply_bipartite_profile": relational.supply_bipartite_profile,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -3310,9 +3314,13 @@ _WINDOW_R7 = [
     # (o') r8d-new operators (this session), all hash-paired
     "dedup_shingle_size_sweep", "dow_profile_stability",
     "token_mass_lorenz",
-    # (p) r7p/q/r-new operators (this session), all hash-paired
-    "orders_interarrival_profile", "order_status_flow",
-    "events_pattern_match", "quality_filter_agreement",
+    # (p) r7p/q rotated out to r8e (oldest-first; orders_interarrival_
+    # profile / order_status_flow / events_pattern_match covered by
+    # both full artifacts at two sfs; they queue for the r8 front)
+    "quality_filter_agreement",
+    # (p') r8e-new operators (this session), all hash-paired
+    "part_supplier_hhi", "part_return_rate_wilson",
+    "supply_bipartite_profile",
 ]
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
@@ -6980,11 +6988,15 @@ sh2 AS (
   WHERE len(t) >= 2
 ),
 sz2 AS (SELECT id, count(*) AS n FROM sh2 GROUP BY id),
+cold2 AS (
+  SELECT sh2.* FROM sh2
+  WHERE s NOT IN (SELECT s FROM sh2 GROUP BY s HAVING count(*) > 256)
+),
 q2 AS (
   SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
     SELECT i.id1, i.id2
     FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
-          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+          FROM cold2 a JOIN cold2 b ON a.s = b.s AND a.id < b.id
           GROUP BY 1, 2) i
     JOIN sz2 s1 ON i.id1 = s1.id
     JOIN sz2 s2 ON i.id2 = s2.id
@@ -6997,11 +7009,15 @@ sh3 AS (
   WHERE len(t) >= 3
 ),
 sz3 AS (SELECT id, count(*) AS n FROM sh3 GROUP BY id),
+cold3 AS (
+  SELECT sh3.* FROM sh3
+  WHERE s NOT IN (SELECT s FROM sh3 GROUP BY s HAVING count(*) > 256)
+),
 q3 AS (
   SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
     SELECT i.id1, i.id2
     FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
-          FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.id < b.id
+          FROM cold3 a JOIN cold3 b ON a.s = b.s AND a.id < b.id
           GROUP BY 1, 2) i
     JOIN sz3 s1 ON i.id1 = s1.id
     JOIN sz3 s2 ON i.id2 = s2.id
@@ -7014,11 +7030,15 @@ sh4 AS (
   WHERE len(t) >= 4
 ),
 sz4 AS (SELECT id, count(*) AS n FROM sh4 GROUP BY id),
+cold4 AS (
+  SELECT sh4.* FROM sh4
+  WHERE s NOT IN (SELECT s FROM sh4 GROUP BY s HAVING count(*) > 256)
+),
 q4 AS (
   SELECT count(*) AS n_pairs, count(DISTINCT id1) AS n_id1 FROM (
     SELECT i.id1, i.id2
     FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS c
-          FROM sh4 a JOIN sh4 b ON a.s = b.s AND a.id < b.id
+          FROM cold4 a JOIN cold4 b ON a.s = b.s AND a.id < b.id
           GROUP BY 1, 2) i
     JOIN sz4 s1 ON i.id1 = s1.id
     JOIN sz4 s2 ON i.id2 = s2.id
@@ -7096,4 +7116,54 @@ FROM per
 WINDOW w AS (PARTITION BY source ORDER BY decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY source, decile
+"""
+
+# r8e: part_supplier_hhi — per-part supplier-share HHI in exact
+# micro-units; positive operands so DIV == //.
+ORACLE["part_supplier_hhi"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT l_partkey AS partkey,
+         count(*)::BIGINT AS n_suppliers,
+         sum(cnt)::BIGINT AS n_lines,
+         sum(cnt * cnt)::BIGINT AS s2
+  FROM ps GROUP BY 1 HAVING sum(cnt) >= 5
+)
+SELECT partkey, n_suppliers, n_lines,
+       (s2 * 1000000 // (n_lines * n_lines))::BIGINT AS hhi_e6
+FROM per ORDER BY hhi_e6 DESC, n_lines DESC, partkey
+LIMIT 100
+"""
+
+# r8e: part_return_rate_wilson — Wilson lower bound from exact integer
+# (n, r) with z in milli-units; one sqrt, 6 dp.
+ORACLE["part_return_rate_wilson"] = """
+WITH per AS (
+  SELECT l_partkey AS partkey, count(*)::BIGINT AS n,
+         sum((l_returnflag = 'R')::INT)::BIGINT AS r
+  FROM lineitem GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT partkey, n, r,
+  (r * 1000000 // n)::BIGINT AS rate_e6,
+  floor(((r + 1.96 * 1.96 / 2
+          - 1.96 * sqrt(r * (n - r)::DOUBLE / n + 1.96 * 1.96 / 4))
+         / (n + 1.96 * 1.96)) * 1e6 + 0.5) / 1e6 AS wilson_lower
+FROM per ORDER BY wilson_lower DESC, n DESC, partkey
+LIMIT 100
+"""
+
+# r8e: supply_bipartite_profile — two-sided count-of-counts of the
+# distinct part x supplier edge set; all BIGINT.
+ORACLE["supply_bipartite_profile"] = """
+WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pd AS (SELECT l_partkey, count(*) AS d FROM edges GROUP BY 1),
+sd AS (SELECT l_suppkey, count(*) AS d FROM edges GROUP BY 1)
+SELECT 'part' AS side, d::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+FROM pd GROUP BY d
+UNION ALL
+SELECT 'supplier', d::BIGINT, count(*)::BIGINT FROM sd GROUP BY d
+ORDER BY side, degree
 """

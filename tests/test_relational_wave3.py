@@ -419,3 +419,84 @@ def test_customer_entity_blocking_blocks_and_distance(spark, tmp_path):
     assert out[(2, 6)].name_lev == 2
     assert out[(1, 2)].balance_close  # |100-50| = 50 <= 100
     assert not out[(1, 6)].balance_close  # |100-300| = 200 > 100
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: list of (orderkey, partkey, suppkey, returnflag)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+        "l_linenumber": pa.array(list(range(len(rows))), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+        "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+        "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+        "l_returnflag": pa.array([r[3] for r in rows], pa.string()),
+        "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+        "l_shipdate": pa.array(
+            [__import__("datetime").datetime(2024, 1, 1)] * len(rows),
+            pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+
+def test_part_supplier_hhi_mono_vs_dual(spark, tmp_path):
+    """Part 1: 6 lines all supplier 1 -> HHI 1e6 (single-sourced).
+    Part 2: 3+3 lines across two suppliers -> HHI = (9+9)/36 = 0.5."""
+    from hadoop_mapreduce_spark.operators.relational import (
+        part_supplier_hhi,
+    )
+
+    rows = [(i, 1, 1, "N") for i in range(6)]
+    rows += [(10 + i, 2, 1, "N") for i in range(3)]
+    rows += [(20 + i, 2, 2, "N") for i in range(3)]
+    _write_lineitem(tmp_path, rows)
+    out = {r.partkey: r for r in
+           part_supplier_hhi(spark, str(tmp_path)).collect()}
+    assert out[1].hhi_e6 == 1_000_000 and out[1].n_suppliers == 1
+    assert out[2].hhi_e6 == 500_000 and out[2].n_suppliers == 2
+
+
+def test_part_return_rate_wilson_small_sample_discount(spark, tmp_path):
+    """Part 1: 5/10 returns; part 2: 9/10. The Wilson lower bound ranks
+    part 2 first but sits well below its raw 90% rate."""
+    import math
+
+    from hadoop_mapreduce_spark.operators.relational import (
+        part_return_rate_wilson,
+    )
+
+    rows = [(i, 1, 1, "R" if i < 5 else "N") for i in range(10)]
+    rows += [(100 + i, 2, 1, "R" if i < 9 else "N") for i in range(10)]
+    _write_lineitem(tmp_path, rows)
+    out = [r for r in part_return_rate_wilson(spark, str(tmp_path)).collect()]
+    assert out[0].partkey == 2 and out[1].partkey == 1
+    r2 = out[0]
+    assert r2.rate_e6 == 900_000
+    z = 1.96
+    lower = ((9 + z*z/2 - z * math.sqrt(9 * 1 / 10 + z*z/4)) / (10 + z*z))
+    assert abs(r2.wilson_lower - math.floor(lower * 1e6 + 0.5) / 1e6) < 1e-9
+    assert r2.wilson_lower < 0.9  # the bound discounts the small sample
+
+
+def test_supply_bipartite_profile_degrees(spark, tmp_path):
+    """3 parts x suppliers: p1-{s1}, p2-{s1,s2}, p3-{s1,s2,s3}:
+    part-side degrees 1,2,3; supplier degrees s1=3, s2=2, s3=1."""
+    from hadoop_mapreduce_spark.operators.relational import (
+        supply_bipartite_profile,
+    )
+
+    rows = [(1, 1, 1, "N"), (2, 2, 1, "N"), (3, 2, 2, "N"),
+            (4, 3, 1, "N"), (5, 3, 2, "N"), (6, 3, 3, "N"),
+            (7, 3, 3, "N")]  # duplicate edge must not double-count
+    _write_lineitem(tmp_path, rows)
+    out = {(r.side, r.degree): r.n_nodes for r in
+           supply_bipartite_profile(spark, str(tmp_path)).collect()}
+    assert out[("part", 1)] == 1 and out[("part", 2)] == 1
+    assert out[("part", 3)] == 1
+    assert out[("supplier", 1)] == 1 and out[("supplier", 2)] == 1
+    assert out[("supplier", 3)] == 1
