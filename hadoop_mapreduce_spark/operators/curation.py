@@ -1449,10 +1449,17 @@ def auc_roc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fp").cast("long").alias("fp"),
             (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
             (F.col("n_neg") - F.col("fp")).cast("long").alias("tn"),
-            F.expr("tp * 1000000 DIV n_pos").alias("tpr_e6"),
-            F.expr("fp * 1000000 DIV n_neg").alias("fpr_e6"),
+            # single-class corpora: n_pos or n_neg = 0 -> the ratio is
+            # undefined; emit NULL (DuckDB // 0 ERRORS, Spark DIV
+            # returns NULL — make the guard explicit on both engines)
+            F.expr("""CASE WHEN n_pos > 0
+                      THEN tp * 1000000 DIV n_pos END""").alias("tpr_e6"),
+            F.expr("""CASE WHEN n_neg > 0
+                      THEN fp * 1000000 DIV n_neg END""").alias("fpr_e6"),
             F.col("u2").cast("long").alias("u2"),
-            F.expr("u2 * 1000000 DIV (2 * n_pos * n_neg)").alias("auc_e6"),
+            F.expr("""CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN u2 * 1000000 DIV (2 * n_pos * n_neg)
+                      END""").alias("auc_e6"),
         )
         .orderBy("threshold")
     )
@@ -1686,9 +1693,13 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "n_pos",
             F.expr("n_pos * 1000000 DIV n_docs").alias("precision_e6"),
             "cum_pos",
-            F.expr("cum_pos * 1000000 DIV n_pos_total").alias("recall_e6"),
-            F.expr("""cum_pos * n_total * 1000000
-                   DIV (cum_docs * n_pos_total)""").alias("lift_e6"),
+            F.expr("""CASE WHEN n_pos_total > 0
+                      THEN cum_pos * 1000000 DIV n_pos_total
+                      END""").alias("recall_e6"),
+            F.expr("""CASE WHEN n_pos_total > 0
+                      THEN cum_pos * n_total * 1000000
+                           DIV (cum_docs * n_pos_total)
+                      END""").alias("lift_e6"),
         )
         .orderBy("decile")
     )

@@ -1517,7 +1517,9 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str,
         .select(
             "source", "n_docs", "sx", "sx2", "w_e6",
             F.col("tot_w_e6").cast("long").alias("tot_w_e6"),
-            F.expr(f"w_e6 * {n_total} DIV tot_w_e6").alias("n_alloc"),
+            F.expr(f"""CASE WHEN tot_w_e6 > 0
+                       THEN w_e6 * {n_total} DIV tot_w_e6
+                       ELSE 0 END""").alias("n_alloc"),
         )
         .orderBy("source")
     )
@@ -1754,9 +1756,12 @@ def token_mass_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("decile").cast("long").alias("decile"),
             "docs_in_decile", "tk_in_decile", "cum_tk",
-            F.expr("tk_in_decile * 1000000 DIV total_tk")
-            .alias("share_e6"),
-            F.expr("cum_tk * 1000000 DIV total_tk").alias("cum_share_e6"),
+            F.expr("""CASE WHEN total_tk > 0
+                      THEN tk_in_decile * 1000000 DIV total_tk
+                      ELSE 0 END""").alias("share_e6"),
+            F.expr("""CASE WHEN total_tk > 0
+                      THEN cum_tk * 1000000 DIV total_tk
+                      ELSE 0 END""").alias("cum_share_e6"),
         )
         .orderBy("source", "decile")
     )

@@ -1207,8 +1207,14 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str,
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine_similarity(F.col("a.e"), F.col("b.e"))
+    # zero vectors make cosine 0/0 (NULL in Spark, NaN in DuckDB):
+    # exclude zero-norm pairs on both engines — they carry no angular
+    # information for an anisotropy histogram anyway
+    nz = lambda c: F.aggregate(c, F.lit(0.0),
+                               lambda acc, x: acc + x * x) > 0  # noqa: E731
     pairs = (
         a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .where(nz(F.col("a.e")) & nz(F.col("b.e")))
         .select(
             F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long")
             .alias("cos_e6"))
@@ -1304,10 +1310,15 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str,
         dots.join(n1, "id1").join(n2, "id2")
         .select(
             "id1", "id2", "n_shared_terms",
-            (F.floor(F.col("dot").cast("double")
-                     / F.sqrt(F.col("norm1").cast("double")
-                              * F.col("norm2").cast("double"))
-                     * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            # a doc whose every surviving term has w_e6 = 0 (idf -> 0
+            # when df = N) has norm 0: cosine undefined -> NULL on both
+            # engines (double x/0 is NULL in Spark but inf in DuckDB)
+            F.when(
+                (F.col("norm1") > 0) & (F.col("norm2") > 0),
+                F.floor(F.col("dot").cast("double")
+                        / F.sqrt(F.col("norm1").cast("double")
+                                 * F.col("norm2").cast("double"))
+                        * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
             .alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "id1", "id2")

@@ -2307,15 +2307,18 @@ def source_rank_correlation(spark: SparkSession, sf_dir: str,
         )
         .select(
             "src_a", "src_b", "m", "sum_d2",
-            (F.lit(1.0)
-             - F.lit(6.0) * F.col("sum_d2")
-             / (F.col("m").cast("double")
-                * (F.col("m") * F.col("m") - 1))).alias("raw"),
+            F.when(
+                F.col("m") > 1,
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("sum_d2")
+                / (F.col("m").cast("double")
+                   * (F.col("m") * F.col("m") - 1))).alias("raw"),
         )
         .select(
             "src_a", "src_b", "m", "sum_d2",
-            (F.floor(F.col("raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
-            .alias("spearman_rho"),
+            F.when(F.col("raw").isNotNull(),
+                   F.floor(F.col("raw") * F.lit(1e6) + F.lit(0.5))
+                   / F.lit(1e6)).alias("spearman_rho"),
         )
         .orderBy("src_a", "src_b")
     )

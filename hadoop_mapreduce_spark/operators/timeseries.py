@@ -2190,12 +2190,24 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2, r = F.col("n1"), F.col("n2"), F.col("runs")
     n = n1 + n2
     er = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    # denominator goes through when(n > 1, ...) so the division is
+    # NULL (not an ANSI error) on single-day series: codegen's
+    # common-subexpression elimination hoists sqrt(vr) OUT of the CASE
+    # branches, so the outer n <= 1 guard alone does not stop the
+    # divide from evaluating (fuzz-found)
     vr = (F.lit(2.0) * n1 * n2 * (2 * n1 * n2 - n)
-          / (n * n * (n - F.lit(1))))
-    z = F.when((n1 == 0) | (n2 == 0) | (n <= 1), F.lit(None)).otherwise(
+          / F.when(n > 1, n * n * (n - F.lit(1))))
+    # the sqrt denominator itself is NULL-guarded for the same CSE
+    # reason: with n1 or n2 = 0, vr = 0 and the hoisted division by
+    # sqrt(0) errors under ANSI before any outer CASE can suppress it
+    # vr = 0 also when n1 = n2 = 1 (2*n1*n2 - n = 0): guard vr > 0 so
+    # the hoisted division never sees a zero sqrt
+    sd = F.when((n1 > 0) & (n2 > 0) & (n > 1) & (vr > 0), F.sqrt(vr))
+    z = F.when((n1 == 0) | (n2 == 0) | (n <= 1)
+               | (2 * n1 * n2 == n), F.lit(None)).otherwise(
         F.when(r.cast("double") >= er,
-               (r - er - F.lit(0.5)) / F.sqrt(vr))
-        .otherwise((r - er + F.lit(0.5)) / F.sqrt(vr)))
+               (r - er - F.lit(0.5)) / sd)
+        .otherwise((r - er + F.lit(0.5)) / sd))
     return (
         runs.select(
             "event_type", "n1", "n2", "runs",

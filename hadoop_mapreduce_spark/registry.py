@@ -5879,10 +5879,14 @@ tot AS (
 )
 SELECT e.s AS threshold, e.tp::BIGINT AS tp, e.fp::BIGINT AS fp,
        (t.n_pos - e.tp)::BIGINT AS fn, (t.n_neg - e.fp)::BIGINT AS tn,
-       (e.tp * 1000000 // t.n_pos)::BIGINT AS tpr_e6,
-       (e.fp * 1000000 // t.n_neg)::BIGINT AS fpr_e6,
+       CASE WHEN t.n_pos > 0
+            THEN (e.tp * 1000000 // t.n_pos)::BIGINT END AS tpr_e6,
+       CASE WHEN t.n_neg > 0
+            THEN (e.fp * 1000000 // t.n_neg)::BIGINT END AS fpr_e6,
        t.u2,
-       (t.u2 * 1000000 // (2 * t.n_pos * t.n_neg))::BIGINT AS auc_e6
+       CASE WHEN t.n_pos > 0 AND t.n_neg > 0
+            THEN (t.u2 * 1000000 // (2 * t.n_pos * t.n_neg))::BIGINT
+       END AS auc_e6
 FROM enr e CROSS JOIN tot t
 ORDER BY threshold
 """
@@ -6173,6 +6177,7 @@ pairs AS (
          * sqrt(list_dot_product(b.e, b.e))) * 1e6 + 0.5) AS BIGINT)
     AS cos_e6
   FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+  WHERE list_dot_product(a.e, a.e) > 0 AND list_dot_product(b.e, b.e) > 0
 ),
 binned AS (
   SELECT cos_e6,
@@ -6221,8 +6226,10 @@ dots AS (
   GROUP BY 1, 2
 )
 SELECT id1, id2, n_shared_terms,
-  floor(dot::DOUBLE / sqrt(n1.norm2::DOUBLE * n2.norm2::DOUBLE)
-        * 1e6 + 0.5) / 1e6 AS cosine
+  CASE WHEN n1.norm2 > 0 AND n2.norm2 > 0
+       THEN floor(dot::DOUBLE / sqrt(n1.norm2::DOUBLE * n2.norm2::DOUBLE)
+                  * 1e6 + 0.5) / 1e6
+  END AS cosine
 FROM dots
 JOIN norms n1 ON id1 = n1.doc_id
 JOIN norms n2 ON id2 = n2.doc_id
@@ -6534,7 +6541,9 @@ w AS (
 ),
 tot AS (SELECT sum(w_e6)::BIGINT AS tot_w_e6 FROM w)
 SELECT source, n_docs, sx, sx2, w_e6, tot_w_e6,
-       (w_e6 * 1000 // tot_w_e6)::BIGINT AS n_alloc
+       CASE WHEN tot_w_e6 > 0
+            THEN (w_e6 * 1000 // tot_w_e6)::BIGINT
+            ELSE 0 END AS n_alloc
 FROM w CROSS JOIN tot ORDER BY source
 """
 
@@ -6594,9 +6603,11 @@ fullr AS (
 SELECT a.source AS src_a, b.source AS src_b,
   count(*)::BIGINT AS m,
   sum((a.rk - b.rk) * (a.rk - b.rk))::BIGINT AS sum_d2,
-  floor((1.0 - 6.0 * sum((a.rk - b.rk) * (a.rk - b.rk))
-         / (count(*)::DOUBLE * (count(*) * count(*) - 1)))
-        * 1e6 + 0.5) / 1e6 AS spearman_rho
+  CASE WHEN count(*) > 1
+       THEN floor((1.0 - 6.0 * sum((a.rk - b.rk) * (a.rk - b.rk))
+                   / (count(*)::DOUBLE * (count(*) * count(*) - 1)))
+                  * 1e6 + 0.5) / 1e6
+  END AS spearman_rho
 FROM fullr a JOIN fullr b
   ON a.term = b.term AND a.source < b.source
 GROUP BY 1, 2 ORDER BY src_a, src_b
@@ -6633,7 +6644,8 @@ runs AS (
   FROM lagged GROUP BY event_type
 )
 SELECT event_type, n1, n2, runs,
-  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1 THEN NULL
+  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1
+         OR 2 * n1 * n2 = n1 + n2 THEN NULL
        ELSE floor(
          (CASE WHEN runs >= 2.0 * n1 * n2 / (n1 + n2) + 1.0
                THEN runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0) - 0.5
@@ -6872,9 +6884,13 @@ per AS (
 SELECT decile::BIGINT AS decile, n_docs, n_pos,
   (n_pos * 1000000 // n_docs)::BIGINT AS precision_e6,
   sum(n_pos) OVER w::BIGINT AS cum_pos,
-  (sum(n_pos) OVER w * 1000000 // n_pos_total)::BIGINT AS recall_e6,
-  (sum(n_pos) OVER w * n_total * 1000000
-   // (sum(n_docs) OVER w * n_pos_total))::BIGINT AS lift_e6
+  CASE WHEN n_pos_total > 0
+       THEN (sum(n_pos) OVER w * 1000000 // n_pos_total)::BIGINT
+  END AS recall_e6,
+  CASE WHEN n_pos_total > 0
+       THEN (sum(n_pos) OVER w * n_total * 1000000
+             // (sum(n_docs) OVER w * n_pos_total))::BIGINT
+  END AS lift_e6
 FROM per
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)
@@ -7109,9 +7125,12 @@ per AS (
 )
 SELECT source, decile::BIGINT AS decile, docs_in_decile, tk_in_decile,
   sum(tk_in_decile) OVER w::BIGINT AS cum_tk,
-  (tk_in_decile * 1000000 // total_tk)::BIGINT AS share_e6,
-  (sum(tk_in_decile) OVER w * 1000000 // total_tk)::BIGINT
-    AS cum_share_e6
+  CASE WHEN total_tk > 0
+       THEN (tk_in_decile * 1000000 // total_tk)::BIGINT
+       ELSE 0 END AS share_e6,
+  CASE WHEN total_tk > 0
+       THEN (sum(tk_in_decile) OVER w * 1000000 // total_tk)::BIGINT
+       ELSE 0 END AS cum_share_e6
 FROM per
 WINDOW w AS (PARTITION BY source ORDER BY decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

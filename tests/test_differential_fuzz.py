@@ -59,6 +59,33 @@ FUZZ_QUERIES = [
     "vocab_growth_heaps",
     "label_propagation_communities",
     "dedup_chain_audit",
+    # r7s-r8e doc ops — single-class corpora (AUC/lift NULL guards),
+    # all-empty or all-equal-length corpora (Lorenz/Neyman zero-total
+    # guards), zero-norm TF-IDF docs (sparse-cosine NULL), single-cell
+    # grids (tau no-row), m=1 rank lists (Spearman NULL), boundary
+    # phrase/block edges (RAKE, TextTiling), and the containment /
+    # b-bit hash families on degenerate duplicate-only corpora
+    "skyline_quality_frontier",
+    "auc_roc_langid",
+    "keyphrase_rake",
+    "term_burstiness",
+    "doc_position_profile",
+    "text_tiling_boundaries",
+    "quality_kendall_tau",
+    "lang_source_mutual_info",
+    "quality_flag_odds_ratio",
+    "length_qq_drift",
+    "quality_decile_lift",
+    "token_context_diversity",
+    "length_hill_tail_index",
+    "token_mass_lorenz",
+    "neyman_allocation_plan",
+    "dedup_containment",
+    "cross_source_duplication_matrix",
+    "minhash_bbit_estimate",
+    "sparse_cosine_pairs_topk",
+    "dedup_shingle_size_sweep",
+    "source_rank_correlation",
 ]
 
 # Text alphabet chosen to probe the portability hazards: ASCII, the
@@ -161,6 +188,23 @@ EVENT_QUERIES = [
     "events_acf",
     "events_holt_linear",
     "sax_motifs",
+    # r7s-r8d event ops — censoring edges (KM zero-survivor step),
+    # single-week ledgers (growth full-outer), season-lag misses
+    # (snaive/residual empty joins), tie-dense runs/MK variance zeros,
+    # session-boundary truncation (paths), purchase-free corpora
+    # (attribution all-'(none)')
+    "survival_kaplan_meier",
+    "user_growth_accounting",
+    "events_stl_seasonal",
+    "theil_sen_trend",
+    "session_path_topk",
+    "attribution_linear_credit",
+    "mann_kendall_trend",
+    "runs_test_daily",
+    "forecast_backtest_snaive",
+    "events_residual_anomaly",
+    "session_transition_entropy",
+    "dow_profile_stability",
 ]
 
 
@@ -226,6 +270,8 @@ EMB_QUERIES = [
     "embedding_dim_stats",
     "embedding_stats",
     "embedding_quantize",
+    # r7v — the planted zero vector exercises the zero-norm pair guard
+    "embedding_anisotropy_audit",
 ]
 
 # float32-exact values, including 0.0 (zero vectors -> zero norms) and
