@@ -2448,3 +2448,84 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("shingle_k")
+
+
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str,
+                             threshold_e3: int = 900) -> DataFrame:
+    """Prefix-filtered EXACT containment — identical output to
+    `dedup_containment`, without its all-shared-shingle candidate
+    blowup: the asymmetric adaptation of the PPJoin prefix theorem
+    (`dedup_jaccard_prefix`) to the directed statistic.
+
+    Theorem (asymmetric prefix): C(A→B) = |A∩B|/|A| >= t requires
+    |A∩B| >= ceil(t·|A|), so among A's first
+    |A| − ceil(t·|A|) + 1 shingles in ANY global total order, at least
+    one must be in B.  Only the PROBE side prefixes (B's size is
+    unbounded relative to A — the whole point of containment — so B
+    indexes all its shingles); with the global order (corpus frequency
+    ASC, hash), A's prefix holds its RAREST shingles, so every join
+    key is rare by construction and the candidate volume is
+    Σ_{rare s} df(s) — the hot-shingle quadratic never forms.  At
+    t = 0.9 the prefix is ~10% of A's shingles + 1.
+
+    The candidate set is a SUPERSET of the qualifying ordered pairs
+    (prefix filtering is lossless); the verify join recounts the FULL
+    intersection for candidates only and applies the same pure-integer
+    qualify test, so the output is row-identical to the quadratic twin
+    — the registered oracle IS dedup_containment's, and a property
+    test asserts frame equality.  The ceil carries the repo's -1e-9
+    epsilon (an FP product landing above the rational value would
+    shorten the prefix and break exactness; the epsilon direction only
+    admits extra candidates, which the verify removes).
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = threshold_e3 / 1000.0
+    sh = scoped_persist(
+        shingle_rows(docs, "doc_id", "text", 3, distinct=True))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("s"))
+    ranked = (
+        sh.join(freq, "s").join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - 1e-9) + 1
+    ).select(F.col("id").alias("id_small"), "s")
+    cand = (
+        prefix.alias("p")
+        .join(sh.alias("b"), (F.col("p.s") == F.col("b.s"))
+              & (F.col("p.id_small") != F.col("b.id")))
+        .select("id_small", F.col("b.id").alias("id_big"))
+        .distinct()
+    )
+    cand = scoped_persist(cand)
+    # full-intersection verify confined to candidate ordered pairs
+    sa = sh.select(F.col("id").alias("id_small"), F.col("s").alias("s1"))
+    sb = sh.select(F.col("id").alias("jb"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(sa, "id_small")
+        .join(sb, (F.col("id_big") == F.col("jb"))
+              & (F.col("s1") == F.col("s2")))
+        .groupBy("id_small", "id_big")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z1 = sizes.select(F.col("id").alias("id_small"),
+                      F.col("n").alias("n_small"))
+    z2 = sizes.select(F.col("id").alias("id_big"),
+                      F.col("n").alias("n_big"))
+    return (
+        inter.join(z1, "id_small").join(z2, "id_big")
+        .where(F.col("c") * 1000 >= F.lit(threshold_e3) * F.col("n_small"))
+        .select(
+            "id_small", "id_big",
+            F.col("c").cast("long").alias("n_shared"),
+            F.col("n_small").cast("long").alias("n_small"),
+            F.col("n_big").cast("long").alias("n_big"),
+            F.expr("c * 1000000 DIV n_small").alias("containment_e6"),
+        )
+        .orderBy("id_small", "id_big")
+    )

@@ -220,6 +220,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_supplier_hhi": relational.part_supplier_hhi,
     "part_return_rate_wilson": relational.part_return_rate_wilson,
     "supply_bipartite_profile": relational.supply_bipartite_profile,
+    # round-8 wave f: prefix-filtered scale path for directed containment
+    "dedup_containment_prefix": dedup.dedup_containment_prefix,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7186,3 +7188,8 @@ UNION ALL
 SELECT 'supplier', d::BIGINT, count(*)::BIGINT FROM sd GROUP BY d
 ORDER BY side, degree
 """
+
+# r8f: dedup_containment_prefix — identical OUTPUT to the quadratic
+# twin (prefix filtering is lossless), so it shares its oracle; the
+# Spark plan is the asymmetric-prefix candidate join + confined verify.
+ORACLE["dedup_containment_prefix"] = ORACLE["dedup_containment"]

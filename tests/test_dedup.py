@@ -664,3 +664,24 @@ def test_dedup_shingle_size_sweep_k_sensitivity(spark, tmp_path):
     for k in (2, 3, 4):
         assert out[k].n_pairs == 1  # the identical pair at every k
         assert out[k].n_id1 == 1
+
+
+def test_containment_prefix_equals_quadratic(spark, tmp_path):
+    """Prefix filtering is lossless: the prefix-filtered containment
+    output is frame-identical to dedup_containment on a corpus with a
+    planted subset pair and a hot shared shingle."""
+    from hadoop_mapreduce_spark.operators.dedup import (
+        dedup_containment,
+        dedup_containment_prefix,
+    )
+
+    small = " ".join(f"w{i}" for i in range(10))
+    big = small + " " + " ".join(f"x{i}" for i in range(25))
+    hot = "common phrase here " * 8
+    _write_docs(tmp_path, [small, big, hot + small, "unrelated words only",
+                           hot + "tail tokens differ now"])
+    base = sorted(tuple(r) for r in
+                  dedup_containment(spark, str(tmp_path)).collect())
+    pref = sorted(tuple(r) for r in
+                  dedup_containment_prefix(spark, str(tmp_path)).collect())
+    assert base == pref and len(base) >= 1
