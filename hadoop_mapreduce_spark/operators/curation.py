@@ -1696,9 +1696,15 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("""CASE WHEN n_pos_total > 0
                       THEN cum_pos * 1000000 DIV n_pos_total
                       END""").alias("recall_e6"),
+            # lift numerator is count^2 * 1e6 scaled — BIGINT overflows
+            # past ~3e6 docs, so route through DECIMAL(38,0) (HUGEINT on
+            # the oracle), the basket_part_pairs posture. The quotient
+            # always fits BIGINT (lift <= n_total/n_pos_total <= n_total).
             F.expr("""CASE WHEN n_pos_total > 0
-                      THEN cum_pos * n_total * 1000000
-                           DIV (cum_docs * n_pos_total)
+                      THEN CAST((CAST(cum_pos AS DECIMAL(38,0)) * n_total
+                                 * 1000000)
+                           DIV (CAST(cum_docs AS DECIMAL(38,0))
+                                * n_pos_total) AS BIGINT)
                       END""").alias("lift_e6"),
         )
         .orderBy("decile")

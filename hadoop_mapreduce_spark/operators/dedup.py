@@ -2244,8 +2244,12 @@ def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str,
                     F.col("source").alias("src1"))
     s2 = src.select(F.col("doc_id").alias("id2"),
                     F.col("source").alias("src2"))
+    # Label pairs with plain shuffle equi-joins on doc_id: s1/s2 are the
+    # full doc_id->source projection (corpus-sized — broadcasting it
+    # would OOM the build side at scale). Only the |sources|-row count
+    # tables below broadcast.
     labeled = (
-        pairs.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+        pairs.join(s1, "id1").join(s2, "id2")
         .select(
             F.least("src1", "src2").alias("src_a"),
             F.greatest("src1", "src2").alias("src_b"),

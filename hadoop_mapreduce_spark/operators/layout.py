@@ -66,7 +66,8 @@ def zorder_layout(spark: SparkSession, sf_dir: str,
     write — the layout analysis here IS the audit of that write.
     """
     ev = load_table(spark, sf_dir, "events")
-    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    hour = F.expr("timestampdiff(HOUR,"
+                  " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     base = ev.select("user_id", hour.alias("hour"))
     # Scale BOTH dimensions to 8-bit ranks from their min/max column
     # stats (a 1-row broadcast aggregate — z-writers use the table

@@ -380,8 +380,7 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.abs(F.unix_micros(F.col("b.ts").cast("timestamp"))
-                     - F.unix_micros(F.col("a.ts").cast("timestamp")))
+            & (F.abs(F.expr("timestampdiff(MICROSECOND, a.ts, b.ts)"))
                <= 300 * 1_000_000),
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
@@ -522,7 +521,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rangeBetween frame: count of orders within +/-30 days (value range,
     not row offsets) per customer."""
     o = _t(spark, sf_dir, "orders")
-    day = F.unix_timestamp("o_orderdate") / 86400
+    day = F.expr("timestampdiff(DAY,"
+                 " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
     w = Window.partitionBy("o_custkey").orderBy(day.cast("long")).rangeBetween(-30, 30)
     return o.select(
         "o_custkey",
@@ -1481,8 +1481,9 @@ def customer_rfm_segments(spark, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.max(F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
-                     " div 86400000000 AS BIGINT)")).alias("last_day"),
+        F.max(F.expr("timestampdiff(MICROSECOND,"
+                     " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+                     " DIV 86400000000")).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
     ).select(
@@ -1540,8 +1541,8 @@ def orders_cohort_ltv(spark, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
-        (F.year(F.col("o_orderdate").cast("timestamp")) * 12
-         + F.month(F.col("o_orderdate").cast("timestamp"))).alias("ym"),
+        (F.year(F.col("o_orderdate")) * 12
+         + F.month(F.col("o_orderdate"))).alias("ym"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").alias("cents"),
     )
@@ -1663,8 +1664,9 @@ def orders_interarrival_profile(spark, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey",
-        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
-               " div 86400000000 AS BIGINT)").alias("day"))
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+               " DIV 86400000000").alias("day"))
     w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
     gaps = orders.select(
         "o_custkey", "day",
@@ -1704,7 +1706,7 @@ def order_status_flow(spark, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderstatus",
-        F.col("o_orderdate").cast("timestamp").alias("dt"))
+        F.col("o_orderdate").alias("dt"))
     w = Window.partitionBy("o_custkey").orderBy("dt", "o_orderkey")
     pairs = (
         orders.select(

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_mapreduce_spark.functions.timeutil import (
+    wall_epoch_secs,
+    wall_epoch_us,
+)
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 
@@ -92,7 +96,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"), F.col("ts"), F.lit(1).alias("side"),
-        "event_id", F.lit(None).cast("timestamp").alias("odate"),
+        "event_id", F.lit(None).cast("timestamp_ntz").alias("odate"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
@@ -267,7 +271,7 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str,
         "event_type",
         # ts reads as TIMESTAMP_NTZ; session zone is pinned UTC so the
         # cast preserves the instant (same pattern as asof_join_nearest)
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        wall_epoch_us("ts").alias("x"),
         F.expr("cast(round(value * 1000000.0, 0) as bigint)").alias("y"),
         F.col("event_id").cast("long").alias("event_id"),
     )
@@ -407,8 +411,8 @@ def events_session_bigrams(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = ev.select(
         "user_id", "ts", "event_id", "event_type",
-        (F.unix_timestamp("ts")
-         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+        (wall_epoch_secs("ts")
+         - wall_epoch_secs(F.lag("ts").over(w))).alias("gap"),
     ).select(
         "user_id", "ts", "event_id", "event_type",
         F.sum(
@@ -561,12 +565,12 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type",
-        F.col("ts").cast("timestamp").alias("ts"), "value")
+        F.col("ts").alias("ts"), "value")
     base = ev.select(
         "event_type", F.date_trunc("day", "ts").alias("day"),
-        "event_id", "value", F.unix_micros("ts").alias("us"))
+        "event_id", "value", wall_epoch_us("ts").alias("us"))
     w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
-    day_end = F.unix_micros(
+    day_end = wall_epoch_us(
         F.col("day") + F.expr("INTERVAL 1 DAY"))
     dt = F.coalesce(F.lead("us").over(w), day_end) - F.col("us")
     return (
@@ -649,7 +653,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str,
     tol_us = tolerance_days * 86_400_000_000
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"), F.col("ts"), F.lit(1).alias("side"),
-        "event_id", F.lit(None).cast("timestamp").alias("odate"),
+        "event_id", F.lit(None).cast("timestamp_ntz").alias("odate"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
@@ -665,10 +669,9 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str,
         .withColumn("fwd", F.first("odate", ignorenulls=True).over(w_fwd))
         .where(F.col("side") == 1)
     )
-    # events.ts reads as TIMESTAMP_NTZ from the fixture parquet;
-    # unix_micros needs TIMESTAMP — the session zone is pinned UTC, so
-    # the cast is value-preserving on both engines
-    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    # odate/ts are TIMESTAMP_NTZ end-to-end (load_table contract), so
+    # the epoch extraction is session-timezone-proof integer arithmetic
+    um = lambda c: wall_epoch_us(c)  # noqa: E731
     d_back = um("ts") - um("back")
     d_fwd = um("fwd") - um("ts")
     vb = F.col("back").isNotNull() & (d_back <= tol_us)
@@ -713,7 +716,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str,
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select("event_type",
-                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  F.date_trunc("day", F.col("ts"))
                   .cast("string").alias("day"),
                   "value")
         .groupBy("event_type", "day")
@@ -782,8 +785,7 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer micros floor-divided to seconds: DuckDB's epoch()::BIGINT
     # ROUNDS fractional seconds (flipping hour-boundary events), so both
     # engines use epoch_us // 1e6 instead.
-    secs = (F.unix_micros(F.col("ts").cast("timestamp"))
-            / F.lit(1000000)).cast("long")
+    secs = wall_epoch_secs("ts")
     cells = (
         ev.select(
             (((secs / 86400).cast("long") + 3) % 7).alias("dow"),
@@ -831,8 +833,8 @@ def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id",
-        (F.unix_micros(F.col("ts").cast("timestamp"))
-         - F.lag(F.unix_micros(F.col("ts").cast("timestamp")), 1)
+        (wall_epoch_us("ts")
+         - F.lag(wall_epoch_us("ts"), 1)
          .over(w)).alias("gap_us"),
     )
     base = gaps.agg(
@@ -884,8 +886,9 @@ def event_pair_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         ev.select(
             "user_id",
-            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP))"
-                   " div 86400000000 AS BIGINT)").alias("day"),
+            F.expr("timestampdiff(MICROSECOND,"
+                   " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                   " DIV 86400000000").alias("day"),
             "event_type",
         )
         .distinct()
@@ -943,8 +946,9 @@ def active_user_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id",
-        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP))"
-               " div 86400000000 AS BIGINT)").alias("day"),
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " DIV 86400000000").alias("day"),
     ).distinct()
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
@@ -992,7 +996,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per event type.
     """
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = wall_epoch_us("ts")
     warr = (Window.partitionBy("event_type").orderBy("event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     late = ev.select(
@@ -1046,7 +1050,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select("event_type",
-                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  F.date_trunc("day", F.col("ts"))
                   .cast("string").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("x"))
@@ -1105,13 +1109,13 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        wall_epoch_us("ts").alias("t_us"),
         F.lit(0).alias("side"),
         "event_type", "event_id",
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        wall_epoch_us("o_orderdate")
         .alias("t_us"),
         F.lit(1).alias("side"),
         F.lit(None).cast("string").alias("event_type"),
@@ -1298,13 +1302,10 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            # ts is TIMESTAMP_NTZ here (fixture nanos path); the
-            # session runs in UTC, so the NTZ->TIMESTAMP cast is
-            # value-identity and unix_micros is exact.
-            F.unix_micros(F.col("w.start").cast("timestamp"))
-            .alias("s_us"),
-            F.unix_micros(F.col("w.end").cast("timestamp"))
-            .alias("e_us"))
+            # session_window bounds inherit ts's NTZ type, so the
+            # epoch extraction is pure integer arithmetic
+            wall_epoch_us(F.col("w.start")).alias("s_us"),
+            wall_epoch_us(F.col("w.end")).alias("e_us"))
     )
     from hadoop_mapreduce_spark.session import scoped_persist
 
@@ -1542,7 +1543,7 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = (
         ev.select(
             "user_id", "ts",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            wall_epoch_us("ts").alias("t_us"),
             "event_id", sym.alias("ch"))
         .groupBy(F.session_window("ts", "30 minutes").alias("w"),
                  "user_id")
@@ -1899,8 +1900,8 @@ def session_path_topk(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = ev.select(
         "user_id", "ts", "event_id", "event_type",
-        (F.unix_timestamp("ts")
-         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+        (wall_epoch_secs("ts")
+         - wall_epoch_secs(F.lag("ts").over(w))).alias("gap"),
     ).select(
         "user_id", "ts", "event_id", "event_type",
         F.sum(
@@ -1969,7 +1970,7 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str,
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        wall_epoch_us("ts").alias("t_us"),
         "event_type", "event_id",
     )
     conv = ev.where(F.col("event_type") == "purchase").select(
@@ -2238,8 +2239,8 @@ def session_transition_entropy(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = ev.select(
         "user_id", "ts", "event_id", "event_type",
-        (F.unix_timestamp("ts")
-         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+        (wall_epoch_secs("ts")
+         - wall_epoch_secs(F.lag("ts").over(w))).alias("gap"),
     ).select(
         "user_id", "ts", "event_id", "event_type",
         F.sum((F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
@@ -2367,30 +2368,45 @@ def dow_profile_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a grid self-join on exact integer week keys.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Day index from integer wall-clock epoch-us (ts is TIMESTAMP_NTZ by
+    # the load_table contract, so timestampdiff is pure arithmetic under
+    # any session timezone). 19723 = epoch day of 2024-01-01; events all
+    # land on/after it, so truncating DIV == floor.
     grid = ev.select(
         "event_type",
-        F.datediff(F.col("ts").cast("date"),
-                   F.lit("2024-01-01").cast("date")).cast("long")
-        .alias("dd"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts) DIV 86400000000 - 19723"
+        ).alias("dd"),
     ).select(
         "event_type",
         F.expr("dd DIV 7").alias("wk"),
         (F.col("dd") % 7).alias("dow"),
     ).groupBy("event_type", "wk", "dow").agg(
         F.count(F.lit(1)).alias("n"))
-    a, b = grid.alias("a"), grid.alias("b")
+    # Zero-padded 7-day vectors: FULL OUTER join the dow axis so a dow
+    # present in only one of the two weeks contributes 0 to the dot
+    # product but its count^2 still lands in that week's norm (an inner
+    # join here would drop it from BOTH, inflating the cosine on sparse
+    # weeks). A week pair is emitted iff both weeks have >=1 event.
+    a = grid.select("event_type", "wk", "dow", F.col("n").alias("n_a"))
+    b = grid.select("event_type", (F.col("wk") - 1).alias("wk"), "dow",
+                    F.col("n").alias("n_b"))
+    padded = a.join(b, ["event_type", "wk", "dow"], "full_outer").select(
+        "event_type", "wk",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
     pair = (
-        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
-               & (F.col("b.wk") == F.col("a.wk") + 1)
-               & (F.col("a.dow") == F.col("b.dow")))
-        .groupBy(F.col("a.event_type").alias("event_type"),
-                 F.col("a.wk").alias("wk"))
+        padded.groupBy("event_type", "wk")
         .agg(
-            F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("dot"),
-            F.sum(F.col("a.n") * F.col("a.n")).cast("long").alias("na"),
-            F.sum(F.col("b.n") * F.col("b.n")).cast("long").alias("nb"),
-            F.count(F.lit(1)).cast("long").alias("n_shared_dows"),
+            F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("dot"),
+            F.sum(F.col("n_a") * F.col("n_a")).cast("long").alias("na"),
+            F.sum(F.col("n_b") * F.col("n_b")).cast("long").alias("nb"),
+            F.sum(((F.col("n_a") > 0) & (F.col("n_b") > 0)).cast("long"))
+            .cast("long").alias("n_shared_dows"),
         )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
     )
     return (
         pair.select(

@@ -6192,8 +6192,13 @@ hist AS (
   FROM binned GROUP BY bin
 ),
 tot AS (
+  -- Spark DIV truncates toward zero; DuckDB // floors. sum_cos_e6 can
+  -- be negative (cosines span [-1,1]), so emulate truncation here —
+  -- the lang_source_mutual_info treatment.
   SELECT sum(n)::BIGINT AS n_pairs,
-         (sum(sum_cos_e6) // sum(n))::BIGINT AS mean_cos_e6
+         CASE WHEN sum(sum_cos_e6) >= 0
+              THEN (sum(sum_cos_e6) // sum(n))::BIGINT
+              ELSE -((-sum(sum_cos_e6)) // sum(n))::BIGINT END AS mean_cos_e6
   FROM hist
 )
 SELECT bin, n, sum_cos_e6, n_pairs, mean_cos_e6
@@ -6890,8 +6895,8 @@ SELECT decile::BIGINT AS decile, n_docs, n_pos,
        THEN (sum(n_pos) OVER w * 1000000 // n_pos_total)::BIGINT
   END AS recall_e6,
   CASE WHEN n_pos_total > 0
-       THEN (sum(n_pos) OVER w * n_total * 1000000
-             // (sum(n_docs) OVER w * n_pos_total))::BIGINT
+       THEN ((sum(n_pos) OVER w)::HUGEINT * n_total * 1000000
+             // ((sum(n_docs) OVER w)::HUGEINT * n_pos_total))::BIGINT
   END AS lift_e6
 FROM per
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
@@ -7068,28 +7073,39 @@ UNION ALL SELECT 3, n_pairs, n_id1 FROM q3
 UNION ALL SELECT 4, n_pairs, n_id1 FROM q4
 ORDER BY shingle_k
 """
-# r8d: dow_profile_stability — consecutive-week 7-vector cosine; dot
-# and norms are exact BIGINT 7-term folds, one division per pair.
+# r8d: dow_profile_stability — consecutive-week ZERO-PADDED 7-vector
+# cosine: full-outer dow axis (a dow present in one week only adds 0 to
+# the dot but its count^2 stays in that week's norm); days derived from
+# integer epoch-us (session-timezone-proof on the Spark side). Dot and
+# norms are exact BIGINT folds, one division per pair.
 ORACLE["dow_profile_stability"] = """
 WITH grid AS (
   SELECT event_type,
-         date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk,
-         date_diff('day', DATE '2024-01-01', ts::DATE) % 7 AS dow,
+         (epoch_us(ts) // 86400000000 - 19723) // 7 AS wk,
+         (epoch_us(ts) // 86400000000 - 19723) % 7 AS dow,
          count(*)::BIGINT AS n
   FROM events GROUP BY 1, 2, 3
+),
+padded AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.wk, b.wk - 1) AS wk,
+         coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
+  FROM grid a FULL OUTER JOIN grid b
+    ON a.event_type = b.event_type AND b.wk = a.wk + 1
+   AND a.dow = b.dow
 )
-SELECT a.event_type AS event_type, a.wk::BIGINT AS wk,
-  count(*)::BIGINT AS n_shared_dows,
-  sum(a.n * b.n)::BIGINT AS dot,
-  sum(a.n * a.n)::BIGINT AS na,
-  sum(b.n * b.n)::BIGINT AS nb,
-  floor(sum(a.n * b.n)::DOUBLE
-        / sqrt(sum(a.n * a.n)::DOUBLE * sum(b.n * b.n))
+SELECT event_type, wk::BIGINT AS wk,
+  sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END)::BIGINT
+    AS n_shared_dows,
+  sum(n_a * n_b)::BIGINT AS dot,
+  sum(n_a * n_a)::BIGINT AS na,
+  sum(n_b * n_b)::BIGINT AS nb,
+  floor(sum(n_a * n_b)::DOUBLE
+        / sqrt(sum(n_a * n_a)::DOUBLE * sum(n_b * n_b))
         * 1e6 + 0.5) / 1e6 AS cosine
-FROM grid a JOIN grid b
-  ON a.event_type = b.event_type AND b.wk = a.wk + 1
- AND a.dow = b.dow
-GROUP BY 1, 2 ORDER BY event_type, wk
+FROM padded GROUP BY 1, 2
+HAVING sum(n_a * n_a) > 0 AND sum(n_b * n_b) > 0
+ORDER BY event_type, wk
 """
 
 # r8d: token_mass_lorenz — rank decomposed through the counts-of-counts

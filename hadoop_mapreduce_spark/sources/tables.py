@@ -50,6 +50,42 @@ def invalidate_relation_cache(sf_dir: str | None = None) -> None:
         del _relation_cache[key]
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Coerce every top-level TIMESTAMP_LTZ column to TIMESTAMP_NTZ,
+    preserving the stored parquet instant bit-for-bit.
+
+    The fixtures store naive ``timestamp[us]`` (isAdjustedToUTC=false),
+    which DuckDB always reads as a naive TIMESTAMP whose ``epoch_us`` is
+    the stored integer. Spark's reading depends on the CALLER's session:
+    with ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (or older
+    defaults) the same column arrives as TIMESTAMP_LTZ, and every
+    wall-clock expression downstream — date_trunc, hour(), ts::date,
+    ts::string — silently re-labels under the session timezone. That is
+    the CORRECTNESS_r07 ``events_hierarchical_rollup`` failure signature
+    (rows+schema match, hash mismatch, driver env only).
+
+    ``unix_micros`` on LTZ is timezone-independent (it reads the instant
+    micros, which for a naive parquet column ARE the stored wall-clock
+    micros), and ``timestampadd`` onto an NTZ epoch literal is pure
+    integer arithmetic — so this rebase is exact and deterministic under
+    ANY session timezone, and a no-op in sessions that already read NTZ.
+    NTZ columns make every downstream wall-clock op timezone-free, which
+    is the engine's documented semantics (timestamps are civil time, as
+    stored)."""
+    from pyspark.sql import functions as F
+
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp":  # LTZ; NTZ prints as "timestamp_ntz"
+            df = df.withColumn(
+                fname,
+                F.expr(
+                    f"timestampadd(MICROSECOND, unix_micros({fname}), "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / filter pushdown happen at
     the scan automatically because this returns the lazy DataFrame.
@@ -82,6 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = raw
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _normalize_ntz(df)
     if name == "documents":
         # The text table feeds regex/hash-heavy pipelines whose cost is
         # per-character, not per-byte-scanned; make sure that compute is
