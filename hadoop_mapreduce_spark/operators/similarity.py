@@ -299,31 +299,103 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = 5,
 
 def embedding_kmeans_stats(spark: SparkSession, sf_dir: str,
                            n_lists: int = 16, n_iter: int = 3) -> DataFrame:
-    """Cluster-structure audit of the corpus embedding space: run the
-    deterministic distributed k-means (kmeans_centroids — the IVF coarse
-    quantizer) and report per-cluster membership and cohesion — the
+    """Cluster-structure audit of the corpus embedding space: per-cluster
+    membership and cohesion from a deterministic Lloyd k-means — the
     "what domains does this corpus contain" step before mixture
-    reweighting, and the health check for the IVF index itself.
+    reweighting, and the health check for the IVF index family.
 
-    Scale: ivf_assign's broadcast-assignment pass (max_by aggregate, no
-    window) plus one broadcast join back to the 16-row centroid table;
-    the only shuffle keyed by cluster id moves one row per vector.
-    Registered rows-only (iterative Lloyd refinement is not
-    SQL-expressible; invariants are pinned in tests/test_similarity_extra.py).
+    Hash-paired since r8 (was rows-only): this variant replays the SAME
+    Lloyd schedule as kmeans_centroids but in engine-portable exact
+    arithmetic, so the DuckDB oracle chains the fixed rounds as CTEs
+    (the label_propagation_communities precedent):
+
+      * components quantized to e6 micro-units ONCE up front —
+        integer-valued doubles, so every dot/norm partial sum stays an
+        exact integer < 2^53 (dim 64 x |e6| <= ~6e5 -> sums <= ~2e13)
+        and is order-independent: any shuffle layout and any fold order
+        produce the same bits, and the one float expression per pair
+        (dot / (sqrt(na)*sqrt(nb)), mirrored verbatim in SQL) is IEEE-
+        identical across engines;
+      * init: vector of the min vec_id within each md5(vec_id) % k
+        bucket (the repo's portable-hash convention — kmeans_centroids
+        uses crc32, which DuckDB lacks);
+      * assignment argmax on the e6-ROUNDED cosine, ties to the lowest
+        list id — an integer comparison, no float argmax hazard;
+      * update means in truncating integer division (micro-units);
+        emptied clusters keep their previous centroid (left join +
+        coalesce), exactly like kmeans_centroids.
+
+    Scale shape is unchanged: per round one broadcast of the k-row
+    centroid table, one max_by aggregate (map-side partials collapse
+    N x k scored rows to one per vector pre-shuffle), one k*d-bounded
+    mean aggregate; the vector table never shuffles.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assigned = ivf_assign(emb, n_lists=n_lists, n_iter=n_iter)
-    return (
-        assigned.join(F.broadcast(centroids), "list_id")
-        .select(
-            F.col("list_id").cast("long").alias("cluster"),
-            cosine_similarity(F.col("embedding"), F.col("cvec")).alias("csim"),
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>),"
+               " x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"
+               " AS DOUBLE))").alias("e"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    centroids = (
+        q.withColumn("b", F.pmod(h, F.lit(n_lists)))
+        .groupBy("b")
+        .agg(F.min_by("e", F.col("vec_id")).alias("cvec"))
+        .select(F.col("b").alias("list_id"), "cvec")
+        .localCheckpoint()
+    )
+    # e6-rounded cosine: exact-integer dot/norms, ONE float expression,
+    # rounded to an integer before any comparison
+    cos_e6 = F.floor(
+        cosine_similarity(F.col("e"), F.col("cvec")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    best = F.max_by(
+        "list_id", F.struct(F.col("c"), (-F.col("list_id")).alias("nl")))
+
+    def assign(cents):
+        return (
+            q.crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", "list_id", cos_e6.alias("c"))
+            .groupBy("vec_id")
+            .agg(best.alias("list_id"), F.any_value("e").alias("e"),
+                 F.max(F.struct(F.col("c"), (-F.col("list_id")).alias("nl")))
+                 .getField("c").alias("c"))
         )
-        .groupBy("cluster")
+
+    for _ in range(n_iter):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("list_id", F.posexplode("e").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("x").cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            # truncating integer mean (Spark DIV truncates toward zero;
+            # the oracle emulates with the CASE pattern)
+            .select("list_id", "pos",
+                    F.expr("CAST(s DIV n AS DOUBLE)").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.col("pm.m").alias("new_cvec"))
+        )
+        centroids = (
+            centroids.join(means, "list_id", "left")
+            .select("list_id",
+                    F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    final = assign(centroids)
+    return (
+        final.groupBy(F.col("list_id").cast("long").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("csim"), 6).alias("avg_cohesion"),
-            F.round(F.min("csim"), 6).alias("min_cohesion"),
+            # Spark DIV truncates toward zero; oracle emulates via CASE
+            F.expr("CAST(sum(c) DIV count(*) AS BIGINT)")
+            .alias("avg_cohesion_e6"),
+            F.min("c").cast("long").alias("min_cohesion_e6"),
         )
         .orderBy("cluster")
     )

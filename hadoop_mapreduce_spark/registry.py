@@ -277,7 +277,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": datamix.embedding_quantize,
     "global_shuffle_order": datamix.global_shuffle_order,
     "knn_join_lsh": similarity.knn_join_lsh,  # rows-only (approximate kNN join)
-    "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # rows-only (iterative Lloyd)
+    "embedding_kmeans_stats": similarity.embedding_kmeans_stats,  # hash-paired r8 (portable exact Lloyd)
     "seq_packing": curation.seq_packing,  # hash-paired r7 (lockstep recursive first-fit twin)
     "dedup_components_star": dedup.dedup_components_star,
     "pipeline_pretrain": pipeline.pipeline_pretrain,
@@ -3221,112 +3221,77 @@ FROM sel ORDER BY qid, rank
 """
 
 # --------------------------------------------------------------------------
-# r7 driver window: the driver records the FIRST 50 registry entries per
-# round. This explicit reorder (applied last so the annotated dict above
-# keeps its grouped comments) puts at the front: (a) the six queries never
-# witnessed in any CORRECTNESS_r*.json window — two of which
-# (pagerank_dedup_graph, mmr_diversified_topk) are newly hash-paired this
-# round; (b) every query whose implementation changed in r7 (the
-# hierarchical-rollup determinism fix, the LSH candidate restructure and
-# its consumers, the PPJoin filters, the bigram-LM exchange fold, the
-# cosine_topk sort change); (c) previously-witnessed entries filling the
-# remaining slots. Pure reordering — no key or implementation changes.
-_WINDOW_R7 = [
-    # (a) never driver-witnessed
-    "pagerank_dedup_graph", "mmr_diversified_topk", "ann_ivfpq_rerank",
-    "hll_union_sources", "events_lttb_downsample", "semdedup_ivf",
-    # (b) r7-changed paths still unwitnessed post-change (the other
-    # changed paths are hash-green in both full artifacts; slots go to
-    # never-witnessed new operators)
-    "events_hierarchical_rollup", "dedup_jaccard_prefix",
-    # (c/d) rotation note: the r7b four yielded slots to r7k, winnowing_
-    # fingerprint / events_ewma_daily to r7m, winnowing_neardup_pairs /
-    # source_concentration_audit to r7n — oldest-first policy, both
-    # full artifacts cover every rotated-out query at two sfs; they
-    # lead the r8 window front in rotation order.
-    # (d) r7c-new operators, hash-paired (rotation: skipgram_
-    # cooccurrence / stopword_discovery / rrf_quality_fusion /
-    # quality_threshold_sweep yielded their slots to the r7l wave —
-    # oldest-first policy, both full artifacts cover them at two sfs;
-    # they queue behind the r7b four for the r8 window front)
-    # (d) fully rotated out to r7p (oldest-first; dual-sf artifact
-    # coverage stands in until the r8 window front)
-    # (e) r7d rotated out to r7s/t (oldest-first; badwords_filter /
-    # lang_source_chisq / events_dow_hour_profile / neardup_label_
-    # conflict / lsh_band_tuning / packing_boundary_audit covered by
-    # both full artifacts at two sfs; they queue for the r8 front)
-    # (e') r7s/t-new operators (this session), all hash-paired
-    "skyline_quality_frontier", "auc_roc_langid",
-    "survival_kaplan_meier", "keyphrase_rake",
-    "events_stl_seasonal", "user_growth_accounting",
-    # (f) r7e rotated out to r7u (oldest-first; preference_pair_build /
-    # join_skew_audit / shard_layout_plan covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    "bootstrap_ci_quality",
-    # (f') r7u-new operators (this session), all hash-paired
-    "basket_part_pairs", "theil_sen_trend", "session_path_topk",
-    # (g/h) r7f/r7g rotated out to r7v/w (oldest-first; ks_drift_quality
-    # / session_gap_sweep / dedup_threshold_sweep / event_pair_itemsets
-    # / active_user_ratios / customer_rfm_segments covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    # (g') r7v/w-new operators (this session), all hash-paired
-    "customer_entity_blocking", "embedding_anisotropy_audit",
-    "sparse_cosine_pairs_topk", "attribution_linear_credit",
-    "term_burstiness", "doc_position_profile",
-    # (i) r7h rotated out to r7x (oldest-first; watermark_lateness_audit
-    # / join_cardinality_audit / fightin_words covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    # (i') r7x-new operators (this session), all hash-paired
-    "dedup_containment", "cross_source_duplication_matrix",
-    "text_tiling_boundaries",
-    # (j) r7i rotated out to r7y (oldest-first; events_cusum_changepoint
-    # / kwic_concordance / ivm_orders_agg covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    # (j') r7y-new operators (this session), all hash-paired
-    "mann_kendall_trend", "minhash_bbit_estimate",
-    "neyman_allocation_plan",
-    # (k) r7j rotated out to r7z (oldest-first; orders_cohort_ltv /
-    # conversion_attribution / compression_ratio_quality covered by
-    # both full artifacts at two sfs; they queue for the r8 front)
-    # (k') r7z-new operators (this session), all hash-paired
-    "forecast_backtest_snaive", "source_rank_correlation",
-    "runs_test_daily",
-    # (l) r7k mostly rotated out to r8a (oldest-first; user_active_
-    # streaks / session_concurrency / events_acf covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    "events_holt_linear",
-    # (l') r8a-new operators (this session), all hash-paired
-    "quality_kendall_tau", "lang_source_mutual_info",
-    "session_transition_entropy",
-    # (m) r7l mostly rotated out to r8b (oldest-first; pii_redact_audit
-    # / readability_scores / benford_audit covered by both full
-    # artifacts at two sfs; they queue for the r8 front)
-    "length_hill_tail_index",
-    # (m') r8b-new operators (this session), all hash-paired
-    "quality_flag_odds_ratio", "length_qq_drift",
+# r8 driver window: the driver records the FIRST 50 registry entries per
+# round. Composition (VERDICT r7 item 4 — finish driver-witnessing the
+# registry): (a) the seven queries whose implementation changed this
+# round, led by events_hierarchical_rollup (r07's only red cell — the
+# NTZ load contract fix) and embedding_kmeans_stats (newly hash-paired);
+# (b) 43 of the 68 never-driver-witnessed keys, heaviest families first
+# (kneser_ney_quality, gopher_dup_ngrams, winnowing_neardup_pairs per
+# the verdict), including the five timezone-leak queries tz_parity.py
+# caught (events_dow_hour_profile, event_pair_itemsets,
+# active_user_ratios, orders_interarrival_profile, session_concurrency)
+# and asof_join_nearest (also tz-edited). The remaining 25
+# never-witnessed keys fit one more window and queue for r9:
+# orders_abc_pareto, label_propagation_communities, sax_motifs, dedup_chain_audit, vocab_growth_heaps, embedding_outlier_scores, order_status_flow, events_pattern_match,
+# readability_scores, events_acf, compression_ratio_quality, shard_layout_plan, hll_portable_union, ccnet_perplexity_buckets, vocab_coverage_curve, embedding_centroid_drift, char_trigram_langid,
+# minhash_accuracy_audit, quantile_histogram_portable, events_ewma_daily, salted_aggregate_events, join_skew_audit, video_meta, dedup_cluster_size_histogram, embedding_dim_stats.
+# Pure reordering — no key or implementation changes here.
+_WINDOW_R8 = [
+    "events_hierarchical_rollup",
+    "embedding_kmeans_stats",
+    "dow_profile_stability",
+    "embedding_anisotropy_audit",
     "quality_decile_lift",
-    # (n) r7m rotated out to r8c (oldest-first; label_propagation_
-    # communities / sax_motifs covered by both full artifacts at two
-    # sfs; they queue for the r8 front)
-    # (n') r8c-new operators (this session), all hash-paired
-    "token_context_diversity", "events_residual_anomaly",
-    # (o) r7n/o rotated out to r8d (oldest-first; dedup_chain_audit /
-    # vocab_growth_heaps / embedding_outlier_scores covered by both
-    # full artifacts at two sfs; they queue for the r8 front)
-    # (o') r8d-new operators (this session), all hash-paired
-    "dedup_shingle_size_sweep", "dow_profile_stability",
-    "token_mass_lorenz",
-    # (p) r7p/q rotated out to r8e (oldest-first; orders_interarrival_
-    # profile / order_status_flow / events_pattern_match covered by
-    # both full artifacts at two sfs; they queue for the r8 front)
-    "quality_filter_agreement",
-    # (p') r8e-new operators (this session), all hash-paired
-    "part_supplier_hhi", "part_return_rate_wilson",
-    "supply_bipartite_profile",
+    "cross_source_duplication_matrix",
+    "events_lttb_downsample",
+    "kneser_ney_quality",
+    "gopher_dup_ngrams",
+    "winnowing_neardup_pairs",
+    "winnowing_fingerprint",
+    "asof_join_nearest",
+    "events_dow_hour_profile",
+    "event_pair_itemsets",
+    "active_user_ratios",
+    "orders_interarrival_profile",
+    "session_concurrency",
+    "dedup_containment_prefix",
+    "skipgram_cooccurrence",
+    "rrf_quality_fusion",
+    "quality_threshold_sweep",
+    "stopword_discovery",
+    "source_concentration_audit",
+    "token_budget_fill",
+    "curriculum_interleave",
+    "source_novelty_attribution",
+    "quality_signal_correlation",
+    "ngram_diversity_audit",
+    "dataset_card",
+    "badwords_filter",
+    "lang_source_chisq",
+    "neardup_label_conflict",
+    "lsh_band_tuning",
+    "packing_boundary_audit",
+    "preference_pair_build",
+    "ks_drift_quality",
+    "session_gap_sweep",
+    "dedup_threshold_sweep",
+    "customer_rfm_segments",
+    "watermark_lateness_audit",
+    "join_cardinality_audit",
+    "fightin_words",
+    "events_cusum_changepoint",
+    "kwic_concordance",
+    "ivm_orders_agg",
+    "orders_cohort_ltv",
+    "conversion_attribution",
+    "user_active_streaks",
+    "pii_redact_audit",
+    "benford_audit",
 ]
-assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
-    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R7)}
+assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
+    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R8)}
 
 # r7: heavy_hitters_cms converts from rows-only to hash-paired — the
 # sketch's cell hash switched from JVM-only xxhash64 to the repo's
@@ -7209,3 +7174,79 @@ ORDER BY side, degree
 # twin (prefix filtering is lossless), so it shares its oracle; the
 # Spark plan is the asymmetric-prefix candidate join + confined verify.
 ORACLE["dedup_containment_prefix"] = ORACLE["dedup_containment"]
+
+
+# r8: embedding_kmeans_stats converts from rows-only to hash-paired —
+# the fixed Lloyd schedule replays as chained CTEs (the
+# label_propagation_communities precedent). Components are e6-quantized
+# integer-valued doubles, so every dot/norm is an exact integer and the
+# single float expression per pair (dot / (sqrt(na)*sqrt(nb)), the
+# functions/vectors.py form verbatim) is IEEE-identical; assignment
+# argmax compares e6-ROUNDED cosines with a lowest-list-id tie-break
+# (packed scalar key c*16 - list_id: exact BIGINT, list keys are not
+# arg_max-able in DuckDB; max(c) is the argmax row's c by primacy);
+# means are truncating integer division (CASE emulates Spark's DIV on
+# negative sums); emptied clusters keep the previous centroid.
+_KM_COS = ("floor(list_dot_product(q.e, {c}.cvec) / "
+           "(sqrt(list_dot_product(q.e, q.e)) * "
+           "sqrt(list_dot_product({c}.cvec, {c}.cvec))) "
+           "* 1e6 + 0.5)::BIGINT")
+
+_KM_ROUND = """
+a{k} AS (
+  SELECT vec_id, any_value(e) AS e,
+         arg_max(list_id, c * 16 - list_id) AS list_id, max(c) AS c
+  FROM (SELECT q.vec_id, q.e, c{p}.list_id, {cos} AS c
+        FROM q CROSS JOIN c{p})
+  GROUP BY vec_id
+),
+m{k} AS (
+  SELECT list_id, list(m::DOUBLE ORDER BY pos) AS cvec
+  FROM (
+    SELECT list_id, pos,
+           CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m
+    FROM (
+      SELECT list_id, pos, sum(x::BIGINT) AS s, count(*) AS n
+      FROM (SELECT list_id, generate_subscripts(e, 1) AS pos,
+                   unnest(e) AS x FROM a{k})
+      GROUP BY list_id, pos)
+  ) GROUP BY list_id
+),
+c{k} AS (
+  SELECT c{p}.list_id, coalesce(m{k}.cvec, c{p}.cvec) AS cvec
+  FROM c{p} LEFT JOIN m{k} USING (list_id)
+)"""
+
+ORACLE["embedding_kmeans_stats"] = (
+    """WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> (floor(x * 1000000.0 + 0.5)::BIGINT)::DOUBLE) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT
+          % 16)::BIGINT AS list_id,
+         arg_min(e, vec_id) AS cvec
+  FROM q GROUP BY 1
+),"""
+    + ",".join(
+        _KM_ROUND.format(k=k, p=k - 1,
+                         cos=_KM_COS.format(c=f"c{k-1}"))
+        for k in range(1, 4))
+    + """,
+afin AS (
+  SELECT vec_id, arg_max(list_id, c * 16 - list_id) AS list_id,
+         max(c) AS c
+  FROM (SELECT q.vec_id, c3.list_id, """
+    + _KM_COS.format(c="c3")
+    + """ AS c
+        FROM q CROSS JOIN c3)
+  GROUP BY vec_id
+)
+SELECT list_id::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+  CASE WHEN sum(c) >= 0 THEN (sum(c) // count(*))::BIGINT
+       ELSE -((-sum(c)) // count(*))::BIGINT END AS avg_cohesion_e6,
+  min(c)::BIGINT AS min_cohesion_e6
+FROM afin GROUP BY list_id ORDER BY cluster
+""")

@@ -73,7 +73,8 @@ def test_kmeans_stats_partition_and_cohesion(spark):
     assert len(rows) <= 16
     for r in rows:
         assert r.n_members > 0
-        assert -1.0 - 1e-9 <= r.min_cohesion <= r.avg_cohesion <= 1.0 + 1e-9
+        assert (-1_000_000 <= r.min_cohesion_e6
+                <= r.avg_cohesion_e6 <= 1_000_000)
 
 
 def test_kmeans_stats_deterministic(spark):
