@@ -1709,3 +1709,66 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str,
+                             n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    stopword-fraction quality score against the lang='en' label — the
+    calibration read a filtering pipeline does before turning a
+    classifier score into a keep/drop threshold (Guo et al. 2017,
+    "On Calibration of Modern Neural Networks"): a score that ranks
+    well (see `auc_roc_langid`) can still be mis-calibrated, and
+    thresholding an uncalibrated score mis-sizes the kept corpus.
+
+    Score = stopword OCCURRENCES * 1e6 DIV tokens (exact micro-units,
+    the `quality_decile_lift` signal at occurrence granularity);
+    empty-token docs are excluded on both engines. Equal-width bins on
+    the score; per bin: count, positives, truncating-integer mean score
+    and positive rate, |gap|; ECE = sum(n_b * gap_b) DIV n_total,
+    attached from a 1-row broadcast like `embedding_anisotropy_audit`.
+
+    Scale: one tokenize scan -> per-doc integers, one bounded
+    groupBy(bin) rollup, one 1-row total. All-integer output.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.operators.textstats import LANG_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text(F.col("text")))
+    sw = F.lit(list(LANG_STOPWORDS["en"]))
+    base = docs.select(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("long").alias("hits"),
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    ).where(F.col("n_tok") > 0)
+    scored = base.select(
+        F.expr("hits * 1000000 DIV n_tok").alias("score_e6"), "pos")
+    binned = scored.select(
+        F.least(F.expr(f"score_e6 * {n_bins} DIV 1000000"),
+                F.lit(n_bins - 1)).alias("bin"),
+        "score_e6", "pos",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("CAST(sum(score_e6) DIV count(*) AS BIGINT)")
+        .alias("mean_score_e6"),
+        F.expr("CAST(sum(pos) * 1000000 DIV count(*) AS BIGINT)")
+        .alias("pos_rate_e6"),
+    ).withColumn(
+        "gap_e6", F.abs(F.col("mean_score_e6") - F.col("pos_rate_e6")))
+    tot = per.agg(
+        F.expr("CAST(sum(n_docs * gap_e6) DIV sum(n_docs) AS BIGINT)")
+        .alias("ece_e6"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(F.col("bin").cast("long").alias("bin"),
+                "n_docs", "n_pos", "mean_score_e6", "pos_rate_e6",
+                "gap_e6", "ece_e6")
+        .orderBy("bin")
+    )

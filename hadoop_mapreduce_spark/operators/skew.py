@@ -270,3 +270,55 @@ def join_cardinality_audit(spark, sf_dir: str) -> DataFrame:
                            orders, "o_custkey"))
     )
     return out.orderBy("join_name")
+
+
+def partition_skew_plan(spark, sf_dir: str, n_parts: int = 32):
+    """Bucket-layout planning audit: hash events.user_id into n_parts
+    buckets with the repo's portable md5 hash and report each bucket's
+    row load, key count and load factor — the read you do BEFORE
+    committing a bucket count to a bucketed-table write or a
+    repartition(n, key): a load factor far above 1e6 (= perfectly
+    balanced) on real keys means stragglers at 100 TB no matter how
+    many executors you add, and the fix (more buckets, or salting via
+    `salted_aggregate`) is decided from exactly this table.
+
+    Complements `join_skew_audit` (per-KEY hot-key detection): this is
+    per-BUCKET — the post-hash view the shuffle actually schedules, so
+    it also catches hash-collision pileups that per-key counts miss.
+
+    Portable + exact: bucket = md5-60bit(user_id) % n_parts (identical
+    integers on both engines), loads and factors in integer micro-units.
+    Scale: one groupBy(user_id) partial-agg pass, one n_parts-bounded
+    rollup — metadata-sized output regardless of corpus size.
+    """
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    per_bucket = (
+        per_key.select(F.pmod(h, F.lit(n_parts)).alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("n_rows"),
+             F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    tot = per_bucket.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.max(F.expr(f"n_rows * {n_parts} * 1000000")).alias("mx"))
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows", "n_keys",
+            F.expr("CAST(n_rows * 1000000 DIV total_rows AS BIGINT)")
+            .alias("share_e6"),
+            # 1e6 == perfectly balanced; the straggler multiplier
+            F.expr(f"CAST(n_rows * {n_parts} * 1000000 DIV total_rows"
+                   " AS BIGINT)").alias("load_factor_e6"),
+            F.expr("CAST(mx DIV total_rows AS BIGINT)")
+            .alias("max_load_factor_e6"),
+        )
+        .orderBy("bucket")
+    )

@@ -2391,3 +2391,50 @@ def token_context_diversity(spark: SparkSession, sf_dir: str,
         )
         .orderBy(F.desc("freq"), "word")
     )
+
+
+def token_positional_entropy(spark: SparkSession, sf_dir: str,
+                             n_positions: int = 20) -> DataFrame:
+    """Per-POSITION token entropy over the first n_positions tokens of
+    every document — the boilerplate/template detector: a corpus whose
+    documents all open with the same scaffold ("subject: ... from: ...")
+    shows collapsed entropy at early positions while a natural corpus
+    is near-flat, and positional collapse is invisible to the per-doc
+    entropy screens (`token_entropy_quality` averages over the whole
+    doc) and to global Zipf/Heaps stats.
+
+    Entropy uses the repo's algebraic exact-integer form
+    H = ln(n) - (1/n)*sum(c*ln c) (token_entropy_quality convention:
+    every input an exact BIGINT, ONE smooth float expression, rounded
+    6 dp). The modal token is picked through a printf('%010d|%s')
+    packed max — count-desc then lexicographically-last token,
+    bit-identical on both engines — and its share is exact micro-units.
+
+    Scale: position explode is capped at n_positions per doc (bounded
+    output regardless of doc length), one (pos, token) partial-agg
+    exchange, one n_positions-bounded rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.posexplode(_tokens("text")).alias("pos", "t")
+    ).where(F.col("pos") < n_positions)
+    cnt = toks.groupBy("pos", "t").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("pos").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        F.max(F.format_string("%010d|%s", F.col("c"), F.col("t")))
+        .alias("packed"),
+    )
+    h = F.log("n") - F.col("clnc") / F.col("n")
+    return (
+        per.select(
+            F.col("pos").cast("long").alias("pos"),
+            "n", "n_distinct",
+            F.round(h, 6).alias("entropy"),
+            F.expr("substring(packed, 12)").alias("top_token"),
+            F.expr("CAST(CAST(substring(packed, 1, 10) AS BIGINT)"
+                   " * 1000000 DIV n AS BIGINT)").alias("top_share_e6"),
+        )
+        .orderBy("pos")
+    )

@@ -222,6 +222,11 @@ QUERIES: dict[str, QueryFn] = {
     "supply_bipartite_profile": relational.supply_bipartite_profile,
     # round-8 wave f: prefix-filtered scale path for directed containment
     "dedup_containment_prefix": dedup.dedup_containment_prefix,
+    # round-8 wave g: score calibration / bucket-layout planning /
+    # positional template detection
+    "quality_calibration_bins": curation.quality_calibration_bins,
+    "partition_skew_plan": skew.partition_skew_plan,
+    "token_positional_entropy": textstats.token_positional_entropy,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7250,3 +7255,87 @@ SELECT list_id::BIGINT AS cluster, count(*)::BIGINT AS n_members,
   min(c)::BIGINT AS min_cohesion_e6
 FROM afin GROUP BY list_id ORDER BY cluster
 """)
+
+
+# r8g: quality_calibration_bins — stopword-occurrence score in exact
+# micro-units, equal-width bins, truncating-integer means/rates (all
+# nonnegative, so // == Spark's DIV), ECE from a 1-row cross join.
+ORACLE["quality_calibration_bins"] = f"""
+WITH base AS (
+  SELECT len(list_filter({_TOKS},
+           t -> list_contains(['the','and','of','to','a','in','is','it',
+                               'you','that'], t)))::BIGINT AS hits,
+         len({_TOKS})::BIGINT AS n_tok,
+         (lang = 'en')::BIGINT AS pos
+  FROM documents
+),
+scored AS (
+  SELECT hits * 1000000 // n_tok AS score_e6, pos
+  FROM base WHERE n_tok > 0
+),
+per AS (
+  SELECT least(score_e6 * 10 // 1000000, 9) AS bin,
+         count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+         (sum(score_e6) // count(*))::BIGINT AS mean_score_e6,
+         (sum(pos) * 1000000 // count(*))::BIGINT AS pos_rate_e6
+  FROM scored GROUP BY 1
+),
+g AS (
+  SELECT bin, n_docs, n_pos, mean_score_e6, pos_rate_e6,
+         abs(mean_score_e6 - pos_rate_e6) AS gap_e6
+  FROM per
+),
+tot AS (SELECT (sum(n_docs * gap_e6) // sum(n_docs))::BIGINT AS ece_e6 FROM g)
+SELECT bin::BIGINT AS bin, n_docs, n_pos, mean_score_e6, pos_rate_e6,
+       gap_e6::BIGINT AS gap_e6, ece_e6
+FROM g CROSS JOIN tot ORDER BY bin
+"""
+
+# r8g: partition_skew_plan — md5-60bit(user_id) % 32 buckets; loads and
+# factors in exact micro-units (all nonnegative).
+ORACLE["partition_skew_plan"] = """
+WITH per_key AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+per_bucket AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT
+          % 32)::BIGINT AS bucket,
+         sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys
+  FROM per_key GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_rows)::BIGINT AS total_rows,
+         max(n_rows * 32 * 1000000)::BIGINT AS mx
+  FROM per_bucket
+)
+SELECT bucket, n_rows, n_keys,
+  (n_rows * 1000000 // total_rows)::BIGINT AS share_e6,
+  (n_rows * 32 * 1000000 // total_rows)::BIGINT AS load_factor_e6,
+  (mx // total_rows)::BIGINT AS max_load_factor_e6
+FROM per_bucket CROSS JOIN tot ORDER BY bucket
+"""
+
+# r8g: token_positional_entropy — algebraic exact-integer entropy
+# (token_entropy_quality convention), modal token via the packed
+# printf('%010d|%s') max (count desc, lexicographically-last tie).
+ORACLE["token_positional_entropy"] = f"""
+WITH toks AS (
+  SELECT generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT {_TOKS} AS t FROM documents)
+),
+cnt AS (
+  SELECT pos, tok, count(*)::BIGINT AS c
+  FROM toks WHERE pos < 20 GROUP BY 1, 2
+),
+per AS (
+  SELECT pos, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+         sum(c * ln(c)) AS clnc,
+         max(printf('%010d|%s', c, tok)) AS packed
+  FROM cnt GROUP BY pos
+)
+SELECT pos::BIGINT AS pos, n, n_distinct,
+  round(ln(n) - clnc / n, 6) AS entropy,
+  packed[12:] AS top_token,
+  (packed[1:10]::BIGINT * 1000000 // n)::BIGINT AS top_share_e6
+FROM per ORDER BY pos
+"""

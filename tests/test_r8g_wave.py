@@ -1,0 +1,62 @@
+"""Invariants for the r8g wave (calibration / layout planning /
+positional templates). Oracle parity is enforced by
+test_oracle_parity_all; these pin the semantic claims the docstrings
+make."""
+
+from __future__ import annotations
+
+from hadoop_mapreduce_spark.operators.curation import quality_calibration_bins
+from hadoop_mapreduce_spark.operators.skew import partition_skew_plan
+from hadoop_mapreduce_spark.operators.textstats import (
+    token_positional_entropy,
+)
+from hadoop_mapreduce_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    rows = quality_calibration_bins(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents").count()
+    # bins partition the non-empty-token docs (fixture has no empty docs)
+    assert sum(r.n_docs for r in rows) <= docs
+    ece = {r.ece_e6 for r in rows}
+    assert len(ece) == 1  # one global ECE repeated per row
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0 <= r.pos_rate_e6 <= 1_000_000
+        assert 0 <= r.mean_score_e6 <= 1_000_000
+        assert r.gap_e6 == abs(r.mean_score_e6 - r.pos_rate_e6)
+    # ECE is the doc-weighted mean gap (truncating), so bounded by max gap
+    assert ece.pop() <= max(r.gap_e6 for r in rows)
+
+
+def test_partition_skew_plan_accounts_every_row(spark):
+    rows = partition_skew_plan(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    assert sum(r.n_keys for r in rows) == ev.select("user_id").distinct().count()
+    mx = max(r.load_factor_e6 for r in rows)
+    for r in rows:
+        assert 0 <= r.bucket < 32
+        assert r.max_load_factor_e6 == mx
+        # share sums to ~1e6 (truncation loss < n_buckets)
+    assert 1_000_000 - 32 <= sum(r.share_e6 for r in rows) <= 1_000_000
+
+
+def test_positional_entropy_bounds_and_cap(spark):
+    rows = token_positional_entropy(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    import math
+
+    for r in rows:
+        # 0 <= H <= ln(distinct)
+        assert -1e-9 <= r.entropy <= math.log(max(r.n_distinct, 2)) + 1e-9
+        assert 0 < r.top_share_e6 <= 1_000_000
+        assert r.n_distinct <= r.n
+        assert r.top_token  # non-empty modal token
+    # a positional collapse at pos 0 would show here as entropy ~0 with
+    # top_share ~1e6; the synthetic corpus is natural-ish, so entropy at
+    # every position is strictly positive unless a single token dominates
+    assert all(r.entropy > 0 or r.top_share_e6 == 1_000_000 for r in rows)
