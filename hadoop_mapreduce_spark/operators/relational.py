@@ -2062,3 +2062,65 @@ def supply_bipartite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.lit("supplier").alias("side"),
                  F.col("d").cast("long").alias("degree"), "n_nodes"))
     return p.unionAll(s).orderBy("side", "degree")
+
+
+def algebraic_merge_audit(spark, sf_dir: str):
+    """Partial-aggregate merge audit (Chan et al. pairwise-merge
+    discipline): per-source (n, sum, sum-of-squares) partials over
+    documents.n_chars, the GLOBAL row merged FROM those partials, and
+    the GLOBAL row computed directly from raw rows — emitted together
+    so the algebraic-merge contract (merged == direct, any partition
+    layout, any merge order) is a visible, hash-checked equality rather
+    than an assumption. This is the property that makes every two-level
+    aggregation in this engine (map-side combine -> final merge) exact,
+    and the audit shape a data platform runs when validating a new
+    partial-aggregate (sketch, moment, counter) before trusting its
+    merge path at 1000 executors.
+
+    All-integer: n_chars is BIGINT; mean in truncating micro-units;
+    population variance via (n*ssq - sum^2) * 1e6 DIV n^2 carried in
+    DECIMAL(38,0) (HUGEINT on the oracle) — n*ssq alone overflows int64
+    at fixture scale.
+
+    Scale: one groupBy(source) partial-agg pass; the global rows are
+    |sources|-row and 1-row folds of the partials. Raw rows shuffle
+    never.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x"))
+    partials = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("ssq"),
+    )
+    merged = partials.agg(
+        F.lit("GLOBAL(merged)").alias("source"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ssq").alias("ssq"),
+    )
+    direct = docs.agg(
+        F.lit("GLOBAL(direct)").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("ssq"),
+    )
+    stats = lambda df: df.select(  # noqa: E731
+        "source", "n", "s",
+        F.expr("CAST(ssq AS DECIMAL(38,0))").cast("string").alias("ssq"),
+        F.expr("s * 1000000 DIV n").alias("mean_e6"),
+        F.expr("""CAST((CAST(ssq AS DECIMAL(38,0)) * n
+                        - CAST(s AS DECIMAL(38,0)) * s) * 1000000
+                  DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+        .alias("var_e6"),
+    )
+    return (
+        stats(partials)
+        .unionByName(stats(merged))
+        .unionByName(stats(direct))
+        .orderBy("source")
+    )

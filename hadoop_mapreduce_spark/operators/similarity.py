@@ -1396,3 +1396,123 @@ def sparse_cosine_pairs_topk(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("cosine"), "id1", "id2")
         .limit(k)
     )
+
+
+def retrieval_label_precision(spark: SparkSession, sf_dir: str,
+                              n_queries: int = 20, k: int = 10) -> DataFrame:
+    """Embedding-space retrieval evaluation: label-match precision@5 and
+    @10 of the EXACT cosine top-k for each of the first n_queries
+    vectors — "do nearest neighbours share the query's label", the
+    standard is-this-space-retrievable read (kNN classification
+    accuracy) run BEFORE building any ANN index on it: if exact
+    retrieval can't surface same-label neighbours, no index parameter
+    tuning will.
+
+    Exactness: candidates rank by the e6-ROUNDED cosine with vec_id
+    tie-break (integer total order — no float argsort hazard), hits and
+    precisions are exact integers.
+
+    Scale: the n_queries-row query set broadcasts; the vector table is
+    scanned once, never shuffled; per-query rank is a window over the
+    broadcast-joined score rows keyed by qid (n_queries-bounded
+    partitions).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"),
+        "label")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel",
+            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+            F.floor(cosine_similarity(F.col("e"), F.col("qe"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nid"))
+    ranked = scored.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k)
+    return (
+        ranked.groupBy("qid", "qlabel")
+        .agg(
+            F.sum(((F.col("r") <= 5)
+                   & (F.col("nlabel") == F.col("qlabel"))).cast("long"))
+            .alias("hits_at_5"),
+            F.sum((F.col("nlabel") == F.col("qlabel")).cast("long"))
+            .alias("hits_at_10"),
+        )
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("qlabel").cast("long").alias("qlabel"),
+            "hits_at_5", "hits_at_10",
+            F.expr("hits_at_5 * 1000000 DIV 5").alias("p_at_5_e6"),
+            F.expr(f"hits_at_10 * 1000000 DIV {k}").alias("p_at_10_e6"),
+        )
+        .orderBy("qid")
+    )
+
+
+def embedding_quant_sqnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension signal-to-quantization-noise audit of symmetric
+    int8 quantization (the `int8_quantize` storage path): for each
+    dimension, signal power, noise power of round(x/scale)*scale with
+    scale = maxabs/127, and SQNR — the per-dimension read that decides
+    whether one global scale or per-dim scales are needed before
+    shipping a quantized embedding store (a single scale-dominating
+    dimension silently crushes every other dimension's precision).
+
+    Exactness: x is float32 -> float64 (exact); per-dim maxabs and
+    scale are engine-identical; the quantized level uses explicit
+    floor(v + 0.5) (Spark round() and DuckDB round() disagree on .5
+    ties); signal/noise powers are e12-rounded per ELEMENT and summed
+    as exact BIGINT (order-independent), and SQNR_db is ONE float
+    expression on those integers, rounded 6 dp.
+
+    Scale: one posexplode scan, one (dim)-keyed partial-agg exchange
+    for maxabs, broadcast of the d-row scale table, one more bounded
+    rollup. Never shuffles the vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"))
+    scales = elems.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale"))
+    dq = (
+        elems.join(F.broadcast(scales), "dim")
+        .select(
+            "dim", "x",
+            F.when(F.col("scale") > 0,
+                   F.greatest(F.lit(-127.0), F.least(F.lit(127.0),
+                       F.floor(F.col("x") / F.col("scale") + F.lit(0.5))))
+                   * F.col("scale"))
+            .otherwise(F.lit(0.0)).alias("deq"),
+        )
+        .select(
+            "dim",
+            F.floor(F.col("x") * F.col("x") * F.lit(1e12) + F.lit(0.5))
+            .cast("long").alias("sig_e12"),
+            F.floor((F.col("x") - F.col("deq"))
+                    * (F.col("x") - F.col("deq")) * F.lit(1e12)
+                    + F.lit(0.5)).cast("long").alias("noise_e12"),
+        )
+    )
+    per = dq.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sig_e12").cast("long").alias("signal_e12"),
+        F.sum("noise_e12").cast("long").alias("noise_e12"),
+    )
+    sqnr = F.when(
+        F.col("noise_e12") > 0,
+        F.round(F.lit(10.0) * F.log(
+            10.0, F.col("signal_e12") / F.col("noise_e12")), 6))
+    return (
+        per.select(F.col("dim").cast("long").alias("dim"),
+                   "n", "signal_e12", "noise_e12",
+                   sqnr.alias("sqnr_db"))
+        .orderBy("dim")
+    )

@@ -227,6 +227,11 @@ QUERIES: dict[str, QueryFn] = {
     "quality_calibration_bins": curation.quality_calibration_bins,
     "partition_skew_plan": skew.partition_skew_plan,
     "token_positional_entropy": textstats.token_positional_entropy,
+    # round-8 wave h: retrieval eval / quantization audit / merge
+    # governance
+    "retrieval_label_precision": similarity.retrieval_label_precision,
+    "embedding_quant_sqnr": similarity.embedding_quant_sqnr,
+    "algebraic_merge_audit": relational.algebraic_merge_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7338,4 +7343,92 @@ SELECT pos::BIGINT AS pos, n, n_distinct,
   packed[12:] AS top_token,
   (packed[1:10]::BIGINT * 1000000 // n)::BIGINT AS top_share_e6
 FROM per ORDER BY pos
+"""
+
+
+# r8h: retrieval_label_precision — exact top-k by e6-rounded cosine
+# (vec_id tie-break, integer total order); hits/precisions exact.
+ORACLE["retrieval_label_precision"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT q.qid, q.qlabel, v.vec_id AS nid, v.label AS nlabel,
+    floor(list_dot_product(v.e, q.qe)
+          / (sqrt(list_dot_product(v.e, v.e))
+             * sqrt(list_dot_product(q.qe, q.qe)))
+          * 1e6 + 0.5)::BIGINT AS c
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, qlabel, nlabel,
+    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS r
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, qlabel::BIGINT AS qlabel,
+  sum(CASE WHEN r <= 5 AND nlabel = qlabel THEN 1 ELSE 0 END)::BIGINT
+    AS hits_at_5,
+  sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)::BIGINT AS hits_at_10,
+  (sum(CASE WHEN r <= 5 AND nlabel = qlabel THEN 1 ELSE 0 END)
+   * 1000000 // 5)::BIGINT AS p_at_5_e6,
+  (sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+   * 1000000 // 10)::BIGINT AS p_at_10_e6
+FROM ranked WHERE r <= 10
+GROUP BY qid, qlabel ORDER BY qid
+"""
+
+# r8h: embedding_quant_sqnr — symmetric int8 per-dim quantization;
+# explicit floor(v + 0.5) level (round() half-ties differ per engine),
+# powers e12-rounded per element then exact BIGINT sums.
+ORACLE["embedding_quant_sqnr"] = """
+WITH elems AS (
+  SELECT generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS x
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+),
+scales AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM elems GROUP BY 1),
+dq AS (
+  SELECT elems.dim,
+    floor(x * x * 1e12 + 0.5)::BIGINT AS sig_e12,
+    floor((x - CASE WHEN scale > 0
+                THEN greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                     * scale
+                ELSE 0.0 END)
+          * (x - CASE WHEN scale > 0
+                THEN greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                     * scale
+                ELSE 0.0 END) * 1e12 + 0.5)::BIGINT AS noise_e12
+  FROM elems JOIN scales USING (dim)
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+  sum(sig_e12)::BIGINT AS signal_e12,
+  sum(noise_e12)::BIGINT AS noise_e12,
+  CASE WHEN sum(noise_e12) > 0
+       THEN round(10.0 * log10(sum(sig_e12)::DOUBLE / sum(noise_e12)), 6)
+  END AS sqnr_db
+FROM dq GROUP BY dim ORDER BY dim
+"""
+
+# r8h: algebraic_merge_audit — per-source partials + merged and direct
+# global rows; variance numerators in HUGEINT (Spark: DECIMAL(38,0)).
+ORACLE["algebraic_merge_audit"] = """
+WITH base AS (SELECT source, n_chars::BIGINT AS x FROM documents),
+partials AS (
+  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x::HUGEINT * x) AS ssq
+  FROM base GROUP BY source
+),
+allrows AS (
+  SELECT source, n, s, ssq FROM partials
+  UNION ALL
+  SELECT 'GLOBAL(merged)', sum(n)::BIGINT, sum(s)::BIGINT, sum(ssq)
+  FROM partials
+  UNION ALL
+  SELECT 'GLOBAL(direct)', count(*)::BIGINT, sum(x)::BIGINT,
+         sum(x::HUGEINT * x)
+  FROM base
+)
+SELECT source, n, s, ssq::VARCHAR AS ssq,
+  (s * 1000000 // n)::BIGINT AS mean_e6,
+  ((ssq * n - s::HUGEINT * s) * 1000000 // (n::HUGEINT * n))::BIGINT
+    AS var_e6
+FROM allrows ORDER BY source
 """

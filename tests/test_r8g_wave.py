@@ -60,3 +60,48 @@ def test_positional_entropy_bounds_and_cap(spark):
     # top_share ~1e6; the synthetic corpus is natural-ish, so entropy at
     # every position is strictly positive unless a single token dominates
     assert all(r.entropy > 0 or r.top_share_e6 == 1_000_000 for r in rows)
+
+
+# --- r8h wave -------------------------------------------------------------
+
+def test_retrieval_precision_bounds(spark):
+    from hadoop_mapreduce_spark.operators.similarity import (
+        retrieval_label_precision,
+    )
+
+    rows = retrieval_label_precision(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.hits_at_5 <= 5
+        assert r.hits_at_5 <= r.hits_at_10 <= 10
+        assert r.p_at_5_e6 == r.hits_at_5 * 1_000_000 // 5
+        assert r.p_at_10_e6 == r.hits_at_10 * 1_000_000 // 10
+
+
+def test_quant_sqnr_noise_bounded_by_signal_scale(spark):
+    from hadoop_mapreduce_spark.operators.similarity import (
+        embedding_quant_sqnr,
+    )
+
+    rows = embedding_quant_sqnr(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.noise_e12 >= 0
+        # int8 on a max-abs scale keeps |err| <= scale/2 per element ->
+        # SQNR comfortably above 30 dB for any non-degenerate dimension
+        if r.sqnr_db is not None:
+            assert r.sqnr_db > 30.0
+
+
+def test_algebraic_merge_equality(spark):
+    from hadoop_mapreduce_spark.operators.relational import (
+        algebraic_merge_audit,
+    )
+
+    rows = {r.source: r for r in algebraic_merge_audit(spark, SF_DIR).collect()}
+    m, d = rows["GLOBAL(merged)"], rows["GLOBAL(direct)"]
+    assert (m.n, m.s, m.ssq, m.mean_e6, m.var_e6) == \
+        (d.n, d.s, d.ssq, d.mean_e6, d.var_e6)
+    per = [r for k, r in rows.items() if not k.startswith("GLOBAL")]
+    assert sum(r.n for r in per) == m.n
+    assert sum(r.s for r in per) == m.s
