@@ -1772,3 +1772,75 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str,
                 "gap_e6", "ece_e6")
         .orderBy("bin")
     )
+
+
+def experiment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment assignment + sample-ratio-mismatch (SRM) audit:
+    users hash into two arms with the portable md5 hash, conversion =
+    any purchase event, and the output carries BOTH health checks an
+    experimentation platform runs before reading any lift number —
+    the SRM chi-square on arm sizes (Fabijan et al. 2019: a 50/50
+    split that lands 51/49 with enough users means broken assignment,
+    and every downstream metric is garbage) and the 2x2 conversion
+    chi-square (is the observed lift distinguishable from noise).
+
+    Exactness: assignment is md5-60bit(user_id) % 2 (the dataset_split
+    convention — deterministic, identical on both engines); both
+    chi-squares are exact-integer micro-units, the 2x2 statistic
+    N*(ad-bc)^2 / (row and column margins) carried in DECIMAL(38,0)
+    (HUGEINT on the oracle) because (ad-bc)^2 alone overflows int64.
+
+    Scale: one groupBy(user_id) pass (partial-agg max over the
+    purchase flag), one 2-row rollup, stats attached from a 1-row
+    broadcast. Events never shuffle twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .alias("conv"))
+    arms = (
+        per_user.select(F.pmod(h, F.lit(2)).alias("arm"), "conv")
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.sum("conv").cast("long").alias("n_conv"))
+    )
+    tot = arms.agg(
+        F.sum("n_users").alias("n"),
+        F.sum("n_conv").alias("conv"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("cb"),
+    ).select(
+        "na", "nb", "ca", "cb",
+        F.expr("CAST((na - nb) * (na - nb) * 1000000 DIV (na + nb)"
+               " AS BIGINT)").alias("srm_chi2_e6"),
+        # 2x2 chi-square: a=ca, b=na-ca, c=cb, d=nb-cb; NULL when a
+        # margin is empty (all users converted, or none did — the
+        # statistic is undefined there, on both engines)
+        F.expr("""CASE WHEN ca + cb > 0 AND (na + nb) - (ca + cb) > 0
+                  THEN CAST(
+            CAST(na + nb AS DECIMAL(38,0))
+            * (CAST(ca AS DECIMAL(38,0)) * (nb - cb)
+               - CAST(cb AS DECIMAL(38,0)) * (na - ca))
+            * (CAST(ca AS DECIMAL(38,0)) * (nb - cb)
+               - CAST(cb AS DECIMAL(38,0)) * (na - ca))
+            * 1000000
+            DIV (CAST(na AS DECIMAL(38,0)) * nb * (ca + cb)
+                 * ((na + nb) - (ca + cb)))
+            AS BIGINT) END""").alias("conv_chi2_e6"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(tot.select("srm_chi2_e6",
+                                              "conv_chi2_e6")))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_users", "n_conv",
+            F.expr("n_conv * 1000000 DIV n_users").alias("conv_rate_e6"),
+            "srm_chi2_e6", "conv_chi2_e6",
+        )
+        .orderBy("arm")
+    )

@@ -2533,3 +2533,64 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str,
         )
         .orderBy("id_small", "id_big")
     )
+
+
+def hash_width_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance of the engine's own 60-bit md5-prefix hash convention
+    (`_h60`): over the corpus's distinct token-3-shingles, count the
+    actual hash collisions at prefix widths 60/40/32/20 bits against
+    the birthday-bound expectation n(n-1)/2^(b+1) — the measurement
+    that justifies (or retires) a hash width before a petabyte dedup
+    run bets its candidate generation on it. A width whose measured
+    collisions track the birthday term is healthy; excess collisions
+    mean a biased hash (or adversarial shingles) and silently merged
+    false-positive dup pairs downstream.
+
+    Portable + exact: hashes are hex-prefix substrings of the same md5
+    both engines compute; counts are exact BIGINTs; the expectation
+    rides DECIMAL(38,0)/HUGEINT (n^2 * 1e6 overflows int64 past ~3e6
+    distinct shingles).
+
+    Scale: one tokenize/shingle scan, one distinct-shingle exchange,
+    then 4 count-distincts over prefix projections of the SAME rows —
+    Catalyst plans one expand + aggregate, no per-width rescans.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        ngrams_from_tokens,
+        normalize_text,
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(F.explode(
+            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), 3))
+            .alias("s"))
+        .distinct()
+        .select(F.md5(F.col("s")).alias("h"))
+    )
+    # 15/10/8/5 hex digits = 60/40/32/20 bits
+    agg = sh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        *[F.countDistinct(F.substring(F.col("h"), 1, hexlen))
+          .cast("long").alias(f"d{bits}")
+          for hexlen, bits in [(15, 60), (10, 40), (8, 32), (5, 20)]],
+    )
+    rows = []
+    for bits in (60, 40, 32, 20):
+        rows.append(
+            agg.select(
+                F.lit(bits).cast("long").alias("bits"),
+                "n_keys",
+                F.col(f"d{bits}").alias("n_hashes"),
+                (F.col("n_keys") - F.col(f"d{bits}")).cast("long")
+                .alias("n_collisions"),
+                F.expr(f"""CAST(CAST(n_keys AS DECIMAL(38,0))
+                           * (n_keys - 1) * 1000000
+                           DIV CAST({2 ** (bits + 1)} AS DECIMAL(38,0))
+                           AS BIGINT)""").alias("expected_collisions_e6"),
+            ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.desc("bits"))

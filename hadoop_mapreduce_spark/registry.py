@@ -232,6 +232,9 @@ QUERIES: dict[str, QueryFn] = {
     "retrieval_label_precision": similarity.retrieval_label_precision,
     "embedding_quant_sqnr": similarity.embedding_quant_sqnr,
     "algebraic_merge_audit": relational.algebraic_merge_audit,
+    # round-8 wave i: hash-width governance / experimentation health
+    "hash_width_collision_audit": dedup.hash_width_collision_audit,
+    "experiment_srm_audit": curation.experiment_srm_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7431,4 +7434,76 @@ SELECT source, n, s, ssq::VARCHAR AS ssq,
   ((ssq * n - s::HUGEINT * s) * 1000000 // (n::HUGEINT * n))::BIGINT
     AS var_e6
 FROM allrows ORDER BY source
+"""
+
+
+# r8i: hash_width_collision_audit — distinct shingles hashed by the
+# same md5; per-width distinct prefix counts; birthday expectation in
+# HUGEINT (Spark: DECIMAL(38,0)).
+ORACLE["hash_width_collision_audit"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+h AS (SELECT md5(s) AS h FROM sh),
+agg AS (
+  SELECT count(*)::BIGINT AS n_keys,
+         count(DISTINCT substr(h, 1, 15))::BIGINT AS d60,
+         count(DISTINCT substr(h, 1, 10))::BIGINT AS d40,
+         count(DISTINCT substr(h, 1, 8))::BIGINT AS d32,
+         count(DISTINCT substr(h, 1, 5))::BIGINT AS d20
+  FROM h
+)
+SELECT bits, n_keys, n_hashes, (n_keys - n_hashes)::BIGINT AS n_collisions,
+  (n_keys::HUGEINT * (n_keys - 1) * 1000000
+   // (2::HUGEINT ^ (bits + 1))::HUGEINT)::BIGINT
+  AS expected_collisions_e6
+FROM (
+  SELECT 60 AS bits, n_keys, d60 AS n_hashes FROM agg
+  UNION ALL SELECT 40, n_keys, d40 FROM agg
+  UNION ALL SELECT 32, n_keys, d32 FROM agg
+  UNION ALL SELECT 20, n_keys, d20 FROM agg
+)
+ORDER BY bits DESC
+"""
+
+# r8i: experiment_srm_audit — md5 % 2 arms; SRM and 2x2 chi-squares in
+# exact micro-units, the 2x2 numerator in HUGEINT.
+ORACLE["experiment_srm_audit"] = """
+WITH per_user AS (
+  SELECT user_id, max((event_type = 'purchase')::BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT
+          % 2)::BIGINT AS arm,
+         count(*)::BIGINT AS n_users, sum(conv)::BIGINT AS n_conv
+  FROM per_user GROUP BY 1
+),
+tot AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n_users END) AS na,
+    max(CASE WHEN arm = 1 THEN n_users END) AS nb,
+    max(CASE WHEN arm = 0 THEN n_conv END) AS ca,
+    max(CASE WHEN arm = 1 THEN n_conv END) AS cb
+  FROM arms
+),
+stats AS (
+  SELECT
+    ((na - nb) * (na - nb) * 1000000 // (na + nb))::BIGINT AS srm_chi2_e6,
+    CASE WHEN ca + cb > 0 AND (na + nb) - (ca + cb) > 0
+         THEN ((na + nb)::HUGEINT
+               * (ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca))
+               * (ca::HUGEINT * (nb - cb) - cb::HUGEINT * (na - ca))
+               * 1000000
+               // (na::HUGEINT * nb * (ca + cb)
+                   * ((na + nb) - (ca + cb))))::BIGINT
+    END AS conv_chi2_e6
+  FROM tot
+)
+SELECT arm, n_users, n_conv,
+  (n_conv * 1000000 // n_users)::BIGINT AS conv_rate_e6,
+  srm_chi2_e6, conv_chi2_e6
+FROM arms CROSS JOIN stats ORDER BY arm
 """

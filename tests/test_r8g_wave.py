@@ -105,3 +105,42 @@ def test_algebraic_merge_equality(spark):
     per = [r for k, r in rows.items() if not k.startswith("GLOBAL")]
     assert sum(r.n for r in per) == m.n
     assert sum(r.s for r in per) == m.s
+
+
+# --- r8i wave -------------------------------------------------------------
+
+def test_hash_collision_audit_monotone(spark):
+    from hadoop_mapreduce_spark.operators.dedup import (
+        hash_width_collision_audit,
+    )
+
+    rows = hash_width_collision_audit(spark, SF_DIR).collect()
+    assert [r.bits for r in rows] == [60, 40, 32, 20]
+    n_keys = {r.n_keys for r in rows}
+    assert len(n_keys) == 1  # same distinct-shingle universe per width
+    # collisions are non-decreasing as width shrinks; hashes <= keys
+    colls = [r.n_collisions for r in rows]
+    assert colls == sorted(colls)
+    for r in rows:
+        assert 0 <= r.n_collisions <= r.n_keys
+        assert r.n_hashes + r.n_collisions == r.n_keys
+        assert r.expected_collisions_e6 >= 0
+    # 60-bit: birthday expectation at fixture scale is << 1 collision
+    assert rows[0].n_collisions == 0
+
+
+def test_srm_audit_partition_and_bounds(spark):
+    from hadoop_mapreduce_spark.operators.curation import (
+        experiment_srm_audit,
+    )
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    rows = experiment_srm_audit(spark, SF_DIR).collect()
+    assert [r.arm for r in rows] == [0, 1]
+    users = load_table(spark, SF_DIR, "events").select(
+        "user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == users
+    for r in rows:
+        assert 0 <= r.n_conv <= r.n_users
+        assert 0 <= r.conv_rate_e6 <= 1_000_000
+        assert r.srm_chi2_e6 >= 0
