@@ -2594,3 +2594,122 @@ def hash_width_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy(F.desc("bits"))
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str, threshold: float):
+    """Undirected near-dup edge set (id1 < id2) at the given Jaccard
+    threshold — the shared base for the graph-structure audits below."""
+    return dedup_ngram_jaccard(spark, sf_dir, threshold=threshold) \
+        .select("id1", "id2")
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str,
+                         threshold: float = 0.5, k: int = 50) -> DataFrame:
+    """Triangle counting over the near-dup pair graph with the
+    degree-ordered node-iterator (Schank & Wagner 2005 / the
+    vertex-ordering trick behind every distributed triangle counter):
+    orient each undirected edge from the (degree, id)-smaller endpoint
+    to the larger, join oriented wedges (u->v, u->w) against the
+    oriented edge (v->w), and every triangle is counted exactly once.
+    Triangles are the transitivity evidence `dedup_chain_audit`'s
+    chain rows lack: a dup CLUSTER rich in triangles is a true
+    re-post family, while a triangle-free chain is drift (A~B~C with
+    A!~C) that keep-one-per-cluster dedup overfolds.
+
+    Scale: the orientation bounds every wedge fan-out by the SMALLER
+    endpoint's degree — the classic fix that turns the hot-node
+    O(d_max^2) wedge explosion into O(m^(3/2)) total work; wedge build
+    and closure check are two equi-joins on edge keys.
+
+    Output: top-k nodes by triangle participation (count desc, id asc)
+    — per-NODE counts, each triangle crediting all three corners.
+    """
+    e = _dup_edges(spark, sf_dir, threshold)
+    deg = (
+        e.select(F.col("id1").alias("v")).unionAll(
+            e.select(F.col("id2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("v").alias("id1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("id2"), F.col("d").alias("deg2"))
+    # orient low (deg, id) -> high (deg, id)
+    oriented = (
+        e.join(d1, "id1").join(d2, "id2")
+        .select(
+            F.when((F.col("deg1") < F.col("deg2"))
+                   | ((F.col("deg1") == F.col("deg2"))
+                      & (F.col("id1") < F.col("id2"))),
+                   F.col("id1")).otherwise(F.col("id2")).alias("src"),
+            F.when((F.col("deg1") < F.col("deg2"))
+                   | ((F.col("deg1") == F.col("deg2"))
+                      & (F.col("id1") < F.col("id2"))),
+                   F.col("id2")).otherwise(F.col("id1")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    # closure: (v, w) present as an oriented edge in either direction
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    per_node = (
+        tri.select(F.col("u").alias("doc_id"))
+        .unionAll(tri.select(F.col("v").alias("doc_id")))
+        .unionAll(tri.select(F.col("w").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        per_node.orderBy(F.desc("n_triangles"), F.asc("doc_id")).limit(k)
+    )
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str,
+                               threshold: float = 0.5) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman 2002): the
+    Pearson correlation of endpoint degrees across edges — positive
+    means dup hubs connect to dup hubs (one template family), negative
+    means star shapes (one canonical doc with many one-off copies).
+    The single number that says WHICH dedup keep-policy fits: star
+    graphs are safe for keep-one, assortative cores need cluster-level
+    review.
+
+    Exactness: each edge contributes BOTH orientations (the standard
+    symmetrized estimator), so all sums are exact BIGINTs of degree
+    products; the correlation is ONE float expression over five exact
+    integers, floor-rounded 6 dp.
+
+    Scale: degrees from one edge-list rollup, one broadcast-sized join
+    back onto edges, and a 1-row fold.
+    """
+    e = _dup_edges(spark, sf_dir, threshold)
+    deg = (
+        e.select(F.col("id1").alias("v")).unionAll(
+            e.select(F.col("id2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("v").alias("id1"), F.col("d").alias("da"))
+    d2 = deg.select(F.col("v").alias("id2"), F.col("d").alias("db"))
+    both = (
+        e.join(d1, "id1").join(d2, "id2")
+        .select(F.col("da").alias("x"), F.col("db").alias("y"))
+    )
+    sym = both.unionAll(both.select(F.col("y").alias("x"),
+                                    F.col("x").alias("y")))
+    agg = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "sx", "sxx", "sxy",
+        F.when(den > 0,
+               F.floor(num.cast("double") / den.cast("double")
+                       * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("assortativity"),
+    )

@@ -235,6 +235,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave i: hash-width governance / experimentation health
     "hash_width_collision_audit": dedup.hash_width_collision_audit,
     "experiment_srm_audit": curation.experiment_srm_audit,
+    # round-8 wave j: dup-graph structure (triangles, assortativity)
+    "graph_triangle_count": dedup.graph_triangle_count,
+    "graph_degree_assortativity": dedup.graph_degree_assortativity,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7507,3 +7510,81 @@ SELECT arm, n_users, n_conv,
   srm_chi2_e6, conv_chi2_e6
 FROM arms CROSS JOIN stats ORDER BY arm
 """
+
+
+# r8j: near-dup edge base at threshold 0.5 for the graph-structure
+# audits (same inverted-index pair build as _SHINGLES, lower cut).
+_EDGES_05 = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+)"""
+
+# r8j: graph_triangle_count — degree-ordered node-iterator; every
+# triangle counted once, each corner credited.
+ORACLE["graph_triangle_count"] = f"""
+WITH {{edges}},
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id1 AS v FROM e UNION ALL SELECT id2 FROM e) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN (d1.d, e.id1) < (d2.d, e.id2) THEN e.id1 ELSE e.id2 END
+           AS src,
+         CASE WHEN (d1.d, e.id1) < (d2.d, e.id2) THEN e.id2 ELSE e.id1 END
+           AS dst
+  FROM e JOIN deg d1 ON e.id1 = d1.v JOIN deg d2 ON e.id2 = d2.v
+),
+wedges AS (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM oriented a JOIN oriented b ON a.src = b.src AND a.dst < b.dst
+),
+closing AS (
+  SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+),
+tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w))
+SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
+  SELECT u AS doc_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+) GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id ASC LIMIT 50
+""".replace("{{edges}}", "{edges}").format(edges=_EDGES_05.strip())
+
+# r8j: graph_degree_assortativity — symmetrized Pearson of endpoint
+# degrees; exact BIGINT sums, one float expression.
+ORACLE["graph_degree_assortativity"] = f"""
+WITH {{edges}},
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id1 AS v FROM e UNION ALL SELECT id2 FROM e) GROUP BY v
+),
+ends AS (
+  SELECT d1.d AS x, d2.d AS y
+  FROM e JOIN deg d1 ON e.id1 = d1.v JOIN deg d2 ON e.id2 = d2.v
+),
+sym AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends),
+agg AS (
+  SELECT count(*)::BIGINT AS m2, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM sym
+)
+SELECT (m2 // 2)::BIGINT AS n_edges, sx, sxx, sxy,
+  CASE WHEN m2 * sxx - sx * sx > 0
+       THEN floor((m2 * sxy - sx * sx)::DOUBLE
+                  / (m2 * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+  END AS assortativity
+FROM agg
+""".replace("{{edges}}", "{edges}").format(edges=_EDGES_05.strip())

@@ -144,3 +144,51 @@ def test_srm_audit_partition_and_bounds(spark):
         assert 0 <= r.n_conv <= r.n_users
         assert 0 <= r.conv_rate_e6 <= 1_000_000
         assert r.srm_chi2_e6 >= 0
+
+
+# --- r8j wave -------------------------------------------------------------
+
+def test_triangle_count_consistency(spark):
+    from hadoop_mapreduce_spark.operators.dedup import (
+        _dup_edges,
+        graph_triangle_count,
+    )
+
+    rows = graph_triangle_count(spark, SF_DIR).collect()
+    # triangle participation requires degree >= 2; total corner credits
+    # are divisible by 3 across the WHOLE graph (top-k may truncate, so
+    # only check when everything fit in k)
+    edges = {(r.id1, r.id2) for r in _dup_edges(spark, SF_DIR, 0.5).collect()}
+    for r in rows:
+        assert r.n_triangles >= 1
+    if rows and len(rows) < 50:
+        assert sum(r.n_triangles for r in rows) % 3 == 0
+    # brute-force verify on the collected edge set
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for v in (a, b, c):
+                per[v] = per.get(v, 0) + 1
+    # every triangle {a,b,c} is visited once per edge (3x) and credits
+    # each corner every visit -> divide by 3 for per-node counts
+    per = {v: n // 3 for v, n in per.items()}
+    got = {r.doc_id: r.n_triangles for r in rows}
+    for v, n in got.items():
+        assert per.get(v) == n, (v, n, per.get(v))
+
+
+def test_assortativity_bounds(spark):
+    from hadoop_mapreduce_spark.operators.dedup import (
+        graph_degree_assortativity,
+    )
+
+    r = graph_degree_assortativity(spark, SF_DIR).collect()[0]
+    assert r.n_edges >= 0
+    if r.assortativity is not None:
+        assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
