@@ -1588,23 +1588,31 @@ def quality_flag_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nd") * 2 < F.col("n")).cast("long").alias("f_lowdiv"),
         (F.col("chars") > F.col("n") * 8).cast("long").alias("f_longw"),
     )
+    # ONE tokenize scan for all three flags: per-source sums in a single
+    # aggregation, corpus totals folded from the |sources|-row table (a
+    # per-flag loop over `flags` re-ran the tokenize scan 6x — measured
+    # 15.4 s at the 16x rung vs ~2.5 s single-scan).
+    per = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f).cast("long").alias(f) for f in
+          ("f_short", "f_lowdiv", "f_longw")],
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        *[F.sum(f).alias(f"t{f}") for f in
+          ("f_short", "f_lowdiv", "f_longw")],
+    )
+    withtot = per.crossJoin(F.broadcast(tot))
     rows = []
     for flag in ("f_short", "f_lowdiv", "f_longw"):
-        per = flags.groupBy("source").agg(
-            F.sum(flag).cast("long").alias("a"),
-            (F.count(F.lit(1)) - F.sum(flag)).cast("long").alias("b"),
-        )
-        tot = flags.agg(
-            F.sum(flag).cast("long").alias("ta"),
-            (F.count(F.lit(1)) - F.sum(flag)).cast("long").alias("tb"),
-        )
-        cells = per.crossJoin(F.broadcast(tot)).select(
+        rows.append(withtot.select(
             F.lit(flag[2:]).alias("flag"), "source",
-            "a", "b",
-            (F.col("ta") - F.col("a")).alias("c"),
-            (F.col("tb") - F.col("b")).alias("d"),
-        )
-        rows.append(cells)
+            F.col(flag).alias("a"),
+            (F.col("n") - F.col(flag)).alias("b"),
+            (F.col(f"t{flag}") - F.col(flag)).alias("c"),
+            ((F.col("tn") - F.col(f"t{flag}"))
+             - (F.col("n") - F.col(flag))).alias("d"),
+        ))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

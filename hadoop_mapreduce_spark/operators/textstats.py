@@ -2272,16 +2272,21 @@ def source_rank_correlation(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("source", _tokens("text").alias("__t"))
     toks = toked.select("source", F.explode("__t").alias("term"))
+    # ONE tokenize scan: aggregate the full (source, term) grid first
+    # (vocabulary x sources bounded), then derive the global top-N from
+    # that table by a second, metadata-sized re-aggregation — the old
+    # shape scanned/tokenized the corpus twice (global_top + st),
+    # measured 10.6 s at the 16x rung vs ~6 s single-scan.
+    st_all = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     global_top = (
-        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        st_all.groupBy("term").agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.desc("cnt"), "term").limit(top_n)
         .select("term")
     )
-    st = (
-        toks.join(F.broadcast(global_top), "term")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    st = st_all.join(F.broadcast(global_top), "term")
     wr = Window.partitionBy("source").orderBy(F.desc("cnt"), "term")
     ranked = st.select("source", "term",
                        F.row_number().over(wr).alias("rk"))
