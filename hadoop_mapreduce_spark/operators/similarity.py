@@ -297,40 +297,28 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str, k: int = 5,
     )
 
 
-def embedding_kmeans_stats(spark: SparkSession, sf_dir: str,
-                           n_lists: int = 16, n_iter: int = 3) -> DataFrame:
-    """Cluster-structure audit of the corpus embedding space: per-cluster
-    membership and cohesion from a deterministic Lloyd k-means — the
-    "what domains does this corpus contain" step before mixture
-    reweighting, and the health check for the IVF index family.
-
-    Hash-paired since r8 (was rows-only): this variant replays the SAME
-    Lloyd schedule as kmeans_centroids but in engine-portable exact
-    arithmetic, so the DuckDB oracle chains the fixed rounds as CTEs
-    (the label_propagation_communities precedent):
+def _portable_kmeans_assign(emb: DataFrame, n_lists: int = 16,
+                            n_iter: int = 3) -> DataFrame:
+    """Engine-portable exact Lloyd assignment (the hash-paired k-means
+    core shared by embedding_kmeans_stats and semdedup_ivf; the DuckDB
+    twin is registry._KM_ROUND's chained CTEs):
 
       * components quantized to e6 micro-units ONCE up front —
         integer-valued doubles, so every dot/norm partial sum stays an
-        exact integer < 2^53 (dim 64 x |e6| <= ~6e5 -> sums <= ~2e13)
-        and is order-independent: any shuffle layout and any fold order
-        produce the same bits, and the one float expression per pair
-        (dot / (sqrt(na)*sqrt(nb)), mirrored verbatim in SQL) is IEEE-
-        identical across engines;
+        exact integer < 2^53 and is fold-order-independent, and the one
+        float expression per pair (dot / (sqrt(na)*sqrt(nb)), mirrored
+        verbatim in SQL) is IEEE-identical across engines;
       * init: vector of the min vec_id within each md5(vec_id) % k
-        bucket (the repo's portable-hash convention — kmeans_centroids
-        uses crc32, which DuckDB lacks);
+        bucket (portable-hash convention — DuckDB lacks crc32);
       * assignment argmax on the e6-ROUNDED cosine, ties to the lowest
         list id — an integer comparison, no float argmax hazard;
       * update means in truncating integer division (micro-units);
-        emptied clusters keep their previous centroid (left join +
-        coalesce), exactly like kmeans_centroids.
+        emptied clusters keep their previous centroid.
 
-    Scale shape is unchanged: per round one broadcast of the k-row
-    centroid table, one max_by aggregate (map-side partials collapse
-    N x k scored rows to one per vector pre-shuffle), one k*d-bounded
-    mean aggregate; the vector table never shuffles.
+    Returns one row per vector: (vec_id, list_id, e, c) where ``e`` is
+    the e6-quantized component array and ``c`` the e6-rounded cosine to
+    the assigned centroid.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
         F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>),"
@@ -387,7 +375,44 @@ def embedding_kmeans_stats(spark: SparkSession, sf_dir: str,
                     F.coalesce("new_cvec", "cvec").alias("cvec"))
             .localCheckpoint()
         )
-    final = assign(centroids)
+    return assign(centroids)
+
+
+def embedding_kmeans_stats(spark: SparkSession, sf_dir: str,
+                           n_lists: int = 16, n_iter: int = 3) -> DataFrame:
+    """Cluster-structure audit of the corpus embedding space: per-cluster
+    membership and cohesion from a deterministic Lloyd k-means — the
+    "what domains does this corpus contain" step before mixture
+    reweighting, and the health check for the IVF index family.
+
+    Hash-paired since r8 (was rows-only): this variant replays the SAME
+    Lloyd schedule as kmeans_centroids but in engine-portable exact
+    arithmetic, so the DuckDB oracle chains the fixed rounds as CTEs
+    (the label_propagation_communities precedent):
+
+      * components quantized to e6 micro-units ONCE up front —
+        integer-valued doubles, so every dot/norm partial sum stays an
+        exact integer < 2^53 (dim 64 x |e6| <= ~6e5 -> sums <= ~2e13)
+        and is order-independent: any shuffle layout and any fold order
+        produce the same bits, and the one float expression per pair
+        (dot / (sqrt(na)*sqrt(nb)), mirrored verbatim in SQL) is IEEE-
+        identical across engines;
+      * init: vector of the min vec_id within each md5(vec_id) % k
+        bucket (the repo's portable-hash convention — kmeans_centroids
+        uses crc32, which DuckDB lacks);
+      * assignment argmax on the e6-ROUNDED cosine, ties to the lowest
+        list id — an integer comparison, no float argmax hazard;
+      * update means in truncating integer division (micro-units);
+        emptied clusters keep their previous centroid (left join +
+        coalesce), exactly like kmeans_centroids.
+
+    Scale shape is unchanged: per round one broadcast of the k-row
+    centroid table, one max_by aggregate (map-side partials collapse
+    N x k scored rows to one per vector pre-shuffle), one k*d-bounded
+    mean aggregate; the vector table never shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    final = _portable_kmeans_assign(emb, n_lists=n_lists, n_iter=n_iter)
     return (
         final.groupBy(F.col("list_id").cast("long").alias("cluster"))
         .agg(
@@ -771,28 +796,31 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.5,
     Scale shape: the clustering IS the blocking — pairwise cosine is
     confined to a cluster (the paper's trick for avoiding O(N²)), and
     each cluster's greedy pass runs as one Arrow batch in
-    applyInPandas over the ivf_assign partitioning (same bounded-group
-    contract as knn_join_lsh's bucket kernel: one BLAS gram matrix per
+    applyInPandas over the k-means partitioning (same bounded-group
+    contract as knn_join_lsh's bucket kernel: one gram matrix per
     cluster, no row-at-a-time Python). Keep-first-by-id makes the scan
     order deterministic, so the output is seed-free reproducible.
 
-    Registered rows-only: the k-means assignment is iterative (not
-    SQL-expressible); tests/test_similarity_extra.py re-derives the
-    greedy invariants (kept prefix is pairwise <= tau; every dropped
-    vector has a kept earlier witness > tau) with numpy at fixture
-    scale.
+    Hash-paired since r8 (was rows-only): the blocking reuses the
+    portable exact Lloyd (_portable_kmeans_assign — e6-quantized
+    components, integer dots, md5 init), so the oracle replays the
+    fixed rounds as chained CTEs; the greedy compares e6-ROUNDED
+    cosines against tau_e6 — a pure integer threshold, no float
+    boundary hazard — and the oracle replays the keep/drop chain as a
+    per-cluster recursive CTE (the mmr_diversified_topk precedent).
+    Inside the kernel the gram matrix multiplies integer-valued
+    float64s whose products and partial sums stay exact integers
+    < 2^53, so BLAS fold order cannot change a bit; the single float
+    expression per pair (dot/(sqrt(na)*sqrt(nb))*1e6+0.5, floored)
+    mirrors the SQL verbatim. tests/test_similarity_extra.py
+    re-derives the greedy invariants (kept prefix pairwise <= tau;
+    every dropped vector has a kept earlier witness > tau) with numpy.
     """
-    from hadoop_mapreduce_spark.functions.vectors import l2_norm
-
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assignments = ivf_assign(emb, n_lists=n_lists, n_iter=n_iter)
-    assigned = assignments.select(F.col("vec_id").alias("id"), "list_id")
-    unit = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    ).select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    members = assigned.join(unit, "id").select("list_id", "id", "u")
+    tau_e6 = int(round(tau * 1e6))
+    members = _portable_kmeans_assign(emb, n_lists=n_lists,
+                                      n_iter=n_iter).select(
+        "list_id", F.col("vec_id").alias("id"), "e")
 
     def greedy(pdf):
         import numpy as np
@@ -800,34 +828,41 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.5,
 
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
-        U = np.vstack(pdf["u"].to_numpy())[order].astype(np.float64)
-        sims = U @ U.T
+        E = np.vstack(pdf["e"].to_numpy())[order].astype(np.float64)
+        dots = E @ E.T           # exact integers (components are e6 ints)
+        nrm = np.sqrt(np.diag(dots))
+        sims = np.floor(dots / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5
+                        ).astype(np.int64)
         n = len(ids)
         kept_mask = np.zeros(n, dtype=bool)
         witness = np.full(n, -1, dtype=np.int64)
-        max_cos = np.full(n, np.nan)
+        max_cos = np.full(n, -1, dtype=np.int64)
+        has_max = np.zeros(n, dtype=bool)
         for i in range(n):
             if i == 0:
                 kept_mask[0] = True
                 continue
             prior = np.flatnonzero(kept_mask[:i])
             s = sims[i, prior]
-            j = int(np.argmax(s))
+            j = int(np.argmax(s))  # first max = lowest kept id
             max_cos[i] = s[j]
-            if s[j] > tau:
+            has_max[i] = True
+            if s[j] > tau_e6:
                 witness[i] = ids[prior[j]]
             else:
                 kept_mask[i] = True
         return pd.DataFrame({
             "vec_id": ids, "list_id": pdf["list_id"].iloc[0],
             "kept": kept_mask, "witness_id": witness,
-            "max_cos_kept": np.round(max_cos, 6),
+            "max_cos_kept_e6": pd.array(
+                [int(c) if h else None
+                 for c, h in zip(max_cos, has_max)], dtype="Int64"),
         })
 
     return (
         members.groupBy("list_id")
         .applyInPandas(greedy, "vec_id long, list_id long, kept boolean, "
-                               "witness_id long, max_cos_kept double")
+                               "witness_id long, max_cos_kept_e6 long")
         .orderBy("vec_id")
     )
 

@@ -323,7 +323,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnowing_neardup_pairs": textstats.winnowing_neardup_pairs,  # hash-paired r7b
     "events_lttb_downsample": timeseries.events_lttb_downsample,
     "pagerank_dedup_graph": dedup.pagerank_dedup_graph,  # hash-paired r7 (recursive-CTE twin)
-    "semdedup_ivf": similarity.semdedup_ivf,  # rows-only (k-means blocking)
+    "semdedup_ivf": similarity.semdedup_ivf,  # hash-paired r8 (portable Lloyd + recursive greedy twin)
     "mmr_diversified_topk": similarity.mmr_diversified_topk,  # hash-paired r7 (recursive greedy twin)
     # --- previously driver-recorded (r1-r4 windows) ---
     "ngram_count": _ngram_count,
@@ -7233,8 +7233,12 @@ c{k} AS (
   FROM c{p} LEFT JOIN m{k} USING (list_id)
 )"""
 
-ORACLE["embedding_kmeans_stats"] = (
-    """WITH q AS (
+# Shared portable-Lloyd CTE prefix (q -> c0 -> 3 rounds -> afin, the
+# final per-vector assignment) — consumed by embedding_kmeans_stats and
+# semdedup_ivf. WITH RECURSIVE is harmless for the non-recursive
+# consumer and required by semdedup's greedy-chain CTE.
+_KM_PREFIX = (
+    """WITH RECURSIVE q AS (
   SELECT vec_id,
     list_transform(embedding::DOUBLE[],
                    x -> (floor(x * 1000000.0 + 0.5)::BIGINT)::DOUBLE) AS e
@@ -7252,19 +7256,80 @@ c0 AS (
         for k in range(1, 4))
     + """,
 afin AS (
-  SELECT vec_id, arg_max(list_id, c * 16 - list_id) AS list_id,
+  SELECT vec_id, any_value(e) AS e,
+         arg_max(list_id, c * 16 - list_id) AS list_id,
          max(c) AS c
-  FROM (SELECT q.vec_id, c3.list_id, """
+  FROM (SELECT q.vec_id, q.e, c3.list_id, """
     + _KM_COS.format(c="c3")
     + """ AS c
         FROM q CROSS JOIN c3)
   GROUP BY vec_id
+)"""
 )
+
+ORACLE["embedding_kmeans_stats"] = (
+    _KM_PREFIX
+    + """
 SELECT list_id::BIGINT AS cluster, count(*)::BIGINT AS n_members,
   CASE WHEN sum(c) >= 0 THEN (sum(c) // count(*))::BIGINT
        ELSE -((-sum(c)) // count(*))::BIGINT END AS avg_cohesion_e6,
   min(c)::BIGINT AS min_cohesion_e6
 FROM afin GROUP BY list_id ORDER BY cluster
+""")
+
+# r8: semdedup_ivf converts from rows-only to hash-paired — blocking is
+# the shared portable Lloyd (_KM_PREFIX's afin assignment), the greedy
+# keep/drop chain replays as a per-cluster recursive CTE carrying the
+# kept-id list (the mmr_diversified_topk precedent), and every
+# comparison is on the e6-ROUNDED cosine (exact-integer dots over
+# e6-quantized components; the single float expression mirrors _KM_COS
+# verbatim) against tau_e6 = 500000 — a pure integer threshold.
+# Witness tie-break (equal max cosine -> lowest kept id) packs into the
+# exact BIGINT key c * 1e8 - j (|c| <= 1e6 so the product caps at 1e14;
+# assumes vec_id < 1e8 — the fixtures are < 1e4 and the operator
+# documents the same keep-first-by-id contract).
+ORACLE["semdedup_ivf"] = (
+    _KM_PREFIX
+    + """,
+members AS MATERIALIZED (
+  SELECT vec_id, list_id, e FROM afin
+),
+seq AS MATERIALIZED (
+  SELECT list_id, vec_id,
+         row_number() OVER (PARTITION BY list_id ORDER BY vec_id) AS rn
+  FROM members
+),
+sims AS MATERIALIZED (
+  SELECT a.list_id, a.vec_id AS i, b.vec_id AS j,
+    floor(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) *
+           sqrt(list_dot_product(b.e, b.e))) * 1e6 + 0.5)::BIGINT AS c
+  FROM members a JOIN members b
+    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+),
+g(list_id, rn, vec_id, kept, witness_id, max_cos_kept_e6, kept_ids) AS (
+  SELECT list_id, rn, vec_id, TRUE, (-1)::BIGINT, NULL::BIGINT, [vec_id]
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT list_id, rn, vec_id, mc <= 500000,
+         CASE WHEN mc > 500000 THEN mw ELSE -1 END,
+         mc,
+         CASE WHEN mc <= 500000 THEN list_append(kept_ids, vec_id)
+              ELSE kept_ids END
+  FROM (
+    SELECT s.list_id, s.rn, s.vec_id, g.kept_ids,
+           max(s2.c) AS mc,
+           arg_max(s2.j, s2.c * 100000000 - s2.j) AS mw
+    FROM g JOIN seq s ON s.list_id = g.list_id AND s.rn = g.rn + 1
+    LEFT JOIN sims s2 ON s2.list_id = s.list_id AND s2.i = s.vec_id
+                     AND list_contains(g.kept_ids, s2.j)
+    GROUP BY s.list_id, s.rn, s.vec_id, g.kept_ids
+  )
+)
+SELECT vec_id::BIGINT AS vec_id, list_id::BIGINT AS list_id, kept,
+       witness_id::BIGINT AS witness_id,
+       max_cos_kept_e6::BIGINT AS max_cos_kept_e6
+FROM g ORDER BY vec_id
 """)
 
 

@@ -207,13 +207,16 @@ def test_semdedup_greedy_invariants(spark):
     assert any(not r.kept for r in rows)  # the dropped branch fires
     for members in by_cluster.values():
         kept = [r.vec_id for r in members if r.kept]
+        # decisions compare e6-ROUNDED cosines (the hash-paired portable
+        # arithmetic), so the raw-float re-derivation tolerates the
+        # quantization step (~1e-6), not just float noise
         for i, a in enumerate(kept):
             for b in kept[i + 1:]:
-                assert cos(a, b) <= tau + 1e-9, (a, b)
+                assert cos(a, b) <= tau + 2e-6, (a, b)
         for r in members:
             if not r.kept:
                 assert r.witness_id in kept and r.witness_id < r.vec_id
-                assert cos(r.witness_id, r.vec_id) > tau - 1e-9
+                assert cos(r.witness_id, r.vec_id) > tau - 2e-6
 
 
 def test_semdedup_tau_monotone(spark):
