@@ -3251,11 +3251,14 @@ FROM sel ORDER BY qid, rank
 # never-witnessed keys fit one more window and queue for r9:
 # orders_abc_pareto, label_propagation_communities, sax_motifs, dedup_chain_audit, vocab_growth_heaps, embedding_outlier_scores, order_status_flow, events_pattern_match,
 # readability_scores, events_acf, compression_ratio_quality, shard_layout_plan, hll_portable_union, ccnet_perplexity_buckets, vocab_coverage_curve, embedding_centroid_drift, char_trigram_langid,
-# minhash_accuracy_audit, quantile_histogram_portable, events_ewma_daily, salted_aggregate_events, join_skew_audit, video_meta, dedup_cluster_size_histogram, embedding_dim_stats.
+# minhash_accuracy_audit, quantile_histogram_portable, events_ewma_daily, salted_aggregate_events, join_skew_audit, video_meta, dedup_cluster_size_histogram, embedding_dim_stats,
+# benford_audit (displaced late-r8 by semdedup_ivf, whose implementation
+# changed to the hash-paired portable form this round — group (a) rule).
 # Pure reordering — no key or implementation changes here.
 _WINDOW_R8 = [
     "events_hierarchical_rollup",
     "embedding_kmeans_stats",
+    "semdedup_ivf",
     "dow_profile_stability",
     "embedding_anisotropy_audit",
     "quality_decile_lift",
@@ -3303,7 +3306,6 @@ _WINDOW_R8 = [
     "conversion_attribution",
     "user_active_streaks",
     "pii_redact_audit",
-    "benford_audit",
 ]
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
