@@ -468,6 +468,73 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str,
     )
 
 
+def shard_order_runs_audit(spark: SparkSession, sf_dir: str,
+                           n_shards: int = 8) -> DataFrame:
+    """Shuffle-quality audit of the deterministic training order: per
+    shard of global_shuffle_order's layout, the observed count of
+    ADJACENT same-source document pairs versus the count expected under
+    an independent (well-shuffled) permutation — a run-structure test.
+    Why it matters: gradient noise assumptions behind LR schedules
+    break when consecutive batches come from one source; a shuffle that
+    "looks keyed" but correlates with source (e.g. doc_id blocks per
+    source + a weak hash) passes eyeball checks and fails this one.
+
+    Expected value is exact: under a uniform random permutation of a
+    shard with per-source counts n_s (sum n), E[same-source adjacent
+    pairs] = sum_s n_s*(n_s-1) / n. Both sides are integers until the
+    final micro-unit division; sum_s n_s^2 passes BIGINT at ~3e9 docs
+    per shard so the numerators route through DECIMAL(38,0) (HUGEINT in
+    the oracle) — the basket_part_pairs posture. ratio_e6 ~ 1e6 means
+    the order is indistinguishable from independent.
+
+    Scale shape: shard = md5-bucket(doc_id), order = md5 hex (exactly
+    global_shuffle_order's write path) — ONE hash exchange + per-shard
+    sort for the lag window (n_shards-way parallel, never a global
+    window), plus a (shard, source) count aggregate whose grid is
+    metadata-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        _md5_bucket(F.col("doc_id"), n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    obs = (
+        keyed.select(
+            "shard", "source",
+            F.lag("source").over(w).alias("prev"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("prev") == F.col("source"), 1)
+                  .otherwise(0)).alias("obs_same_adj"),
+        )
+    )
+    exp = (
+        keyed.groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("shard")
+        .agg(F.expr("sum(CAST(c AS DECIMAL(38,0)) * (c - 1))")
+             .alias("pairs"))
+    )
+    return (
+        obs.join(exp, "shard")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("obs_same_adj").cast("long").alias("obs_same_adj"),
+            F.expr("CAST(pairs * 1000000 DIV n_docs AS BIGINT)")
+            .alias("exp_same_adj_e6"),
+            F.expr("CAST(CASE WHEN pairs > 0 THEN"
+                   " CAST(obs_same_adj AS DECIMAL(38,0)) * n_docs * 1000000"
+                   " DIV pairs ELSE NULL END AS BIGINT)")
+            .alias("ratio_obs_exp_e6"),
+        )
+        .orderBy("shard")
+    )
+
+
 def dup_ngram_rate(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
     """Repeated-long-n-gram rate per source — the scalable proxy for
     exact-substring duplication (Lee et al., "Deduplicating Training
@@ -1464,6 +1531,79 @@ def ks_drift_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_rest > 0 THEN"
                 " abs(cum_src * n_rest - cum_rest * n_src) * 1000000"
                 " div (n_src * n_rest) ELSE 0 END")).alias("ks_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+def wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) drift of each source's document
+    LENGTH distribution against the rest of the corpus: W1 =
+    integral |F_src(x) - F_rest(x)| dx over the pooled support. The
+    transport-cost sibling of ks_drift_quality — KS sees only the worst
+    single gap between the CDFs, W1 integrates ALL of it, so it ranks a
+    source whose whole distribution shifted 5% above one with a single
+    narrow spike, which is what a mixture rebalance actually cares
+    about (how many token-units of mass must move, not how bad the
+    worst quantile is).
+
+    Exactness: lengths are integers (n_chars), both CDFs are step
+    functions on integer support, and the integral is a finite sum of
+    |F_src - F_rest| * gap over consecutive distinct lengths — computed
+    by cross-multiplication |cum_src * n_rest - cum_rest * n_src| * gap
+    with the division deferred to the very end. The numerator is
+    bounded by N^2 * max_length, past BIGINT at corpus scale, so it
+    accumulates in DECIMAL(38,0) (HUGEINT in the oracle) — the
+    basket_part_pairs overflow posture. Output in micro-chars
+    (w1_chars_e6 = sum * 1e6 DIV (n_src * n_rest)).
+
+    Scale shape: identical to ks_drift_quality's — one (source, length)
+    count aggregation over the scan (map-side combinable), then every
+    window and join runs on the |sources| x |distinct lengths|
+    metadata-sized grid; no tokenize pass at all (n_chars is a stored
+    column), so this is the cheapest drift statistic in the family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+    counts = scoped_persist(counts)
+    xs = counts.select("x").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("n_src"))
+    total = counts.agg(F.sum("c").alias("n_all"))
+    per_x = counts.groupBy("x").agg(F.sum("c").alias("cx"))
+    grid = (
+        srcs.crossJoin(F.broadcast(xs))
+        .crossJoin(F.broadcast(total))
+        .join(counts, ["source", "x"], "left")
+        .join(F.broadcast(per_x), "x")
+        .select("source", "x", "n_src", "n_all",
+                F.coalesce(F.col("c"), F.lit(0)).alias("c"), "cx")
+    )
+    w = (Window.partitionBy("source").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lead_x = F.lead("x").over(Window.partitionBy("source").orderBy("x"))
+    cum = grid.select(
+        "source", "x", "n_src",
+        (F.col("n_all") - F.col("n_src")).alias("n_rest"),
+        F.sum("c").over(w).alias("cum_src"),
+        (F.sum("cx").over(w) - F.sum("c").over(w)).alias("cum_rest"),
+        (lead_x - F.col("x")).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_src"),
+            F.max("n_rest").cast("long").alias("n_rest"),
+            F.expr(
+                "CAST(CASE WHEN max(n_rest) > 0 THEN"
+                " sum(abs(CAST(cum_src AS DECIMAL(38,0)) * n_rest"
+                "         - CAST(cum_rest AS DECIMAL(38,0)) * n_src)"
+                "     * gap) * 1000000"
+                " DIV (CAST(max(n_src) AS DECIMAL(38,0)) * max(n_rest))"
+                " ELSE 0 END AS BIGINT)").alias("w1_chars_e6"),
         )
         .orderBy("source")
     )

@@ -2562,10 +2562,14 @@ def hash_width_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialise the token array BELOW the n-gram lambda so the regexp
+    # tokenizer runs once per doc, not once per gram element (the plan
+    # audit's higher-order-lambda rule; same shape as dup_ngram_rate)
+    toks = docs.select(
+        tokenize(normalize_text(F.col("text"))).alias("__t"))
     sh = (
-        docs.select(F.explode(
-            ngrams_from_tokens(tokenize(normalize_text(F.col("text"))), 3))
-            .alias("s"))
+        toks.select(F.explode(
+            ngrams_from_tokens(F.col("__t"), 3)).alias("s"))
         .distinct()
         .select(F.md5(F.col("s")).alias("h"))
     )

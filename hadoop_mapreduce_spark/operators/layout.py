@@ -100,6 +100,120 @@ def zorder_layout(spark: SparkSession, sf_dir: str,
     )
 
 
+# Fixed probe set for zone_map_skipping_audit: rank-space ranges
+# [lo, hi) on x (user rank), y (hour rank), or both. NULL bound = no
+# constraint on that dimension. Chosen to hit distinct curve regions so
+# the three layouts separate (an x-probe is prunable under the x-sort
+# and the curve, not under arrival order; a y-probe only under the
+# curve).
+_ZONE_PROBES = [
+    # probe_id, xlo, xhi, ylo, yhi
+    (0, 64, 96, None, None),
+    (1, 192, 224, None, None),
+    (2, None, None, 32, 64),
+    (3, None, None, 160, 192),
+    (4, 64, 96, 32, 64),
+    (5, 192, 224, 160, 192),
+]
+
+
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str,
+                            n_files: int = 64) -> DataFrame:
+    """Data-skipping effectiveness of three physical layouts of the
+    events table under one fixed probe workload — the read-side audit
+    that justifies (or refutes) paying for a z-order rewrite. For each
+    layout the table is cut into ``n_files`` contiguous key-range
+    files, each file keeps parquet-footer-style min/max zone maps on
+    BOTH filter columns, and a probe skips a file iff one of its
+    column ranges is disjoint from the file's [min, max] — exactly the
+    pruning rule a footer-stats reader applies. Layouts:
+
+      * ``natural``  — arrival order (file = event_id range): zone maps
+        on user/hour are accidental; expect ~0 skipping on user probes.
+      * ``sorted_x`` — 1-D sort on user rank (file = x >> log2(256/n)):
+        perfect pruning on x probes, none on y probes — the classic
+        single-key-layout failure this audit exists to show.
+      * ``zorder``   — Morton prefix (file = zval prefix, identical
+        codes to zorder_layout): partial pruning on BOTH dimensions.
+
+    All file assignments are pure projections (key-range cuts, the
+    same contiguous-Morton-range convention as zorder_layout) — no
+    global sort, no window; one scan emits all three layouts via an
+    exploded (layout, file_id) pair, then everything downstream runs
+    on the 3 x n_files zone-map relation and the 6-row broadcast probe
+    table. Integers end-to-end (rank-space bounds, counts, micro-unit
+    fractions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("timestampdiff(HOUR,"
+                  " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = ev.select("event_id", "user_id", hour.alias("hour"))
+    stats = base.agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"),
+        F.min("event_id").alias("e0"), F.max("event_id").alias("e1"))
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        F.floor((F.col("user_id") - F.col("u0")) * 256
+                / (F.col("u1") - F.col("u0") + 1)).cast("long").alias("x"),
+        F.floor((F.col("hour") - F.col("h0")) * 256
+                / (F.col("h1") - F.col("h0") + 1)).cast("long").alias("y"),
+        F.floor((F.col("event_id") - F.col("e0")) * n_files
+                / (F.col("e1") - F.col("e0") + 1)).cast("long")
+        .alias("f_nat"),
+    )
+    z = morton_interleave16(F.col("x"), F.col("y"))
+    shift_sorted = 8 - (n_files.bit_length() - 1)      # 256 x-values
+    shift_z = 16 - (n_files.bit_length() - 1)          # 65536 z-values
+    laid = keyed.select(
+        "x", "y",
+        F.explode(F.array(
+            F.struct(F.lit("natural").alias("layout"),
+                     F.col("f_nat").alias("file_id")),
+            F.struct(F.lit("sorted_x").alias("layout"),
+                     F.shiftright(F.col("x"), shift_sorted).cast("long")
+                     .alias("file_id")),
+            F.struct(F.lit("zorder").alias("layout"),
+                     F.shiftright(z, shift_z).cast("long")
+                     .alias("file_id")),
+        )).alias("lf"),
+    ).select(F.col("lf.layout").alias("layout"),
+             F.col("lf.file_id").alias("file_id"), "x", "y")
+    zones = laid.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
+    probes = spark.createDataFrame(
+        [(int(p), xlo, xhi, ylo, yhi)
+         for p, xlo, xhi, ylo, yhi in _ZONE_PROBES],
+        "probe_id long, xlo long, xhi long, ylo long, yhi long")
+    skipped = (
+        zones.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "skip",
+            ((F.col("xlo").isNotNull()
+              & ((F.col("max_x") < F.col("xlo"))
+                 | (F.col("min_x") >= F.col("xhi"))))
+             | (F.col("ylo").isNotNull()
+                & ((F.col("max_y") < F.col("ylo"))
+                   | (F.col("min_y") >= F.col("yhi")))))
+            .cast("long"))
+    )
+    return (
+        skipped.groupBy("layout", "probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("skip").cast("long").alias("files_skipped"),
+            F.sum(F.col("skip") * F.col("n_rows")).cast("long")
+            .alias("rows_skipped"),
+            F.expr("CAST(sum(skip) * 1000000 DIV count(*) AS BIGINT)")
+            .alias("skip_frac_e6"),
+        )
+        .orderBy("layout", "probe_id")
+    )
+
+
 def shard_layout_plan(spark, sf_dir: str, n_shards: int = 4) -> DataFrame:
     """Output-shard planning: assign sources to n_shards output shards
     by LPT greedy (longest-processing-time: sources in token-mass

@@ -238,6 +238,11 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave j: dup-graph structure (triangles, assortativity)
     "graph_triangle_count": dedup.graph_triangle_count,
     "graph_degree_assortativity": dedup.graph_degree_assortativity,
+    # round-8 wave k: transport-cost drift, shuffle-order audit,
+    # zone-map skipping
+    "wasserstein_source_drift": datamix.wasserstein_source_drift,
+    "shard_order_runs_audit": datamix.shard_order_runs_audit,
+    "zone_map_skipping_audit": layout.zone_map_skipping_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7655,3 +7660,125 @@ SELECT (m2 // 2)::BIGINT AS n_edges, sx, sxx, sxy,
   END AS assortativity
 FROM agg
 """.replace("{{edges}}", "{edges}").format(edges=_EDGES_05.strip())
+
+# r8k: wasserstein_source_drift — 1-D earth-mover drift of each
+# source's length distribution vs the rest: sum of cross-multiplied
+# |CDF gaps| times support gaps, HUGEINT numerators (Spark:
+# DECIMAL(38,0)), truncating micro-unit division at the very end.
+ORACLE["wasserstein_source_drift"] = """
+WITH counts AS (
+  SELECT source, n_chars AS x, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+xs AS (SELECT DISTINCT x FROM counts),
+srcs AS (SELECT source, sum(c)::BIGINT AS n_src FROM counts GROUP BY 1),
+total AS (SELECT sum(c)::BIGINT AS n_all FROM counts),
+per_x AS (SELECT x, sum(c)::BIGINT AS cx FROM counts GROUP BY 1),
+grid AS (
+  SELECT s.source, xs.x, s.n_src, t.n_all,
+         coalesce(c.c, 0)::BIGINT AS c, p.cx
+  FROM srcs s CROSS JOIN xs CROSS JOIN total t
+  LEFT JOIN counts c ON c.source = s.source AND c.x = xs.x
+  JOIN per_x p ON p.x = xs.x
+),
+cum AS (
+  SELECT source, x, n_src, (n_all - n_src) AS n_rest,
+    sum(c) OVER (PARTITION BY source ORDER BY x) AS cum_src,
+    sum(cx) OVER (PARTITION BY source ORDER BY x)
+      - sum(c) OVER (PARTITION BY source ORDER BY x) AS cum_rest,
+    lead(x) OVER (PARTITION BY source ORDER BY x) - x AS gap
+  FROM grid
+)
+SELECT source, max(n_src)::BIGINT AS n_src, max(n_rest)::BIGINT AS n_rest,
+  CASE WHEN max(n_rest) > 0 THEN
+    (sum(abs(cum_src::HUGEINT * n_rest - cum_rest::HUGEINT * n_src)
+         * gap) * 1000000
+     // (max(n_src)::HUGEINT * max(n_rest)))::BIGINT
+  ELSE 0 END AS w1_chars_e6
+FROM cum WHERE gap IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+# r8k: shard_order_runs_audit — adjacent same-source pairs in the
+# md5-keyed training order vs the exact permutation expectation
+# sum n_s(n_s-1)/n; HUGEINT numerators, micro-unit truncation.
+ORACLE["shard_order_runs_audit"] = """
+WITH keyed AS (
+  SELECT doc_id, source, md5(doc_id::VARCHAR) AS k,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 8
+      AS shard
+  FROM documents
+),
+obs AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+    sum((prev = source)::BIGINT)::BIGINT AS obs_same_adj
+  FROM (
+    SELECT shard, source,
+      lag(source) OVER (PARTITION BY shard ORDER BY k, doc_id) AS prev
+    FROM keyed)
+  GROUP BY shard
+),
+exp AS (
+  SELECT shard, sum(c::HUGEINT * (c - 1)) AS pairs
+  FROM (SELECT shard, source, count(*)::BIGINT AS c
+        FROM keyed GROUP BY 1, 2)
+  GROUP BY shard
+)
+SELECT o.shard::BIGINT AS shard, o.n_docs, o.obs_same_adj,
+  (e.pairs * 1000000 // o.n_docs)::BIGINT AS exp_same_adj_e6,
+  CASE WHEN e.pairs > 0 THEN
+    (o.obs_same_adj::HUGEINT * o.n_docs * 1000000 // e.pairs)::BIGINT
+  END AS ratio_obs_exp_e6
+FROM obs o JOIN exp e USING (shard)
+ORDER BY shard
+"""
+
+# r8k: zone_map_skipping_audit — three key-range layouts of events
+# (arrival, 1-D x sort, Morton prefix — codes identical to
+# zorder_layout's), per-file min/max zone maps, and the footer-pruning
+# rule (skip iff a probed column's range is disjoint) over the fixed
+# rank-space probe set mirrored from operators/layout.py::_ZONE_PROBES.
+ORACLE["zone_map_skipping_audit"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, floor(epoch(ts) / 3600)::BIGINT AS hour
+  FROM events
+),
+stats AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+                 min(hour) AS h0, max(hour) AS h1,
+                 min(event_id) AS e0, max(event_id) AS e1 FROM base),
+keyed AS (
+  SELECT ((user_id - u0) * 256 // (u1 - u0 + 1)) AS x,
+         ((hour - h0) * 256 // (h1 - h0 + 1)) AS y,
+         ((event_id - e0) * 64 // (e1 - e0 + 1)) AS f_nat
+  FROM base, stats
+),
+laid AS (
+  SELECT 'natural' AS layout, f_nat AS file_id, x, y FROM keyed
+  UNION ALL
+  SELECT 'sorted_x', x >> 2, x, y FROM keyed
+  UNION ALL
+  SELECT 'zorder', ({_MORTON_SQL}) >> 10, x, y FROM keyed
+),
+zones AS (
+  SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM laid GROUP BY 1, 2
+),
+probes(probe_id, xlo, xhi, ylo, yhi) AS (VALUES
+  (0, 64, 96, NULL, NULL), (1, 192, 224, NULL, NULL),
+  (2, NULL, NULL, 32, 64), (3, NULL, NULL, 160, 192),
+  (4, 64, 96, 32, 64), (5, 192, 224, 160, 192)),
+marked AS (
+  SELECT layout, probe_id, n_rows,
+    ((xlo IS NOT NULL AND (max_x < xlo OR min_x >= xhi))
+     OR (ylo IS NOT NULL AND (max_y < ylo OR min_y >= yhi)))::BIGINT
+      AS skip
+  FROM zones CROSS JOIN probes
+)
+SELECT layout, probe_id::BIGINT AS probe_id,
+  count(*)::BIGINT AS n_files, sum(skip)::BIGINT AS files_skipped,
+  sum(skip * n_rows)::BIGINT AS rows_skipped,
+  (sum(skip) * 1000000 // count(*))::BIGINT AS skip_frac_e6
+FROM marked GROUP BY 1, 2 ORDER BY layout, probe_id
+"""
