@@ -1945,6 +1945,102 @@ def customer_entity_blocking(spark: SparkSession, sf_dir: str,
     return pairs.orderBy("nationkey", "mktsegment", "id1", "id2")
 
 
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str,
+                           max_lev: int = 2) -> DataFrame:
+    """Fellegi-Sunter record-linkage weight estimation over the blocked
+    customer pair space: per comparison field, the agreement
+    probabilities m = P(agree | match) and u = P(agree | non-match) and
+    the log-odds weights ln(m/u) / ln((1-m)/(1-u)) a linkage scorer
+    adds per agreeing/disagreeing field (Fellegi & Sunter 1969). The
+    weight TABLE is the deliverable — customer_entity_blocking emits
+    candidates from ONE rule; these weights let a scorer combine many
+    weak fields with principled evidence arithmetic.
+
+    Label source (documented, deterministic): the standard seeded
+    estimation — pairs matched by the high-precision rule (name edit
+    distance <= max_lev) form the M sample, all other in-block pairs
+    the U sample (no EM; the seed rule is the same one the blocking op
+    ships). Comparison fields are deliberately NOT the blocking or seed
+    fields: balance within $100, same last-2 name characters, same
+    $1000 balance band.
+
+    Exactness: m/u are Laplace-smoothed truncating micro-units
+    ((agree+1)*1e6 DIV (n+2), clamped to [1, 999999] so both log
+    expressions stay finite); each weight is ONE ln of a ratio of
+    exact integers, floor-rounded to micro-nats — the
+    lang_source_mutual_info convention.
+
+    Scale: pair fan-out confined to the (nation, segment) blocks —
+    identical shape/cost to customer_entity_blocking (the lev label
+    runs as a projection on the same stream); everything after is a
+    3-row-per-pair explode into a |fields|-row aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("bal_cents"),
+    )
+    a = cust.repartition(
+        spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(cust).alias("b")
+    pairs = a.join(
+        b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+    ).select(
+        (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), max_lev)
+         >= 0).alias("is_m"),
+        (F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))
+         <= F.lit(10000)).alias("f_bal_close"),
+        (F.substring(F.col("a.c_name"), -2, 2)
+         == F.substring(F.col("b.c_name"), -2, 2)).alias("f_suffix2"),
+        (F.expr("a.bal_cents DIV 100000")
+         == F.expr("b.bal_cents DIV 100000")).alias("f_bal_band"),
+    )
+    fields = pairs.select(
+        "is_m",
+        F.explode(F.array(
+            F.struct(F.lit("bal_close").alias("field"),
+                     F.col("f_bal_close").alias("agree")),
+            F.struct(F.lit("name_suffix2").alias("field"),
+                     F.col("f_suffix2").alias("agree")),
+            F.struct(F.lit("bal_band").alias("field"),
+                     F.col("f_bal_band").alias("agree")),
+        )).alias("fa"),
+    ).select("is_m", F.col("fa.field").alias("field"),
+             F.col("fa.agree").alias("agree"))
+    agg = fields.groupBy("field").agg(
+        F.sum(F.col("is_m").cast("long")).cast("long").alias("n_m"),
+        F.sum((~F.col("is_m")).cast("long")).cast("long").alias("n_u"),
+        F.sum((F.col("is_m") & F.col("agree")).cast("long"))
+        .cast("long").alias("agree_m"),
+        F.sum(((~F.col("is_m")) & F.col("agree")).cast("long"))
+        .cast("long").alias("agree_u"),
+    )
+    probs = agg.select(
+        "field", "n_m", "n_u", "agree_m", "agree_u",
+        F.expr("least(999999, greatest(1,"
+               " (agree_m + 1) * 1000000 DIV (n_m + 2)))")
+        .cast("long").alias("m_e6"),
+        F.expr("least(999999, greatest(1,"
+               " (agree_u + 1) * 1000000 DIV (n_u + 2)))")
+        .cast("long").alias("u_e6"),
+    )
+    return (
+        probs.select(
+            "*",
+            F.floor(F.log(F.col("m_e6").cast("double") / F.col("u_e6"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("w_agree_e6"),
+            F.floor(F.log((F.lit(1000000) - F.col("m_e6")).cast("double")
+                          / (F.lit(1000000) - F.col("u_e6")))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("w_disagree_e6"),
+        )
+        .orderBy("field")
+    )
+
+
 def part_supplier_hhi(spark: SparkSession, sf_dir: str,
                       min_lines: int = 5, k: int = 100) -> DataFrame:
     """Supply-concentration risk per part: the Herfindahl-Hirschman

@@ -2289,6 +2289,102 @@ def session_transition_entropy(spark: SparkSession, sf_dir: str,
     )
 
 
+def markov_absorption_steps(spark: SparkSession, sf_dir: str,
+                            gap_minutes: int = 30,
+                            n_iter: int = 12) -> DataFrame:
+    """Absorbing-chain analysis of user journeys: treating 'purchase'
+    and session-end ('END') as absorbing states, the expected number of
+    steps to absorption and the probability of absorbing in PURCHASE
+    (vs just leaving) from every transient event type — the funnel
+    summary a per-edge transition matrix (session_transition_entropy,
+    order_status_flow) can't give directly, and the quantity CRO teams
+    actually budget against ("a user at 'error' is 2.3 clicks from
+    leaving and converts 8%").
+
+    Semantics: the standard absorbing-chain fundamental-matrix
+    quantities v = (I-Q)^-1·1 and b = (I-Q)^-1·R, computed by
+    ``n_iter`` FIXED truncated value iterations v <- 1 + Q·v,
+    p <- R_purchase + Q·p (exact for the tail the iteration reaches;
+    both engines run the identical schedule, the LPA fixed-round
+    precedent). Each iterate stays exact: v/p live in integer
+    micro-units, every step is (sum of count*iterate products, in
+    DECIMAL(38,0)/HUGEINT) with ONE truncating division by the state's
+    out-count — no float anywhere.
+
+    Scale shape: sessionisation is the portable lag/cumsum
+    formulation; ONE transition aggregation over the data; all
+    ``n_iter`` iterations run on the |event_types|^2-bounded count
+    matrix (metadata-sized at any corpus scale), localCheckpoint'ed
+    per round like kmeans_centroids.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (wall_epoch_secs("ts")
+         - wall_epoch_secs(F.lag("ts").over(w))).alias("gap"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum((F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
+              .cast("long")).over(w).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    trans = (
+        stepped.withColumn(
+            "nxt", F.coalesce(F.lead("event_type").over(ws),
+                              F.lit("END")))
+        .where(F.col("event_type") != "purchase")  # absorbing: no exits
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ft"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    trans = scoped_persist(trans)
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_ft").cast("long").alias("n_out"),
+        F.sum(F.when(F.col("to_type") == "purchase", F.col("n_ft"))
+              .otherwise(0)).cast("long").alias("n_to_purchase"),
+    )
+    state = totals.select(
+        F.col("from_type").alias("s"),
+        F.lit(0).cast("long").alias("v_e6"),
+        F.lit(0).cast("long").alias("p_e6"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        j = trans.join(F.broadcast(state),
+                       trans["to_type"] == state["s"], "left")
+        folded = (
+            j.groupBy("from_type")
+            .agg(
+                F.expr("sum(CASE WHEN v_e6 IS NOT NULL THEN"
+                       " CAST(n_ft AS DECIMAL(38,0)) * v_e6"
+                       " ELSE 0 END)").alias("sv"),
+                F.expr("sum(CASE WHEN to_type = 'purchase' THEN"
+                       " CAST(n_ft AS DECIMAL(38,0)) * 1000000"
+                       " WHEN p_e6 IS NOT NULL THEN"
+                       " CAST(n_ft AS DECIMAL(38,0)) * p_e6"
+                       " ELSE 0 END)").alias("sp"),
+            )
+            .join(totals, "from_type")
+        )
+        state = folded.select(
+            F.col("from_type").alias("s"),
+            F.expr("CAST(1000000 + sv DIV n_out AS BIGINT)").alias("v_e6"),
+            F.expr("CAST(sp DIV n_out AS BIGINT)").alias("p_e6"),
+        ).localCheckpoint()
+    return (
+        totals.join(state, totals["from_type"] == state["s"])
+        .select(
+            F.col("from_type").alias("state"), "n_out", "n_to_purchase",
+            F.col("v_e6").alias("steps_to_absorb_e6"),
+            F.col("p_e6").alias("p_purchase_e6"),
+        )
+        .orderBy("state")
+    )
+
+
 def events_residual_anomaly(spark: SparkSession, sf_dir: str,
                             season: int = 7, z_cut: int = 2) -> DataFrame:
     """Seasonal-adjusted anomaly detection: z-score the RESIDUALS of

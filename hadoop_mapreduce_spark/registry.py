@@ -243,6 +243,9 @@ QUERIES: dict[str, QueryFn] = {
     "wasserstein_source_drift": datamix.wasserstein_source_drift,
     "shard_order_runs_audit": datamix.shard_order_runs_audit,
     "zone_map_skipping_audit": layout.zone_map_skipping_audit,
+    # round-8 wave l: record-linkage weights, absorbing-chain funnel
+    "fellegi_sunter_weights": relational.fellegi_sunter_weights,
+    "markov_absorption_steps": timeseries.markov_absorption_steps,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7782,3 +7785,122 @@ SELECT layout, probe_id::BIGINT AS probe_id,
   (sum(skip) * 1000000 // count(*))::BIGINT AS skip_frac_e6
 FROM marked GROUP BY 1, 2 ORDER BY layout, probe_id
 """
+
+# r8l: fellegi_sunter_weights — seeded m/u estimation over the blocked
+# customer pairs (M = lev<=2 name pairs, U = rest); Laplace-smoothed
+# truncating micro-units clamped to [1, 999999]; each weight is one ln
+# of exact-integer ratios floor-rounded to micro-nats (the
+# lang_source_mutual_info convention).
+ORACLE["fellegi_sunter_weights"] = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+  FROM customer
+),
+pairs AS (
+  SELECT (levenshtein(a.c_name, b.c_name) <= 2) AS is_m,
+         (abs(a.bal_cents - b.bal_cents) <= 10000) AS f_bal_close,
+         (right(a.c_name, 2) = right(b.c_name, 2)) AS f_suffix2,
+         ((CASE WHEN a.bal_cents >= 0 THEN a.bal_cents // 100000
+                ELSE -((-a.bal_cents) // 100000) END)
+          = (CASE WHEN b.bal_cents >= 0 THEN b.bal_cents // 100000
+                  ELSE -((-b.bal_cents) // 100000) END)) AS f_bal_band
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+),
+fields AS (
+  SELECT is_m, 'bal_close' AS field, f_bal_close AS agree FROM pairs
+  UNION ALL
+  SELECT is_m, 'name_suffix2', f_suffix2 FROM pairs
+  UNION ALL
+  SELECT is_m, 'bal_band', f_bal_band FROM pairs
+),
+agg AS (
+  SELECT field,
+    sum(is_m::BIGINT)::BIGINT AS n_m,
+    sum((NOT is_m)::BIGINT)::BIGINT AS n_u,
+    sum((is_m AND agree)::BIGINT)::BIGINT AS agree_m,
+    sum(((NOT is_m) AND agree)::BIGINT)::BIGINT AS agree_u
+  FROM fields GROUP BY field
+),
+probs AS (
+  SELECT field, n_m, n_u, agree_m, agree_u,
+    least(999999, greatest(1, (agree_m + 1) * 1000000 // (n_m + 2)))
+      ::BIGINT AS m_e6,
+    least(999999, greatest(1, (agree_u + 1) * 1000000 // (n_u + 2)))
+      ::BIGINT AS u_e6
+  FROM agg
+)
+SELECT field, n_m, n_u, agree_m, agree_u, m_e6, u_e6,
+  floor(ln(m_e6::DOUBLE / u_e6) * 1e6 + 0.5)::BIGINT AS w_agree_e6,
+  floor(ln((1000000 - m_e6)::DOUBLE / (1000000 - u_e6)) * 1e6 + 0.5)
+    ::BIGINT AS w_disagree_e6
+FROM probs ORDER BY field
+"""
+
+# r8l: markov_absorption_steps — the lag/cumsum sessionisation, one
+# transition aggregate, then 12 fixed truncated value iterations as
+# chained CTEs (the LPA/kmeans fixed-round precedent): v <- 1 + Q·v,
+# p <- R_purchase + Q·p, exact integer micro-units per iterate with
+# HUGEINT products (Spark: DECIMAL(38,0)) and one truncating division
+# per state per round.
+_MKV_ROUND = """
+v{k} AS (
+  SELECT t.from_type AS s,
+    (1000000 + sum(CASE WHEN p.v IS NOT NULL
+                        THEN t.n_ft::HUGEINT * p.v ELSE 0 END)
+               // max(t.n_out))::BIGINT AS v,
+    (sum(CASE WHEN t.to_type = 'purchase'
+              THEN t.n_ft::HUGEINT * 1000000
+              WHEN p.p IS NOT NULL THEN t.n_ft::HUGEINT * p.p
+              ELSE 0 END) // max(t.n_out))::BIGINT AS p
+  FROM tn t LEFT JOIN v{prev} p ON p.s = t.to_type
+  GROUP BY t.from_type
+)"""
+
+ORACLE["markov_absorption_steps"] = (
+    """WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+    date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN coalesce(gap, 0) > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+),
+trans AS (
+  SELECT event_type AS from_type,
+    coalesce(lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id),
+             'END') AS to_type
+  FROM stepped
+),
+tcnt AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_ft
+  FROM trans WHERE from_type <> 'purchase' GROUP BY 1, 2
+),
+tn AS MATERIALIZED (
+  SELECT from_type, to_type, n_ft,
+         sum(n_ft) OVER (PARTITION BY from_type) AS n_out
+  FROM tcnt
+),
+v0 AS (SELECT DISTINCT from_type AS s, 0::BIGINT AS v, 0::BIGINT AS p
+       FROM tn),"""
+    + ",".join(_MKV_ROUND.format(k=k, prev=k - 1) for k in range(1, 13))
+    + """,
+totals AS (
+  SELECT from_type, sum(n_ft)::BIGINT AS n_out,
+    sum(CASE WHEN to_type = 'purchase' THEN n_ft ELSE 0 END)::BIGINT
+      AS n_to_purchase
+  FROM tn GROUP BY from_type
+)
+SELECT t.from_type AS state, t.n_out, t.n_to_purchase,
+  v12.v AS steps_to_absorb_e6, v12.p AS p_purchase_e6
+FROM totals t JOIN v12 ON v12.s = t.from_type
+ORDER BY state
+""")
