@@ -1852,3 +1852,63 @@ def experiment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+def kfold_strata_audit(spark: SparkSession, sf_dir: str,
+                       n_folds: int = 5) -> DataFrame:
+    """Cross-validation fold-balance audit: assign every document to a
+    fold via the portable md5 hash and verify, per (lang, source)
+    stratum, that the folds received proportional shares — the hygiene
+    check before trusting k-fold CV numbers (a stratum whose docs pile
+    into one fold makes that fold's validation score a measurement of
+    the stratum, not the model). Reports per stratum the fold min/max
+    and the exact chi-square balance statistic against the uniform
+    1/k expectation.
+
+    Exactness: chi-square with E = n_s/k is sum_f (k*n_fs - n_s)^2 /
+    (k*n_s) — cross-multiplied so every numerator is an exact integer;
+    (k*n_fs)^2 passes BIGINT at stratum sizes ~ 2e9 so the squares ride
+    DECIMAL(38,0) (HUGEINT in the oracle); one truncating micro-unit
+    division per stratum. Empty folds are materialised via the
+    stratum x fold grid (a stratum smaller than k MUST show zero
+    folds — dropping them would understate the imbalance).
+
+    Scale: one scan to the (lang, source, fold) counts; the grid and
+    the rollup run on |strata| * k metadata-sized rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    counts = (
+        docs.select("lang", "source",
+                    F.pmod(h, F.lit(n_folds)).alias("fold"))
+        .groupBy("lang", "source", "fold")
+        .agg(F.count(F.lit(1)).alias("n_fs"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    counts = scoped_persist(counts)
+    strata = counts.groupBy("lang", "source").agg(
+        F.sum("n_fs").cast("long").alias("n_s"))
+    grid = (
+        strata.crossJoin(F.broadcast(
+            spark.range(n_folds).select(F.col("id").alias("fold"))))
+        .join(counts, ["lang", "source", "fold"], "left")
+        .select("lang", "source", "n_s", "fold",
+                F.coalesce("n_fs", F.lit(0)).cast("long").alias("n_fs"))
+    )
+    return (
+        grid.groupBy("lang", "source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.min("n_fs").cast("long").alias("min_fold_n"),
+            F.max("n_fs").cast("long").alias("max_fold_n"),
+            F.expr(
+                f"CAST(sum(CAST({n_folds} * n_fs - n_s AS DECIMAL(38,0))"
+                f"          * ({n_folds} * n_fs - n_s)) * 1000000"
+                f" DIV (CAST({n_folds} AS DECIMAL(38,0)) * max(n_s))"
+                " AS BIGINT)").alias("chisq_e6"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -322,3 +322,128 @@ def partition_skew_plan(spark, sf_dir: str, n_parts: int = 32):
         )
         .orderBy("bucket")
     )
+
+
+def consistent_hash_migration_audit(spark, sf_dir: str,
+                                    n_servers: int = 8,
+                                    v_nodes: int = 64) -> DataFrame:
+    """Consistent-hashing ring audit for shard routing: place
+    ``n_servers`` servers on an md5 ring (``v_nodes`` virtual points
+    each), assign every events partition key (user_id) to its
+    clockwise-next point, then ADD one server and measure what moved.
+    The defining guarantee of consistent hashing (Karger et al. 1997)
+    is that growing N -> N+1 relocates ~1/(N+1) of the keys; naive
+    mod-N hashing relocates ~N/(N+1). This audit measures BOTH on the
+    real key population — the number that decides whether a 100 TB
+    keyed store can rebalance online or must rewrite itself — plus the
+    per-server share balance v_nodes exists to smooth.
+
+    Portable + exact: ring points and key hashes use the repo md5
+    convention at 48 bits, packed as h48 * 2048 + (server * v_nodes +
+    vnode) so every point is UNIQUE by construction (no float, no tie
+    ambiguity); keys compare at h48 * 2048 + 2047 (a key whose h48
+    equals a point's sorts after it — an arbitrary, mirrored rule).
+    Shares and moved fractions are truncating micro-units.
+
+    Scale: one groupBy(user_id) partial-agg pass; the ring is a
+    (n_servers+1) * v_nodes-row broadcast (metadata-sized constant),
+    the per-key clockwise lookup is two conditional MINs over the
+    broadcast theta-join (map-side combinable — the N x ring fan-out
+    collapses before any exchange), and the final rollups are
+    server-bounded.
+    """
+    from hadoop_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    ring = (
+        spark.range(0, (n_servers + 1) * v_nodes)
+        .select(
+            (F.col("id") / v_nodes).cast("long").alias("server"),
+            F.pmod(F.col("id"), F.lit(v_nodes)).alias("vnode"),
+        )
+        .select(
+            "server",
+            (F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("server"), F.col("vnode"))), 1, 12), 16, 10)
+             .cast("long") * F.lit(2048)
+             + F.col("server") * v_nodes + F.col("vnode")).alias("point"),
+        )
+    )
+    kh = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                             1, 12), 16, 10).cast("long") * F.lit(2048)
+          + F.lit(2047))
+    old = F.col("server") < n_servers
+    # clockwise-next point, old ring and new ring, in ONE pass: four
+    # conditional MINs over the broadcast theta-join, wrap = global min
+    assigned = (
+        keys.withColumn("h", kh)
+        .crossJoin(F.broadcast(ring))
+        .groupBy("user_id", "n_rows", "h")
+        .agg(
+            F.min(F.when(old & (F.col("point") >= F.col("h")),
+                         F.col("point"))).alias("a1"),
+            F.min(F.when(old, F.col("point"))).alias("a2"),
+            F.min(F.when(F.col("point") >= F.col("h"),
+                         F.col("point"))).alias("b1"),
+            F.min("point").alias("b2"),
+        )
+        .select(
+            "user_id", "n_rows",
+            F.coalesce("a1", "a2").alias("p_old"),
+            F.coalesce("b1", "b2").alias("p_new"),
+        )
+    )
+    # point -> server is pure arithmetic (the pack), no join-back needed
+    srv = lambda c: F.expr(f"pmod({c}, 2048) DIV {v_nodes}")  # noqa: E731
+    routed = assigned.select(
+        "user_id", "n_rows",
+        srv("p_old").cast("long").alias("s_old"),
+        srv("p_new").cast("long").alias("s_new"),
+        (F.expr(f"pmod(user_id, {n_servers})")
+         != F.expr(f"pmod(user_id, {n_servers + 1})")).cast("long")
+        .alias("mod_moved"),
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    routed = scoped_persist(routed)
+    glob = routed.agg(
+        F.count(F.lit(1)).alias("n_keys_total"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long"))
+        .alias("ring_moved"),
+        F.sum("mod_moved").alias("mod_moved"),
+    )
+    before = routed.groupBy(F.col("s_old").alias("server")).agg(
+        F.count(F.lit(1)).alias("n_before"))
+    after = routed.groupBy(F.col("s_new").alias("server")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long"))
+        .alias("n_moved_in"))
+    # server grid: a server that drew zero keys (tiny key populations)
+    # must still report its (empty) row
+    servers = spark.range(n_servers + 1).select(
+        F.col("id").alias("server"))
+    return (
+        servers.join(after, "server", "left")
+        .join(before, "server", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("server").cast("long").alias("server"),
+            F.coalesce("n_before", F.lit(0)).cast("long")
+            .alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long")
+            .alias("n_after"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long")
+            .alias("n_moved_in"),
+            F.expr("CAST(coalesce(n_before, 0) * 1000000"
+                   " DIV n_keys_total AS BIGINT)").alias("share_before_e6"),
+            F.expr("CAST(coalesce(n_after, 0) * 1000000 DIV n_keys_total AS BIGINT)")
+            .alias("share_after_e6"),
+            F.expr("CAST(ring_moved * 1000000 DIV n_keys_total AS BIGINT)")
+            .alias("ring_moved_e6"),
+            F.expr("CAST(mod_moved * 1000000 DIV n_keys_total AS BIGINT)")
+            .alias("mod_moved_e6"),
+        )
+        .orderBy("server")
+    )

@@ -246,6 +246,10 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave l: record-linkage weights, absorbing-chain funnel
     "fellegi_sunter_weights": relational.fellegi_sunter_weights,
     "markov_absorption_steps": timeseries.markov_absorption_steps,
+    # round-8 wave m: shard-routing & CV-fold governance
+    "consistent_hash_migration_audit":
+        skew.consistent_hash_migration_audit,
+    "kfold_strata_audit": curation.kfold_strata_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -7904,3 +7908,97 @@ SELECT t.from_type AS state, t.n_out, t.n_to_purchase,
 FROM totals t JOIN v12 ON v12.s = t.from_type
 ORDER BY state
 """)
+
+# r8m: consistent_hash_migration_audit — md5-48bit ring points packed
+# unique (h48*2048 + server*64 + vnode), keys at h48*2048 + 2047;
+# clockwise-next = conditional MIN with global-min wrap; server
+# recovered arithmetically from the pack. Micro-unit shares/moved
+# fractions, all integers.
+ORACLE["consistent_hash_migration_audit"] = """
+WITH ring AS (
+  SELECT (i // 64) AS server,
+    (('0x' || substr(md5((i // 64)::VARCHAR || ':' || (i % 64)::VARCHAR),
+       1, 12))::UBIGINT::BIGINT * 2048 + i)::BIGINT AS point
+  FROM (SELECT unnest(generate_series(0, 9 * 64 - 1)) AS i)
+),
+keys AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows,
+    (('0x' || substr(md5(user_id::VARCHAR), 1, 12))::UBIGINT::BIGINT
+     * 2048 + 2047)::BIGINT AS h
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT k.user_id, k.n_rows,
+    coalesce(min(CASE WHEN r.server < 8 AND r.point >= k.h
+                      THEN r.point END),
+             min(CASE WHEN r.server < 8 THEN r.point END)) AS p_old,
+    coalesce(min(CASE WHEN r.point >= k.h THEN r.point END),
+             min(r.point)) AS p_new
+  FROM keys k CROSS JOIN ring r
+  GROUP BY k.user_id, k.n_rows
+),
+routed AS (
+  SELECT user_id, n_rows,
+    ((p_old % 2048) // 64)::BIGINT AS s_old,
+    ((p_new % 2048) // 64)::BIGINT AS s_new,
+    (user_id % 8 <> user_id % 9)::BIGINT AS mod_moved
+  FROM assigned
+),
+gtot AS (
+  SELECT count(*)::BIGINT AS n_keys_total,
+    sum((s_old <> s_new)::BIGINT)::BIGINT AS ring_moved,
+    sum(mod_moved)::BIGINT AS mod_moved
+  FROM routed
+),
+before AS (
+  SELECT s_old AS server, count(*)::BIGINT AS n_before
+  FROM routed GROUP BY 1
+),
+after AS (
+  SELECT s_new AS server, count(*)::BIGINT AS n_after,
+    sum((s_old <> s_new)::BIGINT)::BIGINT AS n_moved_in
+  FROM routed GROUP BY 1
+),
+servers AS (SELECT unnest(generate_series(0, 8))::BIGINT AS server)
+SELECT s.server, coalesce(b.n_before, 0)::BIGINT AS n_before,
+  coalesce(a.n_after, 0)::BIGINT AS n_after,
+  coalesce(a.n_moved_in, 0)::BIGINT AS n_moved_in,
+  (coalesce(b.n_before, 0) * 1000000 // g.n_keys_total)::BIGINT
+    AS share_before_e6,
+  (coalesce(a.n_after, 0) * 1000000 // g.n_keys_total)::BIGINT
+    AS share_after_e6,
+  (g.ring_moved * 1000000 // g.n_keys_total)::BIGINT AS ring_moved_e6,
+  (g.mod_moved * 1000000 // g.n_keys_total)::BIGINT AS mod_moved_e6
+FROM servers s LEFT JOIN after a USING (server)
+LEFT JOIN before b USING (server) CROSS JOIN gtot g
+ORDER BY s.server
+"""
+
+# r8m: kfold_strata_audit — md5 % k folds, stratum x fold grid with
+# materialised zero folds, cross-multiplied exact chi-square
+# (HUGEINT / DECIMAL(38,0)), truncating micro-unit division.
+ORACLE["kfold_strata_audit"] = """
+WITH counts AS (
+  SELECT lang, source,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 5)
+      AS fold,
+    count(*)::BIGINT AS n_fs
+  FROM documents GROUP BY 1, 2, 3
+),
+strata AS (
+  SELECT lang, source, sum(n_fs)::BIGINT AS n_s FROM counts GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.lang, s.source, s.n_s, f.fold,
+         coalesce(c.n_fs, 0)::BIGINT AS n_fs
+  FROM strata s
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS fold) f
+  LEFT JOIN counts c
+    ON c.lang = s.lang AND c.source = s.source AND c.fold = f.fold
+)
+SELECT lang, source, max(n_s)::BIGINT AS n_docs,
+  min(n_fs)::BIGINT AS min_fold_n, max(n_fs)::BIGINT AS max_fold_n,
+  (sum((5 * n_fs - n_s)::HUGEINT * (5 * n_fs - n_s)) * 1000000
+   // (5::HUGEINT * max(n_s)))::BIGINT AS chisq_e6
+FROM grid GROUP BY lang, source ORDER BY lang, source
+"""
