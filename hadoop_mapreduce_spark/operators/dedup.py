@@ -2717,3 +2717,70 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str,
                        * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("assortativity"),
     )
+
+
+def kcore_dedup_graph(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.5, ks: tuple = (2, 3),
+                      n_rounds: int = 5) -> DataFrame:
+    """k-core peeling of the near-dup graph (Seidman 1983; the
+    distributed formulation of Montresor et al. 2013): repeatedly
+    delete every node whose current degree is < k, for a FIXED
+    ``n_rounds`` synchronous rounds, at k in ``ks``. The surviving
+    k-core separates the two dup morphologies the keep-policy choice
+    hinges on: pendant chains and stars (drift: A~B~C with A!~C) peel
+    away immediately, while genuine re-post families survive as dense
+    cores — the node-level complement of `graph_triangle_count`'s
+    edge-level transitivity evidence and `dedup_chain_audit`'s
+    per-cluster density.
+
+    Output: one row per (k, peel_round) with the surviving node and
+    edge counts; round 0 is the input graph. Peeling is MONOTONE, so
+    two consecutive equal rows witness convergence — the fixed round
+    count exists only to keep the computation an exact pure function
+    of the edge set that the DuckDB oracle replays as CHAINED
+    aggregation CTEs (the LPA precedent: aggregates are not allowed in
+    a recursive term, but a fixed iteration count needs no recursion).
+
+    Scale shape per round: one degree rollup + two left-semi joins,
+    ALL on the dup-edge relation (orders of magnitude below the
+    corpus; the expensive part — the LSH pair build — is shared with
+    every other graph audit via `_dup_edges`). Lineage is re-rooted
+    per round via localCheckpoint like every iterative operator here.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    e0 = scoped_persist(_dup_edges(spark, sf_dir, threshold))
+
+    def summary(e: DataFrame, k: int, r: int) -> DataFrame:
+        nodes = (
+            e.select(F.col("id1").alias("v"))
+            .unionAll(e.select(F.col("id2").alias("v")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return nodes.crossJoin(edges).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(r).cast("long").alias("peel_round"),
+            "n_nodes", "n_edges")
+
+    rows = None
+    for k in ks:
+        e = e0
+        for r in range(n_rounds + 1):
+            s = summary(e, k, r)
+            rows = s if rows is None else rows.unionAll(s)
+            if r == n_rounds:
+                break
+            deg = (
+                e.select(F.col("id1").alias("v"))
+                .unionAll(e.select(F.col("id2").alias("v")))
+                .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.where(F.col("d") >= k).select("v")
+            e = (
+                e.join(keep, e["id1"] == keep["v"], "left_semi")
+                .join(keep, e["id2"] == keep["v"], "left_semi")
+                .localCheckpoint(eager=False)
+            )
+    return rows.orderBy("k", "peel_round")

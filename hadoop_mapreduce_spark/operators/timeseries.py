@@ -2516,3 +2516,106 @@ def dow_profile_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "wk")
     )
+
+
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str,
+                               window_days: int = 7) -> DataFrame:
+    """Rolling 7-day distinct active users per day via MERGEABLE
+    portable HyperLogLog registers (Flajolet et al. 2007) — the
+    sliding-distinct shape that exact COUNT(DISTINCT) cannot sustain at
+    scale: an exact 7-day rolling distinct re-touches seven days of raw
+    keys for EVERY output day (7x read amplification, one giant
+    distinct per day), while the sketch algebra here reduces each day
+    ONCE to a 4096-register table and slides the window over registers
+    (bucket-wise max — the HLL union) at metadata cost. The register
+    math (60-bit md5 prefix, bucket = low 12 bits, rho = leading-zero
+    rank of the high 48, exact-BIGINT 2^(49-r) partials, linear
+    counting below 2.5m) is byte-identical to `hll_portable_union`
+    (textstats.py) so the DuckDB oracle replays it exactly.
+
+    The day axis is session-timezone-proof integer arithmetic
+    (epoch_us // 86.4e9, the repo convention); the rolling merge is a
+    RANGE window over the day INDEX (not row offsets), so calendar gaps
+    inside the window are handled, and days a bucket never hit are
+    materialised by a (days x 4096) grid — bounded by the CALENDAR, not
+    the data. `exact_day_distinct` (per-day exact, one cheap rollup of
+    the same deduped relation) rides along as the daily ground truth;
+    the rolling estimate's accuracy is pinned by tests at ±2% (m=4096
+    => ~1.6% standard error).
+
+    100 TB shape: one (day, user) distinct exchange (partial-agg
+    collapses map-side), one register rollup to n_days x 4096 rows,
+    then windows over register/calendar-sized relations only.
+    """
+    from hadoop_mapreduce_spark.operators.textstats import (
+        HLL_ALPHA_SCALED,
+        HLL_M,
+        HLL_POW49,
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    # distinct BEFORE hashing: registers are max-aggregates, duplicate
+    # (day, user) occurrences cannot change any register (the
+    # hll_portable_union argument), and the distinct's partial agg
+    # collapses the exchange map-side.
+    du = scoped_persist(
+        ev.select(day.alias("day"), "user_id").distinct())
+
+    exact = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_day_distinct"))
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                            1, 15), 16, 10).cast("long")
+    rb = du.select("day", hv.alias("hv")).select(
+        "day",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"CASE WHEN hv div {HLL_M} = 0 THEN 49 "
+               f"ELSE 49 - length(bin(hv div {HLL_M})) END").alias("rho"),
+    )
+    regs = rb.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
+
+    days = du.select("day").distinct()
+    # present-day coverage of each window: a 30-row (calendar-bounded)
+    # relation, so the unpartitioned window is NOT a scale hazard
+    wd = days.select(
+        "day",
+        F.count(F.lit(1)).over(
+            Window.orderBy("day").rangeBetween(-(window_days - 1), 0))
+        .cast("long").alias("n_days_window"),
+    )
+    buckets = spark.range(0, HLL_M).select(
+        F.col("id").cast("long").alias("bucket"))
+    grid = days.crossJoin(buckets).join(regs, ["day", "bucket"], "left")
+    rolled = grid.select(
+        "day", "bucket",
+        F.max("r").over(
+            Window.partitionBy("bucket").orderBy("day")
+            .rangeBetween(-(window_days - 1), 0)).alias("r"),
+    )
+    est = rolled.groupBy("day").agg(
+        F.count("r").alias("n_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))"))
+        .alias("s_part"),
+    )
+    s_scaled = (F.col("s_part")
+                + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(HLL_POW49))
+    raw = F.lit(HLL_ALPHA_SCALED) / s_scaled.cast("double")
+    v_empty = F.lit(HLL_M) - F.col("n_hit")
+    lc = (F.lit(float(HLL_M))
+          * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")))
+    est_val = F.when((v_empty > 0) & (raw <= F.lit(2.5 * HLL_M)), lc) \
+        .otherwise(raw)
+    return (
+        est.join(wd, "day").join(exact, "day")
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("day").cast("int")).cast("string").alias("day"),
+            "n_days_window",
+            F.col("n_hit").cast("long").alias("n_buckets_hit"),
+            F.floor(est_val + F.lit(0.5)).cast("long")
+            .alias("est_rolling_distinct"),
+            "exact_day_distinct",
+        )
+        .orderBy("day")
+    )

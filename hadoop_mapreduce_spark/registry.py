@@ -250,6 +250,10 @@ QUERIES: dict[str, QueryFn] = {
     "consistent_hash_migration_audit":
         skew.consistent_hash_migration_audit,
     "kfold_strata_audit": curation.kfold_strata_audit,
+    # round-8 wave n: dup-graph k-core peeling, mergeable sliding
+    # distinct (rolling HLL)
+    "kcore_dedup_graph": dedup.kcore_dedup_graph,
+    "rolling_distinct_users_hll": timeseries.rolling_distinct_users_hll,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8001,4 +8005,108 @@ SELECT lang, source, max(n_s)::BIGINT AS n_docs,
   (sum((5 * n_fs - n_s)::HUGEINT * (5 * n_fs - n_s)) * 1000000
    // (5::HUGEINT * max(n_s)))::BIGINT AS chisq_e6
 FROM grid GROUP BY lang, source ORDER BY lang, source
+"""
+
+# r8n: kcore_dedup_graph — fixed-round synchronous k-core peeling at
+# k in {2,3} over the threshold-0.5 dup edges; chained (non-recursive)
+# CTEs per round, exactly the LPA replay pattern. Generated by loop so
+# the round count stays in ONE place.
+def _kcore_sql(ks=(2, 3), n_rounds=5) -> str:
+    ctes, rows = [], []
+    # every e_r is referenced three times (FROM + two IN subqueries) by
+    # the next round — MATERIALIZED stops DuckDB inlining the chain
+    # into 3^rounds copies of the base pair build (observed: fd
+    # exhaustion from the exploded scan tree)
+    for k in ks:
+        ctes.append(f"k{k}_e0 AS MATERIALIZED (SELECT id1, id2 FROM e)")
+        for r in range(n_rounds):
+            ctes.append(
+                f"k{k}_d{r} AS MATERIALIZED (SELECT v, count(*) AS d FROM ("
+                f"SELECT id1 AS v FROM k{k}_e{r} "
+                f"UNION ALL SELECT id2 FROM k{k}_e{r}) GROUP BY v)")
+            ctes.append(
+                f"k{k}_e{r + 1} AS MATERIALIZED "
+                f"(SELECT id1, id2 FROM k{k}_e{r} "
+                f"WHERE id1 IN (SELECT v FROM k{k}_d{r} WHERE d >= {k}) "
+                f"AND id2 IN (SELECT v FROM k{k}_d{r} WHERE d >= {k}))")
+        for r in range(n_rounds + 1):
+            rows.append(
+                f"SELECT {k}::BIGINT AS k, {r}::BIGINT AS peel_round, "
+                f"(SELECT count(*)::BIGINT FROM ("
+                f"SELECT id1 AS v FROM k{k}_e{r} "
+                f"UNION SELECT id2 FROM k{k}_e{r})) AS n_nodes, "
+                f"(SELECT count(*)::BIGINT FROM k{k}_e{r}) AS n_edges")
+    return ("WITH " + _EDGES_05.strip() + ",\n"
+            + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(rows)
+            + "\nORDER BY k, peel_round")
+
+
+ORACLE["kcore_dedup_graph"] = _kcore_sql()
+
+# r8n: rolling_distinct_users_hll — the hll_portable_union register
+# math (60-bit md5, 4096 buckets, exact 2^(49-r) partials, linear
+# counting under 2.5m) slid over a 7-day RANGE window on the integer
+# day index; grid materialises never-hit (day, bucket) cells so the
+# window merge sees every register.
+ORACLE["rolling_distinct_users_hll"] = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+exact AS (
+  SELECT day, count(*)::BIGINT AS exact_day_distinct FROM du GROUP BY day
+),
+h AS (
+  SELECT day,
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hv
+  FROM du
+),
+rb AS (
+  SELECT day, hv % 4096 AS bucket,
+    CASE WHEN hv // 4096 = 0 THEN 49
+         ELSE 49 - length(bin(hv // 4096)) END AS rho
+  FROM h
+),
+regs AS (SELECT day, bucket, max(rho) AS r FROM rb GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM du),
+wd AS (
+  SELECT day, count(*) OVER (
+    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+    AS n_days_window
+  FROM days
+),
+grid AS (
+  SELECT d.day, b.bucket, regs.r
+  FROM days d
+  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS bucket) b
+  LEFT JOIN regs ON regs.day = d.day AND regs.bucket = b.bucket
+),
+rolled AS (
+  SELECT day, bucket, max(r) OVER (
+    PARTITION BY bucket ORDER BY day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS r
+  FROM grid
+),
+est AS (
+  SELECT day, count(r) AS n_hit,
+    sum(1::BIGINT << (49 - r)) AS s_part
+  FROM rolled GROUP BY day
+),
+fin AS (
+  SELECT day, n_hit,
+    (s_part + (4096 - n_hit) * 562949953421312)::DOUBLE AS s_scaled,
+    (4096 - n_hit) AS v_empty
+  FROM est
+)
+SELECT (DATE '1970-01-01' + fin.day::INT)::VARCHAR AS day,
+  wd.n_days_window,
+  n_hit::BIGINT AS n_buckets_hit,
+  floor(CASE WHEN v_empty > 0
+              AND 6.810691763087074e+21 / s_scaled <= 10240.0
+        THEN 4096.0 * ln(4096.0 / v_empty)
+        ELSE 6.810691763087074e+21 / s_scaled END + 0.5)::BIGINT
+    AS est_rolling_distinct,
+  exact.exact_day_distinct
+FROM fin JOIN wd ON fin.day = wd.day JOIN exact ON fin.day = exact.day
+ORDER BY day
 """
