@@ -269,3 +269,71 @@ def shard_layout_plan(spark, sf_dir: str, n_shards: int = 4) -> DataFrame:
                        " n_docs long, shard_id long, shard_load_after long")
         .orderBy("source")
     )
+
+
+def encoding_dictionary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dictionary-vs-plain encoding audit over lineitem's
+    integer/flag columns — the write-side layout decision Parquet
+    writers make per row group, computed here over the whole relation
+    so the table owner can SET dictionary on/off per column instead of
+    trusting the writer's per-group fallback (a column that blows the
+    dictionary-page limit mid-file silently degrades to plain and
+    bloats scans). For each column: exact distinct count, plain size
+    (byte length of every value), dictionary size (one copy of each
+    distinct value + ceil(log2(n_distinct))-bit packed indexes), and
+    the DICT/PLAIN recommendation with the size ratio.
+
+    Exactness: all sizes are exact BIGINT byte counts of the decimal
+    string rendering (integers render identically on both engines; no
+    float column enters the audit); the index bit-width is
+    length(bin(n_distinct - 1)) — the same exact-integer log2 both
+    engines compute.
+
+    100 TB shape: one scan explodes each row into |columns| (column,
+    value) pairs — a scan-speed projection; the (column, value)
+    exchange collapses map-side (counts-of-counts pattern: partial
+    aggregation commutes), the per-column rollup is |columns| rows,
+    and nothing downstream of the first exchange exceeds the distinct-
+    value relation. At cluster scale this is the same plan per
+    partition followed by a metadata-sized merge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"]
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols)
+    pairs = li.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
+    ).where(F.col("val").isNotNull())
+    counts = pairs.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    per_col = counts.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.octet_length("val")).cast("long")
+        .alias("plain_bytes"),
+        F.sum(F.octet_length("val")).cast("long").alias("dict_entry_bytes"),
+    )
+    sized = per_col.select(
+        "col_name", "n_rows", "n_distinct", "plain_bytes",
+        F.when(F.col("n_distinct") <= 1, F.lit(1)).otherwise(
+            F.length(F.expr("bin(n_distinct - 1)"))).cast("long")
+        .alias("index_bits"),
+        "dict_entry_bytes",
+    ).select(
+        "*",
+        F.expr("dict_entry_bytes + (n_rows * index_bits + 7) DIV 8")
+        .cast("long").alias("dict_bytes"),
+    )
+    return (
+        sized.select(
+            "col_name", "n_rows", "n_distinct", "plain_bytes",
+            "index_bits", "dict_bytes",
+            F.expr("dict_bytes * 1000000 DIV plain_bytes").cast("long")
+            .alias("dict_ratio_e6"),
+            F.when(F.col("dict_bytes") < F.col("plain_bytes"),
+                   F.lit("DICT")).otherwise(F.lit("PLAIN"))
+            .alias("recommend"),
+        )
+        .orderBy("col_name")
+    )

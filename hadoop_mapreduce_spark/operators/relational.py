@@ -2220,3 +2220,101 @@ def algebraic_merge_audit(spark, sf_dir: str):
         .unionByName(stats(direct))
         .orderBy("source")
     )
+
+
+def er_survivorship_golden(spark: SparkSession, sf_dir: str,
+                           max_lev: int = 2, n_rounds: int = 3) -> DataFrame:
+    """Golden-record survivorship — the step AFTER entity-resolution
+    linkage (`customer_entity_blocking` generates the candidate pairs,
+    `fellegi_sunter_weights` scores them; this operator MERGES): matched
+    customers are clustered by fixed-round synchronous min-label
+    propagation over the lev<=``max_lev`` pair graph, and each
+    multi-member cluster emits one golden record under explicit
+    survivorship rules — golden id = MIN custkey (stable), surviving
+    name = the highest-balance member's (ties to min custkey; the
+    most-funded-record-wins rule stands in for recency, which the
+    schema lacks), balance = MAX (the standard keep-best policy),
+    plus the audit columns (member count, distinct-name count) a
+    steward reviews before committing the merge.
+
+    Determinism: blocking confines pairs to equal (nation, segment),
+    so every cluster is attribute-homogeneous and min-propagation is a
+    pure function of the edge set; ``n_rounds`` fixed synchronous
+    rounds replay as chained aggregation CTEs in the oracle (the LPA
+    precedent); round r spreads each cluster's minimum custkey to every
+    node within graph distance r of it, so 3 rounds cover diameter-3
+    clusters — past the fixture's observed shapes (pairs and small
+    stars), and the wave test asserts CONVERGENCE (a 4th round changes
+    no label), so the fixed count is not a hidden approximation.
+
+    Scale: pair generation is the block-confined ER cost envelope
+    (shared shape with customer_entity_blocking); each propagation
+    round is one join + one min-rollup on the PAIR graph (orders of
+    magnitude below the customer relation); survivorship is one rank
+    window + one rollup per cluster.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("bal_cents"),
+    )
+    blocked = cust.select(
+        "*",
+        (F.col("c_nationkey").cast("long") * F.lit(1024)
+         + F.crc32(F.col("c_mktsegment")) % F.lit(1024)).alias("blk"))
+    a = blocked.repartition(
+        spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(blocked).alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+               & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+               & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name"),
+                                max_lev) >= 0))
+        .select(F.col("a.c_custkey").alias("id1"),
+                F.col("b.c_custkey").alias("id2"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sym = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")) \
+        .unionAll(pairs.select(F.col("id2").alias("src"),
+                               F.col("id1").alias("dst")))
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    adj = scoped_persist(
+        sym.unionAll(nodes.select(F.col("v").alias("src"),
+                                  F.col("v").alias("dst"))))
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    for _ in range(n_rounds):
+        labels = (
+            adj.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    members = labels.join(
+        cust, labels["v"] == cust["c_custkey"]).select(
+        F.col("lbl").alias("cluster"), "c_custkey", "c_name",
+        "c_nationkey", "c_mktsegment", "bal_cents")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    gold = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("c_name").cast("long").alias("n_distinct_names"),
+        F.max("bal_cents").cast("long").alias("surviving_bal_cents"),
+    )
+    surv = ranked.where(F.col("rn") == 1).select(
+        "cluster", F.col("c_name").alias("surviving_name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"))
+    return (
+        gold.join(surv, "cluster")
+        .where(F.col("n_members") >= 2)
+        .select(
+            F.col("cluster").alias("golden_custkey"),
+            "n_members", "n_distinct_names", "surviving_name",
+            "surviving_bal_cents", "nationkey", "mktsegment",
+        )
+        .orderBy("golden_custkey")
+    )

@@ -254,6 +254,9 @@ QUERIES: dict[str, QueryFn] = {
     # distinct (rolling HLL)
     "kcore_dedup_graph": dedup.kcore_dedup_graph,
     "rolling_distinct_users_hll": timeseries.rolling_distinct_users_hll,
+    # round-8 wave o: ER survivorship merge, encoding-layout audit
+    "er_survivorship_golden": relational.er_survivorship_golden,
+    "encoding_dictionary_audit": layout.encoding_dictionary_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8109,4 +8112,113 @@ SELECT (DATE '1970-01-01' + fin.day::INT)::VARCHAR AS day,
   exact.exact_day_distinct
 FROM fin JOIN wd ON fin.day = wd.day JOIN exact ON fin.day = exact.day
 ORDER BY day
+"""
+
+# r8o: er_survivorship_golden — block-confined lev<=2 pairs (the
+# customer_entity_blocking base), 3 chained min-propagation rounds
+# (MATERIALIZED: each round is referenced by the next), then the
+# survivorship rules as one rank window + one rollup.
+ORACLE["er_survivorship_golden"] = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+p AS MATERIALIZED (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM p
+  UNION ALL SELECT id2, id1 FROM p
+),
+nodes AS (SELECT DISTINCT src AS v FROM sym),
+adj AS MATERIALIZED (
+  SELECT src, dst FROM sym UNION ALL SELECT v, v FROM nodes
+),
+l0 AS (SELECT v, v AS lbl FROM nodes),
+l1 AS MATERIALIZED (
+  SELECT a.src AS v, min(l.lbl) AS lbl
+  FROM adj a JOIN l0 l ON a.dst = l.v GROUP BY a.src),
+l2 AS MATERIALIZED (
+  SELECT a.src AS v, min(l.lbl) AS lbl
+  FROM adj a JOIN l1 l ON a.dst = l.v GROUP BY a.src),
+l3 AS MATERIALIZED (
+  SELECT a.src AS v, min(l.lbl) AS lbl
+  FROM adj a JOIN l2 l ON a.dst = l.v GROUP BY a.src),
+members AS (
+  SELECT l3.lbl AS cluster, c.c_custkey, c.c_name, c.c_nationkey,
+         c.c_mktsegment, c.bal_cents
+  FROM l3 JOIN c ON l3.v = c.c_custkey
+),
+gold AS (
+  SELECT cluster, count(*)::BIGINT AS n_members,
+         count(DISTINCT c_name)::BIGINT AS n_distinct_names,
+         max(bal_cents)::BIGINT AS surviving_bal_cents
+  FROM members GROUP BY cluster
+),
+ranked AS (
+  SELECT cluster, c_name, c_nationkey, c_mktsegment,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY bal_cents DESC, c_custkey ASC) AS rn
+  FROM members
+)
+SELECT g.cluster AS golden_custkey, g.n_members, g.n_distinct_names,
+       r.c_name AS surviving_name, g.surviving_bal_cents,
+       r.c_nationkey::BIGINT AS nationkey, r.c_mktsegment AS mktsegment
+FROM gold g JOIN ranked r ON g.cluster = r.cluster AND r.rn = 1
+WHERE g.n_members >= 2
+ORDER BY golden_custkey
+"""
+
+# r8o: encoding_dictionary_audit — counts-of-counts per (column,
+# value-string) then a |columns|-row rollup; exact byte counts of the
+# decimal renderings, bit-width = length(bin(nd-1)).
+ORACLE["encoding_dictionary_audit"] = """
+WITH pairs AS (
+  SELECT 'l_orderkey' AS col_name, l_orderkey::VARCHAR AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', l_linenumber::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+),
+counts AS (
+  SELECT col_name, val, count(*)::BIGINT AS cnt
+  FROM pairs WHERE val IS NOT NULL GROUP BY 1, 2
+),
+per_col AS (
+  SELECT col_name, sum(cnt)::BIGINT AS n_rows,
+         count(*)::BIGINT AS n_distinct,
+         sum(cnt * strlen(val))::BIGINT AS plain_bytes,
+         sum(strlen(val))::BIGINT AS dict_entry_bytes
+  FROM counts GROUP BY col_name
+),
+sized AS (
+  SELECT col_name, n_rows, n_distinct, plain_bytes,
+    (CASE WHEN n_distinct <= 1 THEN 1
+          ELSE length(bin(n_distinct - 1)) END)::BIGINT AS index_bits,
+    dict_entry_bytes
+  FROM per_col
+),
+fin AS (
+  SELECT col_name, n_rows, n_distinct, plain_bytes, index_bits,
+    (dict_entry_bytes + (n_rows * index_bits + 7) // 8)::BIGINT
+      AS dict_bytes
+  FROM sized
+)
+SELECT col_name, n_rows, n_distinct, plain_bytes, index_bits, dict_bytes,
+  (dict_bytes * 1000000 // plain_bytes)::BIGINT AS dict_ratio_e6,
+  CASE WHEN dict_bytes < plain_bytes THEN 'DICT' ELSE 'PLAIN' END
+    AS recommend
+FROM fin ORDER BY col_name
 """
