@@ -1905,3 +1905,109 @@ def token_mass_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+def psi_source_drift(spark: SparkSession, sf_dir: str,
+                     n_bins: int = 10) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the corpus-wide reference — THE industry
+    drift gate (credit-risk monitoring heritage; the 0.1 / 0.25
+    thresholds every model-monitoring runbook quotes): PSI =
+    sum_bins (p_src - p_ref) * ln(p_src / p_ref) over the reference
+    distribution's ``n_bins`` equal-mass (decile) bins. It completes
+    the drift family on an axis the others miss: KS
+    (`ks_drift_quality`) sees one worst CDF gap, Wasserstein
+    (`wasserstein_source_drift`) integrates mass displacement in value
+    units, PSI measures log-likelihood divergence on FIXED bins — the
+    form monitoring systems alert on because bins, not distributions,
+    are what they store.
+
+    Portability: decile edges come from the counts-of-counts
+    cumulative (edge_j = smallest value whose cumulative count reaches
+    ceil(j*N/10)) — exact integers, no engine quantile; bin assignment
+    is "number of interior edges <= value" summed on the DISTINCT
+    value relation; both shares are add-one smoothed
+    (p = (n + 1)/(N + n_bins), guarding empty bins the standard way);
+    each bin's PSI term is floor-rounded to e6 micro-units BEFORE the
+    final sum, so the float work is one ln + one multiply per (source,
+    bin) cell — order-independent and engine-identical (the
+    embedding_anisotropy_audit convention).
+
+    100 TB shape: one (value) counts-of-counts rollup (bounded by the
+    distinct-length domain), one (source, value) rollup, a 9-row
+    broadcast edge join against the distinct-value relation only, and
+    a |sources| x n_bins grid for the fold. Nothing after the first
+    exchanges exceeds the value domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").alias("x"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    sv = scoped_persist(
+        vals.groupBy("source", "x").agg(
+            F.count(F.lit(1)).cast("long").alias("c")))
+    per_x = scoped_persist(
+        sv.groupBy("x").agg(F.sum("c").cast("long").alias("cx")))
+    total = per_x.agg(F.sum("cx").cast("long").alias("n_all"))
+    # interior decile edges from the exact cumulative: edge_j = min x
+    # with cum >= ceil(j*N/nb) <=> ceil(j*N/nb) lands in
+    # (cum - cx, cum]; derived declaratively (no driver collect) by
+    # crossing the cumulative with the 9-row bin-index relation — a
+    # 9-row result at any scale (the value domain is the only input)
+    cum = per_x.crossJoin(F.broadcast(total)).select(
+        "x", "cx", "n_all",
+        F.sum("cx").over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, 0)).alias("cum"))
+    jdx = spark.range(1, n_bins).select(F.col("id").alias("j"))
+    edges = (
+        cum.crossJoin(F.broadcast(jdx))
+        .where((F.expr("-((-j * n_all) DIV " + str(n_bins) + ")")
+                > F.col("cum") - F.col("cx"))
+               & (F.expr("-((-j * n_all) DIV " + str(n_bins) + ")")
+                  <= F.col("cum")))
+        .select(F.col("x").alias("edge"))
+    )
+    xbin = (
+        per_x.select("x").crossJoin(F.broadcast(edges))
+        .groupBy("x")
+        .agg(F.sum((F.col("x") >= F.col("edge")).cast("long"))
+             .alias("bin"))
+    )
+    src_tot = sv.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_src"))
+    src_bin = (
+        sv.join(F.broadcast(xbin), "x")
+        .groupBy("source", "bin")
+        .agg(F.sum("c").cast("long").alias("n_sb"))
+    )
+    ref_bin = per_x.join(F.broadcast(xbin), "x").groupBy("bin").agg(
+        F.sum("cx").cast("long").alias("n_rb"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(
+            ref_bin.select("bin", "n_rb")))
+        .join(src_bin, ["source", "bin"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source", "bin", "n_src",
+            F.coalesce("n_sb", F.lit(0)).alias("n_sb"), "n_rb", "n_all",
+        )
+    )
+    p_s = ((F.col("n_sb") + 1).cast("double")
+           / (F.col("n_src") + n_bins).cast("double"))
+    p_r = ((F.col("n_rb") + 1).cast("double")
+           / (F.col("n_all") + n_bins).cast("double"))
+    term = F.floor((p_s - p_r) * F.log(p_s / p_r) * F.lit(1e6)
+                   + F.lit(0.5)).cast("long")
+    psi = grid.select("source", "n_src", term.alias("t_e6")) \
+        .groupBy("source", "n_src") \
+        .agg(F.sum("t_e6").cast("long").alias("psi_e6"))
+    return (
+        psi.select(
+            "source", F.col("n_src").alias("n_docs"), "psi_e6",
+            F.when(F.col("psi_e6") > 250_000, F.lit("MAJOR"))
+            .when(F.col("psi_e6") > 100_000, F.lit("MODERATE"))
+            .otherwise(F.lit("STABLE")).alias("drift_flag"),
+        )
+        .orderBy("source")
+    )

@@ -2619,3 +2619,141 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str,
         )
         .orderBy("day")
     )
+
+
+def markov_attribution_removal(spark: SparkSession, sf_dir: str,
+                               gap_minutes: int = 30,
+                               n_iter: int = 12) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    data-driven alternative to last-touch/linear credit): model user
+    journeys as a first-order chain with a synthetic START state,
+    'purchase' and session-end (END) absorbing; a channel's credit is
+    its REMOVAL EFFECT — how much the START->purchase absorption
+    probability drops when every transition INTO the channel is
+    redirected to END (the journey dies where the channel would have
+    been). Credits are normalised to attribution shares. This is the
+    principled counterpart of `conversion_attribution` /
+    `attribution_linear_credit`: position rules credit whoever showed
+    up; removal credits channels the conversions that would NOT have
+    happened without them.
+
+    Exactness: the |scenarios| x |states|^2 matrix (scenarios = NONE +
+    one per transient channel) is metadata-sized, and the absorption
+    probability is computed by ``n_iter`` FIXED truncated value
+    iterations p <- (R + Q·p)/n_out in integer micro-units with
+    DECIMAL(38,0)/HUGEINT products — the exact machinery of
+    `markov_absorption_steps`, crossed with the scenario dimension so
+    ALL removal worlds run in one plan. Removal can only destroy
+    conversion paths, so p_removed <= p_base holds by construction.
+
+    Scale shape: sessionisation (lag/cumsum) + ONE transition
+    aggregation over the data; everything after — the scenario cross,
+    the 12 iterations, the share normalisation — runs on the
+    channel-bounded matrix, localCheckpoint'ed per round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (wall_epoch_secs("ts")
+         - wall_epoch_secs(F.lag("ts").over(w))).alias("gap"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum((F.coalesce(F.col("gap"), F.lit(0)) > gap_minutes * 60)
+              .cast("long")).over(w).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    body = (
+        stepped.withColumn(
+            "nxt", F.coalesce(F.lead("event_type").over(ws),
+                              F.lit("END")))
+        .withColumn("rn", F.row_number().over(ws))
+    )
+    trans = (
+        body.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("from_type"),
+                F.col("nxt").alias("to_type"))
+        .unionAll(
+            body.where(F.col("rn") == 1)
+            .select(F.lit("START").alias("from_type"),
+                    F.col("event_type").alias("to_type")))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ft"))
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    trans = scoped_persist(trans)
+    channels = trans.where(F.col("from_type") != "START") \
+        .select(F.col("from_type").alias("scenario")).distinct()
+    scenarios = channels.unionAll(
+        spark.createDataFrame([("NONE",)], "scenario string"))
+    # one rewritten matrix per removal world: drop the removed state's
+    # own rows, redirect transitions INTO it to END, re-aggregate (a
+    # redirect can merge with an existing ->END row)
+    atn = scoped_persist(
+        trans.crossJoin(F.broadcast(scenarios))
+        .where(F.col("from_type") != F.col("scenario"))
+        .select(
+            "scenario", "from_type",
+            F.when(F.col("to_type") == F.col("scenario"), F.lit("END"))
+            .otherwise(F.col("to_type")).alias("to_type"),
+            "n_ft",
+        )
+        .groupBy("scenario", "from_type", "to_type")
+        .agg(F.sum("n_ft").cast("long").alias("n_ft")))
+    totals = atn.groupBy("scenario", "from_type").agg(
+        F.sum("n_ft").cast("long").alias("n_out"))
+    state = totals.select(
+        F.col("scenario").alias("st_scn"),
+        F.col("from_type").alias("st_s"),
+        F.lit(0).cast("long").alias("p_e6")).localCheckpoint()
+    for _ in range(n_iter):
+        j = atn.join(
+            F.broadcast(state),
+            (F.col("scenario") == F.col("st_scn"))
+            & (F.col("to_type") == F.col("st_s")), "left")
+        state = (
+            j.groupBy("scenario", "from_type")
+            .agg(F.expr(
+                "sum(CASE WHEN to_type = 'purchase' THEN"
+                " CAST(n_ft AS DECIMAL(38,0)) * 1000000"
+                " WHEN p_e6 IS NOT NULL THEN"
+                " CAST(n_ft AS DECIMAL(38,0)) * p_e6"
+                " ELSE 0 END)").alias("sp"))
+            .join(totals, ["scenario", "from_type"])
+            .select(F.col("scenario").alias("st_scn"),
+                    F.col("from_type").alias("st_s"),
+                    F.expr("CAST(sp DIV n_out AS BIGINT)").alias("p_e6"))
+        ).localCheckpoint()
+    starts = state.select(
+        F.col("st_scn").alias("scenario"), F.col("st_s").alias("s"),
+        "p_e6").where(F.col("s") == "START")
+    base = starts.where(F.col("scenario") == "NONE") \
+        .select(F.col("p_e6").alias("p_base_e6"))
+    eff = (
+        starts.where(F.col("scenario") != "NONE")
+        .select(F.col("scenario").alias("channel"),
+                F.col("p_e6").alias("p_removed_e6"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "channel", "p_base_e6", "p_removed_e6",
+            F.expr("CASE WHEN p_base_e6 > 0 THEN"
+                   " CAST((p_base_e6 - p_removed_e6)"
+                   " * CAST(1000000 AS DECIMAL(38,0))"
+                   " DIV p_base_e6 AS BIGINT) ELSE 0 END")
+            .alias("removal_effect_e6"),
+        )
+    )
+    tot = eff.agg(F.sum("removal_effect_e6").cast("long").alias("te"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "channel", "p_base_e6", "p_removed_e6", "removal_effect_e6",
+            F.expr("CASE WHEN te > 0 THEN CAST(removal_effect_e6"
+                   " * CAST(1000000 AS DECIMAL(38,0))"
+                   " DIV te AS BIGINT) ELSE 0 END")
+            .alias("attribution_share_e6"),
+        )
+        .orderBy("channel")
+    )

@@ -257,6 +257,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave o: ER survivorship merge, encoding-layout audit
     "er_survivorship_golden": relational.er_survivorship_golden,
     "encoding_dictionary_audit": layout.encoding_dictionary_audit,
+    # round-8 wave p: removal-effect attribution, PSI drift gate
+    "markov_attribution_removal": timeseries.markov_attribution_removal,
+    "psi_source_drift": datamix.psi_source_drift,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8221,4 +8224,145 @@ SELECT col_name, n_rows, n_distinct, plain_bytes, index_bits, dict_bytes,
   CASE WHEN dict_bytes < plain_bytes THEN 'DICT' ELSE 'PLAIN' END
     AS recommend
 FROM fin ORDER BY col_name
+"""
+
+# r8p: markov_attribution_removal — the markov_absorption_steps value
+# iteration crossed with a removal-scenario dimension (transitions
+# into the removed channel redirect to END, the channel's own rows
+# drop); 12 chained rounds on the scenario x matrix relation, then
+# removal effects and normalised shares as exact truncating divisions.
+_ATTR_ROUND = """
+a{k} AS (
+  SELECT t.scenario, t.from_type AS s,
+    (sum(CASE WHEN t.to_type = 'purchase'
+              THEN t.n_ft::HUGEINT * 1000000
+              WHEN p.p IS NOT NULL THEN t.n_ft::HUGEINT * p.p
+              ELSE 0 END) // max(t.n_out))::BIGINT AS p
+  FROM atn t LEFT JOIN a{prev} p
+    ON p.scenario = t.scenario AND p.s = t.to_type
+  GROUP BY t.scenario, t.from_type
+)"""
+
+ORACLE["markov_attribution_removal"] = (
+    """WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+    date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN coalesce(gap, 0) > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM gaps
+),
+body AS (
+  SELECT event_type,
+    coalesce(lead(event_type) OVER w2, 'END') AS nxt,
+    row_number() OVER w2 AS rn
+  FROM stepped
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_ft FROM (
+    SELECT event_type AS from_type, nxt AS to_type FROM body
+    WHERE event_type <> 'purchase'
+    UNION ALL
+    SELECT 'START', event_type FROM body WHERE rn = 1
+  ) GROUP BY 1, 2
+),
+scn AS (
+  SELECT DISTINCT from_type AS scenario FROM trans
+  WHERE from_type <> 'START'
+  UNION ALL SELECT 'NONE'
+),
+atn1 AS (
+  SELECT s.scenario, t.from_type,
+    CASE WHEN t.to_type = s.scenario THEN 'END'
+         ELSE t.to_type END AS to_type,
+    sum(t.n_ft)::BIGINT AS n_ft
+  FROM trans t CROSS JOIN scn s
+  WHERE t.from_type <> s.scenario
+  GROUP BY 1, 2, 3
+),
+atn AS MATERIALIZED (
+  SELECT scenario, from_type, to_type, n_ft,
+    sum(n_ft) OVER (PARTITION BY scenario, from_type) AS n_out
+  FROM atn1
+),
+a0 AS (SELECT DISTINCT scenario, from_type AS s, 0::BIGINT AS p
+       FROM atn),"""
+    + ",".join(_ATTR_ROUND.format(k=k, prev=k - 1) for k in range(1, 13))
+    + """,
+base AS (SELECT p FROM a12 WHERE scenario = 'NONE' AND s = 'START'),
+eff AS (
+  SELECT a.scenario AS channel, b.p AS p_base_e6, a.p AS p_removed_e6,
+    CASE WHEN b.p > 0
+         THEN ((b.p - a.p)::HUGEINT * 1000000 // b.p)::BIGINT
+         ELSE 0 END AS removal_effect_e6
+  FROM a12 a CROSS JOIN base b
+  WHERE a.scenario <> 'NONE' AND a.s = 'START'
+),
+tot AS (SELECT sum(removal_effect_e6)::BIGINT AS te FROM eff)
+SELECT channel, p_base_e6, p_removed_e6, removal_effect_e6,
+  CASE WHEN te > 0
+       THEN (removal_effect_e6::HUGEINT * 1000000 // te)::BIGINT
+       ELSE 0 END AS attribution_share_e6
+FROM eff CROSS JOIN tot ORDER BY channel
+""")
+
+# r8p: psi_source_drift — exact counts-of-counts decile edges
+# (ceil(j*N/nb) landing in (cum-cx, cum]), add-one smoothed shares,
+# per-cell e6-rounded PSI terms summed as integers.
+ORACLE["psi_source_drift"] = """
+WITH sv AS (
+  SELECT source, n_chars AS x, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+per_x AS (SELECT x, sum(c)::BIGINT AS cx FROM sv GROUP BY x),
+total AS (SELECT sum(cx)::BIGINT AS n_all FROM per_x),
+cum AS (
+  SELECT x, cx, n_all, sum(cx) OVER (ORDER BY x)::BIGINT AS cum
+  FROM per_x CROSS JOIN total
+),
+jdx AS (SELECT unnest(generate_series(1, 9))::BIGINT AS j),
+edges AS (
+  SELECT x AS edge FROM cum CROSS JOIN jdx
+  WHERE -((-j * n_all) // 10) > cum - cx
+    AND -((-j * n_all) // 10) <= cum
+),
+xbin AS (
+  SELECT p.x, sum((p.x >= e.edge)::BIGINT)::BIGINT AS bin
+  FROM per_x p CROSS JOIN edges e GROUP BY p.x
+),
+src_tot AS (SELECT source, sum(c)::BIGINT AS n_src FROM sv GROUP BY 1),
+src_bin AS (
+  SELECT sv.source, xbin.bin, sum(sv.c)::BIGINT AS n_sb
+  FROM sv JOIN xbin ON sv.x = xbin.x GROUP BY 1, 2
+),
+ref_bin AS (
+  SELECT xbin.bin, sum(per_x.cx)::BIGINT AS n_rb
+  FROM per_x JOIN xbin ON per_x.x = xbin.x GROUP BY 1
+),
+grid AS (
+  SELECT st.source, rb.bin, st.n_src,
+         coalesce(sb.n_sb, 0)::BIGINT AS n_sb, rb.n_rb, t.n_all
+  FROM src_tot st CROSS JOIN ref_bin rb
+  LEFT JOIN src_bin sb ON sb.source = st.source AND sb.bin = rb.bin
+  CROSS JOIN total t
+),
+terms AS (
+  SELECT source, n_src,
+    floor((((n_sb + 1)::DOUBLE / (n_src + 10)::DOUBLE
+            - (n_rb + 1)::DOUBLE / (n_all + 10)::DOUBLE)
+           * ln(((n_sb + 1)::DOUBLE / (n_src + 10)::DOUBLE)
+                / ((n_rb + 1)::DOUBLE / (n_all + 10)::DOUBLE)))
+          * 1e6 + 0.5)::BIGINT AS t_e6
+  FROM grid
+)
+SELECT source, n_src AS n_docs, sum(t_e6)::BIGINT AS psi_e6,
+  CASE WHEN sum(t_e6) > 250000 THEN 'MAJOR'
+       WHEN sum(t_e6) > 100000 THEN 'MODERATE'
+       ELSE 'STABLE' END AS drift_flag
+FROM terms GROUP BY source, n_src ORDER BY source
 """
