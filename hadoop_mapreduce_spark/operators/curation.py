@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_mapreduce_spark.functions.timeutil import wall_epoch_us
 from hadoop_mapreduce_spark.sources.tables import load_table
 
 
@@ -1911,4 +1912,104 @@ def kfold_strata_audit(spark: SparkSession, sf_dir: str,
                 " AS BIGINT)").alias("chisq_e6"),
         )
         .orderBy("lang", "source")
+    )
+
+
+def experiment_peeking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-monitoring ("peeking") audit of the md5-armed A/B
+    experiment: the cumulative daily 2x2 conversion chi-square an
+    impatient experimenter would read every morning, with the days
+    flagged where the NAIVE fixed-horizon test crosses p<0.05 — the
+    quantitative form of the peeking problem (Johari et al. 2017:
+    repeated significance testing inflates false positives far above
+    the nominal alpha, which is why platforms ship sequential
+    boundaries instead of daily chi-squares). `experiment_srm_audit`
+    reads the END state once; this operator reconstructs the whole
+    daily readout an analyst would have seen, so the
+    would-have-stopped-early days are auditable after the fact.
+
+    Semantics: a user enters the denominator on the day of their FIRST
+    event and converts on the day of their FIRST purchase (cumulative
+    user-level conversion, the platform convention). The chi-square is
+    the exact-integer 2x2 statistic of experiment_srm_audit
+    (DECIMAL(38,0)/HUGEINT cross products, truncating e6 division),
+    NULL while any margin is empty; significance compares against
+    3841458 micro-units (the chi2_1 0.05 critical value 3.841459
+    floor-truncated, embedded as the same literal on both engines).
+
+    Scale: one groupBy(user_id) pass (min-day partial aggregates),
+    then (arm, day) rollups and all cumulative windows on the
+    2 x |days| calendar-bounded grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    per_user = (
+        ev.select("user_id", day.alias("day"), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("entry_day"),
+            F.min(F.when(F.col("event_type") == "purchase",
+                         F.col("day"))).alias("conv_day"),
+        )
+        .select(F.pmod(h, F.lit(2)).alias("arm"), "entry_day", "conv_day")
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    per_user = scoped_persist(per_user)
+    days = ev.select(day.alias("day")).distinct()
+    arms = spark.range(0, 2).select(F.col("id").cast("long").alias("arm"))
+    entries = per_user.groupBy("arm", F.col("entry_day").alias("day")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_enter"))
+    convs = per_user.where(F.col("conv_day").isNotNull()) \
+        .groupBy("arm", F.col("conv_day").alias("day")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convert"))
+    w = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    grid = (
+        days.crossJoin(F.broadcast(arms))
+        .join(entries, ["arm", "day"], "left")
+        .join(convs, ["arm", "day"], "left")
+        .select(
+            "arm", "day",
+            F.sum(F.coalesce("n_enter", F.lit(0))).over(w)
+            .cast("long").alias("n"),
+            F.sum(F.coalesce("n_convert", F.lit(0))).over(w)
+            .cast("long").alias("c"),
+        )
+    )
+    daily = grid.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("conv_b"),
+    )
+    chi2 = F.expr(
+        "CASE WHEN conv_a + conv_b > 0"
+        " AND (n_a + n_b) - (conv_a + conv_b) > 0"
+        " AND n_a > 0 AND n_b > 0 THEN"
+        " CAST((n_a + n_b)"
+        " * (CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)"
+        "    - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a))"
+        " * (CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)"
+        "    - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a))"
+        " * 1000000"
+        " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b)"
+        "      * ((n_a + n_b) - (conv_a + conv_b))) AS BIGINT)"
+        " END")
+    sig = F.when(F.col("chi2_e6").isNotNull()
+                 & (F.col("chi2_e6") > 3_841_458), 1).otherwise(0) \
+        .cast("long")
+    out = daily.withColumn("chi2_e6", chi2).withColumn("peek_sig", sig)
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        out.select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("day").cast("int")).cast("string").alias("day"),
+            "n_a", "n_b", "conv_a", "conv_b", "chi2_e6", "peek_sig",
+            F.sum("peek_sig").over(wd).cast("long").alias("cum_sig_days"),
+        )
+        .orderBy("day")
     )

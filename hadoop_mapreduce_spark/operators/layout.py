@@ -18,7 +18,7 @@ scan); the oracle rebuilds the identical Morton codes with DuckDB's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_mapreduce_spark.sources.tables import load_table
@@ -334,6 +334,67 @@ def encoding_dictionary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dict_bytes") < F.col("plain_bytes"),
                    F.lit("DICT")).otherwise(F.lit("PLAIN"))
             .alias("recommend"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def rle_run_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length audit of lineitem's physical row order — the
+    order-sensitive half of the encoding story
+    (`encoding_dictionary_audit` measures the value DOMAIN; this
+    measures the SEQUENCE): per column, how many equal-value runs the
+    canonical arrival order (l_orderkey, l_linenumber — the unique
+    write key) produces, the mean run length, and the run count a
+    column-sorted rewrite would achieve (= the distinct count, since
+    sorting makes every value one run). RLE/delta encodings and
+    zone-map pruning both pay off exactly when runs are long, so
+    runs-vs-distinct is the number that decides WHICH column a sort or
+    z-order rewrite should cluster (the read-side complement of
+    `zone_map_skipping_audit` / `zorder_layout`).
+
+    Exactness: a run boundary is `value <> lag(value)` over the total
+    (l_orderkey, l_linenumber) order — the key is unique, so the order
+    is total and both engines count identical boundaries (NULL-safe:
+    the first row of each column starts run 1).
+
+    Scale: ONE global sort (range-partitioned total order — the same
+    machinery a sorted write uses) computes the lag for ALL audited
+    columns in a single window; everything after is a 1-row aggregate
+    unpivoted to |columns| rows. No per-column re-sort, no second pass
+    over the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_suppkey", "l_partkey", "l_returnflag", "l_linestatus"]
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    lagged = li.select(
+        *cols,
+        *[F.lag(c).over(w).alias(f"prev_{c}") for c in cols],
+    )
+    runs = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(
+            (F.col(f"prev_{c}").isNull()
+             | (F.col(c) != F.col(f"prev_{c}"))).cast("long"))
+          .cast("long").alias(f"runs_{c}") for c in cols],
+    )
+    nd = li.agg(*[F.countDistinct(c).cast("long").alias(f"nd_{c}")
+                  for c in cols])
+    stack_args = ", ".join(
+        f"'{c}', runs_{c}, nd_{c}" for c in cols)
+    return (
+        runs.crossJoin(F.broadcast(nd))
+        .select(
+            "n_rows",
+            F.expr(f"stack({len(cols)}, {stack_args})"
+                   " AS (col_name, n_runs, n_distinct)"),
+        )
+        .select(
+            "col_name", "n_rows", "n_distinct", "n_runs",
+            F.expr("n_rows * 1000000 DIV n_runs").cast("long")
+            .alias("avg_run_len_e6"),
+            F.expr("n_distinct * 1000000 DIV n_runs").cast("long")
+            .alias("sorted_runs_ratio_e6"),
         )
         .orderBy("col_name")
     )

@@ -260,6 +260,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave p: removal-effect attribution, PSI drift gate
     "markov_attribution_removal": timeseries.markov_attribution_removal,
     "psi_source_drift": datamix.psi_source_drift,
+    # round-8 wave q: peeking audit, RLE run-length layout audit
+    "experiment_peeking_audit": curation.experiment_peeking_audit,
+    "rle_run_length_audit": layout.rle_run_length_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8365,4 +8368,118 @@ SELECT source, n_src AS n_docs, sum(t_e6)::BIGINT AS psi_e6,
        WHEN sum(t_e6) > 100000 THEN 'MODERATE'
        ELSE 'STABLE' END AS drift_flag
 FROM terms GROUP BY source, n_src ORDER BY source
+"""
+
+# r8q: experiment_peeking_audit — cumulative daily 2x2 chi-square of
+# the md5-armed experiment (first-event entry, first-purchase
+# conversion); exact HUGEINT cross products, 3841458 e6-critical
+# literal shared with the Spark side, windows on the 2 x |days| grid.
+ORACLE["experiment_peeking_audit"] = """
+WITH per_user AS (
+  SELECT user_id,
+    min(epoch_us(ts) // 86400000000) AS entry_day,
+    min(CASE WHEN event_type = 'purchase'
+             THEN epoch_us(ts) // 86400000000 END) AS conv_day
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT
+          % 2)::BIGINT AS arm, entry_day, conv_day
+  FROM per_user
+),
+days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events),
+arms AS (SELECT unnest(generate_series(0, 1))::BIGINT AS arm),
+entries AS (
+  SELECT arm, entry_day AS day, count(*)::BIGINT AS n_enter
+  FROM armed GROUP BY 1, 2
+),
+convs AS (
+  SELECT arm, conv_day AS day, count(*)::BIGINT AS n_convert
+  FROM armed WHERE conv_day IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.arm, d.day,
+    sum(coalesce(e.n_enter, 0)) OVER
+      (PARTITION BY a.arm ORDER BY d.day)::BIGINT AS n,
+    sum(coalesce(c.n_convert, 0)) OVER
+      (PARTITION BY a.arm ORDER BY d.day)::BIGINT AS c
+  FROM days d CROSS JOIN arms a
+  LEFT JOIN entries e ON e.arm = a.arm AND e.day = d.day
+  LEFT JOIN convs c ON c.arm = a.arm AND c.day = d.day
+),
+daily AS (
+  SELECT day,
+    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+    max(CASE WHEN arm = 0 THEN c END) AS conv_a,
+    max(CASE WHEN arm = 1 THEN c END) AS conv_b
+  FROM grid GROUP BY day
+),
+scored AS (
+  SELECT day, n_a, n_b, conv_a, conv_b,
+    CASE WHEN conv_a + conv_b > 0
+          AND (n_a + n_b) - (conv_a + conv_b) > 0
+          AND n_a > 0 AND n_b > 0
+         THEN ((n_a + n_b)
+               * (conv_a::HUGEINT * (n_b - conv_b)
+                  - conv_b::HUGEINT * (n_a - conv_a))
+               * (conv_a::HUGEINT * (n_b - conv_b)
+                  - conv_b::HUGEINT * (n_a - conv_a))
+               * 1000000
+               // (n_a::HUGEINT * n_b * (conv_a + conv_b)
+                   * ((n_a + n_b) - (conv_a + conv_b))))::BIGINT
+    END AS chi2_e6
+  FROM daily
+),
+flagged AS (
+  SELECT *, (CASE WHEN chi2_e6 IS NOT NULL AND chi2_e6 > 3841458
+                  THEN 1 ELSE 0 END)::BIGINT AS peek_sig
+  FROM scored
+)
+SELECT (DATE '1970-01-01' + day::INT)::VARCHAR AS day,
+  n_a, n_b, conv_a, conv_b, chi2_e6, peek_sig,
+  sum(peek_sig) OVER (ORDER BY day)::BIGINT AS cum_sig_days
+FROM flagged ORDER BY day
+"""
+
+# r8q: rle_run_length_audit — run boundaries (value <> lag) over the
+# total (l_orderkey, l_linenumber) arrival order, all columns lagged
+# in ONE window; distinct counts from one aggregate.
+ORACLE["rle_run_length_audit"] = """
+WITH lagged AS (
+  SELECT l_suppkey, l_partkey, l_returnflag, l_linestatus,
+    lag(l_suppkey) OVER w AS p_sk, lag(l_partkey) OVER w AS p_pk,
+    lag(l_returnflag) OVER w AS p_rf, lag(l_linestatus) OVER w AS p_ls
+  FROM lineitem
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+),
+runs AS (
+  SELECT count(*)::BIGINT AS n_rows,
+    sum((p_sk IS NULL OR l_suppkey <> p_sk)::BIGINT)::BIGINT AS r_sk,
+    sum((p_pk IS NULL OR l_partkey <> p_pk)::BIGINT)::BIGINT AS r_pk,
+    sum((p_rf IS NULL OR l_returnflag <> p_rf)::BIGINT)::BIGINT AS r_rf,
+    sum((p_ls IS NULL OR l_linestatus <> p_ls)::BIGINT)::BIGINT AS r_ls
+  FROM lagged
+),
+nd AS (
+  SELECT count(DISTINCT l_suppkey)::BIGINT AS d_sk,
+         count(DISTINCT l_partkey)::BIGINT AS d_pk,
+         count(DISTINCT l_returnflag)::BIGINT AS d_rf,
+         count(DISTINCT l_linestatus)::BIGINT AS d_ls
+  FROM lineitem
+),
+rows_out AS (
+  SELECT 'l_suppkey' AS col_name, n_rows, d_sk AS n_distinct,
+         r_sk AS n_runs FROM runs CROSS JOIN nd
+  UNION ALL
+  SELECT 'l_partkey', n_rows, d_pk, r_pk FROM runs CROSS JOIN nd
+  UNION ALL
+  SELECT 'l_returnflag', n_rows, d_rf, r_rf FROM runs CROSS JOIN nd
+  UNION ALL
+  SELECT 'l_linestatus', n_rows, d_ls, r_ls FROM runs CROSS JOIN nd
+)
+SELECT col_name, n_rows, n_distinct, n_runs,
+  (n_rows * 1000000 // n_runs)::BIGINT AS avg_run_len_e6,
+  (n_distinct * 1000000 // n_runs)::BIGINT AS sorted_runs_ratio_e6
+FROM rows_out ORDER BY col_name
 """
