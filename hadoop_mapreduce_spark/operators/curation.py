@@ -2013,3 +2013,102 @@ def experiment_peeking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str,
+                        pre_days: int = 15) -> DataFrame:
+    """CUPED variance reduction for the md5-armed A/B experiment
+    (Deng et al. 2013, the industry-standard pre-experiment covariate
+    adjustment): split the event span into a pre-period (first
+    ``pre_days`` days) and an experiment period, use each user's
+    PRE-period total value as the covariate X for their EXPERIMENT-
+    period total value Y, and report per arm the raw and CUPED-adjusted
+    means Y' = Y - theta(X - mean(X)) with theta = cov(X,Y)/var(X)
+    estimated POOLED (the standard: theta must not depend on arm or it
+    biases the contrast). The variance-reduction factor rho^2 =
+    cor(X,Y)^2 — the fraction of metric variance the covariate removes,
+    i.e. how much longer the un-adjusted experiment would have to run
+    for the same power — rides along.
+
+    Exactness: per-user values are micro-unit BIGINTs (the sv_micros
+    convention); all moment sums (Sx, Sy, Sxy, Sxx, Syy) are EXACT
+    DECIMAL(38,0)/HUGEINT; theta, the adjusted means and rho^2 are the
+    only float steps — single expressions over exact integers,
+    floor-rounded to e6 with identical operation order on both
+    engines. Users with no pre-period activity carry X = 0 (the
+    standard missing-covariate convention: they contribute their own
+    mean, CUPED degrades gracefully to no adjustment for them).
+
+    Scale: one groupBy(user_id) pass with conditional partial
+    aggregates, one 1-row pooled moment fold, one 2-row arm rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    v_us = F.round(F.col("value") * 1e6).cast("long")
+    base = ev.select("user_id", day.alias("day"), v_us.alias("v"))
+    d0 = base.agg(F.min("day").alias("d0"))
+    per_user = (
+        base.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("d0") + pre_days,
+                         F.col("v")).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("d0") + pre_days,
+                         F.col("v")).otherwise(0))
+            .cast("long").alias("y"),
+        )
+        .select(F.pmod(h, F.lit(2)).alias("arm"), "x", "y")
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    per_user = scoped_persist(per_user)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx_a"),
+        F.sum("y").cast("long").alias("sy_a"),
+    )
+    # theta and rho^2 from the exact pooled moments; explicit operation
+    # order (numerators first, one division each) mirrored in the oracle
+    j = arms.crossJoin(F.broadcast(pooled))
+    cov_n = F.expr("CAST(n AS DECIMAL(38,0)) * sxy"
+                   " - CAST(sx AS DECIMAL(38,0)) * sy")
+    var_xn = F.expr("CAST(n AS DECIMAL(38,0)) * sxx"
+                    " - CAST(sx AS DECIMAL(38,0)) * sx")
+    var_yn = F.expr("CAST(n AS DECIMAL(38,0)) * syy"
+                    " - CAST(sy AS DECIMAL(38,0)) * sy")
+    # degenerate-covariate guard (constant X and/or constant Y => no
+    # adjustment, zero reduction) — both engines branch on the same
+    # exact-integer zero tests, never on a float
+    theta = F.when(var_xn == 0, F.lit(0.0)).otherwise(
+        cov_n.cast("double") / var_xn.cast("double"))
+    mean_y = F.col("sy_a").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("sx_a").cast("double") / F.col("n_users").cast("double")
+    mean_x_pool = F.col("sx").cast("double") / F.col("n").cast("double")
+    adj = mean_y - theta * (mean_x - mean_x_pool)
+    rho2 = F.when((var_xn == 0) | (var_yn == 0), F.lit(0.0)).otherwise(
+        (cov_n.cast("double") * cov_n.cast("double"))
+        / (var_xn.cast("double") * var_yn.cast("double")))
+    return (
+        j.select(
+            "arm", "n_users",
+            F.floor(mean_y + F.lit(0.5)).cast("long").alias("mean_y_e6"),
+            F.floor(adj + F.lit(0.5)).cast("long").alias("mean_y_cuped_e6"),
+            F.floor(theta * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("theta_e6"),
+            F.floor(rho2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("var_reduction_e6"),
+        )
+        .orderBy("arm")
+    )

@@ -2784,3 +2784,64 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str,
                 .localCheckpoint(eager=False)
             )
     return rows.orderBy("k", "peel_round")
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Token-savings accounting of keep-one-per-cluster dedup — the
+    table every dedup proposal gets budgeted against ("dedup deletes
+    X% of the tokens we pay to train on"): per source, document and
+    whitespace-token totals, the share of both that keep-best dedup
+    (LSH + star-CC clusters, keep-longest winner — exactly
+    `dedup_keep_best`'s policy) would DROP, and the micro-unit savings
+    ratios. Cluster membership and the kept winner reuse the verified
+    MinHash pair base and star-CC; the drop set is every multi-member
+    cluster member that is not its cluster's (n_chars DESC, doc_id ASC)
+    argmax. Sources are charged for THEIR dropped members (a cluster
+    can span sources — each source loses its own docs), which is what
+    makes the table actionable per-acquisition-channel.
+
+    Scale: the pair/CC machinery is the shared scale path
+    (dedup_components_star); token counts are one scan-speed
+    projection; everything merges on doc_id/component keys, final
+    output |sources| rows.
+    """
+    from hadoop_mapreduce_spark.operators.textstats import _tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = scoped_persist(docs)
+    pairs = minhash_pairs_unsorted(spark, sf_dir, threshold=threshold) \
+        .select("id1", "id2")
+    comp = connected_components_star(
+        docs.select("doc_id"), pairs, edges_canonical=True)
+    members = comp.join(docs, "doc_id")
+    wk = Window.partitionBy("comp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    flagged = members.select(
+        "doc_id", "source", "n_tokens",
+        (F.row_number().over(wk) > 1).cast("long").alias("dropped"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("dropped") * F.col("n_tokens")).cast("long")
+            .alias("dropped_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_dropped", "total_tokens",
+            "dropped_tokens",
+            F.expr("n_dropped * 1000000 DIV n_docs").cast("long")
+            .alias("doc_savings_e6"),
+            F.expr("CASE WHEN total_tokens > 0 THEN"
+                   " dropped_tokens * 1000000 DIV total_tokens"
+                   " ELSE 0 END").cast("long").alias("token_savings_e6"),
+        )
+        .orderBy("source")
+    )

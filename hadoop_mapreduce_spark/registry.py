@@ -263,6 +263,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave q: peeking audit, RLE run-length layout audit
     "experiment_peeking_audit": curation.experiment_peeking_audit,
     "rle_run_length_audit": layout.rle_run_length_audit,
+    # round-8 wave r: CUPED adjustment, dedup token-savings ledger
+    "ab_cuped_adjustment": curation.ab_cuped_adjustment,
+    "dedup_token_savings": dedup.dedup_token_savings,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8482,4 +8485,117 @@ SELECT col_name, n_rows, n_distinct, n_runs,
   (n_rows * 1000000 // n_runs)::BIGINT AS avg_run_len_e6,
   (n_distinct * 1000000 // n_runs)::BIGINT AS sorted_runs_ratio_e6
 FROM rows_out ORDER BY col_name
+"""
+
+# r8r: ab_cuped_adjustment — exact HUGEINT moment sums, pooled theta,
+# identical float operation order, zero-variance guards on integer
+# tests.
+ORACLE["ab_cuped_adjustment"] = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    round(value * 1e6)::BIGINT AS v
+  FROM events
+),
+d0 AS (SELECT min(day) AS d0 FROM base),
+per_user AS (
+  SELECT user_id,
+    sum(CASE WHEN day < d0.d0 + 15 THEN v ELSE 0 END)::BIGINT AS x,
+    sum(CASE WHEN day >= d0.d0 + 15 THEN v ELSE 0 END)::BIGINT AS y
+  FROM base CROSS JOIN d0 GROUP BY user_id
+),
+armed AS (
+  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT
+          % 2)::BIGINT AS arm, x, y
+  FROM per_user
+),
+pooled AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+    sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy,
+    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy
+  FROM armed
+),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sx_a,
+    sum(y)::BIGINT AS sy_a
+  FROM armed GROUP BY arm
+),
+stats AS (
+  SELECT arm, n_users, sx_a, sy_a, n, sx, sy,
+    (n::HUGEINT * sxy - sx::HUGEINT * sy) AS cov_n,
+    (n::HUGEINT * sxx - sx::HUGEINT * sx) AS var_xn,
+    (n::HUGEINT * syy - sy::HUGEINT * sy) AS var_yn
+  FROM arms CROSS JOIN pooled
+)
+SELECT arm, n_users,
+  floor(sy_a::DOUBLE / n_users::DOUBLE + 0.5)::BIGINT AS mean_y_e6,
+  floor(sy_a::DOUBLE / n_users::DOUBLE
+        - (CASE WHEN var_xn = 0 THEN 0.0
+                ELSE cov_n::DOUBLE / var_xn::DOUBLE END)
+          * (sx_a::DOUBLE / n_users::DOUBLE - sx::DOUBLE / n::DOUBLE)
+        + 0.5)::BIGINT AS mean_y_cuped_e6,
+  floor((CASE WHEN var_xn = 0 THEN 0.0
+              ELSE cov_n::DOUBLE / var_xn::DOUBLE END) * 1e6
+        + 0.5)::BIGINT AS theta_e6,
+  floor((CASE WHEN var_xn = 0 OR var_yn = 0 THEN 0.0
+              ELSE (cov_n::DOUBLE * cov_n::DOUBLE)
+                   / (var_xn::DOUBLE * var_yn::DOUBLE) END) * 1e6
+        + 0.5)::BIGINT AS var_reduction_e6
+FROM stats ORDER BY arm
+"""
+
+# r8r: dedup_token_savings — the dedup_keep_best recursive-CTE CC +
+# keep-longest policy, rolled up to per-source doc/token savings.
+ORACLE["dedup_token_savings"] = r"""
+WITH RECURSIVE
+toksrc AS (
+  SELECT doc_id, source, n_chars,
+    len(list_filter(string_split_regex(lower(regexp_replace(text,
+      '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'),
+      t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+j AS (WITH
+t2 AS (SELECT doc_id, list_filter(string_split_regex(lower(
+         regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')),
+         '[\t\n\x0B\f\r ]+'), t -> t <> '') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2
+FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM j UNION SELECT id2, id1 FROM j
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach
+         GROUP BY src),
+flagged AS (
+  SELECT t.source, t.n_tokens,
+    (row_number() OVER (PARTITION BY c.component
+                        ORDER BY t.n_chars DESC, t.doc_id ASC) > 1)
+      ::BIGINT AS dropped
+  FROM comp c JOIN toksrc t USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(dropped)::BIGINT AS n_dropped,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  sum(dropped * n_tokens)::BIGINT AS dropped_tokens,
+  (sum(dropped) * 1000000 // count(*))::BIGINT AS doc_savings_e6,
+  CASE WHEN sum(n_tokens) > 0
+       THEN (sum(dropped * n_tokens) * 1000000 // sum(n_tokens))::BIGINT
+       ELSE 0 END AS token_savings_e6
+FROM flagged GROUP BY source ORDER BY source
 """
