@@ -2845,3 +2845,112 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str,
         )
         .orderBy("source")
     )
+
+
+def graph_modularity_audit(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.8) -> DataFrame:
+    """Newman-Girvan modularity of the two community assignments this
+    engine produces over the near-dup graph — connected components
+    (star-CC) and 4-round synchronous LPA — on the SAME verified pair
+    base: Q = sum_c [e_c/m - (d_c/2m)^2], the standard partition-
+    quality score (Q ~ 0: no better than random; higher = denser
+    communities). CC merges through every bridge edge, LPA resists
+    them; this audit puts ONE comparable number on that difference, so
+    the dedup keep-policy choice (cluster-level review vs keep-one)
+    rests on a measured structure score, not intuition — the summary
+    judgement on top of `dedup_chain_audit` (per-cluster density) and
+    `kcore_dedup_graph` (peeling morphology).
+
+    Exactness: Q = (4m * sum_c e_c - sum_c d_c^2) / (4m^2) as ONE
+    truncating micro-unit division of exact HUGEINT/DECIMAL(38,0)
+    integers; the numerator can be negative, so the oracle mirrors
+    Spark's toward-zero DIV with the sign-split CASE (the
+    lang_source_mutual_info convention).
+
+    Scale: pair base shared (scoped_persist); per method one
+    labels-on-edges join + two label-keyed rollups — all dup-graph-
+    sized; LPA rounds are the fixed-round machinery of
+    `label_propagation_communities` on the same persisted edges.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    pairs = scoped_persist(
+        minhash_pairs_unsorted(spark, sf_dir, threshold=threshold)
+        .select("id1", "id2"))
+    nodes = (
+        pairs.select(F.col("id1").alias("v"))
+        .unionAll(pairs.select(F.col("id2").alias("v")))
+        .distinct()
+    )
+    cc = connected_components_star(
+        nodes.select(F.col("v").alias("doc_id")), pairs,
+        edges_canonical=True).select(
+        F.col("doc_id").alias("v"), F.col("comp").alias("lbl"))
+    # LPA, the label_propagation_communities fixed rounds on the same
+    # persisted pair base (self-loop damping, (count desc, lbl) ties)
+    sym = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"),
+                               F.col("id1").alias("dst")))
+    )
+    edges = scoped_persist(
+        sym.unionAll(nodes.select(F.col("v").alias("src"),
+                                  F.col("v").alias("dst"))))
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    wl = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(4):
+        labels = (
+            edges.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(wl))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        ).localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("id1").alias("v"))
+        .unionAll(pairs.select(F.col("id2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+
+    def q_row(lbl_df: DataFrame, method: str) -> DataFrame:
+        l1 = lbl_df.select(F.col("v").alias("id1"),
+                           F.col("lbl").alias("lbl1"))
+        l2 = lbl_df.select(F.col("v").alias("id2"),
+                           F.col("lbl").alias("lbl2"))
+        em = pairs.join(l1, "id1").join(l2, "id2").agg(
+            F.count(F.lit(1)).cast("long").alias("m_edges"),
+            F.sum((F.col("lbl1") == F.col("lbl2")).cast("long"))
+            .cast("long").alias("internal_edges"),
+        )
+        dsq = (
+            deg.join(lbl_df, "v")
+            .groupBy("lbl").agg(F.sum("d").cast("long").alias("dc"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_communities"),
+                F.expr("sum(CAST(dc AS DECIMAL(38,0)) * dc)")
+                .alias("sum_deg_sq"),
+            )
+        )
+        nn = lbl_df.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        return (
+            em.crossJoin(dsq).crossJoin(nn)
+            .select(
+                F.lit(method).alias("method"),
+                "n_nodes", "m_edges", "n_communities", "internal_edges",
+                F.col("sum_deg_sq").cast("decimal(38,0)")
+                .alias("sum_deg_sq"),
+                F.expr(
+                    "CAST((4 * CAST(m_edges AS DECIMAL(38,0))"
+                    " * internal_edges - sum_deg_sq) * 1000000"
+                    " DIV (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)"
+                    " AS BIGINT)").alias("q_e6"),
+            )
+            .select("method", "n_nodes", "m_edges", "n_communities",
+                    "internal_edges",
+                    F.col("sum_deg_sq").cast("long").alias("sum_deg_sq"),
+                    "q_e6")
+        )
+
+    return q_row(cc, "cc_star").unionAll(q_row(labels, "lpa_4")) \
+        .orderBy("method")

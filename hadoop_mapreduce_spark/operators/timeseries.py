@@ -2757,3 +2757,126 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str,
         )
         .orderBy("channel")
     )
+
+
+def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg two-state burst detection (Kleinberg 2002, "Bursty
+    and Hierarchical Structure in Streams" — the batch automaton) over
+    each event type's daily share of total traffic: state q0 emits the
+    type's global rate p0 = R/D, the burst state q1 emits p1 =
+    min(2*p0, 0.99); day t in state q costs the binomial negative
+    log-likelihood -(r*ln(p_q) + (n-r)*ln(1-p_q)), entering the burst
+    state costs gamma*ln(T); the emitted labels are the MINIMUM-COST
+    (Viterbi) state path. Unlike the threshold detectors
+    (`events_anomaly_zscore`/`_mad`, `events_cusum_changepoint`) the
+    automaton prices burst ENTRY, so isolated one-day spikes don't
+    flap the label — the property that made it the canonical stream-
+    burst model.
+
+    Determinism: per-day state costs are floor-rounded to e6 BIGINTs
+    FIRST (one ln+multiply chain per (type, day, state), identical
+    operation order both engines), so the entire DP — forward min-plus
+    recursion with from-pointers, then the backtrace — is EXACT
+    integer arithmetic with a fixed tie rule (<= prefers the baseline
+    state). The oracle replays both passes as lockstep recursive CTEs
+    over the step index. BIGINT bound: cumulative cost <
+    T * (r_day * ln-range) * 1e6 — comfortable through petabyte-scale
+    daily counts (~2e11 events/day headroom).
+
+    Scale: the stream collapses to a (days x types) grid (calendar x
+    catalog bounded — zero-days materialised so gaps can end bursts);
+    each type's series folds with two higher-order aggregate lambdas
+    (forward DP, backtrace), the events_holt_linear machinery.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    base = ev.select("event_type", day.alias("d"))
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    counts = scoped_persist(
+        base.groupBy("event_type", "d").agg(
+            F.count(F.lit(1)).cast("long").alias("r")))
+    per_day = counts.groupBy("d").agg(
+        F.sum("r").cast("long").alias("n"))
+    types = counts.select("event_type").distinct()
+    tot = counts.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rr"))
+    dd = per_day.agg(F.sum("n").cast("long").alias("dd"))
+    grid = (
+        per_day.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "d"], "left")
+        .join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(dd))
+        .select("event_type", "d", F.coalesce("r", F.lit(0)).alias("r"),
+                "n", "rr", "dd")
+    )
+    # per-day state costs as exact e6 BIGINTs; p0/p1 pinned expressions
+    p0 = "least(CAST(rr AS DOUBLE) / CAST(dd AS DOUBLE), 0.98)"
+    p1 = f"least(2.0 * ({p0}), 0.99)"
+    cost = ("CAST(floor(-(CAST(r AS DOUBLE) * ln({p})"
+            " + CAST(n - r AS DOUBLE) * ln(1.0 - ({p})))"
+            " * 1000000 + 0.5) AS BIGINT)")
+    costed = grid.select(
+        "event_type", "d", "r", "n",
+        F.expr(cost.format(p=p0)).alias("c0s"),
+        F.expr(cost.format(p=p1)).alias("c1s"),
+    )
+    arr = costed.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(
+            F.struct("d", "r", "n", "c0s", "c1s"))).alias("xs"))
+    tau = ("CAST(floor(ln(CAST(size(xs) AS DOUBLE)) * 1000000 + 0.5)"
+           " AS BIGINT)")
+    c0n = (f"CASE WHEN acc.k = 0 THEN x.c0s"
+           f" ELSE x.c0s + least(acc.c0, acc.c1) END")
+    c1n = (f"CASE WHEN acc.k = 0 THEN x.c1s + {tau}"
+           f" ELSE x.c1s + least(acc.c0 + {tau}, acc.c1) END")
+    f0n = ("CASE WHEN acc.k = 0 OR acc.c0 <= acc.c1"
+           " THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
+    f1n = (f"CASE WHEN acc.k = 0 OR acc.c0 + {tau} <= acc.c1"
+           f" THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
+    fwd = f"""
+      aggregate(xs,
+        named_struct(
+          'out', CAST(array() AS ARRAY<STRUCT<d BIGINT, r BIGINT,
+                 n BIGINT, c0 BIGINT, c1 BIGINT, f0 BIGINT, f1 BIGINT>>),
+          'c0', CAST(0 AS BIGINT), 'c1', CAST(0 AS BIGINT), 'k', 0),
+        (acc, x) -> named_struct(
+          'out', array_append(acc.out, named_struct(
+            'd', x.d, 'r', x.r, 'n', x.n,
+            'c0', {c0n}, 'c1', {c1n}, 'f0', {f0n}, 'f1', {f1n})),
+          'c0', {c0n}, 'c1', {c1n}, 'k', acc.k + 1),
+        acc -> acc.out)
+    """
+    st = ("CASE WHEN acc.k = 0 THEN (CASE WHEN x.c1 < x.c0"
+          " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          " WHEN acc.st = 0 THEN acc.pf0 ELSE acc.pf1 END")
+    bwd = f"""
+      aggregate(reverse(fw),
+        named_struct(
+          'out', CAST(array() AS ARRAY<STRUCT<d BIGINT, r BIGINT,
+                 n BIGINT, c0 BIGINT, c1 BIGINT, s BIGINT>>),
+          'st', CAST(0 AS BIGINT), 'pf0', CAST(0 AS BIGINT),
+          'pf1', CAST(0 AS BIGINT), 'k', 0),
+        (acc, x) -> named_struct(
+          'out', array_append(acc.out, named_struct(
+            'd', x.d, 'r', x.r, 'n', x.n, 'c0', x.c0, 'c1', x.c1,
+            's', {st})),
+          'st', {st}, 'pf0', x.f0, 'pf1', x.f1, 'k', acc.k + 1),
+        acc -> acc.out)
+    """
+    return (
+        arr.select("event_type", F.expr(fwd).alias("fw"))
+        .select("event_type", F.explode(F.expr(bwd)).alias("z"))
+        .select(
+            "event_type",
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("z.d").cast("int")).cast("string")
+            .alias("day"),
+            F.col("z.r").alias("n_type_events"),
+            F.col("z.n").alias("n_day_events"),
+            F.col("z.s").alias("burst"),
+            F.col("z.c0").alias("cum_cost0_e6"),
+            F.col("z.c1").alias("cum_cost1_e6"),
+        )
+        .orderBy("event_type", "day")
+    )

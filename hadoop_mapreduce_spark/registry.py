@@ -266,6 +266,10 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave r: CUPED adjustment, dedup token-savings ledger
     "ab_cuped_adjustment": curation.ab_cuped_adjustment,
     "dedup_token_savings": dedup.dedup_token_savings,
+    # round-8 wave s: partition-quality score over the dup graph,
+    # Kleinberg burst automaton
+    "graph_modularity_audit": dedup.graph_modularity_audit,
+    "events_burst_kleinberg": timeseries.events_burst_kleinberg,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8598,4 +8602,151 @@ SELECT source, count(*)::BIGINT AS n_docs,
        THEN (sum(dropped * n_tokens) * 1000000 // sum(n_tokens))::BIGINT
        ELSE 0 END AS token_savings_e6
 FROM flagged GROUP BY source ORDER BY source
+"""
+
+# r8s: graph_modularity_audit — CC (recursive reach) and 4-round LPA
+# on the same exact 0.8 pair base, Newman Q as ONE sign-split
+# truncating micro-division of exact HUGEINT integers.
+ORACLE["graph_modularity_audit"] = (
+    "WITH RECURSIVE\nj AS (WITH " + _SHINGLES + "),\n"
+    + """pr AS MATERIALIZED (SELECT id1, id2 FROM j),
+sym AS (SELECT id1 AS src, id2 AS dst FROM pr
+        UNION ALL SELECT id2, id1 FROM pr),
+nodes AS (SELECT DISTINCT src AS v FROM sym),
+reach(src, node) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.node = e.src
+),
+cc AS (SELECT src AS v, min(node) AS lbl FROM reach GROUP BY src),
+edges AS (SELECT src, dst FROM sym UNION ALL SELECT v, v FROM nodes),
+l0 AS (SELECT v, v AS lbl FROM nodes),"""
+    + ",".join(_LPA_ROUND.format(k=k, p=k - 1) for k in range(1, 5))
+    + """,
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id1 AS v FROM pr UNION ALL SELECT id2 FROM pr) GROUP BY v
+),
+lab AS (
+  SELECT 'cc_star' AS method, v, lbl FROM cc
+  UNION ALL SELECT 'lpa_4', v, lbl FROM l4
+),
+em AS (
+  SELECT b1.method,
+    count(*)::BIGINT AS m_edges,
+    sum((b1.lbl = b2.lbl)::BIGINT)::BIGINT AS internal_edges
+  FROM pr
+  JOIN lab b1 ON pr.id1 = b1.v
+  JOIN lab b2 ON pr.id2 = b2.v AND b2.method = b1.method
+  GROUP BY b1.method
+),
+dsq AS (
+  SELECT method, count(*)::BIGINT AS n_communities,
+    sum(dc::HUGEINT * dc) AS sum_deg_sq
+  FROM (
+    SELECT b.method, b.lbl, sum(d.d)::BIGINT AS dc
+    FROM deg d JOIN lab b ON d.v = b.v GROUP BY b.method, b.lbl)
+  GROUP BY method
+),
+nn AS (SELECT method, count(*)::BIGINT AS n_nodes FROM lab
+       GROUP BY method),
+fin AS (
+  SELECT em.method, nn.n_nodes, em.m_edges, dsq.n_communities,
+    em.internal_edges, dsq.sum_deg_sq,
+    (4 * em.m_edges::HUGEINT * em.internal_edges - dsq.sum_deg_sq)
+      AS num,
+    (4 * em.m_edges::HUGEINT * em.m_edges) AS den
+  FROM em JOIN dsq USING (method) JOIN nn USING (method)
+)
+SELECT method, n_nodes, m_edges, n_communities, internal_edges,
+  sum_deg_sq::BIGINT AS sum_deg_sq,
+  (CASE WHEN num >= 0 THEN (num * 1000000) // den
+        ELSE -(((-num) * 1000000) // den) END)::BIGINT AS q_e6
+FROM fin ORDER BY method
+""")
+
+# r8s: events_burst_kleinberg — per-day state costs e6-rounded FIRST
+# (one ln chain per cell, pinned order), then the whole Viterbi is
+# exact integer min-plus: forward recursion with from-pointers and the
+# backtrace, each a lockstep recursive CTE over the per-type step
+# index; <= ties prefer the baseline state, matching Spark.
+ORACLE["events_burst_kleinberg"] = """
+WITH RECURSIVE
+counts AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    count(*)::BIGINT AS r
+  FROM events GROUP BY 1, 2
+),
+per_day AS (SELECT d, sum(r)::BIGINT AS n FROM counts GROUP BY d),
+types AS (SELECT DISTINCT event_type FROM counts),
+tot AS (SELECT event_type, sum(r)::BIGINT AS rr FROM counts GROUP BY 1),
+dd AS (SELECT sum(n)::BIGINT AS dd FROM per_day),
+grid AS (
+  SELECT t.event_type, p.d, coalesce(c.r, 0)::BIGINT AS r, p.n,
+         tt.rr, dd.dd
+  FROM per_day p CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = p.d
+  JOIN tot tt ON tt.event_type = t.event_type
+  CROSS JOIN dd
+),
+costed AS (
+  SELECT event_type, d, r, n,
+    floor(-(r::DOUBLE * ln(least(rr::DOUBLE / dd::DOUBLE, 0.98))
+            + (n - r)::DOUBLE
+              * ln(1.0 - (least(rr::DOUBLE / dd::DOUBLE, 0.98))))
+          * 1000000 + 0.5)::BIGINT AS c0s,
+    floor(-(r::DOUBLE * ln(least(2.0 * (least(rr::DOUBLE / dd::DOUBLE,
+                                              0.98)), 0.99))
+            + (n - r)::DOUBLE
+              * ln(1.0 - (least(2.0 * (least(rr::DOUBLE / dd::DOUBLE,
+                                             0.98)), 0.99))))
+          * 1000000 + 0.5)::BIGINT AS c1s
+  FROM grid
+),
+steps AS MATERIALIZED (
+  SELECT event_type, d, r, n, c0s, c1s,
+    row_number() OVER (PARTITION BY event_type ORDER BY d) AS k,
+    count(*) OVER (PARTITION BY event_type) AS t_days
+  FROM costed
+),
+taus AS (
+  SELECT event_type,
+    floor(ln(max(t_days)::DOUBLE) * 1000000 + 0.5)::BIGINT AS tau,
+    max(t_days)::BIGINT AS mk
+  FROM steps GROUP BY event_type
+),
+fwd(event_type, k, c0, c1, f0, f1) AS (
+  SELECT s.event_type, s.k, s.c0s, s.c1s + t.tau,
+         0::BIGINT, 0::BIGINT
+  FROM steps s JOIN taus t USING (event_type) WHERE s.k = 1
+  UNION ALL
+  SELECT s.event_type, s.k,
+    s.c0s + least(f.c0, f.c1),
+    s.c1s + least(f.c0 + t.tau, f.c1),
+    CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END::BIGINT,
+    CASE WHEN f.c0 + t.tau <= f.c1 THEN 0 ELSE 1 END::BIGINT
+  FROM fwd f
+  JOIN steps s ON s.event_type = f.event_type AND s.k = f.k + 1
+  JOIN taus t ON t.event_type = f.event_type
+),
+bwd(event_type, k, state) AS (
+  SELECT f.event_type, f.k,
+    CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END::BIGINT
+  FROM fwd f JOIN taus t ON t.event_type = f.event_type
+  WHERE f.k = t.mk
+  UNION ALL
+  SELECT b.event_type, b.k - 1,
+    CASE WHEN b.state = 0 THEN f.f0 ELSE f.f1 END
+  FROM bwd b
+  JOIN fwd f ON f.event_type = b.event_type AND f.k = b.k
+  WHERE b.k > 1
+)
+SELECT s.event_type,
+  (DATE '1970-01-01' + s.d::INT)::VARCHAR AS day,
+  s.r AS n_type_events, s.n AS n_day_events,
+  b.state AS burst, f.c0 AS cum_cost0_e6, f.c1 AS cum_cost1_e6
+FROM steps s
+JOIN fwd f ON f.event_type = s.event_type AND f.k = s.k
+JOIN bwd b ON b.event_type = s.event_type AND b.k = s.k
+ORDER BY s.event_type, day
 """
