@@ -2112,3 +2112,92 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str,
         )
         .orderBy("arm")
     )
+
+
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str,
+                             n_bins: int = 10) -> DataFrame:
+    """Isotonic (PAV) calibration of the stopword quality score against
+    the lang='en' label — the FITTER that turns
+    `quality_calibration_bins`' diagnosis (reliability gaps / ECE)
+    into a usable monotone calibration map (Zadrozny & Elkan 2002:
+    pool adjacent violators is the standard non-parametric calibrator
+    for ranking scores). Rather than replaying PAV's sequential merge
+    loop, the fit uses the exact MINIMAX identity
+    iso(i) = max_{j<=i} min_{k>=i} wmean(rate over bins j..k) —
+    a closed form over interval averages, which on the <= n_bins
+    occupied bins is a bounded triple cross — and evaluates it on the
+    e6-ROUNDED interval means (truncating integer division of exact
+    prefix sums), so the whole fit is integer min/max arithmetic both
+    engines replay bit-identically (equal to exact-rational PAV up to
+    1 micro-unit per interval mean).
+
+    Output per occupied bin: counts, raw positive rate, the fitted
+    isotonic rate (guaranteed non-decreasing in the bin order — the
+    wave test asserts it), and the absolute correction PAV applied.
+
+    Scale: the score/label pass is quality_calibration_bins' single
+    tokenize scan + bounded bin rollup; the minimax runs on the
+    <= n_bins^3 interval grid — metadata at any corpus size.
+    """
+    from hadoop_mapreduce_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from hadoop_mapreduce_spark.operators.textstats import LANG_STOPWORDS
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text(F.col("text")))
+    sw = F.lit(list(LANG_STOPWORDS["en"]))
+    base = docs.select(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("long").alias("hits"),
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    ).where(F.col("n_tok") > 0)
+    binned = base.select(
+        F.least(F.expr(f"hits * 1000000 DIV n_tok * {n_bins}"
+                       " DIV 1000000"),
+                F.lit(n_bins - 1)).alias("bin"), "pos")
+    per = scoped_persist(binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per.select(
+        "bin", "n_docs", "n_pos",
+        F.sum("n_docs").over(w).cast("long").alias("cn"),
+        F.sum("n_pos").over(w).cast("long").alias("cp"),
+    )
+    lo = pre.select(F.col("bin").alias("j"),
+                    (F.col("cn") - F.col("n_docs")).alias("cn_j"),
+                    (F.col("cp") - F.col("n_pos")).alias("cp_j"))
+    hi = pre.select(F.col("bin").alias("k"), F.col("cn").alias("cn_k"),
+                    F.col("cp").alias("cp_k"))
+    # interval means on e6-rounded truncating division of exact sums
+    ivl = (
+        lo.crossJoin(hi).where(F.col("j") <= F.col("k"))
+        .select("j", "k",
+                F.expr("(cp_k - cp_j) * 1000000 DIV (cn_k - cn_j)")
+                .cast("long").alias("avg_e6"))
+    )
+    bins_i = per.select(F.col("bin").alias("i"))
+    inner = (
+        ivl.crossJoin(F.broadcast(bins_i))
+        .where((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j").agg(F.min("avg_e6").alias("m"))
+    )
+    iso = inner.groupBy("i").agg(
+        F.max("m").cast("long").alias("iso_rate_e6"))
+    return (
+        per.join(iso, per["bin"] == iso["i"])
+        .select(
+            "bin", "n_docs", "n_pos",
+            F.expr("n_pos * 1000000 DIV n_docs").cast("long")
+            .alias("pos_rate_e6"),
+            "iso_rate_e6",
+            F.abs(F.expr("n_pos * 1000000 DIV n_docs")
+                  - F.col("iso_rate_e6")).cast("long")
+            .alias("correction_e6"),
+        )
+        .orderBy("bin")
+    )

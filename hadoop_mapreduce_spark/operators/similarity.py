@@ -1551,3 +1551,94 @@ def embedding_quant_sqnr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sqnr.alias("sqnr_db"))
         .orderBy("dim")
     )
+
+
+# r8t: fixed +-1 sign matrix for the JL random-sign projection —
+# derived ONCE from md5("jl:{j}:{i}") parity in Python and embedded as
+# the SAME literal in the Spark expressions and the DuckDB oracle (the
+# HLL_ALPHA_SCALED convention: no engine re-derives a shared constant
+# with its own primitives). 16 projected dims x 64 input dims.
+import hashlib as _hashlib
+
+JL_K = 16
+JL_D = 64
+JL_SIGNS = [
+    [1 if int(_hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest(), 16) % 2
+     else -1 for i in range(JL_D)]
+    for j in range(JL_K)
+]
+
+
+def embedding_jl_distortion_audit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of a 64->16 random-sign
+    projection (Achlioptas 2003: +-1 entries satisfy the JL guarantee
+    with E||Sx||^2 = k||x||^2) measured on the embedding corpus itself
+    — the go/no-go read before swapping full vectors for a cheap
+    projection in the ANN pipeline (`doc_hash_embedding` builds such
+    projections; THIS measures what they cost in pairwise-distance
+    fidelity, per pair, on real data instead of trusting the bound).
+    For each id-adjacent embedding pair, the squared-distance ratio
+    ||S(a-b)||^2 / (k * ||a-b||^2) is binned into a fixed distortion
+    histogram with per-bin mean ratios.
+
+    Exactness: components are e6-quantised to BIGINTs FIRST, so
+    projections, squared distances and ratios are exact integer
+    arithmetic end-to-end (sign sums ~6e7, squares ~4e15 — inside
+    BIGINT; the oracle carries HUGEINT); each pair's ratio is one
+    truncating micro-division. No float ever sums across elements.
+
+    Scale: the projection is 16 zip_with/aggregate folds per row —
+    JVM-side whole-stage codegen over the array column, no explode,
+    no shuffle; the pair join is the id-adjacent self-join
+    (embedding_anisotropy_audit's shape), and the histogram is a
+    <= 7-row rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.expr("transform(embedding, x ->"
+                " CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+                " AS BIGINT))")
+    projs = [
+        F.expr(
+            "aggregate(zip_with(qe, array("
+            + ", ".join(f"{s}L" for s in JL_SIGNS[j])
+            + "), (a, s) -> a * s), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)").alias(f"y{j}")
+        for j in range(JL_K)
+    ]
+    v = emb.select("vec_id", qe.alias("qe"), *projs)
+    a = v.alias("a")
+    b = v.alias("b")
+    paired = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.expr("aggregate(zip_with(a.qe, b.qe, (x, y) ->"
+               " (x - y) * (x - y)), CAST(0 AS BIGINT),"
+               " (acc, x) -> acc + x)").alias("d2"),
+        sum(
+            ((F.col(f"a.y{j}") - F.col(f"b.y{j}"))
+             * (F.col(f"a.y{j}") - F.col(f"b.y{j}")))
+            for j in range(JL_K)
+        ).alias("p2"),
+    ).where(F.col("d2") > 0)
+    ratio = F.expr(f"CAST(p2 AS DECIMAL(38,0)) * 1000000"
+                   f" DIV ({JL_K} * CAST(d2 AS DECIMAL(38,0)))")
+    binned = paired.select(
+        ratio.cast("long").alias("ratio_e6")).select(
+        "ratio_e6",
+        F.when(F.col("ratio_e6") < 600_000, F.lit(0))
+        .when(F.col("ratio_e6") < 800_000, F.lit(1))
+        .when(F.col("ratio_e6") < 950_000, F.lit(2))
+        .when(F.col("ratio_e6") < 1_050_000, F.lit(3))
+        .when(F.col("ratio_e6") < 1_200_000, F.lit(4))
+        .when(F.col("ratio_e6") < 1_400_000, F.lit(5))
+        .otherwise(F.lit(6)).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(sum(ratio_e6) DIV count(*) AS BIGINT)")
+            .alias("mean_ratio_e6"),
+        )
+        .orderBy("bin")
+    )

@@ -270,6 +270,10 @@ QUERIES: dict[str, QueryFn] = {
     # Kleinberg burst automaton
     "graph_modularity_audit": dedup.graph_modularity_audit,
     "events_burst_kleinberg": timeseries.events_burst_kleinberg,
+    # round-8 wave t: isotonic calibration fit, JL distortion audit
+    "isotonic_calibration_pav": curation.isotonic_calibration_pav,
+    "embedding_jl_distortion_audit":
+        similarity.embedding_jl_distortion_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8750,3 +8754,118 @@ JOIN fwd f ON f.event_type = s.event_type AND f.k = s.k
 JOIN bwd b ON b.event_type = s.event_type AND b.k = s.k
 ORDER BY s.event_type, day
 """
+
+# r8t: isotonic_calibration_pav — quality_calibration_bins' score/
+# label pass, then the exact minimax identity on e6-rounded interval
+# means (bounded triple cross over occupied bins).
+ORACLE["isotonic_calibration_pav"] = """
+WITH base AS (
+  SELECT len(list_filter(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'), t -> t <> ''), t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], t)))::BIGINT
+           AS hits,
+         len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\t\n\x0B\f\r ]+', '', 'g')), '[\t\n\x0B\f\r ]+'), t -> t <> ''))::BIGINT AS n_tok,
+         (lang = 'en')::BIGINT AS pos
+  FROM documents
+),
+nz AS (SELECT * FROM base WHERE n_tok > 0),
+binned AS (
+  SELECT least(hits * 1000000 // n_tok * 10 // 1000000, 9) AS bin, pos
+  FROM nz
+),
+per AS (
+  SELECT bin, count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos
+  FROM binned GROUP BY bin
+),
+pre AS (
+  SELECT bin, n_docs, n_pos,
+    sum(n_docs) OVER (ORDER BY bin)::BIGINT AS cn,
+    sum(n_pos) OVER (ORDER BY bin)::BIGINT AS cp
+  FROM per
+),
+lo AS (SELECT bin AS j, cn - n_docs AS cn_j, cp - n_pos AS cp_j FROM pre),
+hi AS (SELECT bin AS k, cn AS cn_k, cp AS cp_k FROM pre),
+ivl AS (
+  SELECT j, k, ((cp_k - cp_j) * 1000000 // (cn_k - cn_j))::BIGINT
+           AS avg_e6
+  FROM lo CROSS JOIN hi WHERE j <= k
+),
+inner_min AS (
+  SELECT b.bin AS i, ivl.j, min(ivl.avg_e6) AS m
+  FROM ivl CROSS JOIN (SELECT bin FROM per) b
+  WHERE ivl.j <= b.bin AND ivl.k >= b.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, max(m)::BIGINT AS iso_rate_e6 FROM inner_min GROUP BY i)
+SELECT per.bin, per.n_docs, per.n_pos,
+  (per.n_pos * 1000000 // per.n_docs)::BIGINT AS pos_rate_e6,
+  iso.iso_rate_e6,
+  abs(per.n_pos * 1000000 // per.n_docs - iso.iso_rate_e6)::BIGINT
+    AS correction_e6
+FROM per JOIN iso ON per.bin = iso.i
+ORDER BY per.bin
+"""
+
+# r8t: embedding_jl_distortion_audit — the JL_SIGNS literal matrix
+# (generated once in similarity.py, embedded identically here), e6-
+# quantised components, all-integer projections/distances (HUGEINT
+# sums), one truncating micro-division per pair, fixed histogram.
+def _jl_sql() -> str:
+    from hadoop_mapreduce_spark.operators.similarity import (
+        JL_D,
+        JL_K,
+        JL_SIGNS,
+    )
+
+    sign_rows = ", ".join(
+        f"({j}, {i + 1}, {JL_SIGNS[j][i]})"
+        for j in range(JL_K) for i in range(JL_D))
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qe
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, g.i, qe[g.i] AS q
+  FROM v, LATERAL (SELECT unnest(generate_series(1, {JL_D})) AS i) g
+),
+signs(j, i, s) AS (VALUES {sign_rows}),
+proj AS (
+  SELECT c.vec_id, s.j, sum(s.s * c.q)::BIGINT AS y
+  FROM comp c JOIN signs s ON s.i = c.i
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT a.vec_id,
+    sum((a.q - b.q)::HUGEINT * (a.q - b.q)) AS d2
+  FROM comp a JOIN comp b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+  GROUP BY a.vec_id
+),
+p2 AS (
+  SELECT a.vec_id,
+    sum((a.y - b.y)::HUGEINT * (a.y - b.y)) AS p2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+  GROUP BY a.vec_id
+),
+ratio AS (
+  SELECT (p2.p2 * 1000000 // ({JL_K} * d2.d2))::BIGINT AS ratio_e6
+  FROM d2 JOIN p2 USING (vec_id) WHERE d2.d2 > 0
+),
+binned AS (
+  SELECT ratio_e6,
+    (CASE WHEN ratio_e6 < 600000 THEN 0
+          WHEN ratio_e6 < 800000 THEN 1
+          WHEN ratio_e6 < 950000 THEN 2
+          WHEN ratio_e6 < 1050000 THEN 3
+          WHEN ratio_e6 < 1200000 THEN 4
+          WHEN ratio_e6 < 1400000 THEN 5
+          ELSE 6 END)::BIGINT AS bin
+  FROM ratio
+)
+SELECT bin, count(*)::BIGINT AS n_pairs,
+  (sum(ratio_e6) // count(*))::BIGINT AS mean_ratio_e6
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+ORACLE["embedding_jl_distortion_audit"] = _jl_sql()
