@@ -2443,3 +2443,160 @@ def token_positional_entropy(spark: SparkSession, sf_dir: str,
         )
         .orderBy("pos")
     )
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str,
+                            k: int = 64) -> DataFrame:
+    """word2vec-style negative-sampling table (Mikolov et al. 2013):
+    the unigram distribution raised to the 3/4 power — the smoothing
+    that up-weights rare words just enough to make sampled negatives
+    informative — with each token's sampling weight and the cumulative
+    CDF a sampler binary-searches. Completes the word2vec data path
+    next to `skipgram_cooccurrence` (positives) and
+    `bigram_pmi_collocations` (association scores).
+
+    Portability of f^0.75: libm pow() is implementation-defined and
+    banned by repo convention (lsh_band_tuning's repeated-squaring
+    note), but f^(3/4) = sqrt(sqrt(f^3)) needs only IEEE basic ops —
+    multiplication and sqrt are CORRECTLY ROUNDED by the standard, so
+    the double chain is bit-identical on any engine even where f^3
+    exceeds 2^53 and rounds. Each smoothed weight is then e6-floored
+    to a BIGINT BEFORE the vocabulary sum, so the normaliser and the
+    CDF are exact integer arithmetic (float sums across an unbounded
+    vocab would be order-dependent).
+
+    Scale: one tokenize scan + one token-keyed count (map-side
+    combinable), a 1-row normaliser fold, and the top-k TakeOrdered
+    head with its rank window — vocab-bounded everywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(F.explode(_tokens("text")).alias("tk")) \
+        .groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_e6 = F.expr(
+        "CAST(floor(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000"
+        " + 0.5) AS BIGINT)")
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    weighted = scoped_persist(counts.select("tk", "c", w_e6.alias("w")))
+    tot = weighted.agg(
+        F.expr("sum(CAST(w AS DECIMAL(38,0)))").alias("tw"))
+    top = weighted.orderBy(F.desc("c"), F.asc("tk")).limit(k)
+    wr = Window.orderBy(F.desc("c"), F.asc("tk")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tk")))
+            .cast("long").alias("rank"),
+            F.col("tk").alias("token"), F.col("c").alias("cnt"),
+            F.expr("CAST(CAST(w AS DECIMAL(38,0)) * 1000000 DIV tw"
+                   " AS BIGINT)").alias("weight_e6"),
+            F.expr("CAST(sum(CAST(w AS DECIMAL(38,0)))"
+                   " OVER (ORDER BY c DESC, tk ASC"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                   " * 1000000 DIV tw AS BIGINT)").alias("cum_weight_e6"),
+        )
+        .orderBy("rank")
+    )
+
+
+def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap by HLL inclusion-exclusion
+    — |A∩B| ≈ est(A) + est(B) − est(A∪B) with the union estimated
+    from bucket-wise register maxima — audited against the EXACT
+    distinct-token intersection. This is the sketch-algebra twin of
+    `source_overlap_matrix`: the exact pair overlap needs a token-
+    keyed self-join whose cost tracks the vocabulary (fine here, the
+    audit ground truth), while the sketch path needs only the
+    4096-register tables per source — |sources|^2 x 4096 rows total,
+    CONSTANT in corpus size — which is the only formulation that
+    survives 100 TB x hundreds of sources. The audit row reports both
+    numbers and the signed error, i.e. it MEASURES the known weakness
+    of inclusion-exclusion on sketches (errors of the three estimates
+    compound; small true intersections can even go negative) instead
+    of assuming it away.
+
+    Registers, estimator and the e6 integer conventions are byte-
+    identical to `hll_portable_union` (60-bit md5, exact 2^(49-r)
+    partials, linear counting under 2.5m), so the DuckDB oracle
+    replays everything exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tk")) \
+        .distinct()
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    tok = scoped_persist(tok)
+    exact = (
+        tok.alias("a").join(
+            tok.alias("b"),
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"),
+                 F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common"))
+    )
+    hv = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
+    rb = tok.select("source", hv.alias("hv")).select(
+        "source",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"CASE WHEN hv div {HLL_M} = 0 THEN 49 "
+               f"ELSE 49 - length(bin(hv div {HLL_M})) END").alias("rho"),
+    )
+    regs = scoped_persist(
+        rb.groupBy("source", "bucket").agg(F.max("rho").alias("r")))
+
+    def estimate(grouped: DataFrame, keys: list) -> DataFrame:
+        est = grouped.groupBy(*keys).agg(
+            F.count("r").alias("n_hit"),
+            F.sum(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))"))
+            .alias("s_part"),
+        )
+        s_scaled = (F.col("s_part")
+                    + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(HLL_POW49))
+        raw = F.lit(HLL_ALPHA_SCALED) / s_scaled.cast("double")
+        v_empty = F.lit(HLL_M) - F.col("n_hit")
+        lc = (F.lit(float(HLL_M))
+              * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")))
+        ev = F.when((v_empty > 0) & (raw <= F.lit(2.5 * HLL_M)), lc) \
+            .otherwise(raw)
+        return est.select(
+            *keys, F.floor(ev + F.lit(0.5)).cast("long").alias("est"))
+
+    singles = estimate(regs.select("source", "r"), ["source"])
+    # union registers per pair: stamp each side's registers with the
+    # pair key, then one bucket-wise max — buckets hit by either side
+    # survive, the full-outer semantics without a full-outer join
+    srcs = regs.select("source").distinct()
+    pairs = (
+        srcs.alias("x").join(
+            srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(F.col("x.source").alias("s1"),
+                F.col("y.source").alias("s2"))
+    )
+    side1 = pairs.join(regs, pairs["s1"] == regs["source"]) \
+        .select("s1", "s2", "bucket", "r")
+    side2 = pairs.join(regs, pairs["s2"] == regs["source"]) \
+        .select("s1", "s2", "bucket", "r")
+    pair_regs = side1.unionByName(side2) \
+        .groupBy("s1", "s2", "bucket").agg(F.max("r").alias("r"))
+    unions = estimate(pair_regs.select("s1", "s2", "r"), ["s1", "s2"])
+    e1 = singles.select(F.col("source").alias("s1"),
+                        F.col("est").alias("est_a"))
+    e2 = singles.select(F.col("source").alias("s2"),
+                        F.col("est").alias("est_b"))
+    return (
+        exact.join(unions.withColumnRenamed("est", "est_union"),
+                   ["s1", "s2"])
+        .join(F.broadcast(e1), "s1").join(F.broadcast(e2), "s2")
+        .select(
+            "s1", "s2", "exact_common",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long").alias("est_common"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")
+             - F.col("exact_common")).cast("long").alias("err_signed"),
+        )
+        .orderBy("s1", "s2")
+    )

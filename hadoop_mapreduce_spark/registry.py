@@ -274,6 +274,9 @@ QUERIES: dict[str, QueryFn] = {
     "isotonic_calibration_pav": curation.isotonic_calibration_pav,
     "embedding_jl_distortion_audit":
         similarity.embedding_jl_distortion_audit,
+    # round-8 wave u: word2vec sampling table, HLL inclusion-exclusion
+    "negative_sampling_table": textstats.negative_sampling_table,
+    "hll_intersection_audit": textstats.hll_intersection_audit,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8869,3 +8872,111 @@ FROM binned GROUP BY bin ORDER BY bin
 
 
 ORACLE["embedding_jl_distortion_audit"] = _jl_sql()
+
+# r8u: negative_sampling_table — f^0.75 = sqrt(sqrt(f^3)) (IEEE
+# correctly-rounded chain, no libm pow), weights e6-floored BEFORE the
+# vocabulary sum so normaliser and CDF are exact integers.
+ORACLE["negative_sampling_table"] = f"""
+WITH counts AS (
+  SELECT tk, count(*)::BIGINT AS c FROM (
+    SELECT unnest({_TOKS}) AS tk FROM documents)
+  GROUP BY tk
+),
+weighted AS (
+  SELECT tk, c,
+    floor(sqrt(sqrt(c::DOUBLE * c * c)) * 1000000 + 0.5)::BIGINT AS w
+  FROM counts
+),
+tot AS (SELECT sum(w::HUGEINT) AS tw FROM weighted),
+top AS (
+  SELECT tk, c, w,
+    row_number() OVER (ORDER BY c DESC, tk ASC) AS rank,
+    sum(w::HUGEINT) OVER (ORDER BY c DESC, tk ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM weighted ORDER BY c DESC, tk ASC LIMIT 64
+)
+SELECT rank::BIGINT AS rank, tk AS token, c AS cnt,
+  (w::HUGEINT * 1000000 // tw)::BIGINT AS weight_e6,
+  (cw * 1000000 // tw)::BIGINT AS cum_weight_e6
+FROM top CROSS JOIN tot ORDER BY rank
+"""
+
+# r8u: hll_intersection_audit — hll_portable_union's registers and
+# estimator, pair unions via union-all + bucket-wise max, exact
+# distinct-token intersections as ground truth.
+ORACLE["hll_intersection_audit"] = f"""
+WITH occ AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+toks AS (SELECT DISTINCT source, tk FROM occ),
+exact AS (
+  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS exact_common
+  FROM toks a JOIN toks b ON a.tk = b.tk AND a.source < b.source
+  GROUP BY 1, 2
+),
+h AS (SELECT source,
+        ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS hv
+      FROM toks),
+rb AS (
+  SELECT source, hv % 4096 AS bucket,
+    CASE WHEN hv // 4096 = 0 THEN 49
+         ELSE 49 - length(bin(hv // 4096)) END AS rho
+  FROM h
+),
+regs AS MATERIALIZED (
+  SELECT source, bucket, max(rho) AS r FROM rb GROUP BY 1, 2),
+est1 AS (
+  SELECT source, count(*) AS n_hit,
+    sum(1::BIGINT << (49 - r)) AS s_part
+  FROM regs GROUP BY source
+),
+sing AS (
+  SELECT source,
+    floor(CASE WHEN (4096 - n_hit) > 0
+                AND 6.810691763087074e+21
+                    / ((s_part + (4096 - n_hit) * 562949953421312)::DOUBLE)
+                    <= 10240.0
+          THEN 4096.0 * ln(4096.0 / (4096 - n_hit))
+          ELSE 6.810691763087074e+21
+               / ((s_part + (4096 - n_hit) * 562949953421312)::DOUBLE)
+          END + 0.5)::BIGINT AS est
+  FROM est1
+),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (
+  SELECT x.source AS s1, y.source AS s2
+  FROM srcs x JOIN srcs y ON x.source < y.source
+),
+pair_regs AS (
+  SELECT s1, s2, bucket, max(r) AS r FROM (
+    SELECT p.s1, p.s2, g.bucket, g.r
+    FROM pairs p JOIN regs g ON g.source = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, g.bucket, g.r
+    FROM pairs p JOIN regs g ON g.source = p.s2)
+  GROUP BY 1, 2, 3
+),
+estu AS (
+  SELECT s1, s2, count(*) AS n_hit,
+    sum(1::BIGINT << (49 - r)) AS s_part
+  FROM pair_regs GROUP BY 1, 2
+),
+uni AS (
+  SELECT s1, s2,
+    floor(CASE WHEN (4096 - n_hit) > 0
+                AND 6.810691763087074e+21
+                    / ((s_part + (4096 - n_hit) * 562949953421312)::DOUBLE)
+                    <= 10240.0
+          THEN 4096.0 * ln(4096.0 / (4096 - n_hit))
+          ELSE 6.810691763087074e+21
+               / ((s_part + (4096 - n_hit) * 562949953421312)::DOUBLE)
+          END + 0.5)::BIGINT AS est_union
+  FROM estu
+)
+SELECT e.s1, e.s2, e.exact_common,
+  (a.est + b.est - u.est_union)::BIGINT AS est_common,
+  (a.est + b.est - u.est_union - e.exact_common)::BIGINT AS err_signed
+FROM exact e
+JOIN uni u ON u.s1 = e.s1 AND u.s2 = e.s2
+JOIN sing a ON a.source = e.s1
+JOIN sing b ON b.source = e.s2
+ORDER BY e.s1, e.s2
+"""
