@@ -2954,3 +2954,63 @@ def graph_modularity_audit(spark: SparkSession, sf_dir: str,
 
     return q_row(cc, "cc_star").unionAll(q_row(labels, "lpa_4")) \
         .orderBy("method")
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str,
+                    threshold: float = 0.5,
+                    ks: tuple = (1, 2, 4, 8)) -> DataFrame:
+    """Rich-club coefficient of the near-dup graph (Zhou & Mondragon
+    2004; Colizza et al. 2006): for each degree cutoff k, the edge
+    density phi(k) = 2*E_k / (N_k * (N_k - 1)) among nodes with degree
+    > k. A rising phi(k) means the high-degree dup hubs are densely
+    wired to EACH OTHER — template/boilerplate families that should be
+    reviewed as a group — while flat-or-falling phi means hubs are
+    centers of independent stars (safe for keep-one). The cutoff-sweep
+    complement of `graph_degree_assortativity`'s single correlation
+    and `kcore_dedup_graph`'s peeling rounds; closed-form (no
+    iteration), so the oracle is plain aggregation.
+
+    Exactness: phi in micro-units as one truncating division of exact
+    BIGINTs (2*E_k*1e6 DIV N_k(N_k-1)); NULL when fewer than 2 nodes
+    clear the cutoff.
+
+    Scale: one degree rollup + one broadcast-of-degrees edge filter
+    per cutoff expressed as a single grid join — everything dup-graph-
+    sized; |ks| x 1 rows out.
+    """
+    e = _dup_edges(spark, sf_dir, threshold)
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    e = scoped_persist(e)
+    deg = (
+        e.select(F.col("id1").alias("v"))
+        .unionAll(e.select(F.col("id2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    nk = (
+        deg.crossJoin(F.broadcast(kdf))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    d1 = deg.select(F.col("v").alias("id1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("v").alias("id2"), F.col("d").alias("d2"))
+    ek = (
+        e.join(d1, "id1").join(d2, "id2")
+        .crossJoin(F.broadcast(kdf))
+        .where((F.col("d1") > F.col("k")) & (F.col("d2") > F.col("k")))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        kdf.join(nk, "k", "left").join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.expr("CASE WHEN coalesce(n_k, 0) >= 2 THEN"
+                   " 2 * coalesce(e_k, 0) * 1000000"
+                   " DIV (n_k * (n_k - 1)) END").cast("long")
+            .alias("phi_e6"),
+        )
+        .orderBy("k")
+    )

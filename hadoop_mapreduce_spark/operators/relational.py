@@ -2318,3 +2318,97 @@ def er_survivorship_golden(spark: SparkSession, sf_dir: str,
         )
         .orderBy("golden_custkey")
     )
+
+
+def bloom_join_prefilter_audit(spark: SparkSession, sf_dir: str,
+                               segment: str = "BUILDING",
+                               m_bits: int = 1 << 14,
+                               n_hashes: int = 3) -> DataFrame:
+    """Bloom-prefiltered semi-join audit — the row-level runtime-filter
+    decision (Spark's own injected bloom filters, Exadata/Snowflake
+    join pruning) measured exactly: build an m_bits Bloom bitmap over
+    the ``segment`` customers' keys, probe EVERY order against it, and
+    report per order-priority how many probe rows the bitmap passes vs
+    the exact semi-join truth — the false-positive rate and scan-
+    reduction table that decides whether shipping a filter to the
+    probe side is worth its build+broadcast cost. Bloom filters have
+    no false negatives, so pass ⊇ true and the audit's fp/reduction
+    numbers are exact, not estimates.
+
+    Portability: the bitmap is the repo's KM double-hash Bloom
+    (bloom_decontaminate machinery — one md5 per key, k arithmetic
+    probes, 63-bit words) collapsed to a one-row map and broadcast, so
+    the oracle rebuilds it bit-identically; the probe test is a pure
+    projection (zero probe-side shuffle before the rollup).
+
+    100 TB shape: build side = one scan of the dim subset -> bounded
+    bit_or aggregate (<= m_bits/63 rows -> ~KBs broadcast regardless
+    of key count); probe side = scan-speed membership projection + one
+    bounded groupBy; truth = one broadcast semi-join flag on the same
+    scan. This is exactly the plan shape that replaces a shuffled
+    semi-join at scale.
+    """
+    from hadoop_mapreduce_spark.operators.datamix import (
+        _bloom_h12,
+        _bloom_word_mask,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == segment).select("c_custkey")
+    h1, h2 = _bloom_h12(F.md5(F.col("c_custkey").cast("string")), m_bits)
+    probes = cust.select(F.explode(F.array(
+        *[(h1 + i * h2) % m_bits for i in range(n_hashes)])).alias("h"))
+    word, mask = _bloom_word_mask(F.col("h"))
+    bitmap = (
+        probes.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(
+            F.struct("word", "bits"))).alias("bm"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    oh1, oh2 = _bloom_h12(F.md5(F.col("o_custkey").cast("string")), m_bits)
+    flagged = orders.crossJoin(F.broadcast(bitmap)).select(
+        "o_orderpriority", "o_custkey", "bm",
+        *[((oh1 + i * oh2) % m_bits).alias(f"p{i}")
+          for i in range(n_hashes)],
+    )
+    tests = [
+        (F.coalesce(
+            F.element_at("bm", (F.col(f"p{i}") / 63).cast("long")),
+            F.lit(0))
+         .bitwiseAND(F.call_function(
+             "shiftleft", F.lit(1).cast("long"),
+             (F.col(f"p{i}") % 63).cast("int"))) != 0)
+        for i in range(n_hashes)
+    ]
+    passes = tests[0]
+    for t in tests[1:]:
+        passes = passes & t
+    truth = cust.select(F.col("c_custkey").alias("o_custkey"),
+                        F.lit(1).alias("is_match"))
+    return (
+        flagged.withColumn("pass_bloom", passes.cast("long"))
+        .join(F.broadcast(truth), "o_custkey", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+            F.sum("pass_bloom").cast("long").alias("n_pass_bloom"),
+            F.sum(F.coalesce("is_match", F.lit(0))).cast("long")
+            .alias("n_true_match"),
+        )
+        .select(
+            "o_orderpriority", "n_probe_rows", "n_pass_bloom",
+            "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match"))
+            .alias("n_false_pos"),
+            F.expr("CASE WHEN n_probe_rows - n_true_match > 0 THEN"
+                   " (n_pass_bloom - n_true_match) * 1000000"
+                   " DIV (n_probe_rows - n_true_match) ELSE 0 END")
+            .cast("long").alias("fp_rate_e6"),
+            F.expr("(n_probe_rows - n_pass_bloom) * 1000000"
+                   " DIV n_probe_rows").cast("long")
+            .alias("scan_reduction_e6"),
+        )
+        .orderBy("o_orderpriority")
+    )

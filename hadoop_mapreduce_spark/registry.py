@@ -277,6 +277,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave u: word2vec sampling table, HLL inclusion-exclusion
     "negative_sampling_table": textstats.negative_sampling_table,
     "hll_intersection_audit": textstats.hll_intersection_audit,
+    # round-8 wave v: runtime-filter join governance, rich-club sweep
+    "bloom_join_prefilter_audit": relational.bloom_join_prefilter_audit,
+    "graph_rich_club": dedup.graph_rich_club,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -8980,3 +8983,89 @@ JOIN sing a ON a.source = e.s1
 JOIN sing b ON b.source = e.s2
 ORDER BY e.s1, e.s2
 """
+
+# r8v: bloom_join_prefilter_audit — KM double-hash Bloom over the
+# segment customers' keys (bloom_decontaminate machinery, 2^14 bits),
+# every order probed, exact semi-join truth alongside; pass >= true by
+# the no-false-negative property.
+ORACLE["bloom_join_prefilter_audit"] = """
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+h12k AS (
+  SELECT ('0x' || substr(fh, 1, 15))::UBIGINT::BIGINT % 16384 AS h1,
+         ('0x' || substr(fh, 16, 15))::UBIGINT::BIGINT % 16384 AS h2
+  FROM (SELECT md5(c_custkey::VARCHAR) AS fh FROM keys)
+),
+bitmap AS (
+  SELECT h // 63 AS word, bit_or(1::BIGINT << (h % 63)::INT) AS bits
+  FROM (SELECT (h1 + k * h2) % 16384 AS h
+        FROM h12k, LATERAL (SELECT unnest([0, 1, 2]) AS k) kk)
+  GROUP BY 1
+),
+oh AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+    ('0x' || substr(fh, 1, 15))::UBIGINT::BIGINT % 16384 AS h1,
+    ('0x' || substr(fh, 16, 15))::UBIGINT::BIGINT % 16384 AS h2
+  FROM (SELECT o_orderkey, o_custkey, o_orderpriority,
+               md5(o_custkey::VARCHAR) AS fh FROM orders)
+),
+probed AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+    min(CASE WHEN b.bits IS NOT NULL
+              AND (b.bits & (1::BIGINT << (p.h % 63)::INT)) <> 0
+         THEN 1 ELSE 0 END)::BIGINT AS pass_bloom
+  FROM oh o,
+    LATERAL (SELECT (o.h1 + k * o.h2) % 16384 AS h
+             FROM (SELECT unnest([0, 1, 2]) AS k)) p
+  LEFT JOIN bitmap b ON p.h // 63 = b.word
+  GROUP BY 1, 2, 3
+),
+truthed AS (
+  SELECT p.o_orderpriority, p.pass_bloom,
+    CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_match
+  FROM probed p LEFT JOIN keys k ON p.o_custkey = k.c_custkey
+)
+SELECT o_orderpriority,
+  count(*)::BIGINT AS n_probe_rows,
+  sum(pass_bloom)::BIGINT AS n_pass_bloom,
+  sum(is_match)::BIGINT AS n_true_match,
+  (sum(pass_bloom) - sum(is_match))::BIGINT AS n_false_pos,
+  CASE WHEN count(*) - sum(is_match) > 0
+       THEN ((sum(pass_bloom) - sum(is_match)) * 1000000
+             // (count(*) - sum(is_match)))::BIGINT
+       ELSE 0 END AS fp_rate_e6,
+  ((count(*) - sum(pass_bloom)) * 1000000 // count(*))::BIGINT
+    AS scan_reduction_e6
+FROM truthed GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# r8v: graph_rich_club — closed-form density among deg>k nodes on the
+# 0.5-threshold dup edges; NULL phi below 2 qualifying nodes.
+ORACLE["graph_rich_club"] = f"""
+WITH {{edges}},
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id1 AS v FROM e UNION ALL SELECT id2 FROM e) GROUP BY v
+),
+ks AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS k),
+nk AS (
+  SELECT k, count(*)::BIGINT AS n_k
+  FROM deg CROSS JOIN ks WHERE d > k GROUP BY k
+),
+ek AS (
+  SELECT ks.k, count(*)::BIGINT AS e_k
+  FROM e JOIN deg a ON e.id1 = a.v JOIN deg b ON e.id2 = b.v
+  CROSS JOIN ks
+  WHERE a.d > ks.k AND b.d > ks.k
+  GROUP BY ks.k
+)
+SELECT ks.k, coalesce(nk.n_k, 0)::BIGINT AS n_k,
+  coalesce(ek.e_k, 0)::BIGINT AS e_k,
+  CASE WHEN coalesce(nk.n_k, 0) >= 2
+       THEN (2 * coalesce(ek.e_k, 0) * 1000000
+             // (nk.n_k * (nk.n_k - 1)))::BIGINT
+  END AS phi_e6
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+ORDER BY ks.k
+""".replace("{{edges}}", "{edges}").format(edges=_EDGES_05.strip())
