@@ -2600,3 +2600,97 @@ def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+def ivm_hll_registers(spark: SparkSession, sf_dir: str,
+                      delta_from_day: int = 25) -> DataFrame:
+    """Incremental view maintenance for a SKETCH: the per-event-type
+    distinct-user HLL registers maintained from a delta batch (events
+    on day >= ``delta_from_day``) merged into the standing base
+    registers (earlier days) — next to `ivm_orders_agg` (exact
+    algebraic IVM) this is the sketch half of the incremental story:
+    HLL registers form a commutative monoid under bucket-wise max, so
+    a daily refresh touches ONLY the delta rows plus the 4096-row
+    register table, never the historical stream. The operator emits
+    the base / delta / merged estimates AND the full-recompute
+    estimate side by side, so merged == full is WITNESSED in the
+    output (and hash-checked by the oracle), not asserted in prose.
+    The register math is `hll_portable_union`'s, byte-identical.
+
+    Scale: base and delta each one (source, user) distinct exchange
+    over THEIR OWN rows; the merge and all four estimates run on
+    |sources| x 4096 register rows. A 100 TB history is never
+    re-touched by the refresh path — that is the claim this operator's
+    ladder row measures (delta cost tracks the delta).
+    """
+    from hadoop_mapreduce_spark.functions.timeutil import wall_epoch_us
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    tagged = ev.crossJoin(F.broadcast(d0)).select(
+        F.col("event_type").alias("source"),
+        "user_id",
+        (day >= F.col("d0") + delta_from_day).alias("is_delta"),
+    )
+    du = scoped_persist(
+        tagged.select("source", "user_id", "is_delta").distinct())
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                            1, 15), 16, 10).cast("long")
+    rb = du.select("source", "is_delta", hv.alias("hv")).select(
+        "source", "is_delta",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"CASE WHEN hv div {HLL_M} = 0 THEN 49 "
+               f"ELSE 49 - length(bin(hv div {HLL_M})) END").alias("rho"),
+    )
+    part = scoped_persist(
+        rb.groupBy("source", "is_delta", "bucket")
+        .agg(F.max("rho").alias("r")))
+
+    def est_of(df: DataFrame, label: str) -> DataFrame:
+        g = df.groupBy("source").agg(
+            F.count("r").alias("n_hit"),
+            F.sum(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))"))
+            .alias("s_part"),
+        )
+        s_scaled = (F.col("s_part")
+                    + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(HLL_POW49))
+        raw = F.lit(HLL_ALPHA_SCALED) / s_scaled.cast("double")
+        v_empty = F.lit(HLL_M) - F.col("n_hit")
+        lc = (F.lit(float(HLL_M))
+              * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")))
+        ev_ = F.when((v_empty > 0) & (raw <= F.lit(2.5 * HLL_M)), lc) \
+            .otherwise(raw)
+        return g.select(
+            "source",
+            F.floor(ev_ + F.lit(0.5)).cast("long").alias(label))
+
+    base = part.where(~F.col("is_delta")).select("source", "bucket", "r")
+    delta = part.where(F.col("is_delta")).select("source", "bucket", "r")
+    merged = base.unionByName(delta).groupBy("source", "bucket") \
+        .agg(F.max("r").alias("r"))
+    full = rb.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    counts = du.groupBy("source").agg(
+        F.sum((~F.col("is_delta")).cast("long")).cast("long")
+        .alias("n_base_keys"),
+        F.sum(F.col("is_delta").cast("long")).cast("long")
+        .alias("n_delta_keys"),
+    )
+    return (
+        counts
+        .join(est_of(base, "est_base"), "source", "left")
+        .join(est_of(delta, "est_delta"), "source", "left")
+        .join(est_of(merged, "est_merged"), "source")
+        .join(est_of(full, "est_full_recompute"), "source")
+        .select(
+            "source", "n_base_keys", "n_delta_keys",
+            F.coalesce("est_base", F.lit(0)).alias("est_base"),
+            F.coalesce("est_delta", F.lit(0)).alias("est_delta"),
+            "est_merged", "est_full_recompute",
+            (F.col("est_merged") == F.col("est_full_recompute"))
+            .cast("long").alias("merge_identity_holds"),
+        )
+        .orderBy("source")
+    )

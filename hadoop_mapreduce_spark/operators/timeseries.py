@@ -2880,3 +2880,86 @@ def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# r8w: literal 0.5^(gap_days/7) half-life weights in micro-units,
+# generated ONCE in Python for gaps 0..30 and embedded identically in
+# the Spark plan and the DuckDB oracle (the JL_SIGNS/HLL_ALPHA shared-
+# literal convention — neither engine raises a float to a fractional
+# power at runtime).
+ATTR_DECAY_HALF_LIFE_DAYS = 7
+ATTR_DECAY_MAX_GAP = 30
+ATTR_DECAY_W_E6 = [
+    int(round(0.5 ** (g / ATTR_DECAY_HALF_LIFE_DAYS) * 1_000_000))
+    for g in range(ATTR_DECAY_MAX_GAP + 1)
+]
+
+
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (the fourth member of the
+    attribution family: `conversion_attribution` last-touch,
+    `attribution_linear_credit` equal-split, `markov_attribution_removal`
+    counterfactual — this is the recency-weighted industry default):
+    every non-purchase touch before a user's FIRST purchase earns
+    weight 0.5^(gap_days/7) (7-day half-life), each conversion's
+    credit normalises to 1e6 micro-units across its own touches, and
+    credits roll up per channel (event type). Weights come from a
+    31-entry LITERAL table generated once in Python — no runtime
+    fractional pow on either engine — joined by integer day gap
+    (gaps beyond 30 days clamp to the table tail).
+
+    Exactness: per-touch credit = w_gap * 1e6 DIV sum(w over the
+    conversion's touches), exact truncating integers; the per-channel
+    rollup sums BIGINTs.
+
+    Scale: one groupBy(user) pass finds first-purchase days, one
+    broadcast of the 31-row weight table, one user-keyed join of
+    touches to their conversion day, one channel rollup.
+    """
+    from hadoop_mapreduce_spark.session import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (wall_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    base = scoped_persist(ev.select(
+        "user_id", F.col("event_type").alias("channel"),
+        day.alias("d")))
+    conv = base.where(F.col("channel") == "purchase") \
+        .groupBy("user_id").agg(F.min("d").alias("conv_day"))
+    wtab = spark.createDataFrame(
+        [(g, w) for g, w in enumerate(ATTR_DECAY_W_E6)],
+        "gap long, w_e6 long")
+    touches = (
+        base.where(F.col("channel") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("d") <= F.col("conv_day"))
+        .select(
+            "user_id", "channel",
+            F.least(F.col("conv_day") - F.col("d"),
+                    F.lit(ATTR_DECAY_MAX_GAP)).alias("gap"),
+        )
+        .join(F.broadcast(wtab), "gap")
+    )
+    per_conv = touches.groupBy("user_id").agg(
+        F.sum("w_e6").cast("long").alias("tw"))
+    credited = (
+        touches.join(per_conv, "user_id")
+        .select(
+            "channel",
+            F.expr("CAST(w_e6 * CAST(1000000 AS DECIMAL(38,0))"
+                   " DIV tw AS BIGINT)").alias("credit_e6"),
+        )
+    )
+    total = credited.agg(
+        F.sum("credit_e6").cast("long").alias("all_credit"))
+    return (
+        credited.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+             F.sum("credit_e6").cast("long").alias("credit_e6"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel", "n_touches", "credit_e6",
+            F.expr("CAST(credit_e6 * CAST(1000000 AS DECIMAL(38,0))"
+                   " DIV all_credit AS BIGINT)").alias("share_e6"),
+        )
+        .orderBy("channel")
+    )

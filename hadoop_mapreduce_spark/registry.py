@@ -280,6 +280,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 wave v: runtime-filter join governance, rich-club sweep
     "bloom_join_prefilter_audit": relational.bloom_join_prefilter_audit,
     "graph_rich_club": dedup.graph_rich_club,
+    # round-8 wave w: sketch IVM, time-decay attribution
+    "ivm_hll_registers": textstats.ivm_hll_registers,
+    "attribution_time_decay": timeseries.attribution_time_decay,
     "readability_scores": textstats.readability_scores,  # hash-paired r7l
     "events_acf": timeseries.events_acf,  # hash-paired r7k
     "session_concurrency": timeseries.session_concurrency,  # hash-paired r7k
@@ -9069,3 +9072,107 @@ SELECT ks.k, coalesce(nk.n_k, 0)::BIGINT AS n_k,
 FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
 ORDER BY ks.k
 """.replace("{{edges}}", "{edges}").format(edges=_EDGES_05.strip())
+
+# r8w: ivm_hll_registers — the hll_portable_union register math with a
+# base/delta day split; merged and full-recompute estimates emitted
+# side by side so the monoid identity is hash-witnessed.
+ORACLE["ivm_hll_registers"] = """
+WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+tagged AS (
+  SELECT event_type AS source, user_id,
+    (epoch_us(ts) // 86400000000 >= d0.d0 + 25) AS is_delta
+  FROM events CROSS JOIN d0
+),
+du AS (SELECT DISTINCT source, user_id, is_delta FROM tagged),
+h AS (
+  SELECT source, is_delta,
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hv
+  FROM du
+),
+rb AS (
+  SELECT source, is_delta, hv % 4096 AS bucket,
+    CASE WHEN hv // 4096 = 0 THEN 49
+         ELSE 49 - length(bin(hv // 4096)) END AS rho
+  FROM h
+),
+part AS MATERIALIZED (
+  SELECT source, is_delta, bucket, max(rho) AS r
+  FROM rb GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT source, bucket, max(r) AS r FROM part GROUP BY 1, 2
+),
+fullr AS (
+  SELECT source, bucket, max(rho) AS r FROM rb GROUP BY 1, 2
+),
+est_b AS (
+  SELECT source, count(*) AS n_hit, sum(1::BIGINT << (49 - r)) AS s_part
+  FROM part WHERE NOT is_delta GROUP BY source),
+est_d AS (
+  SELECT source, count(*) AS n_hit, sum(1::BIGINT << (49 - r)) AS s_part
+  FROM part WHERE is_delta GROUP BY source),
+est_m AS (
+  SELECT source, count(*) AS n_hit, sum(1::BIGINT << (49 - r)) AS s_part
+  FROM merged GROUP BY source),
+est_f AS (
+  SELECT source, count(*) AS n_hit, sum(1::BIGINT << (49 - r)) AS s_part
+  FROM fullr GROUP BY source),
+counts AS (
+  SELECT source,
+    sum((NOT is_delta)::BIGINT)::BIGINT AS n_base_keys,
+    sum(is_delta::BIGINT)::BIGINT AS n_delta_keys
+  FROM du GROUP BY source
+)
+SELECT c.source, c.n_base_keys, c.n_delta_keys,
+  coalesce(floor(CASE WHEN (4096 - b.n_hit) > 0 AND 6.810691763087074e+21 / ((b.s_part + (4096 - b.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - b.n_hit)) ELSE 6.810691763087074e+21 / ((b.s_part + (4096 - b.n_hit) * 562949953421312)::DOUBLE) END + 0.5), 0)::BIGINT AS est_base,
+  coalesce(floor(CASE WHEN (4096 - d.n_hit) > 0 AND 6.810691763087074e+21 / ((d.s_part + (4096 - d.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - d.n_hit)) ELSE 6.810691763087074e+21 / ((d.s_part + (4096 - d.n_hit) * 562949953421312)::DOUBLE) END + 0.5), 0)::BIGINT AS est_delta,
+  floor(CASE WHEN (4096 - m.n_hit) > 0 AND 6.810691763087074e+21 / ((m.s_part + (4096 - m.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - m.n_hit)) ELSE 6.810691763087074e+21 / ((m.s_part + (4096 - m.n_hit) * 562949953421312)::DOUBLE) END + 0.5)::BIGINT AS est_merged,
+  floor(CASE WHEN (4096 - f.n_hit) > 0 AND 6.810691763087074e+21 / ((f.s_part + (4096 - f.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - f.n_hit)) ELSE 6.810691763087074e+21 / ((f.s_part + (4096 - f.n_hit) * 562949953421312)::DOUBLE) END + 0.5)::BIGINT AS est_full_recompute,
+  (floor(CASE WHEN (4096 - m.n_hit) > 0 AND 6.810691763087074e+21 / ((m.s_part + (4096 - m.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - m.n_hit)) ELSE 6.810691763087074e+21 / ((m.s_part + (4096 - m.n_hit) * 562949953421312)::DOUBLE) END + 0.5) = floor(CASE WHEN (4096 - f.n_hit) > 0 AND 6.810691763087074e+21 / ((f.s_part + (4096 - f.n_hit) * 562949953421312)::DOUBLE) <= 10240.0 THEN 4096.0 * ln(4096.0 / (4096 - f.n_hit)) ELSE 6.810691763087074e+21 / ((f.s_part + (4096 - f.n_hit) * 562949953421312)::DOUBLE) END + 0.5))::BIGINT AS merge_identity_holds
+FROM counts c
+LEFT JOIN est_b b ON b.source = c.source
+LEFT JOIN est_d d ON d.source = c.source
+JOIN est_m m ON m.source = c.source
+JOIN est_f f ON f.source = c.source
+ORDER BY c.source
+"""
+
+# r8w: attribution_time_decay - the 31-entry literal half-life
+# table (generated in timeseries.py, embedded identically), exact
+# truncating per-conversion normalisation.
+ORACLE["attribution_time_decay"] = """
+WITH base AS (
+  SELECT user_id, event_type AS channel,
+    epoch_us(ts) // 86400000000 AS d
+  FROM events
+),
+conv AS (
+  SELECT user_id, min(d) AS conv_day FROM base
+  WHERE channel = 'purchase' GROUP BY user_id
+),
+wtab(gap, w_e6) AS (VALUES (0, 1000000), (1, 905724), (2, 820335), (3, 742997), (4, 672950), (5, 609507), (6, 552045), (7, 500000), (8, 452862), (9, 410168), (10, 371499), (11, 336475), (12, 304753), (13, 276022), (14, 250000), (15, 226431), (16, 205084), (17, 185749), (18, 168238), (19, 152377), (20, 138011), (21, 125000), (22, 113215), (23, 102542), (24, 92875), (25, 84119), (26, 76188), (27, 69006), (28, 62500), (29, 56608), (30, 51271)),
+touches AS (
+  SELECT b.user_id, b.channel,
+    least(c.conv_day - b.d, 30) AS gap
+  FROM base b JOIN conv c USING (user_id)
+  WHERE b.channel <> 'purchase' AND b.d <= c.conv_day
+),
+weighted AS (
+  SELECT t.user_id, t.channel, w.w_e6
+  FROM touches t JOIN wtab w ON w.gap = t.gap
+),
+per_conv AS (
+  SELECT user_id, sum(w_e6)::BIGINT AS tw FROM weighted GROUP BY user_id
+),
+credited AS (
+  SELECT w.channel,
+    (w.w_e6::HUGEINT * 1000000 // p.tw)::BIGINT AS credit_e6
+  FROM weighted w JOIN per_conv p USING (user_id)
+),
+total AS (SELECT sum(credit_e6)::BIGINT AS all_credit FROM credited)
+SELECT channel, count(*)::BIGINT AS n_touches,
+  sum(credit_e6)::BIGINT AS credit_e6,
+  (sum(credit_e6)::HUGEINT * 1000000 // t.all_credit)::BIGINT AS share_e6
+FROM credited CROSS JOIN total t
+GROUP BY channel, t.all_credit ORDER BY channel
+"""
