@@ -388,6 +388,12 @@ def main() -> None:
                     proc.join()
                     du[name] = None
                     du_timeout.append(name)
+                    # a cap-killed child leaves its spill behind
+                    # (observed: 77 GB after one DNF filled the disk
+                    # and killed the NEXT phase's Spark tasks) —
+                    # reclaim it before the following query runs
+                    shutil.rmtree("/tmp/duckdb_spill",
+                                  ignore_errors=True)
                     print(f"  duck  {name:24s} DNF >{cap}s", file=sys.stderr)
                     continue
                 # child exited: a non-zero exitcode is a CRASH (OOM-kill,
@@ -399,6 +405,8 @@ def main() -> None:
                 except _queue.Empty:
                     du[name] = None
                     du_crash.append(name)
+                    shutil.rmtree("/tmp/duckdb_spill",
+                                  ignore_errors=True)
                     print(f"  duck  {name:24s} CRASH "
                           f"(exit {proc.exitcode})", file=sys.stderr)
 
