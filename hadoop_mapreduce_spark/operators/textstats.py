@@ -2041,31 +2041,52 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str,
     sees pairs).
 
     Stopword boundary set = the en stopword list (`LANG_STOPWORDS`),
-    deterministic and oracle-mirrored.  Phrase assembly is the running-
-    stopword-count trick: phrase_id = number of stopwords at-or-before
-    the position, so consecutive non-stop tokens share an id — one
-    per-doc window pass, no self-join.  All outputs are exact BIGINT
-    (score in micro-units via single integer division; degree and freq
-    are positive so DIV == floor on both engines).
+    deterministic and oracle-mirrored.  Phrase assembly is SHUFFLE-FREE
+    (r8 optimization, guide §2.4 "remove shuffles outright"): stopword
+    tokens are replaced by a sentinel (\\x01 — unreachable, the
+    normalizer deletes every non-alphanumeric character so no token can
+    contain it), the token array re-joins on single spaces, and one
+    regex split on sentinel runs yields the maximal non-stopword runs
+    directly — each phrase's word list and length are computed inside
+    the same array expression, so (word, phrase_len) rows are emitted
+    map-side from the scan.  The former shape (posexplode + running
+    stopword-count window + phrase-length window) hash-partitioned
+    EVERY token row on doc_id and sorted it twice; at 100 TB that is a
+    full shuffle of the tokenized corpus for a statistic whose only
+    distributive state is the vocabulary-bounded (freq, degree) pair.
+    Output-identical: phrase_id = running stopword count groups exactly
+    the maximal non-stop runs the split produces (oracle unchanged;
+    re-verified against it at sf0.01 + sf0.1 after the rewrite).
+    All outputs are exact BIGINT (score in micro-units via single
+    integer division; degree and freq are positive so DIV == floor on
+    both engines).
 
-    Scale: the per-doc window partitions by doc_id (no global window);
-    word aggregation is vocabulary-bounded with map-side combine; top-k
+    Scale: NO data-sized exchange — the single shuffle is the
+    vocabulary-bounded (w) aggregation with map-side combine; top-k
     is a rank-limit over the bounded vocab table.
     """
     docs = load_table(spark, sf_dir, "documents")
     stop = list(LANG_STOPWORDS["en"])
-    toks = docs.select(
-        "doc_id", F.posexplode(_tokens("text")).alias("pos", "w"))
-    marked = toks.withColumn(
-        "is_stop", F.col("w").isin(stop).cast("int"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    phrased = (
-        marked.withColumn("phrase_id", F.sum("is_stop").over(wdoc))
-        .where(F.col("is_stop") == 0)
-    )
-    wphrase = Window.partitionBy("doc_id", "phrase_id")
-    words = phrased.select(
-        "w", F.count(F.lit(1)).over(wphrase).alias("plen"))
+    toked = docs.select(_tokens("text").alias("__t"))
+    sentinel = "\x01"
+    marked = F.transform(
+        F.col("__t"),
+        lambda w: F.when(w.isin(stop), F.lit(sentinel)).otherwise(w))
+    phrases = F.filter(
+        F.split(F.concat_ws(" ", marked), f"( ?{sentinel} ?)+"),
+        lambda p: p != F.lit(""))
+    # (w, plen) pairs assembled inside the array domain, one explode;
+    # phrases split into word arrays FIRST so size() is O(1) array
+    # length, not a per-word re-split of the phrase string
+    word_arrays = F.transform(phrases, lambda p: F.split(p, " "))
+    pairs = F.flatten(F.transform(
+        word_arrays,
+        lambda ws: F.transform(
+            ws,
+            lambda w: F.struct(w.alias("w"), F.size(ws).alias("plen"))),
+    ))
+    words = toked.select(F.explode(pairs).alias("wp")) \
+        .select(F.col("wp.w").alias("w"), F.col("wp.plen").alias("plen"))
     scored = words.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum("plen").cast("long").alias("degree"),
@@ -2344,46 +2365,64 @@ def token_context_diversity(spark: SparkSession, sf_dir: str,
     pass; distinct-neighbor counts and the diversity ratio
     (l+r distinct) * 1e6 DIV (2 * freq) are exact BIGINTs.
 
-    Scale: vocabulary-bounded aggregations after one token scan; the
-    top-k filter broadcasts back onto the bigram stream so only
-    frequent terms' neighbors aggregate.
+    Scale (r8 rewrite, guide §2.3 "shuffle fewer bytes" + §5 caching):
+    the former shape PERSISTED the full bigram stream (a data-sized
+    MEMORY_AND_DISK cache written once and read twice) and ran a
+    broadcast-filter + countDistinct branch per direction.  Now each
+    bigram emits its <= 2 directional (side, w, neighbor) rows in the
+    same projection, ONE broadcast semi-filter against the top-k terms
+    drops everything else before any exchange, and ONE countDistinct
+    aggregation keyed (w, side) replaces both branches — no corpus-
+    sized cache, half the aggregation passes, output-identical
+    (re-verified against the unchanged oracle at sf0.01 + sf0.1).
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(_tokens("text").alias("__t"))
-    bi = toked.select(
-        F.explode(
-            F.when(
-                F.size("__t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("__t", i).alias("l"),
-                        F.element_at("__t", i + 1).alias("r")),
-                ),
-            ).otherwise(F.array().cast(
-                "array<struct<l:string,r:string>>"))
-        ).alias("p")
-    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-    from hadoop_mapreduce_spark.session import scoped_persist
-
-    bi = scoped_persist(bi)
     freq = (
         toked.select(F.explode("__t").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "w").limit(top_k)
     )
-    right_div = (
-        bi.join(F.broadcast(freq.select(F.col("w").alias("l"))), "l")
-        .groupBy("l").agg(F.countDistinct("r").alias("n_right"))
-        .select(F.col("l").alias("w"), "n_right")
-    )
-    left_div = (
-        bi.join(F.broadcast(freq.select(F.col("w").alias("r"))), "r")
-        .groupBy("r").agg(F.countDistinct("l").alias("n_left"))
-        .select(F.col("r").alias("w"), "n_left")
+    # one pass: each bigram (l, r) contributes ('R', l, r) and
+    # ('L', r, l) — the right- and left-neighbor facts — in a single
+    # exploded stream
+    dirs = toked.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.flatten(F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.array(
+                        F.struct(
+                            F.lit("R").alias("side"),
+                            F.element_at("__t", i).alias("w"),
+                            F.element_at("__t", i + 1).alias("nb")),
+                        F.struct(
+                            F.lit("L").alias("side"),
+                            F.element_at("__t", i + 1).alias("w"),
+                            F.element_at("__t", i).alias("nb"))),
+                )),
+            ).otherwise(F.array().cast(
+                "array<struct<side:string,w:string,nb:string>>"))
+        ).alias("p")
+    ).select("p.side", "p.w", "p.nb")
+    # explicit distinct-then-count, not two countDistinct aggregates:
+    # the latter plans an Expand (one stream per distinct column —
+    # 2x the filtered rows into the exchange); distinct() partial-
+    # aggregates the (w, side, nb) triples map-side and the per-side
+    # counts fold from the deduped stream in the same exchange
+    div = (
+        dirs.join(F.broadcast(freq.select("w")), "w")
+        .distinct()
+        .groupBy("w").agg(
+            F.sum(F.when(F.col("side") == "L", 1).otherwise(0))
+            .alias("n_left"),
+            F.sum(F.when(F.col("side") == "R", 1).otherwise(0))
+            .alias("n_right"),
+        )
     )
     return (
-        freq.join(left_div, "w", "left").join(right_div, "w", "left")
+        freq.join(div, "w", "left")
         .select(
             F.col("w").alias("word"),
             F.col("freq").cast("long").alias("freq"),

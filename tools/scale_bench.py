@@ -315,16 +315,38 @@ def main() -> None:
         if phase in ("spark", "both"):
             from hadoop_mapreduce_spark.session import release_caches
 
+            # Deterministic JVM cleanup between ladder measurements (r8,
+            # VERDICT r7 item 2 root cause): localCheckpoint blocks and
+            # dead broadcast state are only reclaimed after a JVM GC
+            # triggers the ContextCleaner, and the default periodic GC
+            # fires every 30 min — i.e. at most ONCE somewhere inside a
+            # serialized 58-query ladder, landing a multi-second full-GC
+            # pause inside whichever query is running (observed: the
+            # r7 32x artifact's events_session 12.98 s / asof 13.92 s
+            # rows, both ~1-2 s in this round's controlled re-runs at
+            # identical heap debris). An explicit System.gc() after each
+            # query's release_caches() makes the pause land BETWEEN
+            # measured runs, uniformly, so per-query rows measure the
+            # plan. (Measurement-harness hygiene only — no query path
+            # or bench.py change.)
+            def _jvm_gc():
+                try:
+                    spark._jvm.System.gc()
+                except Exception:  # noqa: BLE001 — hygiene is best-effort
+                    pass
+
             # Spark: warm once (codegen/JIT + first touch), then measure.
             for name in HEADLINE:
                 QUERIES[name](spark, scratch).write.format("noop").mode("overwrite").save()
                 release_caches()
+            _jvm_gc()
             watermark, _ = _shuffle_metrics(spark.sparkContext, -1)
             for name in HEADLINE:
                 t0 = time.time()
                 QUERIES[name](spark, scratch).write.format("noop").mode("overwrite").save()
                 sp[name] = round(time.time() - t0, 3)
                 release_caches()
+                _jvm_gc()
                 # per-query shuffle/spill volume (VERDICT r5 item 9): the
                 # evidence that no operator's shuffle grows super-linearly
                 # with K — read alongside the heap envelope below

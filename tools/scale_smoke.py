@@ -98,6 +98,14 @@ def build_scaled(spark, src: str, dst: str, k: int,
                 out = out.unionByName(p)
         else:
             out = df
+        # Coalesce before the write (r8, guide §6 "small files hurt
+        # twice"): the K-copy union inherits every copy's input splits
+        # — documents at 32x wrote 1024 part files of ~27 KB, so every
+        # ladder query scanning it paid ~1024 file opens + footer reads
+        # per EXECUTION, a harness artifact charged to the plan. One
+        # file per core keeps write/scan parallelism while producing
+        # sanely sized files (lineitem at 32x: 32 x ~10 MB).
+        out = out.coalesce(spark.sparkContext.defaultParallelism)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
 
 
