@@ -300,8 +300,12 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
     # No .distinct() on the id set: the semi-join's broadcast build is a
     # hash SET, so duplicate probe ids cost nothing, while the distinct
     # was a full exchange of its own (pairs are tiny — 2x tiny is tiny).
-    ids = pairs.select(F.col("id1").alias("cid")).union(
-        pairs.select(F.col("id2").alias("cid")))
+    # explode(array(id1, id2)), not select+union: one DataFrame build
+    # instead of three — classic-mode Spark analyses every intermediate
+    # frame eagerly, and each analysis re-walks the pair lineage
+    # (measured 131 ms for the union pair at sf0.1, r8).
+    ids = pairs.select(
+        F.explode(F.array("id1", "id2")).alias("cid"))
     if hashed_shingles is not None:
         hashed = hashed_shingles.join(
             F.broadcast(ids), hashed_shingles["id"] == ids.cid, "left_semi")
@@ -313,14 +317,17 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
     # Persisted: BOTH sides of the pair join below read this relation —
     # without the materialisation point the candidate semi-join +
     # collect_set aggregation execute twice (once per join side).
+    # Renames folded into the agg / one select per side (not
+    # withColumnRenamed chains): each chain step is one more eager
+    # full-tree analysis on the driver.
     sh = scoped_persist(
-        hashed.withColumnRenamed("h0", "hs")
-        .groupBy("id")
-        .agg(F.collect_set("hs").alias("sh"))
+        hashed.groupBy("id").agg(F.collect_set("h0").alias("sh"))
     )
     return (
-        pairs.join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
-        .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+        pairs.join(sh.select(F.col("id").alias("id1"),
+                             F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"),
+                        F.col("sh").alias("sh2")), "id2")
         .select(
             "id1",
             "id2",
@@ -363,6 +370,12 @@ def minhash_pairs_unsorted(spark: SparkSession, sf_dir: str,
     # times (id set + both sides of the shingle join) and without a
     # materialisation point each reference would recompute the whole
     # signature+banding pipeline. Candidates are tiny (pairs only).
+    # PERSIST, not localCheckpoint (r8 measured both): a checkpoint leaf
+    # hides the candidate table's statistics, and the verify's pair
+    # joins then stop broadcasting the (tiny) pair side — the persisted
+    # stats are what let the planner pick BroadcastHashJoin here at
+    # fixture scale and fall back to sort-merge only when pairs are
+    # genuinely large.
     cands = scoped_persist(lsh_candidate_pairs(sigs, bands=16, rows_per_band=2))
     # Materialize the cache NOW: the verify stage references cands three
     # times, and letting the first big action populate the cache means
@@ -386,7 +399,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     verify plan a second time just to pick boundaries (measured ~0.3 s
     of pure re-execution at sf0.1; at scale it is a second pass over
     the candidate joins). The pair set is the pipeline's smallest
-    artifact, so the cache is bytes where the re-execution is joins."""
+    artifact, so the cache is bytes where the re-execution is joins.
+    (r8 note: an eager localCheckpoint here measured within noise of the
+    persist under the bench protocol and hides the verify pipeline from
+    the explained plan — persist kept deliberately.)"""
     from hadoop_mapreduce_spark.session import scoped_persist
 
     return scoped_persist(minhash_pairs_unsorted(spark, sf_dir, threshold)) \
