@@ -312,6 +312,29 @@ def main() -> None:
                              docs_dup_pct=ns.docs_dup_pct)
         heap = {}
         shuffle: dict[str, dict] = {}
+        calib: dict[str, float] = {}
+        if phase in ("spark", "both"):
+            # Environment fingerprint (r8): this container's throughput
+            # drifts by large factors between sessions (measured: a fixed
+            # single-core canary swung 98-168 ms, and an identical 16x
+            # subset swung 2-8x wall within one day), which makes raw
+            # cross-artifact comparisons meaningless. Record two fixed-
+            # work calibration numbers WITH every artifact so a reader
+            # can normalise: one single-core Python loop, one 32-task
+            # Spark aggregation of a deterministic in-memory range.
+            import hashlib
+            _t0 = time.time()
+            _h = b"x" * 1000
+            for _ in range(200000):
+                _h = hashlib.md5(_h).digest()
+            calib["py_md5_chain_s"] = round(time.time() - _t0, 3)
+            _rng = spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(xxhash64(id)) as s")
+            _rng.collect()  # warm codegen
+            _t0 = time.time()
+            _rng.collect()
+            calib["spark_range_hash_s"] = round(time.time() - _t0, 3)
+
         if phase in ("spark", "both"):
             from hadoop_mapreduce_spark.session import release_caches
 
@@ -450,6 +473,7 @@ def main() -> None:
             "duckdb_dnf": du_timeout,
             "duckdb_crash": du_crash,
             "spark_shuffle": shuffle,
+            "env_calibration": calib,
             **heap,
         }))
     finally:
