@@ -328,12 +328,17 @@ def main() -> None:
             for _ in range(200000):
                 _h = hashlib.md5(_h).digest()
             calib["py_md5_chain_s"] = round(time.time() - _t0, 3)
-            _rng = spark.range(0, 200_000_000, 1, 32).selectExpr(
-                "sum(xxhash64(id)) as s")
-            _rng.collect()  # warm codegen
-            _t0 = time.time()
-            _rng.collect()
-            calib["spark_range_hash_s"] = round(time.time() - _t0, 3)
+            try:
+                # pmod keeps the running sum ~2e8 * 4096 << int64 — a raw
+                # sum(xxhash64) overflows under ANSI arithmetic
+                _rng = spark.range(0, 200_000_000, 1, 32).selectExpr(
+                    "sum(pmod(xxhash64(id), 4096)) as s")
+                _rng.collect()  # warm codegen
+                _t0 = time.time()
+                _rng.collect()
+                calib["spark_range_hash_s"] = round(time.time() - _t0, 3)
+            except Exception:  # noqa: BLE001 — calibration is best-effort
+                pass
 
         if phase in ("spark", "both"):
             from hadoop_mapreduce_spark.session import release_caches
