@@ -165,52 +165,57 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong).
     """
     ev = load_table(spark, sf_dir, "events")
-    # Sum `value` as DECIMAL(18,6), not DOUBLE: double addition is not
-    # associative, so a sum landing on a round() half-boundary flips with
-    # partition order. Decimal partial sums are exact, so every tier (and
-    # the DuckDB oracle, which applies the same cast) rounds the same
-    # single value regardless of shuffle layout.
+    # Pure integer arithmetic on BOTH engines — nothing in the hashed
+    # output passes through a timestamp renderer or a float->decimal
+    # conversion, the two sites whose rounding/formatting is library-
+    # version-sensitive (the r7/r8 driver-red hash-mismatch signature):
     #
-    # BOTH derived outputs are emitted as exact integers, never as a
-    # rounded decimal->double: the total as CENTS (sv*100 is exact — the
-    # decimal sum has scale 6, so *100 is an integer-exact rescale) and
-    # the average as MICRO-units (sv*1e6 DIV n, truncating integer
-    # division). A round(decimal, 2) -> double path is correctly rounded
-    # in the JVM but decimal ROUND half-modes differ across engines and
-    # versions (a sum on a half-cent boundary flips the last cent on
-    # another engine — observed as a driver-side hash mismatch in r6), so
-    # no rounding site survives in this query. Consumers read
-    # total_value_cents/100 and avg_value_micros/1e6.
+    # * Buckets are epoch indices: complete hours/days since the NTZ
+    #   epoch (timestampdiff on TIMESTAMP_NTZ is integer micros DIV unit
+    #   — no session timezone, no calendar rendering). DuckDB mirrors
+    #   with date_diff('hour'|'day', epoch, ts): boundary-crossing
+    #   counts from an hour/day-aligned origin equal the floor index for
+    #   the post-1970 fixture domain.
+    # * Values are summed as integer MICRO-units per row
+    #   (round(value*1e6) — both engines round doubles half-away-from-
+    #   zero, and the probe in OPTIMIZATION_r09.md shows per-row
+    #   equality with the previous DECIMAL(18,6) path on every fixture
+    #   row at all SFs). Integer partial sums are exact and associative,
+    #   so the result is shuffle-layout-independent; the derived totals
+    #   stay truncating integer division exactly as before:
+    #   total_value_cents = sm DIV 10000, avg_value_micros = sm DIV n.
+    #   Consumers read total_value_cents/100 and avg_value_micros/1e6.
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
     hourly = (
         ev.groupBy(
-            F.date_trunc("day", "ts").alias("day"),
-            F.date_trunc("hour", "ts").alias("bucket"),
+            F.expr(f"timestampdiff(DAY, {epoch}, ts)").alias("day_id"),
+            F.expr(f"timestampdiff(HOUR, {epoch}, ts)").alias("bucket_id"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias("sm"),
         )
     )
     hourly_out = hourly.select(
         F.lit("hour").alias("resolution"),
-        F.col("bucket").cast("string").alias("bucket"),
-        "event_type", "n",
-        F.expr("CAST(sv * 100 AS BIGINT)").alias("total_value_cents"),
-        F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
+        "bucket_id", "event_type", "n",
+        F.expr("sm DIV 10000").alias("total_value_cents"),
+        F.expr("sm DIV n").alias("avg_value_micros"),
     )
     daily_out = (
-        hourly.groupBy("day", "event_type")
-        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        hourly.groupBy("day_id", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sm").alias("sm"))
         .select(
             F.lit("day").alias("resolution"),
-            F.col("day").cast("string").alias("bucket"),
+            F.col("day_id").alias("bucket_id"),
             "event_type", "n",
-            F.expr("CAST(sv * 100 AS BIGINT)").alias("total_value_cents"),
-            F.expr("CAST(sv * 1000000 AS BIGINT) DIV n").alias("avg_value_micros"),
+            F.expr("sm DIV 10000").alias("total_value_cents"),
+            F.expr("sm DIV n").alias("avg_value_micros"),
         )
     )
-    return hourly_out.unionByName(daily_out).orderBy("resolution", "bucket", "event_type")
+    return hourly_out.unionByName(daily_out).orderBy(
+        "resolution", "bucket_id", "event_type")
 
 
 def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1350,19 +1350,20 @@ FROM events GROUP BY 1, 2 ORDER BY user_id, day
 """,
     "events_hierarchical_rollup": """
 WITH hourly AS (
-  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS bucket, event_type,
-    count(*) AS n, sum(value::DECIMAL(18,6)) AS sv
+  SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS day_id,
+    date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS bucket_id, event_type,
+    count(*) AS n, sum(round(value * 1000000)::BIGINT) AS sm
   FROM events GROUP BY 1, 2, 3
 )
-SELECT 'hour' AS resolution, bucket::VARCHAR AS bucket, event_type, n,
-  (sv * 100)::BIGINT AS total_value_cents,
-  (sv * 1000000)::BIGINT // n AS avg_value_micros
+SELECT 'hour' AS resolution, bucket_id, event_type, n,
+  (sm // 10000)::BIGINT AS total_value_cents,
+  (sm // n)::BIGINT AS avg_value_micros
 FROM hourly
 UNION ALL
-SELECT 'day', day::TIMESTAMP::VARCHAR, event_type, sum(n), (sum(sv) * 100)::BIGINT,
-  (sum(sv) * 1000000)::BIGINT // sum(n)
-FROM hourly GROUP BY day, event_type
-ORDER BY resolution, bucket, event_type
+SELECT 'day', day_id, event_type, sum(n), (sum(sm) // 10000)::BIGINT,
+  (sum(sm) // sum(n))::BIGINT
+FROM hourly GROUP BY day_id, event_type
+ORDER BY resolution, bucket_id, event_type
 """,
     "udf_pandas_vector_norm": """
 SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm

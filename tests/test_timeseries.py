@@ -86,18 +86,23 @@ def test_hierarchical_rollup_daily_matches_direct(spark):
 
     out = events_hierarchical_rollup(spark, SF_DIR)
     daily = {
-        (r.bucket, r.event_type): (r.n, r.total_value_cents)
+        (r.bucket_id, r.event_type): (r.n, r.total_value_cents)
         for r in out.where(F.col("resolution") == "day").collect()
     }
     direct = {
-        (str(r.bucket), r.event_type): (r.n, r.total_value_cents)
+        (r.bucket_id, r.event_type): (r.n, r.total_value_cents)
         for r in load_table(spark, SF_DIR, "events")
-        .groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .groupBy(
+            F.expr(
+                "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("bucket_id"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT)").alias(
-                "total_value_cents"
-            ),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) DIV 10000"
+            ).alias("total_value_cents"),
         )
         .collect()
     }

@@ -34,7 +34,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # the surface a hostile session timezone re-labels. One per rendering
 # family; the full-registry sweep lives in tools/tz_parity.py.
 TZ_SENSITIVE = [
-    "events_hierarchical_rollup",   # date_trunc day+hour -> string
+    "events_hierarchical_rollup",   # epoch hour/day integer buckets (r9)
     "events_gap_fill",              # hour spine, sequence + cast
     "events_daily_ohlc",            # date_trunc day -> string
     "events_session",               # raw ts rendering via min/max
