@@ -96,6 +96,34 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Environment fingerprint (r9, VERDICT r8 item 2): this container's
+    # throughput drifts by large factors between windows (r8: the graded
+    # 32-core bench ran throttled and read as a 26-query regression; the
+    # 8-core companion run on identical code beat it 4x). Embed the same
+    # two fixed-work calibration numbers the ladder artifacts carry
+    # (tools/scale_bench.py) so every BENCH artifact self-documents its
+    # window: one single-core Python md5 chain, one 32-task Spark
+    # aggregation of a deterministic in-memory range. Additions only —
+    # the existing metric/value/queries contract is unchanged.
+    import hashlib
+    calib: dict[str, float] = {}
+    _t0 = time.time()
+    _h = b"x" * 1000
+    for _ in range(200000):
+        _h = hashlib.md5(_h).digest()
+    calib["py_md5_chain_s"] = round(time.time() - _t0, 3)
+    try:
+        # pmod keeps the running sum ~2e8 * 4096 << int64 — a raw
+        # sum(xxhash64) overflows under ANSI arithmetic
+        _rng = spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(pmod(xxhash64(id), 4096)) as s")
+        _rng.collect()  # warm codegen
+        _t0 = time.time()
+        _rng.collect()
+        calib["spark_range_hash_s"] = round(time.time() - _t0, 3)
+    except Exception:  # noqa: BLE001 — calibration is best-effort
+        pass
+
     # Warm the JVM/codegen path for every headline operator (on SMALLER
     # fixtures, never the timed one) so per-query numbers measure
     # steady-state query time, not one-time class-loading/codegen
@@ -160,6 +188,30 @@ def main() -> None:
         floor_df.write.format("noop").mode("overwrite").save()
         floor_runs.append(time.time() - t0)
     floor = round(sorted(floor_runs)[len(floor_runs) // 2], 3)
+
+    # Floor vs history (r9): a noop floor far above the committed rounds'
+    # median marks a throttled measurement window (r8's 0.132 s vs the
+    # 0.018-0.024 s history was the tell) — flag it IN the artifact so a
+    # bad window can never again read as a code regression. History =
+    # spark_sched_floor_sec of the committed driver BENCH_r*.json files.
+    floor_hist: list[float] = []
+    try:
+        import glob
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fp in sorted(glob.glob(os.path.join(here, "BENCH_r0*.json"))):
+            with open(fp) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed") or doc
+            v = parsed.get("spark_sched_floor_sec")
+            if isinstance(v, (int, float)):
+                floor_hist.append(float(v))
+    except Exception:  # noqa: BLE001 — history read is best-effort
+        pass
+    floor_hist_median = (
+        round(sorted(floor_hist)[len(floor_hist) // 2], 3)
+        if floor_hist else None)
+    throttled_suspect = bool(
+        floor_hist_median and floor > 3 * floor_hist_median)
 
     # Per-query protocol at the TARGET sf, mirroring the DuckDB
     # cold/warm pair below: run 1 (cold) includes first-touch costs
@@ -356,6 +408,9 @@ def main() -> None:
         "spark_sched_floor_sec": floor,
         "spark_warm_exfloor_total": round(
             sum(max(t - floor, 0.0) for t in times_warm.values()), 3),
+        "env_calibration": calib,
+        "sched_floor_hist_median": floor_hist_median,
+        "throttled_window_suspect": throttled_suspect,
     }
     detail = dict(summary)
     detail.update({
