@@ -324,32 +324,60 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str,
         .otherwise("test").alias("grouped_split"),
         "comp",
     ))
-    a1 = assigned.select(F.col("doc_id").alias("id1"),
-                         F.col("naive_split").alias("n1"),
-                         F.col("grouped_split").alias("g1"))
-    a2 = assigned.select(F.col("doc_id").alias("id2"),
-                         F.col("naive_split").alias("n2"),
-                         F.col("grouped_split").alias("g2"))
-    audited = pairs.join(a1, "id1").join(a2, "id2")
-    leaks = audited.agg(
-        F.sum((F.col("n1") != F.col("n2")).cast("long"))
-        .alias("naive_leak_pairs"),
-        F.sum((F.col("g1") != F.col("g2")).cast("long"))
-        .alias("grouped_leak_pairs"),
-    )
-    counts = assigned.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("comp").alias("n_clusters"),
-        F.sum((F.col("grouped_split") == "train").cast("long"))
-        .alias("n_train_grouped"),
-    )
-    return counts.crossJoin(
-        leaks.select(
-            F.coalesce("naive_leak_pairs", F.lit(0)).alias("naive_leak_pairs"),
-            F.coalesce("grouped_leak_pairs", F.lit(0))
-            .alias("grouped_leak_pairs"),
+    # Audit tail as ONE spark.sql round trip and ONE aggregation (r9,
+    # guide §1/§7.3): the former build was 7 intermediate DataFrames
+    # (two projection sides, two joins, two single-row aggregates and a
+    # crossJoin), each analysed eagerly on the driver, and the crossJoin
+    # of the two 1-row aggregates cost its own broadcast build job. The
+    # union-tagged aggregation computes the doc-level counts and the
+    # pair-level leak counts in one pass: pair rows are tagged kind=0,
+    # assignment rows kind=1, and every output is a conditional
+    # aggregate. Values are identical — the leak sums coalesce to 0 on
+    # an empty pair set exactly as before (sum over an empty branch is
+    # NULL), and countDistinct over the kind=1 branch sees the same comp
+    # multiset the doc-level aggregate saw. Cost shape at 100 TB is
+    # unchanged: the old counts aggregate already paid countDistinct's
+    # Expand over the corpus-sized assignment; the union only adds the
+    # tiny pair rows to that stream.
+    va = f"__slg_assigned_{id(assigned) & 0xffff:x}"
+    vp = f"__slg_pairs_{id(pairs) & 0xffff:x}"
+    assigned.createOrReplaceTempView(va)
+    pairs.createOrReplaceTempView(vp)
+    out = spark.sql(f"""
+        WITH aud AS (
+          SELECT a1.naive_split AS n1, a1.grouped_split AS g1,
+                 a2.naive_split AS n2, a2.grouped_split AS g2
+          FROM {vp} p
+          JOIN {va} a1 ON p.id1 = a1.doc_id
+          JOIN {va} a2 ON p.id2 = a2.doc_id
+        ),
+        u AS (
+          SELECT 1 AS kind, comp, grouped_split,
+                 CAST(NULL AS STRING) AS n1, CAST(NULL AS STRING) AS n2,
+                 CAST(NULL AS STRING) AS g1, CAST(NULL AS STRING) AS g2
+          FROM {va}
+          UNION ALL
+          SELECT 0 AS kind, CAST(NULL AS BIGINT) AS comp,
+                 CAST(NULL AS STRING) AS grouped_split, n1, n2, g1, g2
+          FROM aud
         )
-    )
+        SELECT
+          count(IF(kind = 1, 1, NULL)) AS n_docs,
+          count(DISTINCT CASE WHEN kind = 1 THEN comp END) AS n_clusters,
+          sum(IF(kind = 1 AND grouped_split = 'train', 1L, 0L))
+            AS n_train_grouped,
+          coalesce(sum(CASE WHEN kind = 0 THEN CAST(n1 <> n2 AS LONG) END),
+                   0L) AS naive_leak_pairs,
+          coalesce(sum(CASE WHEN kind = 0 THEN CAST(g1 <> g2 AS LONG) END),
+                   0L) AS grouped_leak_pairs
+        FROM u
+    """)
+    for v in (va, vp):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001 — view is a naming handle only
+            pass
+    return out
 
 
 def memorization_novelty(spark: SparkSession, sf_dir: str, n: int = 5,

@@ -38,6 +38,21 @@ from hadoop_mapreduce_spark.sources.tables import load_table
 # 60-bit hashes: 15 hex chars always fit a signed int64 in every engine.
 _HEX_LEN = 15
 
+# Session-scoped temp-view names for the star-CC per-round SQL builds —
+# a counter (not a fixed name) so two CC invocations in one session can
+# never collide on the handle.
+import itertools as _itertools
+
+_cc_star_views = _itertools.count()
+
+
+def _drop_view(spark: SparkSession, name: str) -> None:
+    """Best-effort temp-view cleanup (the view is a naming handle only)."""
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001 — cleanup must never mask results
+        pass
+
 
 def _h60(col: Column, seed: int | None = None) -> Column:
     """Deterministic 60-bit hash of a string column (md5-derived).
@@ -1031,13 +1046,12 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
     Raises RuntimeError on non-convergence (same contract as
     connected_components: silent truncation would mean split components).
     """
-    from pyspark.sql import Window
-
     # ``edges_canonical=True`` (caller guarantees unique pairs with
     # id1 < id2 — true for every verified-LSH edge source in this repo)
     # skips the defensive dedup shuffle on the input; the general
     # contract still accepts arbitrary (possibly mirrored, duplicated)
     # edge lists.
+    spark = nodes.sparkSession
     e = edges.select(F.least("id1", "id2").alias("b"),
                      F.greatest("id1", "id2").alias("a")) \
         .where(F.col("a") != F.col("b"))
@@ -1045,91 +1059,96 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         e = e.distinct()
     e = e.localCheckpoint(eager=False)
     # (a, b) = (child, parent-candidate), b < a always; lazy — round
-    # 1's stop-test job materialises it together with round 1's edges
+    # 1's stop-test job materialises it together with round 1's edges.
+    #
+    # The round body and the stop test are each ONE spark.sql() round
+    # trip over a temp view of the previous round's checkpointed edges
+    # (r9, guide §1/§7.3 eager-analysis finding): the former hand-chained
+    # build was ~10 intermediate DataFrames per round, and classic-mode
+    # Spark analyses every one eagerly, re-walking the lineage — pure
+    # per-round DRIVER latency that no executor count amortises. The SQL
+    # parse produces the IDENTICAL plan (same window-min passes, same
+    # single end-of-round distinct, same one-aggregation stop test) in
+    # one py4j call.
+    view = f"__cc_star_{next(_cc_star_views)}"
+    # --- large-star over the symmetric neighbourhood: every node u
+    #     attaches its strictly-larger neighbours v to
+    #     m(u) = min(Γ(u) ∪ {u}); no mid-round distinct — duplicate
+    #     (a, m) pairs are harmless under the small-star min and the
+    #     round's single end-of-round distinct dedups them.
+    # --- small-star: per child a (all parents b < a), re-attach a and
+    #     every parent to the smallest parent m. Both passes are a
+    #     window-min + projection — one shuffle each, no self-joins.
+    round_sql = f"""
+        WITH sym AS (
+          SELECT a AS u, b AS v FROM {view}
+          UNION ALL
+          SELECT b AS u, a AS v FROM {view}
+        ),
+        ls AS (
+          SELECT u, v, least(u, min(v) OVER (PARTITION BY u)) AS m
+          FROM sym
+        ),
+        ss AS (
+          SELECT a, b, min(b) OVER (PARTITION BY a) AS m
+          FROM (SELECT v AS a, m AS b FROM ls WHERE v > u AND v <> m)
+        )
+        SELECT DISTINCT IF(b = m, a, b) AS a, m AS b
+        FROM ss
+        WHERE IF(b = m, a, b) <> m
+    """
+    # Stop test: e is a STAR FOREST ⟺ the next round would map e to
+    # itself — checking the new edge set directly saves a whole final
+    # confirming round. A star forest needs BOTH (1) no parent appears
+    # as a child (no chains) AND (2) every child has exactly ONE parent
+    # — condition (2) is not implied by (1): e.g. {(4,0),(4,2)} has
+    # parents {0,2} disjoint from children {4} yet node 4 bridges two
+    # would-be components and the next small-star round merges them
+    # (hypothesis-found counterexample, tests/test_properties.py).
+    # Soundness: large/small-star never disconnect a component, so a
+    # true star-forest state means every component is one star rooted
+    # at its minimum — converged AND correct; any other state changes
+    # next round, so max_iter still bounds pathological inputs. Both
+    # conditions fold into ONE aggregation over a union of the child
+    # and parent id columns: a node violates if it is a child twice, or
+    # a child and a parent at once. The 1-row action returns BOTH the
+    # violation count and |e| (sum(cc) = number of child rows = edge
+    # count), so the post-loop broadcastability decision needs no extra
+    # count job over the checkpointed edges.
+    stop_sql = f"""
+        SELECT sum(IF(cc > 1 OR (cc >= 1 AND n > cc), 1L, 0L)) AS viol,
+               sum(cc) AS ne
+        FROM (
+          SELECT node, sum(c) AS cc, count(*) AS n
+          FROM (SELECT a AS node, 1 AS c FROM {view}
+                UNION ALL
+                SELECT b AS node, 0 AS c FROM {view})
+          GROUP BY node
+        )
+    """
     for _ in range(max_iter):
-        # Both passes are expressed as a window-min + projection — one
-        # shuffle each, no self-joins (a join formulation recomputes the
-        # neighbour-min subtree once per consumer; the window computes it
-        # in place on the same partitioning the next pass reuses).
-        # --- large-star over the symmetric neighbourhood: every node u
-        #     attaches its strictly-larger neighbours v to
-        #     m(u) = min(Γ(u) ∪ {u}) ---
-        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        wu = Window.partitionBy("u")
-        # no mid-round distinct: |large| is exactly one row per
-        # symmetric edge with v > u (= |e|), duplicate (a,m) pairs are
-        # harmless under the small-star min and the round's single
-        # end-of-round distinct dedups them — dropping the former
-        # .distinct() here removes one shuffle per round
-        large = (
-            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-        )
-        # --- small-star: per child a (all parents b < a), re-attach a
-        #     and every parent to the smallest parent m ---
-        wa = Window.partitionBy("a")
-        small = large.withColumn("m", F.min("b").over(wa))
-        raw = (
-            small.select(
-                F.when(F.col("b") == F.col("m"), F.col("a"))
-                .otherwise(F.col("b")).alias("a"),
-                F.col("m").alias("b"),
-            )
-            .where(F.col("a") != F.col("b"))
-        )
         # One dedup shuffle per round, checkpointed LAZILY (eager=False):
-        # the stop-test count below is the round's first action, so ONE
-        # job both materialises the checkpoint and computes the test —
-        # an eager checkpoint ran a separate materialisation job per
-        # round, pure per-round scheduling floor on a driver that
-        # launches O(log n) rounds. Both sides of the stop-test self-join
-        # reference the same checkpointed RDD, so the round computes
-        # once. (The former distinct + old∪new set-diff shape carried
-        # two shuffles and a full extra round on top of that.)
-        e = raw.distinct().localCheckpoint(eager=False)
-        # Stop test: e is a STAR FOREST ⟺ the next round would map e to
-        # itself — checking the new edge set directly saves the former
-        # protocol's whole final confirming round (two window shuffles
-        # run only to observe changed == 0). A star forest needs BOTH
-        # (1) no parent appears as a child (no chains) AND (2) every
-        # child has exactly ONE parent — condition (2) is not implied by
-        # (1): e.g. {(4,0),(4,2)} has parents {0,2} disjoint from
-        # children {4} yet node 4 bridges two would-be components and
-        # the next small-star round merges them (hypothesis-found
-        # counterexample, tests/test_properties.py). Soundness:
-        # large/small-star never disconnect a component, so a true
-        # star-forest state means every component is one star rooted at
-        # its minimum — converged AND correct; any other state changes
-        # next round, so max_iter still bounds pathological inputs.
-        # Both conditions fold into ONE aggregation over a union of the
-        # child and parent id columns (same single-shuffle cost as the
-        # former — and unsound — semi-join): a node violates if it is a
-        # child twice, or a child and a parent at once.
-        deg = e.select(F.col("a").alias("node"), F.lit(1).alias("c")).union(
-            e.select(F.col("b").alias("node"), F.lit(0).alias("c")))
-        viol = ((F.col("cc") > 1)
-                | ((F.col("cc") >= 1) & (F.col("n") > F.col("cc")))).cast("long")
-        # ONE 1-row action returns BOTH the violation count and |e|
-        # (sum(cc) over nodes = number of child rows = edge count), so
-        # the post-loop broadcastability decision below needs no extra
-        # count job over the checkpointed edges.
-        stats = (
-            deg.groupBy("node")
-            .agg(F.sum("c").alias("cc"), F.count("*").alias("n"))
-            .select(F.sum(viol).alias("viol"), F.sum("cc").alias("ne"))
-            .first()
-        )
+        # the stop-test below is the round's first action, so ONE job
+        # both materialises the checkpoint and computes the test — an
+        # eager checkpoint ran a separate materialisation job per round,
+        # pure per-round scheduling floor on a driver that launches
+        # O(log n) rounds.
+        e.createOrReplaceTempView(view)
+        e = spark.sql(round_sql).localCheckpoint(eager=False)
+        e.createOrReplaceTempView(view)
+        stats = spark.sql(stop_sql).first()
         if (stats.viol or 0) == 0:
             n_edges = stats.ne or 0
             break
     else:
+        _drop_view(spark, view)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
             f"rounds — pathological edge set (rounds needed is O(log n), "
             f"so this indicates a bug, not a deep graph)")
+    # The temp view is only a naming handle for the per-round SQL; the
+    # returned plan is bound to the checkpointed RDDs, not the view.
+    _drop_view(spark, view)
     # The star forest has one row per non-root duplicate — orders of
     # magnitude smaller than the corpus for any real dup rate. The
     # checkpointed RDD hides its size from the planner (leaf default
