@@ -24,7 +24,19 @@ _NORMALIZE_RE = r"[^a-zA-Z0-9\s]+"
 
 def normalize_text(col: Column | str) -> Column:
     """lower(delete non-alphanumeric-non-space) — delete semantics, not
-    replace-with-space (reference WordCount.java:76)."""
+    replace-with-space (reference WordCount.java:76).
+
+    INVARIANT (downstream dependency — ADVICE r8): tokens produced by
+    ``tokenize(normalize_text(...))`` contain ONLY [a-z0-9] — no spaces,
+    no control chars, never empty, never NULL. textstats.keyphrase_rake's
+    shuffle-free phrase assembly encodes phrase boundaries with a \\x01
+    sentinel and re-joins tokens with single spaces, and
+    token_context_diversity's distinct-then-sum assumes non-null
+    neighbours — both are sound ONLY under this charset. If this
+    normalizer ever switches to replace-with-space or widens the kept
+    charset, update those operators first
+    (tests/test_textstats.py::test_tokenizer_invariants_for_rake pins
+    this contract)."""
     return F.lower(F.regexp_replace(col, _NORMALIZE_RE, ""))
 
 
@@ -34,6 +46,8 @@ def tokenize(col: Column | str) -> Column:
     ``split`` on ``\\s+`` leaves a leading empty string when the input
     starts with whitespace (and one trailing when it ends with any other
     delimiter run collapsed), so filter empties to match StringTokenizer.
+    (See normalize_text's INVARIANT note for the downstream operators
+    that depend on the combined tokenizer contract.)
     """
     toks = F.split(col if isinstance(col, Column) else F.col(col), r"\s+")
     return F.filter(toks, lambda t: t != F.lit(""))

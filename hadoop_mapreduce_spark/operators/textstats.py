@@ -2410,7 +2410,12 @@ def token_context_diversity(spark: SparkSession, sf_dir: str,
     # the latter plans an Expand (one stream per distinct column —
     # 2x the filtered rows into the exchange); distinct() partial-
     # aggregates the (w, side, nb) triples map-side and the per-side
-    # counts fold from the deduped stream in the same exchange
+    # counts fold from the deduped stream in the same exchange.
+    # Equivalence note (ADVICE r8): countDistinct excluded NULL
+    # neighbours where distinct-then-sum would count one — unreachable
+    # here because nb is element_at over tokenizer output, whose tokens
+    # are never NULL/empty (the normalize_text INVARIANT in
+    # functions/text.py, pinned by test_tokenizer_invariants_for_rake)
     div = (
         dirs.join(F.broadcast(freq.select("w")), "w")
         .distinct()

@@ -17,6 +17,9 @@ from hypothesis import strategies as st
 
 from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
 
+pytestmark = pytest.mark.deep  # full differential tier — see conftest.py
+
+
 FUZZ_QUERIES = [
     "hll_portable_union",
     "winnowing_fingerprint",

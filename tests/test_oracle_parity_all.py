@@ -20,6 +20,9 @@ import pytest
 from hadoop_mapreduce_spark.registry import ORACLE, QUERIES
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.deep  # full differential tier — see conftest.py
+
+
 # Oracles where the ORDER BY does not pin a total order (ties possible),
 # so Spark and DuckDB may legitimately interleave tied rows differently.
 # AUDITED (round 4): tools/order_audit.py extracts every oracle's

@@ -965,3 +965,35 @@ def test_token_context_diversity_template_vs_free(spark, tmp_path):
     f = out["free"]
     assert (f.freq, f.n_left, f.n_right) == (3, 3, 3)
     assert f.diversity_e6 == 1_000_000
+
+
+def test_tokenizer_invariants_for_rake(spark):
+    """Pins the normalize_text/tokenize contract that keyphrase_rake's
+    sentinel phrase assembly and token_context_diversity's
+    distinct-then-sum rely on (functions/text.py INVARIANT note):
+    tokens over ANY input — control chars, \\x01 itself, unicode
+    whitespace, punctuation runs — are non-null, non-empty, and drawn
+    from [a-z0-9] only (so neither \\x01 nor a space can ever appear
+    inside a token)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_mapreduce_spark.functions.text import normalize_text, tokenize
+
+    hostile = [
+        "plain words here",
+        "sentinel\x01inside and \x01 alone",
+        "tabs\tand\x0bvertical\x0cforms",
+        "punct!!! runs??? (parens) [brackets]",
+        "UPPER Mixed123 0numbers9",
+        "  leading and trailing   ",
+        "", " ", "\x01\x01\x01", "!@#$%^&*()",
+        "unicode éü中文 mix",
+    ]
+    df = spark.createDataFrame([(t,) for t in hostile], "text string")
+    toks = df.select(F.explode(tokenize(normalize_text("text"))).alias("tk"))
+    bad = toks.where(
+        F.col("tk").isNull()
+        | (F.col("tk") == "")
+        | F.col("tk").rlike("[^a-z0-9]")
+    ).count()
+    assert bad == 0

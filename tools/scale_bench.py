@@ -340,7 +340,8 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — calibration is best-effort
                 pass
 
-        if phase in ("spark", "both"):
+            # (merged with the calibration block above — ADVICE r8: two
+            # consecutive identical phase guards read as accidental)
             from hadoop_mapreduce_spark.session import release_caches
 
             # Deterministic JVM cleanup between ladder measurements (r8,
