@@ -3354,8 +3354,84 @@ _WINDOW_R8 = [
     "pii_redact_audit",
 ]
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
-    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R8)}
+
+# --------------------------------------------------------------------------
+# r9 driver window (supersedes _WINDOW_R8 in the dict order below; the
+# r8 list is kept for the audit trail). Composition:
+# (a) queries whose implementation changed THIS round — the rollup
+#     (r7/r8's standing driver-red cell, rewritten to integer epoch
+#     arithmetic on both engines; VERDICT r8 item 1 orders it kept in
+#     the window) and the star-CC/guard consumers of the r9 SQL-build
+#     rewrite;
+# (a') the two r8 operator rewrites that landed AFTER the r8 window was
+#     frozen (keyphrase_rake, token_context_diversity) plus
+#     dedup_minhash_lsh, whose shared pair-builder changed in r8 —
+#     none driver-witnessed at their current implementation;
+# (b) ALL 26 remaining never-driver-witnessed keys (the r8 queue above)
+#     — this completes driver witnessing of the full registry;
+# (c) fill to 50 with re-witnesses: the date_trunc-rendering timeseries
+#     family (same-signature audit as the rollup fix — OPTIMIZATION_r09
+#     item 1) and stable graded headliners.
+# Pure reordering — no key changes here.
+_WINDOW_R9 = [
+    # (a) changed this round
+    "events_hierarchical_rollup",
+    "split_leakage_guard",
+    "dedup_components_star",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_cluster_size_histogram",   # also in the never-witnessed queue
+    "pipeline_target_select",
+    # (a') r8 changes never witnessed at HEAD
+    "keyphrase_rake",
+    "token_context_diversity",
+    "dedup_minhash_lsh",
+    # (b) the remaining never-witnessed keys
+    "orders_abc_pareto",
+    "label_propagation_communities",
+    "sax_motifs",
+    "dedup_chain_audit",
+    "vocab_growth_heaps",
+    "embedding_outlier_scores",
+    "order_status_flow",
+    "events_pattern_match",
+    "readability_scores",
+    "events_acf",
+    "compression_ratio_quality",
+    "shard_layout_plan",
+    "hll_portable_union",
+    "ccnet_perplexity_buckets",
+    "vocab_coverage_curve",
+    "embedding_centroid_drift",
+    "char_trigram_langid",
+    "minhash_accuracy_audit",
+    "quantile_histogram_portable",
+    "events_ewma_daily",
+    "salted_aggregate_events",
+    "join_skew_audit",
+    "video_meta",
+    "embedding_dim_stats",
+    "benford_audit",
+    # (c) re-witnesses
+    "pagerank_dedup_graph",
+    "pipeline_pretrain",
+    "dedup_threshold_sweep",
+    "ngram_count",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "dedup_exact",
+    "events_gap_fill",
+    "events_daily_ohlc",
+    "events_session",
+    "token_count",
+    "text_quality",
+    "unigram_logprob_quality",
+    "bloom_decontaminate",
+    "zorder_layout",
+]
+assert len(_WINDOW_R9) == 50 and len(set(_WINDOW_R9)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R9} | {
+    k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R9)}
 
 # r7: heavy_hitters_cms converts from rows-only to hash-paired — the
 # sketch's cell hash switched from JVM-only xxhash64 to the repo's
